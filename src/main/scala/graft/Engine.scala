@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Session + catalog bootstrap.
+  *
+  * KuiBaDB analogue: `GlobalState::init` (reference src/lib.rs:546-550) plus
+  * the initdb catalog bootstrap (src/bin/initdb/main.rs:407-894). Where the
+  * reference opens a SQLite catalog per database and registers 8 types /
+  * 186 operators / 203 procs, we bootstrap a SparkSession with ANSI-mode
+  * PG-ish semantics, register the graft function surface into Catalyst's
+  * FunctionRegistry (the fmgr analogue, src/utils/fmgr.rs:44-53), and expose
+  * the driver testdata tables as the catalog.
+  *
+  * Scale notes (100 TB): every knob here is declarative — AQE handles
+  * runtime re-planning (skew joins, partition coalescing), shuffle
+  * partition count is a config, and all table access goes through the
+  * Parquet vectorized reader (the `Datums` column-batch analogue,
+  * reference src/datums.rs:24-52).
+  */
+object Engine {
+
+  /** Tables the driver testdata provides (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Build a fully-configured local session (tests / standalone use). */
+  def session(master: String = "local[*]", app: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    prepare(s)
+  }
+
+  /** Idempotently prepare ANY session (incl. driver-created ones) with
+    * graft semantics: UTC, ANSI on (PG-style overflow/cast errors,
+    * reference src/utils/adt.rs:29-34), AQE on, functions registered.
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Driver parquet writes timestamps as not-UTC-adjusted; read them as
+    // TimestampType (instant, session TZ = UTC) so timestamp arithmetic
+    // and the DuckDB oracle agree on wall-clock values.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Spark cannot read parquet TIMESTAMP(NANOS) (events.ts) natively —
+    // read as long nanos and convert in `table` (truncate to micros,
+    // exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP read).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Read one driver table. Scans stay declarative so Catalyst pushes
+    * filters + prunes columns into the Parquet reader (check with
+    * .explain: PushedFilters / ReadSchema).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    prepare(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) -> read as long nanos (see prepare),
+    // truncate to microseconds (matching DuckDB's TIMESTAMP_NS read).
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register all driver tables as temp views — the `kb_class` catalog
+    * analogue (reference src/commands/tablecmds.rs:103-148) — enabling the
+    * plain-SQL surface (`spark.sql`).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    prepare(spark)
+    tableNames.foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+  }
+
+  /** SQL passthrough over the registered catalog — the
+    * `exec_simple_query` analogue (reference src/lib.rs:438-466): Catalyst
+    * parse -> analyze (catalog/function resolution, sem.rs:355-377) ->
+    * optimize -> execute.
+    */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(query)
+  }
+
+  // -------------------------------------------------------------------
+  // Deterministic numeric helpers shared by the operator library.
+  // Double sums are order-dependent across partitions; aggregating through
+  // DECIMAL(38,10) is exact, therefore deterministic under ANY partition
+  // count (a 100 TB re-aggregation requirement) and bit-identical to an
+  // oracle using the same cast. Sums STAY decimal on output: converting
+  // a wide decimal to double can differ by 1 ulp between engines, so the
+  // exact type is the result type. Averages are small-magnitude; they are
+  // emitted as round(double, 6).
+  // -------------------------------------------------------------------
+  val DEC: DecimalType = DecimalType(38, 10)
+
+  /** Exact, order-independent sum of a double column (decimal result). */
+  def dsum(c: Column): Column = sum(c.cast(DEC)).cast(DEC)
+
+  /** Average of a double column: exact sum, one double division, 6dp. */
+  def davg(c: Column): Column = round(sum(c.cast(DEC)).cast(DoubleType) / count(c), 6)
+}

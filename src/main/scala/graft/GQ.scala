@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator: a Spark-first implementation plus (when the
+  * semantics are SQL-expressible) an equivalent DuckDB oracle query — the
+  * golden-test scheme from SURVEY §5. `oracle=None` -> driver records a
+  * rows-only check (used for approximate/hash-scheme operators whose exact
+  * output depends on our hash functions).
+  */
+final case class GQ(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object GQ {
+  /** Decimal-exact double sum, oracle side (see Engine.dsum). */
+  def osum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DECIMAL(38,10))"
+  /** Average, oracle side (see Engine.davg). */
+  def oavg(e: String): String =
+    s"round(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE) / COUNT($e), 6)"
+}

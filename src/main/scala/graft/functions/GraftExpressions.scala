@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Graft's native Catalyst expressions — the analogue of KuiBaDB's fmgr
+  * function surface (reference src/utils/fmgr.rs:36-63, src/utils/adt.rs):
+  * batch-in/batch-out columnar kernels. On Spark the "batch" dimension is
+  * supplied by whole-stage codegen / the vectorized reader, so each kernel
+  * is a scalar Expression; the hot one (cosine) implements doGenCode so it
+  * stays inside the codegen'd loop (no boxing per row).
+  *
+  * All hashes are deterministic (FNV-1a 64 + splitmix64-derived
+  * coefficients) so results are reproducible across runs and cluster
+  * sizes — a hard requirement for dedup at 100 TB (re-runs must agree).
+  */
+object GraftHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64-bit over raw bytes. */
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 — used to derive per-permutation minhash coefficients. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  val MaxHashes = 256
+  /** Multiplicative/additive coefficients for minhash permutations i:
+    * h_i(x) = fnv64(x) * A(i) + B(i)  (wrapping 64-bit, compared unsigned).
+    */
+  lazy val A: Array[Long] = Array.tabulate(MaxHashes)(i => splitmix64(2L * i) | 1L)
+  lazy val B: Array[Long] = Array.tabulate(MaxHashes)(i => splitmix64(2L * i + 1))
+}
+
+/** fnv64(str) -> long. Deterministic 64-bit content hash (for shingle
+  * hashing / fingerprints). */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.fnv64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.fnv64($c.getBytes())")
+  override protected def withNewChildInternal(c: Expression): Fnv64 = copy(child = c)
+  override def prettyName: String = "graft_fnv64"
+}
+
+/** minhash signature: array<string> tokens -> array<long> of length n.
+  * One pass over the tokens, n permutations (SURVEY §7.2 step 6; public
+  * MinHash scheme, Broder 1997). Empty/all-null input -> all-0xFF
+  * signature (unsigned max), which never collides with real buckets.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0 && numHashes <= GraftHash.MaxHashes)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(-1L) // unsigned max
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = GraftHash.fnv64(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < numHashes) {
+          val hj = h * GraftHash.A(j) + GraftHash.B(j)
+          if (java.lang.Long.compareUnsigned(hj, sig(j)) < 0) sig(j) = hj
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** simhash64: array<string> tokens -> 64-bit simhash (Charikar 2002).
+  * Near-dup distance = bit_count(a ^ b) (builtin, no custom expr needed).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = GraftHash.fnv64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** Base for dense-vector kernels over array<float>/array<double>.
+  * Math is performed in double with strict sequential accumulation so the
+  * result is bit-deterministic and matches an oracle computing the same
+  * formula (element order fixed, no reassociation).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @inline protected final def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  protected def getterJava(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** graft_dot(a, b) -> double: sequential dot product. */
+case class ArrayDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val fa = elemIsFloat(left); val fb = elemIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += get(a, i, fa) * get(b, i, fb); i += 1 }
+    dot
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${getterJava(a, i, elemIsFloat(left))} * ${getterJava(b, i, elemIsFloat(right))};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** graft_cosine(a, b) -> double: dot/(sqrt(na)*sqrt(nb)), one fused pass.
+  * Zero-norm input -> 0.0. Codegen'd: stays inside WholeStageCodegen, no
+  * per-row allocation — this is the ANN hot loop (SURVEY §7.2 step 6).
+  */
+case class CosineSim(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val fa = elemIsFloat(left); val fb = elemIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(a, i, fa); val y = get(b, i, fb)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getterJava(a, i, elemIsFloat(left))};
+         |  double $y = ${getterJava(b, i, elemIsFloat(right))};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Registry — the fmgr analogue (reference src/utils/fmgr.rs:44-53 wires 6
+  * functions by oid; we wire ours by name into Catalyst's FunctionRegistry
+  * so both the Column API (call_function) and plain SQL can use them).
+  */
+object GraftFunctions {
+  private def lit2int(e: Expression, default: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => default
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSig(es.head, if (es.size > 1) lit2int(es(1), 64) else 64), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot", es => ArrayDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es(0), es(1)), "built-in")
+  }
+
+  // Column-API wrappers
+  def fnv64(c: Column): Column = call_function("graft_fnv64", c)
+  def minhash(c: Column, n: Int): Column =
+    call_function("graft_minhash", c, org.apache.spark.sql.functions.lit(n))
+  def simhash(c: Column): Column = call_function("graft_simhash", c)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+}

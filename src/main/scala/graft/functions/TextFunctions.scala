@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text primitives for the LLM-data-pipeline operators (new-build scope,
+  * SURVEY §7.2 step 6). All are compositions of codegen'd builtins — no
+  * UDFs — so they stay inside whole-stage codegen at 100 TB.
+  *
+  * The tokenizer is the single source of truth shared by dedup,
+  * fingerprinting, language-ID and quality scoring; its oracle-SQL twin
+  * (DuckDB) is kept literally alongside each definition so the two can
+  * never drift.
+  */
+object TextFunctions {
+
+  /** Lowercase word tokens: split on non-alphanumeric runs, drop empties.
+    * Oracle twin: list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t <> '') */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** k-word shingles joined by single spaces (1-based element_at).
+    * Oracle twin (k=3): CASE WHEN len(tok) >= 3 THEN list_transform(
+    *   range(1, len(tok)-1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+    *   ELSE [] END */
+  def shingles(tok: Column, k: Int): Column =
+    when(size(tok) >= k,
+      transform(sequence(lit(1), size(tok) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tok, i + lit(j))): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Canonical text normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics (keeping spaces), collapse runs, trim.
+    * Oracle twin: trim(regexp_replace(regexp_replace(lower(x),
+    *   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Document fingerprint = md5 of the normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(normalized(text).cast(BinaryType))
+
+  /** Marker stop-words per language for the n-gram/stopword language-ID
+    * heuristic. Scores are exact LIKE-hit counts — identical in any SQL
+    * engine, so the whole classifier is oracle-checkable. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "et", "les", "est"),
+    "es" -> Seq("el", "y", "los", "es"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+
+  /** Number of tokens exactly equal to any marker of `lang`. */
+  def langScore(tok: Column, lang: String): Column = {
+    val markers = langMarkers(lang)
+    size(filter(tok, t => markers.map(m => t === m).reduce(_ || _)))
+  }
+
+  /** argmax over language scores with fixed precedence order (en, de, fr,
+    * es, zh) for ties — deterministic. */
+  def langGuess(tok: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val scores = langs.map(l => langScore(tok, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+}

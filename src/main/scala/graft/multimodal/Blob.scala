@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, GQ}
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata (north-star spec).
+  *
+  * The decode/feature-extraction step is STUBBED (no image/audio libs in
+  * this container) with a deterministic fake derived from the bytes; the
+  * Spark-side plumbing — schema, batch shape, partition-wise processing —
+  * is real and tested. On a real cluster, `decodeFeatures` is the one
+  * function to replace with an actual decoder; everything around it
+  * (mapPartitions batching, struct schema, downstream SQL) is unchanged.
+  */
+object Blob {
+
+  /** Typed metadata carried alongside every payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("checksum", StringType, nullable = false))), nullable = true)))
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte], mime: String)
+  final case class Features(media_id: Long, n_bytes: Int, width: Int, height: Int,
+      brightness: Double)
+
+  /** Wrap any (id, binary) pair into the canonical media frame. */
+  def toMediaFrame(df: DataFrame, idCol: String, binCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      col(binCol).cast(BinaryType).as("payload"),
+      lit(mime).as("mime"),
+      struct(
+        octet_length(col(binCol).cast(BinaryType)).as("n_bytes"),
+        md5(col(binCol).cast(BinaryType)).as("checksum")).as("meta"))
+
+  /** STUB decoder: deterministic fake features from the payload bytes.
+    * Real deployment replaces the body with an image decode; the
+    * partition-wise batch shape (Iterator→Iterator, no per-row JNI setup)
+    * is the part that matters for cluster efficiency. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[Features] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would open the decoder library ONCE here
+        it.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          // deterministic fake: dimensions/brightness derived from bytes
+          val w = 16 + (math.abs(graft.functions.GraftHash.fnv64(b)) % 1024).toInt
+          val h = 16 + (math.abs(graft.functions.GraftHash.fnv64(b.reverse)) % 1024).toInt
+          val brightness =
+            if (b.isEmpty) 0.0
+            else b.map(x => (x & 0xff).toDouble).sum / b.length / 255.0
+          Features(id, b.length, w, h, brightness)
+        }
+      }
+  }
+
+  val defs: Seq[GQ] = Seq(
+    // Binary plumbing parity: encode text -> blob, typed metadata.
+    GQ("m01_binary_metadata",
+      Some("""SELECT doc_id AS media_id,
+          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          md5(text) AS checksum
+        FROM documents"""),
+      (s, d) => toMediaFrame(Engine.table(s, d, "documents"), "doc_id", "text", "text/plain")
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"))),
+
+    // Stubbed decode over the real mapPartitions plumbing: rows-only gate
+    // (fake features are graft-hash-specific) + unit-tested in BlobSpec.
+    GQ("m02_decode_features", None,
+      (s, d) => decodeFeatures(s,
+        toMediaFrame(Engine.table(s, d, "documents"), "doc_id", "text", "text/plain"))
+        .toDF())
+  )
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, GQ}
+import graft.functions.{GraftFunctions => GF}
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the 100 TB training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design:
+  *  - exact dedup shuffles once on the content hash (not the text) — keys
+  *    are 128-bit, uniformly distributed, no skew;
+  *  - MinHash/LSH shuffles on (band, bandHash) buckets; candidate groups
+  *    are capped (maxBucket) so a degenerate constant column cannot
+  *    produce a quadratic bucket — the standard guard at web scale;
+  *  - SimHash buckets by 16-bit chunks (pigeonhole: any pair within
+  *    hamming distance 3 shares at least one of the 4 chunks);
+  *  - pairwise Jaccard is only ever run INSIDE candidate buckets (or on
+  *    explicitly bounded subsets for the oracle check), never all-pairs.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Engine.table(s, d, "documents")
+
+  /** Exact dedup: one shuffle on md5(text); survivor = lowest doc_id
+    * (deterministic, unlike dropDuplicates' arbitrary pick). */
+  def exactGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text").cast(BinaryType)).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Survivor rows only (the "dedup the corpus" operation). */
+  def exactSurvivors(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast(BinaryType)))
+      .orderBy(col("doc_id"))
+    documents.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash+LSH candidate pairs: shingle -> n-permutation signature ->
+    * band -> bucket-join. Returns (id_a, id_b, est_jaccard) with
+    * est_jaccard = fraction of matching signature components.
+    */
+  def minhashCandidates(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      minEstJaccard: Double = 0.2,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sig = documents.select(
+      col(idCol).as("id"),
+      GF.minhash(array_distinct(shingles(tokens(col(textCol)), shingleK)), numHashes).as("sig"))
+
+    // band keys: hash of each signature slice (murmur3 over array<long>)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+
+    // cap pathological buckets before the self-join (skew guard)
+    val bucketSizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket))
+    val pruned = banded.join(bucketSizes, Seq("band", "bh"), "left_semi")
+
+    val a = pruned.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+
+    pairs.select(col("id_a"), col("id_b"),
+      (aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        .cast(DoubleType) / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, bucketed by 16-bit chunks,
+    * pairs within `maxHamming` (bit_count(xor) — builtin). */
+  def simhashPairs(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sig = documents.select(col(idCol).as("id"),
+      GF.simhash(tokens(col(textCol))).as("sig"))
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftrightunsigned", col("sig"), c * 16)
+          .bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for bounded candidate sets: explode
+    * distinct shingles, self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). */
+  def ngramJaccardPairs(
+      documents: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      minJaccard: Double): DataFrame = {
+    val tok = documents.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleK)).as("sh"))
+    val ex = tok.select(col("id"), explode(col("sh")).as("s"))
+    val sz = tok.select(col("id"), size(col("sh")).as("sz"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ic"))
+    inter
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("ic").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("ic")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------------------------
+  // Driver-verified query entries
+  // ------------------------------------------------------------------
+  val defs: Seq[GQ] = Seq(
+
+    GQ("d01_dedup_exact",
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+        FROM documents GROUP BY md5(text)"""),
+      (s, d) => exactGroups(docs(s, d))),
+
+    GQ("d02_dedup_minhash_lsh", None, // hash-scheme-specific: rows-only gate
+      (s, d) => minhashCandidates(docs(s, d), minEstJaccard = 0.05)),
+
+    GQ("d03_dedup_simhash", None, // hash-scheme-specific: rows-only gate
+      (s, d) => simhashPairs(docs(s, d), maxHamming = 12)),
+
+    GQ("d04_dedup_ngram_jaccard",
+      Some("""WITH tok AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END) AS sh
+          FROM (SELECT doc_id, list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+                FROM documents WHERE doc_id < 300)),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+        sz AS (SELECT doc_id, len(sh) AS sz FROM tok),
+        it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) AS jaccard
+        FROM it
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02"""),
+      (s, d) => ngramJaccardPairs(
+        docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3, 0.02))
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, GQ}
+import graft.GQ.osum
+import graft.Engine.dsum
+
+/** Event-stream transforms. Each transform is written against a plain
+  * DataFrame so the SAME function serves batch (these driver-verified
+  * entries) and Structured Streaming (graft.streaming.EventsStreaming
+  * applies windowedStats to a readStream source with a watermark) —
+  * Spark's unified-batch/stream contract.
+  */
+object Events {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Engine.table(s, d, "events")
+
+  /** Tumbling-hour stats per event type (batch twin of the streaming
+    * windowed aggregation). */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  /** Gap-based sessionization (30 min): lag + cumulative flag sum. The
+    * batch twin of flatMapGroupsWithState sessionization (streaming/).
+    * (user_id, ts, event_id) is a deterministic total order. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val flagged = events.withColumn("is_new",
+      when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
+        .otherwise(0))
+    flagged
+      .withColumn("sess", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+        dsum(col("value")).as("total_value"))
+  }
+
+  /** Keyed dedup keeping the earliest event — the batch twin of
+    * streaming dropDuplicates (deterministic survivor, unlike
+    * dropDuplicates' arbitrary pick). */
+  def firstEventPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+  }
+
+  val defs: Seq[GQ] = Seq(
+
+    GQ("e01_hourly_event_stats",
+      Some(s"""SELECT date_trunc('hour', ts) AS hr, event_type,
+          COUNT(*) AS n, ${osum("value")} AS total_value
+        FROM events GROUP BY 1, 2"""),
+      (s, d) => hourlyStats(ev(s, d))),
+
+    GQ("e02_sessionize",
+      Some(s"""WITH x AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, CAST(SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM x)
+        SELECT user_id, sess, COUNT(*) AS n_events,
+               MIN(ts) AS t_start, MAX(ts) AS t_end, ${osum("value")} AS total_value
+        FROM y GROUP BY user_id, sess"""),
+      (s, d) => sessionize(ev(s, d))),
+
+    GQ("e03_first_event_per_key",
+      Some("""SELECT user_id, event_type, event_id, ts FROM (
+          SELECT user_id, event_type, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1"""),
+      (s, d) => firstEventPerKey(ev(s, d))),
+
+    GQ("e04_json_props",
+      Some("""SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        FROM events"""),
+      (s, d) => ev(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val")))
+  )
+}

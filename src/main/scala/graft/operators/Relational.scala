@@ -1,0 +1,449 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, GQ}
+import graft.GQ.{oavg, osum}
+import graft.Engine.{davg, dsum}
+import graft.functions.PgFunctions._
+
+/** The relational operator surface: everything KuiBaDB's bootstrap catalog
+  * declares (reference src/bin/initdb/main.rs:464-650 — 186 operators over
+  * 8 types; SURVEY §2.2-§2.8) plus the full query-shape envelope reserved
+  * by its grammar/enums (joins §2.3, aggregates §2.4 via ProKind::Agg,
+  * windows §2.5 via ProKind::Window, sorts/limits §2.6, set ops §2.7),
+  * realized Spark-first: declarative DataFrame plans that Catalyst
+  * optimizes (pushdown, pruning, join selection, partial aggregation).
+  *
+  * Scale discipline (100 TB): joins against dimension tables are
+  * broadcast explicitly; fact-fact joins shuffle on their keys and rely on
+  * AQE for skew; aggregates are all partial+final (no driver collect);
+  * every double aggregate goes through DECIMAL(38,10) so re-aggregation
+  * across any partition count is exact and deterministic (Engine.dsum).
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Engine.table(s, d, n)
+
+  /** Revenue expression: l_extendedprice * (1 - l_discount). Per-row double
+    * math — bit-deterministic, matching the oracle's identical expression. */
+  private val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val orevenue = "l_extendedprice * (1.0 - l_discount)"
+
+  val defs: Seq[GQ] = Seq(
+
+    // ---- scan + filter + aggregate (TPC-H Q1 shape) --------------------
+    // Filter reaches the Parquet scan (PushedFilters); agg is partial+final.
+    GQ("q01_pricing_summary",
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${osum("l_quantity")} AS sum_qty,
+        ${osum("l_extendedprice")} AS sum_base_price,
+        ${osum(orevenue)} AS sum_disc_price,
+        ${osum(s"$orevenue * (1.0 + l_tax)")} AS sum_charge,
+        ${oavg("l_quantity")} AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1999-12-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(revenue).as("sum_disc_price"),
+          dsum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // ---- projection + CASE (the reference's Result node, generalized:
+    // executor.rs:247-282 evaluates a target list; here over a scan) ------
+    GQ("q02_project_case",
+      Some(s"""SELECT l_orderkey, l_linenumber,
+        l_quantity * 2.0 AS qty2,
+        $orevenue AS disc_price,
+        CASE WHEN l_returnflag = 'R' THEN 'returned'
+             WHEN l_returnflag = 'A' THEN 'ack' ELSE 'none' END AS flag_desc
+        FROM lineitem"""),
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 2.0).as("qty2"),
+        revenue.as("disc_price"),
+        when(col("l_returnflag") === "R", lit("returned"))
+          .when(col("l_returnflag") === "A", lit("ack"))
+          .otherwise(lit("none")).as("flag_desc"))),
+
+    // ---- join + agg + top-k (orderBy+limit -> TakeOrderedAndProject) ----
+    GQ("q03_top_orders",
+      Some(s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, revenue
+        FROM (SELECT l_orderkey, ${osum(orevenue)} AS revenue
+              FROM lineitem GROUP BY l_orderkey) r
+        JOIN orders ON o_orderkey = l_orderkey
+        ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+      (s, d) => {
+        val rev = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(dsum(revenue).as("revenue"))
+        t(s, d, "orders")
+          .join(rev, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("order_date"),
+            col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+    // ---- broadcast join with a dimension table -------------------------
+    GQ("q04_brand_volume",
+      Some(s"""SELECT p_brand, ${osum("l_quantity")} AS sum_qty, COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand"""),
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))),
+
+    // ---- 5-way star join (region->nation->customer->orders->lineitem) --
+    GQ("q05_nation_revenue",
+      Some(s"""SELECT r_name, n_name, ${osum(orevenue)} AS revenue, COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name"""),
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))),
+
+    // ---- pushdown-heavy single-table filter + global agg (Q6 shape) ----
+    GQ("q06_revenue_delta",
+      Some(s"""SELECT ${osum("l_extendedprice * l_discount")} AS promo_revenue,
+        COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24.0"""),
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24.0)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("promo_revenue"),
+          count(lit(1)).as("n"))),
+
+    // ---- semi join (EXISTS) --------------------------------------------
+    GQ("q07_orders_with_bulk_items",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)"""),
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") >= 49.0),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")),
+
+    // ---- anti join (NOT EXISTS) ----------------------------------------
+    GQ("q08_customers_without_bulk_orders",
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)"""),
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // ---- window: ranking (ProKind::Window reserved, catalog.rs:129-133) -
+    GQ("q09_top2_orders_per_customer",
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 2"""),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      }),
+
+    // ---- window: running aggregate (decimal-exact frames) --------------
+    GQ("q10_running_qty_by_supplier",
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,10)) AS run_qty
+        FROM lineitem"""),
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem").select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(Engine.DEC)).over(w).cast(Engine.DEC).as("run_qty"))
+      }),
+
+    // ---- set operations: UNION / EXCEPT / INTERSECT (SURVEY §2.7) ------
+    GQ("q11_setops",
+      Some("""SELECT 'ue' AS tag, k FROM (
+          (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION
+           SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0.0)
+          EXCEPT
+          SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000.0)
+        UNION ALL
+        SELECT 'ix' AS tag, k FROM (
+          SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+          INTERSECT
+          SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000.0)"""),
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        val b = c.filter(col("c_acctbal") < 0.0).select(col("c_custkey").as("k"))
+        val x = o.filter(col("o_totalprice") > 400000.0).select(col("o_custkey").as("k"))
+        a.union(b).distinct().except(x).withColumn("tag", lit("ue"))
+          .unionByName(a.intersect(x).withColumn("tag", lit("ix")))
+          .select("tag", "k")
+      }),
+
+    // ---- exact distinct aggregation ------------------------------------
+    GQ("q12_distinct_parts_suppliers",
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS n_parts,
+          COUNT(DISTINCT l_suppkey) AS n_supps,
+          COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag"""),
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))),
+
+    // ---- rollup (grouping sets family) ---------------------------------
+    GQ("q13_rollup_status",
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          COUNT(*) AS n, ${osum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    // ---- CASE bucketing + HAVING ---------------------------------------
+    GQ("q14_priority_buckets",
+      Some("""SELECT o_orderpriority,
+          CASE WHEN o_totalprice < 100000.0 THEN 'small'
+               WHEN o_totalprice < 300000.0 THEN 'mid' ELSE 'big' END AS bucket,
+          COUNT(*) AS n
+        FROM orders
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5"""),
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"),
+          when(col("o_totalprice") < 100000.0, lit("small"))
+            .when(col("o_totalprice") < 300000.0, lit("mid"))
+            .otherwise(lit("big")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)),
+
+    // ---- scalar arithmetic parity (§2.8: int4pl/mi/mul/div, %, abs, neg;
+    // adt.rs:108-212) — all computed as native codegen'd expressions ------
+    GQ("q15_int_arithmetic",
+      Some("""SELECT l_orderkey AS k, l_linenumber AS ln,
+          l_orderkey + l_linenumber AS add8,
+          l_orderkey - l_linenumber AS sub8,
+          l_orderkey * 3 AS mul8,
+          CAST(l_orderkey // 7 AS BIGINT) AS div8,
+          l_orderkey % 7 AS mod8,
+          -l_orderkey AS neg8,
+          CAST(abs(l_linenumber - 4) AS INT) AS abs4
+        FROM lineitem"""),
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+        pgAdd(col("l_orderkey"), col("l_linenumber")).as("add8"),
+        pgSub(col("l_orderkey"), col("l_linenumber")).as("sub8"),
+        pgMul(col("l_orderkey"), lit(3L)).as("mul8"),
+        pgDiv(col("l_orderkey"), lit(7L)).cast(LongType).as("div8"),
+        pgMod(col("l_orderkey"), lit(7L)).as("mod8"),
+        pgNeg(col("l_orderkey")).as("neg8"),
+        pgAbs(col("l_linenumber") - lit(4)).cast(IntegerType).as("abs4"))),
+
+    // ---- math functions (|/ sqrt, ||/ cbrt, ^ pow, ! factorial;
+    // initdb:550-586,481-482) — libm-adjacent outputs rounded to 6dp -----
+    GQ("q16_math_functions",
+      Some("""SELECT p_partkey,
+          sqrt(p_retailprice) AS sqrt_price,
+          round(cbrt(p_retailprice), 6) AS cbrt_price,
+          round(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS pow_size,
+          round(ln(p_retailprice), 6) AS ln_price,
+          CAST(factorial(p_size % 10) AS BIGINT) AS fact_size,
+          floor(p_retailprice) AS floor_price,
+          ceil(p_retailprice) AS ceil_price,
+          sign(p_retailprice - 950.0) AS sign_delta
+        FROM part"""),
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        pgSqrt(col("p_retailprice")).as("sqrt_price"),
+        round(pgCbrt(col("p_retailprice")), 6).as("cbrt_price"),
+        round(pgPow(col("p_size").cast(DoubleType), lit(2.0)), 6).as("pow_size"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        pgFactorial(pgMod(col("p_size"), lit(10))).cast(LongType).as("fact_size"),
+        floor(col("p_retailprice")).as("floor_price"),
+        ceil(col("p_retailprice")).as("ceil_price"),
+        signum(col("p_retailprice") - 950.0).as("sign_delta"))),
+
+    // ---- bitwise & | # ~ << >> (initdb:619-636) ------------------------
+    GQ("q17_bitwise",
+      Some("""SELECT l_orderkey AS k, l_linenumber AS ln,
+          l_orderkey & CAST(l_linenumber AS BIGINT) AS band,
+          l_orderkey | CAST(l_linenumber AS BIGINT) AS bor,
+          xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor,
+          ~l_orderkey AS bnot,
+          CAST(l_linenumber << 3 AS INT) AS shl,
+          CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+          CAST(bit_count(l_orderkey) AS INT) AS popcnt
+        FROM lineitem"""),
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+        pgBitAnd(col("l_orderkey"), col("l_linenumber").cast(LongType)).as("band"),
+        pgBitOr(col("l_orderkey"), col("l_linenumber").cast(LongType)).as("bor"),
+        pgBitXor(col("l_orderkey"), col("l_linenumber").cast(LongType)).as("bxor"),
+        pgBitNot(col("l_orderkey")).as("bnot"),
+        pgShiftLeft(col("l_linenumber"), lit(3)).cast(IntegerType).as("shl"),
+        pgShiftRight(col("l_orderkey"), lit(2)).cast(LongType).as("shr"),
+        bit_count(col("l_orderkey")).cast(IntegerType).as("popcnt"))),
+
+    // ---- string ops (|| concat, ~~ LIKE; initdb:648-650 + varchar procs)
+    GQ("q18_string_functions",
+      Some("""SELECT p_partkey,
+          upper(p_name) AS up, lower(p_type) AS lo,
+          CAST(length(p_name) AS INT) AS len,
+          substring(p_name, 1, 4) AS sub,
+          p_brand || '#' || p_type AS cat,
+          replace(p_name, ' ', '_') AS rep,
+          p_name LIKE '%red%' AS has_red,
+          CAST(strpos(p_name, 'e') AS INT) AS pos_e,
+          split_part(p_name, ' ', 1) AS first_word,
+          lpad(p_brand, 10, '*') AS padded,
+          reverse(p_name) AS rev,
+          trim(substring(p_name, 2, 6)) AS trimmed
+        FROM part"""),
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"), lower(col("p_type")).as("lo"),
+        length(col("p_name")).cast(IntegerType).as("len"),
+        substring(col("p_name"), 1, 4).as("sub"),
+        pgConcat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("rep"),
+        pgLike(col("p_name"), "%red%").as("has_red"),
+        instr(col("p_name"), "e").cast(IntegerType).as("pos_e"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        lpad(col("p_brand"), 10, "*").as("padded"),
+        reverse(col("p_name")).as("rev"),
+        trim(substring(col("p_name"), 2, 6)).as("trimmed"))),
+
+    // ---- type I/O parity (typinput/typoutput procs; adt.rs:120-176) ----
+    GQ("q19_type_io",
+      Some("""SELECT o_orderkey,
+          CAST(o_orderkey AS VARCHAR) AS key_str,
+          CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+          CAST(o_totalprice > 250000.0 AS VARCHAR) AS big_str,
+          CASE WHEN o_totalprice > 250000.0 THEN 't' ELSE 'f' END AS big_pg,
+          CAST(round(o_totalprice) AS BIGINT) AS price_int,
+          CAST(o_orderdate AS DATE) AS order_date,
+          CAST(o_orderdate AS VARCHAR) AS date_str
+        FROM orders"""),
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        pgOut(col("o_orderkey")).as("key_str"),
+        pgIn(pgOut(col("o_orderkey")), LongType).as("key_roundtrip"),
+        pgOut(col("o_totalprice") > 250000.0).as("big_str"),
+        pgBoolOut(col("o_totalprice") > 250000.0).as("big_pg"),
+        round(col("o_totalprice")).cast(LongType).as("price_int"),
+        col("o_orderdate").cast(DateType).as("order_date"),
+        pgOut(col("o_orderdate")).as("date_str"))),
+
+    // ---- agg-subquery join (avg-comparison; Q17 flavor) ----------------
+    GQ("q20_above_avg_parts",
+      Some(s"""SELECT p_partkey, p_type, p_retailprice
+        FROM part JOIN (SELECT p_type AS t2, ${oavg("p_retailprice")} AS avg_price
+                        FROM part GROUP BY p_type) a
+          ON p_type = t2
+        WHERE p_retailprice > 1.005 * avg_price"""),
+      (s, d) => {
+        val p = t(s, d, "part")
+        val a = p.groupBy(col("p_type").as("t2"))
+          .agg(davg(col("p_retailprice")).as("avg_price"))
+        p.join(broadcast(a), col("p_type") === col("t2"))
+          .filter(col("p_retailprice") > lit(1.005) * col("avg_price"))
+          .select("p_partkey", "p_type", "p_retailprice")
+      }),
+
+    // ---- IN-subquery (semi join) ---------------------------------------
+    GQ("q21_orders_of_rich_customers",
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)"""),
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer").filter(col("c_acctbal") > 9000.0),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")),
+
+    // ---- date/time functions (new-surface: reference has no date type,
+    // SURVEY §1.3 — required by the driver testdata's timestamp columns) --
+    GQ("q22_date_functions",
+      Some("""SELECT o_orderkey,
+          CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+          CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dy,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          CAST(o_orderdate AS DATE) + 7 AS next_week,
+          CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        FROM orders"""),
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        month(col("o_orderdate")).cast(IntegerType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(IntegerType).as("dy"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+        date_add(col("o_orderdate").cast(DateType), 7).as("next_week"),
+        datediff(col("o_orderdate").cast(DateType), to_date(lit("1995-01-01")))
+          .cast(IntegerType).as("days_since"))),
+
+    // ---- outer join + null-aware aggregation ---------------------------
+    GQ("q23_customer_order_stats",
+      Some(s"""SELECT c_nationkey,
+          COUNT(DISTINCT c_custkey) AS n_customers,
+          COUNT(o_orderkey) AS n_orders,
+          ${osum("coalesce(o_totalprice, 0.0)")} AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_nationkey"""),
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))),
+
+    // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
+    // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
+    GQ("q24_sql_passthrough", {
+      val q = s"""WITH r AS (SELECT l_orderkey, ${osum("l_quantity")} AS q
+                 FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderstatus, COUNT(*) AS n, ${osum("q")} AS sum_q
+        FROM orders JOIN r ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, s"""WITH r AS (SELECT l_orderkey, ${osum("l_quantity")} AS q
+                 FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderstatus, COUNT(*) AS n, ${osum("q")} AS sum_q
+        FROM orders JOIN r ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus"""))
+  )
+}

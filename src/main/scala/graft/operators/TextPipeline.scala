@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, GQ}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. All pure codegen'd
+  * column expressions over the shared tokenizer (TextFunctions) — scan +
+  * project, no shuffle, embarrassingly parallel at 100 TB.
+  */
+object TextPipeline {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Engine.table(s, d, "documents")
+
+  /** Quality features: length, word count, alpha ratio, stopword ratio,
+    * mean word length. */
+  def qualityFeatures(documents: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast(IntegerType).as("n_chars_calc"),
+      size(tok).cast(IntegerType).as("n_words"),
+      round(alpha.cast(DoubleType) / length(col("text")), 6).as("alpha_ratio"),
+      round(size(filter(tok, t => stop.map(m => t === m).reduce(_ || _)))
+        .cast(DoubleType) / greatest(size(tok), lit(1)), 6).as("stopword_ratio"),
+      round(alpha.cast(DoubleType) / greatest(size(tok), lit(1)), 6).as("mean_word_len"))
+  }
+
+  val oracleTokens = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val defs: Seq[GQ] = Seq(
+
+    GQ("t01_language_id", {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      def score(l: String): String = {
+        val in = langMarkers(l).map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(tok, t -> list_contains([$in], t)))"
+      }
+      val best = s"greatest(${langs.map(score).mkString(", ")})"
+      val guess = langs.foldRight("'und'") { (l, acc) =>
+        s"CASE WHEN ${score(l)} = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      Some(s"""SELECT doc_id, $guess AS lang_guess,
+          CAST(${score("en")} AS INT) AS score_en,
+          CAST(${score("de")} AS INT) AS score_de
+        FROM (SELECT doc_id, $oracleTokens AS tok FROM documents)""")
+    },
+      (s, d) => {
+        val tok = tokens(col("text"))
+        docs(s, d).select(
+          col("doc_id"),
+          langGuess(tok).as("lang_guess"),
+          langScore(tok, "en").cast(IntegerType).as("score_en"),
+          langScore(tok, "de").cast(IntegerType).as("score_de"))
+      }),
+
+    GQ("t02_quality_score",
+      Some(s"""SELECT doc_id,
+          CAST(length(text) AS INT) AS n_chars_calc,
+          CAST(len(tok) AS INT) AS n_words,
+          round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / length(text), 6) AS alpha_ratio,
+          round(CAST(len(list_filter(tok,
+                  t -> list_contains(['the','a','of','and','is','to','in'], t)))
+                AS DOUBLE) / greatest(len(tok), 1), 6) AS stopword_ratio,
+          round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / greatest(len(tok), 1), 6) AS mean_word_len
+        FROM (SELECT doc_id, text, $oracleTokens AS tok FROM documents)"""),
+      (s, d) => qualityFeatures(docs(s, d))),
+
+    GQ("t03_token_count",
+      Some("""SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT)
+            AS ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+            AS bpe_ish_tokens
+        FROM documents"""),
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast(IntegerType).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast(IntegerType).as("bpe_ish_tokens"))),
+
+    GQ("t04_fingerprint",
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+          MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1"""),
+      (s, d) => docs(s, d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs")))
+  )
+}

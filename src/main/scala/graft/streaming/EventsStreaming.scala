@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.Engine
+
+/** Structured Streaming over the `events` stream (SURVEY §2.9 — the
+  * reference has no streaming; this is new-build scope per TESTDATA.md).
+  *
+  * Design: all analytics reuse the BATCH transforms in
+  * graft.operators.Events where Spark's unified model allows (windowed
+  * aggregation); genuinely stateful pieces (sessionization with gap
+  * timeout, keyed dedup with watermark eviction) live here on
+  * [flatMap|map]GroupsWithState. State is bounded by watermarks — at
+  * 100 TB/day the state store holds only open sessions / in-watermark
+  * dedup keys, not history.
+  */
+object EventsStreaming {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    Engine.prepare(spark)
+    spark.readStream.schema(eventsSchema).parquet(path)
+  }
+
+  /** Tumbling-window stats with late-data handling: watermark bounds
+    * state; append mode emits finalized windows only. */
+  def windowedStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hr"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
+      n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization (30 min) via flatMapGroupsWithState: emits a
+    * session when its gap timeout fires. The batch twin (identical
+    * semantics on a closed dataset) is graft.operators.Events.sessionize.
+    */
+  def sessionized(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Convenience: drive any streaming frame to a named in-memory sink and
+    * process everything currently available (local smoke path). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q
+  }
+}
