@@ -47,20 +47,31 @@ object VectorSearch {
     (0 until dim).map(i =>
       if ((GraftHash.splitmix64(j.toLong * 131071 + i) & 1L) == 0L) -1.0 else 1.0)
 
-  /** Sign-bucket id from `planes` hyperplanes (int in [0, 2^planes)). */
-  def lshBucket(v: Column, planes: Int, dim: Int): Column =
+  /** Sign-bucket id from `planes` hyperplanes of table `table`
+    * (int in [0, 2^planes)). */
+  def lshBucket(v: Column, planes: Int, dim: Int, table: Int = 0): Column =
     (0 until planes).map { j =>
-      val h = typedLit(hyperplane(j, dim))
+      val h = typedLit(hyperplane(table * planes + j, dim))
       when(GF.dot(v, h) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates share the query's LSH bucket. */
+  /** Approximate top-k with the standard multi-table scheme: `tables`
+    * independent hyperplane sets; a candidate qualifies if it shares ANY
+    * table's bucket with the query (union of tables -> recall compounds:
+    * P(miss) = (1-p)^tables). One shuffle on (table, bucket); candidate
+    * pairs deduped before the (more expensive) cosine ranking. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, dim: Int = 64): DataFrame = {
-    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes, dim))
-    val q = queries.withColumn("bucket", lshBucket(col("qv"), planes, dim))
-    val pairs = c.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+      planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    def withBuckets(df: DataFrame, v: String): DataFrame = df.select(
+      df.columns.map(col) :+
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(v), planes, dim, t)): _*)).as(Seq("tbl", "bucket")): _*)
+    val c = withBuckets(corpus, "embedding")
+    val q = withBuckets(queries, "qv")
+    val pairs = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
       .select(col("qid"), col("vec_id").as("nid"),
         sim6(col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
@@ -113,7 +124,7 @@ object VectorSearch {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        lshTopK(e, q, 10, planes = 6)
+        lshTopK(e, q, 10)
       })
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 1
+    (4L, "completely different content about spark query engines and columnar storage formats"),
+    (5L, "another unrelated document mentioning aggregation joins and shuffle partitions")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash, keeps lowest id") {
+    val g = Dedup.exactGroups(corpus).collect()
+    assert(g.length == 4) // 1&3 collapse
+    val dupGroup = g.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 1L) // keep_id = min(1,3)
+    val s = Dedup.exactSurvivors(corpus).select("doc_id").as[Long].collect().sorted
+    assert(s.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("minhash LSH finds near-dup pair, not unrelated ones") {
+    val pairs = Dedup.minhashCandidates(corpus, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact dup pair must score 1.0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 1.0))
+    // near-dup pair (differs in last word) must be found with high score
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.5))
+    // unrelated docs must not pair
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
+  }
+
+  test("simhash: exact dups at hamming 0, near-dups close, unrelated far") {
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 3L)) == 0)
+    // (1,2) differ by one token: IF bucketed together (they share a 16-bit
+    // chunk only when the flipped bits spare one chunk), distance is small
+    pairs.get((1L, 2L)).foreach(h => assert(h <= 16))
+    // unrelated docs never collide at distance 0
+    assert(!pairs.exists(p => p._2 == 0 && p._1 != ((1L, 3L))))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, ordering sane") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 3L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.7)
+    assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) < 0.1)
+  }
+}

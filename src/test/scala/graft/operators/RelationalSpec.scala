@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-shape assertions: correctness is gated by the DuckDB oracle
+  * (tools/check.py / the driver); these tests pin the PHYSICAL plan
+  * properties that matter at 100 TB — filter pushdown, broadcast
+  * selection, partial aggregation — so a regression in plan quality
+  * fails CI even while results stay right. */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("flagship entry returns rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01: filter is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q04: dimension join is broadcast, not shuffle") {
+    val p = plan("q04_brand_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q05: star join broadcasts the small dims") {
+    val p = plan("q05_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q06: column pruning reaches the scan") {
+    val p = plan("q06_revenue_delta")
+    // only the needed columns in ReadSchema
+    assert(p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_partkey"), p)
+  }
+
+  test("q07: semi join planned (no full materialization)") {
+    assert(plan("q07_orders_with_bulk_items").contains("LeftSemi"))
+  }
+
+  test("q09: single window, no extra shuffles") {
+    val p = plan("q09_top2_orders_per_customer")
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("queries and oracle keys line up") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size == SparkEntry.all.size) // no dup names
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Engine, TestSpark}
+
+class VectorSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("brute-force top-k returns k neighbors in descending similarity") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = VectorSearch.bruteForceTopK(e, q, 10).collect()
+    assert(top.length == 10)
+    val sims = top.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+    assert(!top.exists(_.getLong(1) == 0L)) // self excluded
+  }
+
+  test("LSH recall vs brute force is substantial at modest plane count") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = VectorSearch.bruteForceTopK(e, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorSearch.lshTopK(e, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random 64-dim data: near-orthogonal "neighbors"; 8 tables x 4 planes
+    // compounds per-table ~0.1 hit rate to ~0.5
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("lshBucket is deterministic across evaluations and tables differ") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings").limit(50)
+    def buckets(t: Int) = e.select(col("vec_id"),
+        VectorSearch.lshBucket(col("embedding"), 6, 64, t).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(buckets(0) == buckets(0))
+    assert(buckets(0) != buckets(1))
+  }
+}

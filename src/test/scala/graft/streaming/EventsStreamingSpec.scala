@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Engine, TestSpark}
+import graft.operators.Events
+
+/** Streaming smoke: drive the same transforms that pass the batch oracle
+  * through an actual Structured Streaming query (file source -> memory
+  * sink), per the unified batch/stream design.
+  */
+class EventsStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** events.parquet has TIMESTAMP(NANOS) which the streaming parquet
+    * source reads as long (Engine.prepare sets nanosAsLong) — stage a
+    * micros copy once for the file-source tests. */
+  lazy val stagedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    Engine.table(spark, TestSpark.sf, "events")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed aggregation over a stream matches the batch twin") {
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+    val q = EventsStreaming.runToMemory(
+      EventsStreaming.windowedStats(stream), "win_out", OutputMode.Complete)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .select(col("hr"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Events.hourlyStats(Engine.table(spark, TestSpark.sf, "events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+    val q = EventsStreaming.runToMemory(
+      EventsStreaming.dedupStream(stream), "dedup_out")
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dedup_out").count()
+    val distinct = Engine.table(spark, TestSpark.sf, "events")
+      .select("event_id").distinct().count()
+    assert(n == distinct)
+  }
+
+  test("stateful sessionization emits gap-consistent sessions") {
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+    val sessions = EventsStreaming.sessionized(spark, stream).toDF()
+    val q = EventsStreaming.runToMemory(sessions, "sess_out")
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_out").collect()
+    assert(out.nonEmpty)
+    // every emitted session respects the 30-min gap bound internally:
+    // t_end - t_start <= n_events * gap
+    assert(out.forall { r =>
+      val span = r.getTimestamp(2).getTime - r.getTimestamp(1).getTime
+      span <= r.getInt(3).toLong * 30L * 60 * 1000
+    })
+  }
+}
