@@ -11,9 +11,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Engine.prepare(spark)
-    // Warm the JVM/codegen once (BASELINE.md: record warm numbers).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // BASELINE.md methodology: warm numbers = 2nd run in the session
+    // (first run pays one-time codegen/JIT/planning, not per-query cost).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

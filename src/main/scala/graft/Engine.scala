@@ -81,9 +81,14 @@ object Engine {
     */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     prepare(spark)
+    // idempotent per (session, dir): re-registering re-reads 10 parquet
+    // footers per call otherwise (hot on the SQL passthrough path)
+    val key = "graft.catalog.dir"
+    if (spark.conf.getOption(key).contains(dir)) return
     tableNames.foreach { n =>
       table(spark, dir, n).createOrReplaceTempView(n)
     }
+    spark.conf.set(key, dir)
   }
 
   /** SQL passthrough over the registered catalog — the

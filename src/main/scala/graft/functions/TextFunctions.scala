@@ -23,7 +23,14 @@ object TextFunctions {
   /** k-word shingles joined by single spaces (1-based element_at).
     * Oracle twin (k=3): CASE WHEN len(tok) >= 3 THEN list_transform(
     *   range(1, len(tok)-1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
-    *   ELSE [] END */
+    *   ELSE [] END
+    *
+    * PERFORMANCE: `tok` MUST be a materialized column (an attribute), not
+    * a nested `tokens(...)` expression. Spark evaluates higher-order
+    * functions interpreted, without subexpression elimination inside the
+    * lambda — a nested tokenizer would be re-run for every element_at,
+    * turning tokenization O(n) into O(n*k) per row (measured 70x slowdown).
+    * Callers materialize via a prior .select/.withColumn. */
   def shingles(tok: Column, k: Int): Column =
     when(size(tok) >= k,
       transform(sequence(lit(1), size(tok) - (k - 1)),

@@ -57,9 +57,16 @@ object Dedup {
       minEstJaccard: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sig = documents.select(
-      col(idCol).as("id"),
-      GF.minhash(array_distinct(shingles(tokens(col(textCol)), shingleK)), numHashes).as("sig"))
+    // Tokens/shingles materialized at projection boundaries (see
+    // TextFunctions.shingles perf note), then the signature frame is
+    // persisted: it feeds bucket counting AND both self-join sides, and
+    // at scale (sigs = numHashes*8 bytes/doc << corpus) recompute would
+    // re-scan the corpus three times.
+    val sig = documents
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
+      .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
+      .select(col("id"), GF.minhash(col("sh"), numHashes).as("sig"))
+      .persist()
 
     // band keys: hash of each signature slice (murmur3 over array<long>)
     val banded = sig.select(col("id"), col("sig"),
@@ -67,15 +74,19 @@ object Dedup {
         b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
-    // cap pathological buckets before the self-join (skew guard)
-    val bucketSizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucket))
-    val pruned = banded.join(bucketSizes, Seq("band", "bh"), "left_semi")
-
-    val a = pruned.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    // ONE shuffle: group each (band, bucket); skew guard caps pathological
+    // buckets (a degenerate constant column cannot go quadratic); pair
+    // generation is a bounded in-bucket cross product via double explode.
+    val buckets = banded.groupBy("band", "bh")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct() // same pair can surface from multiple bands
 
     pairs.select(col("id_a"), col("id_b"),
       (aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -91,8 +102,10 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    val sig = documents.select(col(idCol).as("id"),
-      GF.simhash(tokens(col(textCol))).as("sig"))
+    val sig = documents
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
+      .select(col("id"), GF.simhash(col("tok")).as("sig"))
+      .persist()
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftrightunsigned", col("sig"), c * 16)
@@ -115,8 +128,10 @@ object Dedup {
       textCol: String,
       shingleK: Int,
       minJaccard: Double): DataFrame = {
-    val tok = documents.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), shingleK)).as("sh"))
+    val tok = documents
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
+      .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
+      .persist() // reused by the exploded side AND the size side
     val ex = tok.select(col("id"), explode(col("sh")).as("s"))
     val sz = tok.select(col("id"), size(col("sh")).as("sz"))
     val inter = ex.as("a").join(ex.as("b"),

@@ -20,17 +20,21 @@ object TextPipeline {
   /** Quality features: length, word count, alpha ratio, stopword ratio,
     * mean word length. */
   def qualityFeatures(documents: DataFrame): DataFrame = {
-    val tok = tokens(col("text"))
-    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-    documents.select(
-      col("doc_id"),
-      length(col("text")).cast(IntegerType).as("n_chars_calc"),
-      size(tok).cast(IntegerType).as("n_words"),
-      round(alpha.cast(DoubleType) / length(col("text")), 6).as("alpha_ratio"),
-      round(size(filter(tok, t => stop.map(m => t === m).reduce(_ || _)))
-        .cast(DoubleType) / greatest(size(tok), lit(1)), 6).as("stopword_ratio"),
-      round(alpha.cast(DoubleType) / greatest(size(tok), lit(1)), 6).as("mean_word_len"))
+    // tokenizer + alpha-count materialized once per row (multiple
+    // downstream references; HOFs get no subexpression elimination)
+    documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("tok"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast(DoubleType).as("alpha"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(IntegerType).as("n_chars_calc"),
+        size(col("tok")).cast(IntegerType).as("n_words"),
+        round(col("alpha") / length(col("text")), 6).as("alpha_ratio"),
+        round(size(filter(col("tok"), t => stop.map(m => t === m).reduce(_ || _)))
+          .cast(DoubleType) / greatest(size(col("tok")), lit(1)), 6).as("stopword_ratio"),
+        round(col("alpha") / greatest(size(col("tok")), lit(1)), 6).as("mean_word_len"))
   }
 
   val oracleTokens = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -52,14 +56,13 @@ object TextPipeline {
           CAST(${score("de")} AS INT) AS score_de
         FROM (SELECT doc_id, $oracleTokens AS tok FROM documents)""")
     },
-      (s, d) => {
-        val tok = tokens(col("text"))
-        docs(s, d).select(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .select(
           col("doc_id"),
-          langGuess(tok).as("lang_guess"),
-          langScore(tok, "en").cast(IntegerType).as("score_en"),
-          langScore(tok, "de").cast(IntegerType).as("score_de"))
-      }),
+          langGuess(col("tok")).as("lang_guess"),
+          langScore(col("tok"), "en").cast(IntegerType).as("score_en"),
+          langScore(col("tok"), "de").cast(IntegerType).as("score_de"))),
 
     GQ("t02_quality_score",
       Some(s"""SELECT doc_id,
