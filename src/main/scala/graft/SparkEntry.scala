@@ -14,6 +14,8 @@ object SparkEntry {
   /** The complete verifiable operator inventory. */
   val all: Seq[GQ] =
     operators.Relational.defs ++
+      operators.Analytics.defs ++
+      operators.AsOf.defs ++
       operators.Dedup.defs ++
       operators.VectorSearch.defs ++
       operators.TextPipeline.defs ++

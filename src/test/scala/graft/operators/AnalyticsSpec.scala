@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("HLL estimate within 5% of exact distinct") {
+    val rows = SparkEntry.queries("a01_hll_distinct")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(3).toDouble
+      assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+    }
+  }
+
+  test("HLL sketches merge associatively (the distributed re-agg property)") {
+    val li = graft.Engine.table(spark, TestSpark.sf, "lineitem")
+    val whole = li.agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))"))
+      .head.getLong(0)
+    val halves = li
+      .withColumn("half", col("l_orderkey") % 2)
+      .groupBy("half").agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head.getLong(0)
+    assert(whole == halves) // identical sketch -> identical estimate
+  }
+
+  test("as-of join picks the latest strictly-prior right row") {
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(5), "v1"), (1L, ts(10), "v_same_ts"), (1L, ts(15), "v2"),
+      (3L, ts(1), "other_user")).toDF("user_id", "ts", "tag")
+    val out = AsOf.asofJoin(left, right, Seq("user_id"), "ts", Seq("tag"))
+      .select(col("l_pay.tag"), col("r_match.tag")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("p1").contains("v1")) // strict: same-ts v_same_ts excluded
+    assert(out("p2").contains("v2"))
+    assert(out("p3").isEmpty) // left-join semantics: no prior right row
+  }
+
+  test("as-of join inclusive mode admits equal timestamps") {
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, ts(10), "p1")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(10), "v_eq")).toDF("user_id", "ts", "tag")
+    val out = AsOf.asofJoin(left, right, Seq("user_id"), "ts", Seq("tag"),
+      strict = false)
+      .select(col("r_match.tag")).head
+    assert(out.getString(0) == "v_eq")
+  }
+}
