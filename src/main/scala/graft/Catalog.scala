@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** kb_* introspection views — the reference's PG-shaped catalog surface
+  * (reference src/bin/initdb/main.rs: kb_class 76-117, kb_attribute
+  * 157-203, kb_type 271-322; SQLite-backed per src/catalog.rs:37) derived
+  * live from the Spark session catalog instead of a side database.
+  *
+  * Type oids follow the reference's bootstrap (src/oids.rs:35-59); typlen
+  * follows the PG typlen convention (-1 = varlena, src/parser/sem.rs:73-78).
+  */
+object Catalog {
+
+  /** (oid, typname, typlen, typalign) — the 8 bootstrapped types
+    * (initdb/main.rs:407-452) + the driver-testdata extensions that the
+    * reference lacks (timestamp, double-array), flagged by oid >= 90000. */
+  val kbTypes: Seq[(Int, String, Int, String)] = Seq(
+    (16, "bool", 1, "c"), (17, "bytea", -1, "i"), (20, "int8", 8, "d"),
+    (21, "int2", 2, "s"), (23, "int4", 4, "i"), (700, "float4", 4, "i"),
+    (701, "float8", 8, "d"), (1043, "varchar", -1, "i"),
+    (90001, "timestamp", 8, "d"), (90002, "_float4", -1, "i"))
+
+  def typeOid(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case BinaryType => 17
+    case LongType => 20
+    case ShortType => 21
+    case IntegerType => 23
+    case FloatType => 700
+    case DoubleType => 701
+    case StringType => 1043
+    case TimestampType | TimestampNTZType => 90001
+    case ArrayType(FloatType, _) => 90002
+    case _ => 0
+  }
+
+  def typeLen(dt: DataType): Int = dt match {
+    case BooleanType => 1
+    case ShortType => 2
+    case IntegerType | FloatType => 4
+    case LongType | DoubleType | TimestampType | TimestampNTZType => 8
+    case _ => -1 // varlena
+  }
+
+  /** Build + register kb_class / kb_attribute / kb_type over everything
+    * visible in the session catalog (temp views + tables). Oids are
+    * deterministic (stable hash of the name), relkind mirrors kb_class
+    * ('r' = relation, 'v' = view). */
+  def registerKbViews(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val tables = spark.catalog.listTables().collect()
+
+    val kbClass = tables.zipWithIndex.map { case (t, i) =>
+      val relkind = if (t.tableType == "TEMPORARY" || t.tableType == "VIEW") "v" else "r"
+      (16384 + i, t.name, Option(t.database).getOrElse("public"), relkind)
+    }.toSeq
+    kbClass.toDF("oid", "relname", "relnamespace", "relkind")
+      .createOrReplaceTempView("kb_class")
+
+    val kbAttr = kbClass.flatMap { case (oid, name, _, _) =>
+      val schema =
+        try spark.table(name).schema catch { case _: Exception => StructType(Nil) }
+      schema.fields.zipWithIndex.map { case (f, num) =>
+        (oid, f.name, typeOid(f.dataType), typeLen(f.dataType),
+          num + 1, !f.nullable, false)
+      }
+    }
+    kbAttr.toDF("attrelid", "attname", "atttypid", "attlen",
+      "attnum", "attnotnull", "attisdropped")
+      .createOrReplaceTempView("kb_attribute")
+
+    kbTypes.toDF("oid", "typname", "typlen", "typalign")
+      .createOrReplaceTempView("kb_type")
+  }
+}

@@ -1,0 +1,200 @@
+package graft
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.sources.Copy
+
+/** The statement surface of the reference, end to end: a session facade
+  * whose `execute` mirrors `exec_simple_query`'s dispatch (reference
+  * src/lib.rs:438-466 -> parse -> analyze -> utility::process_utility |
+  * planner/executor). The reference grammar accepts exactly: SELECT, SET,
+  * SHOW, CREATE TYPE, CREATE TABLE, BEGIN/COMMIT/ABORT, LOCK, COPY, and
+  * the empty statement (src/parser/sql.lalrpop:28-39). Utility statements
+  * are handled here; everything else is Catalyst's job via spark.sql.
+  *
+  * Transaction semantics: the reference implements a real PG transaction
+  * block state machine (TBlockState, src/access/xact.rs:216-234) with
+  * aborted-block statement rejection (src/lib.rs:448-452). Spark has no
+  * multi-statement ACID, so BEGIN/COMMIT/ABORT reproduce the STATE
+  * MACHINE (incl. rejection + "commit of aborted block becomes rollback")
+  * while each write remains individually atomic via the parquet commit
+  * protocol — the documented divergence of SURVEY §7.3.
+  */
+class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) {
+  Engine.prepare(spark)
+  dataDir.foreach(Engine.registerViews(spark, _))
+
+  // -- GUCs (reference src/guc/gucdef.yaml; SET/SHOW src/utility.rs:107-149)
+  // Where a reference GUC has a real Spark analogue it is LINKED to the
+  // Spark conf; the rest are session-local values with reference defaults.
+  private val linkedGucs: Map[String, String] = Map(
+    "batch_size" -> "spark.sql.parquet.columnarReaderBatchSize", // gucdef.yaml:146-149
+    "search_path" -> "spark.sql.catalog.spark_catalog.defaultDatabase")
+  private val localGucs = scala.collection.mutable.Map[String, String](
+    "batch_size" -> "1024", // gucdef.yaml:146
+    "data_blk_rows" -> "65536", // gucdef.yaml:116
+    "mvcc_blk_rows" -> "65536", // gucdef.yaml:111
+    "mvcc_buf_cap" -> "16", // gucdef.yaml:121
+    "wal_buff_max_size" -> "33554432", // gucdef.yaml:96
+    "wal_file_max_size" -> "1073741824", // gucdef.yaml:101
+    "max_connections" -> "16", // gucdef.yaml:31
+    "search_path" -> "kb_catalog,public", // gucdef.yaml:80
+    "enable_cs_wal" -> "true", // gucdef.yaml:126
+    "port" -> "5432")
+
+  // -- transaction block state machine (xact.rs TBlockState subset)
+  sealed trait TBlock
+  case object TDefault extends TBlock
+  case object TInProgress extends TBlock
+  case object TAborted extends TBlock
+  private var tblock: TBlock = TDefault
+  def transactionState: String = tblock match {
+    case TDefault => "idle"; case TInProgress => "in_transaction"
+    case TAborted => "failed_transaction"
+  }
+
+  private val lockModes = Set( // src/access/lmgr.rs:35-46 (8 PG modes)
+    "ACCESS SHARE", "ROW SHARE", "ROW EXCLUSIVE", "SHARE UPDATE EXCLUSIVE",
+    "SHARE", "SHARE ROW EXCLUSIVE", "EXCLUSIVE", "ACCESS EXCLUSIVE")
+  private val heldLocks = scala.collection.mutable.ListBuffer[(String, String)]()
+  def locks: Seq[(String, String)] = heldLocks.toList
+
+  private def result(rows: Seq[(String, String)], cols: (String, String)): DataFrame = {
+    import spark.implicits._
+    rows.toDF(cols._1, cols._2)
+  }
+  private def tag(t: String): DataFrame = {
+    import spark.implicits._
+    Seq(t).toDF("command_status")
+  }
+
+  private val reSet: Regex = """(?is)^\s*SET\s+(\w+)\s*(?:=|TO)\s*'?([^';]*?)'?\s*;?\s*$""".r
+  private val reShow: Regex = """(?is)^\s*SHOW\s+(\w+)\s*;?\s*$""".r
+  private val reBegin: Regex = """(?is)^\s*(BEGIN|START\s+TRANSACTION)\s*;?\s*$""".r
+  private val reCommit: Regex = """(?is)^\s*(COMMIT|END)\s*;?\s*$""".r
+  private val reAbort: Regex = """(?is)^\s*(ABORT|ROLLBACK)\s*;?\s*$""".r
+  private val reLock: Regex = """(?is)^\s*LOCK\s+(?:TABLE\s+)?([\w.]+)(?:\s+IN\s+(.+?)\s+MODE)?\s*;?\s*$""".r
+  private val reCreateType: Regex = """(?is)^\s*CREATE\s+TYPE\s+([\w.]+)\s*;?\s*$""".r
+  private val reCreateTable: Regex = """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.+)\)\s*(?:WITH\s*\(.*\))?\s*;?\s*$""".r
+  private val reCopyFrom: Regex =
+    """(?is)^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(.*?)\s*;?\s*$""".r
+  private val reCopyTo: Regex =
+    """(?is)^\s*COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(.*?)\s*;?\s*$""".r
+
+  /** The exec_simple_query analogue. */
+  def execute(sql: String): DataFrame = {
+    val trimmed = sql.trim
+    // empty statement -> EmptyQueryResponse (lib.rs:453-457)
+    if (trimmed.isEmpty || trimmed == ";") return tag("EmptyQueryResponse")
+
+    // aborted-block rejection: only COMMIT/ABORT get through (lib.rs:448-452)
+    if (tblock == TAborted && !(reCommit.matches(trimmed) || reAbort.matches(trimmed)))
+      throw new IllegalStateException(
+        "current transaction is aborted, commands ignored until end of transaction block")
+
+    trimmed match {
+      case reBegin(_) =>
+        if (tblock == TInProgress) tag("WARNING: there is already a transaction in progress")
+        else { tblock = TInProgress; tag("BEGIN") }
+      case reCommit(_) =>
+        val t = tblock; tblock = TDefault; heldLocks.clear()
+        tag(if (t == TAborted) "ROLLBACK" else "COMMIT")
+      case reAbort(_) =>
+        tblock = TDefault; heldLocks.clear(); tag("ROLLBACK")
+      case reSet(name, value) => setGuc(name.toLowerCase, value)
+      case reShow(name) => showGuc(name.toLowerCase)
+      case reLock(table, mode) => lockTable(table, Option(mode))
+      case reCreateType(name) =>
+        // stub parity: parse + namespace-resolve only (typecmds.rs:17-28)
+        tag(s"CreateTypeStmt { name: $name }")
+      case reCreateTable(name, cols) => createTable(name, cols)
+      case reCopyFrom(table, path, opts) => copyFrom(table, path, opts)
+      case reCopyTo(table, path, opts) => copyTo(table, path, opts)
+      case _ =>
+        // the optimizable path: Catalyst parse/analyze/optimize/execute
+        spark.sql(trimmed)
+    }
+  }
+
+  private def setGuc(name: String, value: String): DataFrame = {
+    if (!localGucs.contains(name))
+      throw new IllegalArgumentException(s"unrecognized configuration parameter \"$name\"")
+    localGucs(name) = value
+    linkedGucs.get(name).foreach { conf =>
+      try spark.conf.set(conf, value) catch { case _: Exception => }
+    }
+    tag("SET")
+  }
+
+  private def showGuc(name: String): DataFrame = name match {
+    case "all" => result(localGucs.toSeq.sorted, ("name", "setting"))
+    case n if localGucs.contains(n) => result(Seq((n, localGucs(n))), ("name", "setting"))
+    case n => throw new IllegalArgumentException(
+      s"unrecognized configuration parameter \"$n\"")
+  }
+
+  private def lockTable(table: String, mode: Option[String]): DataFrame = {
+    // requires a transaction block (src/commands/lockcmds.rs:18-24)
+    if (tblock != TInProgress)
+      throw new IllegalStateException("LOCK TABLE can only be used in transaction blocks")
+    val m = mode.map(_.toUpperCase.replaceAll("\\s+", " ")).getOrElse("ACCESS EXCLUSIVE")
+    if (!lockModes.contains(m))
+      throw new IllegalArgumentException(s"unrecognized lock mode: $m")
+    spark.table(table) // errors like rv_get_oid if the table doesn't exist
+    heldLocks += ((table, m))
+    tag("LOCK TABLE")
+  }
+
+  /** CREATE TABLE with the reference's column grammar: int | smallint |
+    * varchar[(n)] (+ the rest of the bootstrap type surface), NOT NULL
+    * (sql.lalrpop:336-379,432-438); rejected inside a transaction block
+    * (tablecmds.rs:105). */
+  private def createTable(name: String, colsSpec: String): DataFrame = {
+    if (tblock == TInProgress)
+      throw new IllegalStateException("CREATE TABLE cannot run inside a transaction block")
+    val colRe = """(?i)\s*(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)(\s+NOT\s+NULL)?\s*""".r
+    val ddlCols = colsSpec.split(",").map {
+      case colRe(cn, ty, nn) =>
+        val sparkTy = ty.toLowerCase.replaceAll("\\s", "") match {
+          case "int" | "int4" | "integer" => "INT"
+          case "smallint" | "int2" => "SMALLINT"
+          case "bigint" | "int8" => "BIGINT"
+          case "bool" | "boolean" => "BOOLEAN"
+          case "float4" | "real" => "FLOAT"
+          case "float8" | "double" => "DOUBLE"
+          case "bytea" => "BINARY"
+          case v if v.startsWith("varchar") => v.toUpperCase
+          case other => throw new IllegalArgumentException(s"unknown type: $other")
+        }
+        s"$cn $sparkTy${if (nn != null) " NOT NULL" else ""}"
+      case bad => throw new IllegalArgumentException(s"cannot parse column: $bad")
+    }
+    spark.sql(s"CREATE TABLE $name (${ddlCols.mkString(", ")}) USING parquet")
+  }
+
+  private def copyOpts(spec: String): Copy.Options = {
+    var o = Copy.Options()
+    val delim = """(?is)DELIMITERS?\s+'([^']+)'""".r
+    val nul = """(?is)NULL\s+'([^']*)'""".r
+    val par = """(?is)\(\s*parallel\s+(\d+)\s*\)""".r
+    delim.findFirstMatchIn(spec).foreach(m => o = o.copy(delimiter = m.group(1)))
+    nul.findFirstMatchIn(spec).foreach(m => o = o.copy(nullValue = m.group(1)))
+    par.findFirstMatchIn(spec).foreach(m => o = o.copy(parallel = Some(m.group(1).toInt)))
+    o
+  }
+
+  private def copyFrom(table: String, path: String, opts: String): DataFrame = {
+    val schema = spark.table(table).schema
+    Copy.from(spark, path, schema, copyOpts(opts))
+      .write.mode("append").insertInto(table)
+    tag(s"COPY")
+  }
+
+  private def copyTo(table: String, path: String, opts: String): DataFrame = {
+    Copy.to(spark.table(table), path, copyOpts(opts))
+    tag("COPY")
+  }
+}

@@ -1,26 +1,36 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
-import graft.Engine
-import graft.operators.Dedup
+import graft.{Catalog, GraftSession}
+
+/** Interactive-style smoke drive of the statement surface (the
+  * exec_simple_query loop a reference user would exercise over psql). */
 object Probe {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"PROBE $label ${(System.nanoTime()-t0)/1e9}%.2f s"); r
-  }
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Engine.prepare(spark)
-    val d = "/root/testdata/sf0.1"
-    val docs = Engine.table(spark, d, "documents")
-    time("warm scan")(docs.count())
-    time("d02 cold")(Dedup.minhashCandidates(docs, minEstJaccard = 0.05).count())
-    time("d02 warm")(Dedup.minhashCandidates(docs, minEstJaccard = 0.05).count())
-    val e = Engine.table(spark, d, "embeddings")
-    time("d06 cold")(graft.operators.VectorSearch.cosineNearDupPairs(e, 0.3).count())
-    time("d06 warm")(graft.operators.VectorSearch.cosineNearDupPairs(e, 0.3).count())
+    val sess = new GraftSession(spark, Some("/root/testdata/sf0.001"))
+    def run(q: String): Unit = {
+      print(s"graft=# $q\n")
+      try sess.execute(q).show(5, false)
+      catch { case e: Exception => println("ERROR:  " + e.getMessage.linesIterator.next()) }
+    }
+    run("SELECT 1 + 2 AS three")
+    run("SHOW batch_size")
+    run("SET batch_size = 4096")
+    run("SHOW batch_size")
+    run("BEGIN")
+    run("LOCK TABLE lineitem IN SHARE MODE")
+    run("SELECT count(*) AS n FROM lineitem")
+    run("COMMIT")
+    run("SELECT o_orderpriority, count(*) n FROM orders GROUP BY 1 ORDER BY 1 LIMIT 3")
+    run("LOCK TABLE lineitem") // must error: outside txn block
+    Catalog.registerKbViews(spark)
+    run("SELECT relname, relkind FROM kb_class ORDER BY relname LIMIT 3")
+    run("SELECT attname, typname FROM kb_attribute a JOIN kb_type t ON atttypid = t.oid " +
+      "JOIN kb_class c ON attrelid = c.oid WHERE relname = 'region' ORDER BY attnum")
     spark.stop()
   }
 }
