@@ -102,6 +102,26 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream join: each purchase joined to page views of the same
+    * user within the preceding hour. Both sides carry watermarks so the
+    * join state store is bounded (views retained only inside the time
+    * window — the 100 TB/day state discipline). */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts", "value")
+  }
+
   /** Convenience: drive any streaming frame to a named in-memory sink and
     * process everything currently available (local smoke path). */
   def runToMemory(df: DataFrame, name: String,

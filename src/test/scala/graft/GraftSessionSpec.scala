@@ -58,6 +58,14 @@ class GraftSessionSpec extends AnyFunSuite {
 
   test("CREATE TABLE + COPY FROM/TO round trip (the reference's ingest path)") {
     sess.execute("DROP TABLE IF EXISTS copy_target")
+    // a previous JVM's in-memory metastore is gone but its warehouse dir
+    // survives; clear the physical location so CREATE TABLE can reclaim it
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "copy_target")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
     sess.execute("CREATE TABLE copy_target (a int, b smallint, c varchar(10))")
     intercept[Exception] { // not allowed in txn block (tablecmds.rs:105)
       sess.execute("BEGIN")

@@ -50,6 +50,23 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(n == distinct)
   }
 
+  test("stream-stream join matches its batch twin within the time window") {
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+    val q = EventsStreaming.runToMemory(
+      EventsStreaming.purchaseViewJoin(stream), "ssj_out")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out")
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventsStreaming.purchaseViewJoin(
+      graft.Engine.table(spark, TestSpark.sf, "events"))
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization emits gap-consistent sessions") {
     val stream = spark.readStream
       .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
