@@ -128,45 +128,84 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash"
 }
 
-/** Base for dense-vector kernels over array<float>/array<double>.
-  * Math is performed in double with strict sequential accumulation so the
-  * result is bit-deterministic and matches an oracle computing the same
-  * formula (element order fixed, no reassociation).
+/** Generic numeric-array element access for the vector kernels: any
+  * numeric element type works (SQL `array(1.0, 0.0)` literals are
+  * DECIMAL arrays!); float/double get the codegen fast path. */
+object VectorKernels {
+  def conv(et: DataType): (ArrayData, Int) => Double = et match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case LongType => (a, i) => a.getLong(i).toDouble
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case ShortType => (a, i) => a.getShort(i).toDouble
+    case ByteType => (a, i) => a.getByte(i).toDouble
+    case d: DecimalType => (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalArgumentException(s"non-numeric vector element: $other")
+  }
+
+  def dot(a: ArrayData, b: ArrayData, etA: DataType, etB: DataType): Double = {
+    val ga = conv(etA); val gb = conv(etB)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += ga(a, i) * gb(b, i); i += 1 }
+    dot
+  }
+
+  def cosine(a: ArrayData, b: ArrayData, etA: DataType, etB: DataType): Double = {
+    val ga = conv(etA); val gb = conv(etB)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = ga(a, i); val y = gb(b, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+}
+
+/** Base for dense-vector kernels over numeric arrays. Math is performed
+  * in double with strict sequential accumulation so the result is
+  * bit-deterministic and matches an oracle computing the same formula
+  * (element order fixed, no reassociation).
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  protected def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
 
-  @inline protected final def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  /** both element types eligible for the inline codegen loop */
+  protected def fastPath: Boolean = Seq(left, right).forall { e =>
+    elemType(e) == FloatType || elemType(e) == DoubleType
+  }
 
-  protected def getterJava(arr: String, i: String, isFloat: Boolean): String =
-    if (isFloat) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
+  protected def getterJava(arr: String, i: String, et: DataType): String =
+    if (et == FloatType) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
 }
 
 /** graft_dot(a, b) -> double: sequential dot product. */
 case class ArrayDot(left: Expression, right: Expression) extends VectorBinaryExpression {
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var i = 0
-    while (i < n) { dot += get(a, i, fa) * get(b, i, fb); i += 1 }
-    dot
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      elemType(left), elemType(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${getterJava(a, i, elemIsFloat(left))} * ${getterJava(b, i, elemIsFloat(right))};
-         |}
-         |${ev.value} = $dot;
-       """.stripMargin
+      if (!fastPath) {
+        val etA = ctx.addReferenceObj("etA", elemType(left))
+        val etB = ctx.addReferenceObj("etB", elemType(right))
+        s"${ev.value} = graft.functions.VectorKernels.dot($a, $b, $etA, $etB);"
+      } else {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += ${getterJava(a, i, elemType(left))} * ${getterJava(b, i, elemType(right))};
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      }
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
     copy(left = l, right = r)
@@ -178,34 +217,31 @@ case class ArrayDot(left: Expression, right: Expression) extends VectorBinaryExp
   * per-row allocation — this is the ANN hot loop (SURVEY §7.2 step 6).
   */
 case class CosineSim(left: Expression, right: Expression) extends VectorBinaryExpression {
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val x = get(a, i, fa); val y = get(b, i, fb)
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      elemType(left), elemType(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${getterJava(a, i, elemIsFloat(left))};
-         |  double $y = ${getterJava(b, i, elemIsFloat(right))};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
-         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-       """.stripMargin
+      if (!fastPath) {
+        val etA = ctx.addReferenceObj("etA", elemType(left))
+        val etB = ctx.addReferenceObj("etB", elemType(right))
+        s"${ev.value} = graft.functions.VectorKernels.cosine($a, $b, $etA, $etB);"
+      } else {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = ${getterJava(a, i, elemType(left))};
+           |  double $y = ${getterJava(b, i, elemType(right))};
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+           |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      }
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)

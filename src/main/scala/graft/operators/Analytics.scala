@@ -85,6 +85,66 @@ object Analytics {
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))),
 
+    // Mixed-width arithmetic coercions — the declared operator matrix
+    // covers every int2/int4/int8/float4/float8 pairing (int24pl,
+    // int48mi, float48mul, ... reference initdb/main.rs:528-584); Spark's
+    // type coercion widens exactly like PG's operator resolution.
+    GQ("q29_mixed_width_arithmetic",
+      Some("""SELECT l_orderkey AS k,
+          CAST(l_linenumber AS SMALLINT) + l_linenumber AS i24,
+          l_linenumber + l_orderkey AS i48,
+          CAST(l_linenumber AS SMALLINT) + l_orderkey AS i28,
+          CAST(l_quantity AS FLOAT) + l_discount AS f48,
+          CAST(l_quantity AS FLOAT) * 2.0 AS f4_x_f8,
+          l_orderkey + 0.5 AS i8_plus_f8,
+          CAST(l_linenumber AS SMALLINT) * CAST(2 AS SMALLINT) AS i2_mul
+        FROM lineitem"""),
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey").as("k"),
+        (col("l_linenumber").cast(ShortType) + col("l_linenumber")).as("i24"),
+        (col("l_linenumber") + col("l_orderkey")).as("i48"),
+        (col("l_linenumber").cast(ShortType) + col("l_orderkey")).as("i28"),
+        (col("l_quantity").cast(FloatType) + col("l_discount")).as("f48"),
+        (col("l_quantity").cast(FloatType) * lit(2.0)).as("f4_x_f8"),
+        (col("l_orderkey") + lit(0.5)).as("i8_plus_f8"),
+        (col("l_linenumber").cast(ShortType) * lit(2).cast(ShortType)).as("i2_mul"))),
+
+    // bytea surface: byteacat (||), comparisons, octet_length, substr
+    // (reference initdb:642-650, procs 890-892)
+    GQ("q30_bytea_operators",
+      Some("""SELECT p_partkey,
+          encode(p_name) || encode(p_brand) AS cat,
+          CAST(octet_length(encode(p_name)) AS INT) AS blen,
+          encode(p_name) = encode(p_type) AS beq,
+          encode(p_name) < encode(p_brand) AS blt,
+          encode(substring(p_name, 1, 3)) AS bsub
+        FROM part"""),
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        concat(col("p_name").cast(BinaryType), col("p_brand").cast(BinaryType)).as("cat"),
+        octet_length(col("p_name").cast(BinaryType)).cast(IntegerType).as("blen"),
+        (col("p_name").cast(BinaryType) === col("p_type").cast(BinaryType)).as("beq"),
+        (col("p_name").cast(BinaryType) < col("p_brand").cast(BinaryType)).as("blt"),
+        substring(col("p_name"), 1, 3).cast(BinaryType).as("bsub"))),
+
+    // explicit GROUPING SETS + grouping() markers (same SQL text on both
+    // engines via the passthrough surface)
+    GQ("q31_grouping_sets", {
+      val q = s"""SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          COUNT(*) AS n, ${osum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, s"""SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          COUNT(*) AS n, ${osum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())""")),
+
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative
     // error vs exact is asserted in AnalyticsSpec.
