@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical table layout for 100 TB: partitioning and bucketing.
+  *
+  * The reference's storage layout is L0/L1/L2 column files under a
+  * per-table directory with a manifest (reference src/access/sv.rs:
+  * 130-138); the Spark-native equivalents that carry its *intent* are:
+  *
+  *  - **date/hash partition directories** — the unit of pruning: a
+  *    filter on the partition column never opens non-matching files
+  *    (PartitionFilters in the scan, vs the manifest's file-level xmin
+  *    filtering);
+  *  - **bucketed tables** — pre-shuffled layout on the join/agg key: a
+  *    join of two tables bucketed on the same key by the same bucket
+  *    count runs with NO exchange on either side (the co-located join
+  *    discipline for repeated fact-fact joins);
+  *  - the parquet commit protocol — the manifest/atomic-publish analogue
+  *    (sv.rs:537-554).
+  *
+  * At 100 TB: partition by ingestion date (or hash of a high-cardinality
+  * key) so single-day queries touch 1/Nth of the lake; bucket the fact
+  * tables on their dominant join key (e.g. orderkey) so the daily joins
+  * skip both shuffles; let AQE coalesce small output partitions.
+  */
+object Layout {
+
+  /** Write `df` as a partitioned parquet table (directory per value of
+    * `partitionCols`). */
+  def writePartitioned(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write `df` bucketed (+ sorted) on `key` — co-located layout for
+    * shuffle-free equi-joins/aggregations on `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Derived date partition column for event-shaped data. */
+  def withEventDate(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn("event_date", to_date(col(tsCol)))
+}

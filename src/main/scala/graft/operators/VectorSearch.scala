@@ -79,6 +79,39 @@ object VectorSearch {
       .select("qid", "nid", "sim")
   }
 
+  /** IVF-flavored ANN: coarse quantization to the nearest of ~N/`every`
+    * sampled centroids (deterministic sample — no RNG), queries probe
+    * their `nprobe` nearest cells. Corpus side = one broadcast-join
+    * assignment pass + one shuffle on cell id; at 100 TB the centroid
+    * set stays tiny (broadcast) and each query touches nprobe/cells of
+    * the corpus. Recall/cost dial: `every` (cell count) and `nprobe`.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      every: Int = 37, nprobe: Int = 2): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+    def assign(df: DataFrame, idCol: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(GF.cosine(col(v), col("cv")).desc, col("cid"))
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep).drop("crn", "cv")
+    }
+
+    val c = assign(corpus, "vec_id", "embedding", 1)
+    val q = assign(queries, "qid", "qv", nprobe)
+    val pairs = c.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .select(col("qid"), col("vec_id").as("nid"),
+        sim6(col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "sim")
+  }
+
   /** All embedding pairs above a cosine threshold (near-dup detection).
     * General path bounds candidates via LSH buckets; the oracle entry
     * below runs the exact bounded variant. */
@@ -125,6 +158,14 @@ object VectorSearch {
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         lshTopK(e, q, 10)
+      }),
+
+    GQ("s03_ann_ivf", None, // approximate: rows-only gate + recall spec
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        ivfTopK(e, q, 10)
       })
   )
 }

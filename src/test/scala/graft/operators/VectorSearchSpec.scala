@@ -33,6 +33,21 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("IVF probe search recalls a useful fraction of exact neighbors") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = VectorSearch.bruteForceTopK(e, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorSearch.ivfTopK(e, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // ~14 cells, nprobe 2 -> ~15% of corpus probed on random data
+    assert(recall >= 0.1, s"recall=$recall")
+    // all queries still answered
+    assert(ivf.map(_._1) == exact.map(_._1))
+  }
+
   test("lshBucket is deterministic across evaluations and tables differ") {
     val e = Engine.table(spark, TestSpark.sf, "embeddings").limit(50)
     def buckets(t: Int) = e.select(col("vec_id"),
