@@ -266,6 +266,24 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => ArrayDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es(0), es(1)), "built-in")
+
+    // The reference's 6 wired fmgr entries, by their catalog proc names
+    // (src/utils/fmgr.rs:44-53 -> src/utils/adt.rs) — SQL-callable with
+    // identical semantics (ANSI overflow errors, truncating division,
+    // erroring text input):
+    reg.createOrReplaceTempFunction("int4pl",
+      es => Add(Cast(es(0), IntegerType), Cast(es(1), IntegerType)), "built-in")
+    reg.createOrReplaceTempFunction("int4mi",
+      es => Subtract(Cast(es(0), IntegerType), Cast(es(1), IntegerType)), "built-in")
+    reg.createOrReplaceTempFunction("int4mul",
+      es => Multiply(Cast(es(0), IntegerType), Cast(es(1), IntegerType)), "built-in")
+    reg.createOrReplaceTempFunction("int4div",
+      es => Cast(IntegralDivide(Cast(es(0), IntegerType), Cast(es(1), IntegerType)),
+        IntegerType), "built-in")
+    reg.createOrReplaceTempFunction("int4in",
+      es => Cast(es.head, IntegerType), "built-in")
+    reg.createOrReplaceTempFunction("int4out",
+      es => Cast(Cast(es.head, IntegerType), StringType), "built-in")
   }
 
   // Column-API wrappers

@@ -147,6 +147,61 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Signature frame: id, minhash sig over k-shingles (shared by the
+    * in-corpus and cross-corpus pipelines). */
+  private def signatures(documents: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleK: Int): DataFrame =
+    documents
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
+      .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
+      .select(col("id"), GF.minhash(col("sh"), numHashes).as("sig"))
+
+  private def bandify(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+
+  /** Incremental corpus hygiene: which NEW documents survive against an
+    * EXISTING corpus? Drops (1) exact duplicates (fingerprint anti join —
+    * both within the batch, keeping the lowest id, and vs the corpus) and
+    * (2) near-duplicates of corpus documents (banded minhash cross-join,
+    * est jaccard >= minEstJaccard). Returns the surviving new rows.
+    *
+    * Scale: the corpus side is touched only as fingerprints + signatures
+    * (both tiny, precomputable, and storable as a side table); the
+    * cross-set candidate join shuffles on band buckets exactly like the
+    * in-corpus LSH path.
+    */
+  def dedupAgainstCorpus(
+      newDocs: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      minEstJaccard: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    // (1) exact: in-batch survivors, then anti join on corpus fingerprints
+    val inBatch = exactSurvivors(newDocs)
+    val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp"))
+    val exactClean = inBatch
+      .withColumn("fp", fingerprint(col(textCol)))
+      .join(corpusFp, Seq("fp"), "left_anti").drop("fp")
+
+    // (2) near-dup vs corpus: banded signatures cross-set join
+    val nb = bandify(signatures(exactClean, idCol, textCol, numHashes, shingleK),
+      bands, rows)
+    val cb = bandify(signatures(corpus, idCol, textCol, numHashes, shingleK),
+      bands, rows)
+      .select(col("band"), col("bh"), col("sig").as("c_sig"))
+    val nearDupIds = nb.join(cb, Seq("band", "bh"))
+      .select(col("id"), (aggregate(zip_with(col("sig"), col("c_sig"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        .cast(DoubleType) / numHashes).as("est"))
+      .filter(col("est") >= minEstJaccard)
+      .select(col("id").as(idCol)).distinct()
+
+    exactClean.join(nearDupIds, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // Driver-verified query entries
   // ------------------------------------------------------------------

@@ -86,6 +86,17 @@ object Events {
           FROM events) WHERE rn = 1"""),
       (s, d) => firstEventPerKey(ev(s, d))),
 
+    // Native session_window (Spark's merging session operator) — same
+    // 30-min-gap semantics as `sessionize` (cross-validated in
+    // EventsSpec); rows-only gate (DuckDB has no session windows; the
+    // lag+cumsum twin e02 IS the oracle-checked formulation).
+    GQ("e06_session_window_native", None,
+      (s, d) => ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("t_start"),
+          col("n_events"), col("total_value"))),
+
     GQ("e04_json_props",
       Some("""SELECT event_id,
           CAST(json_extract_string(props, '$.k') AS INT) AS k_val

@@ -126,7 +126,28 @@ object VectorSearch {
   private val oracleCosine =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+  /** Scale path for near-dup detection: multi-table LSH candidates then
+    * exact cosine — replaces the quadratic all-pairs with one shuffle on
+    * (table, bucket) + bounded in-bucket pairing. */
+  def cosineNearDupPairsLsh(e: DataFrame, threshold: Double,
+      planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val withB = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
+    val a = withB.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = withB.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
   val defs: Seq[GQ] = Seq(
+
+    GQ("d07_embedding_neardup_lsh", None, // approximate recall of d06's set
+      (s, d) => cosineNearDupPairsLsh(emb(s, d), 0.3)),
 
     GQ("d06_embedding_neardup",
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

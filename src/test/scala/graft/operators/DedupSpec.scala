@@ -47,6 +47,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 0 && p._1 != ((1L, 3L))))
   }
 
+  test("incremental dedup vs corpus: exact dup, near-dup, and fresh doc") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "some existing corpus document about distributed query processing at scale")
+    ).toDF("doc_id", "text")
+    val fresh = "a genuinely new document discussing watermark semantics in stream joins"
+    val newDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 100
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 100
+      (3L, fresh),
+      (4L, fresh) // in-batch exact dup of 3
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.dedupAgainstCorpus(newDocs, corpus, minEstJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(3L))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near-dup high, ordering sane") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
