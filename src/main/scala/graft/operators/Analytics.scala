@@ -145,6 +145,44 @@ object Analytics {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())""")),
 
+    // conditional / null-handling scalar family
+    GQ("q32_conditional_functions",
+      Some("""SELECT c_custkey,
+          coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+          greatest(c_acctbal, 0.0) AS bal_floor,
+          least(c_acctbal, 5000.0) AS bal_cap,
+          CASE WHEN c_acctbal IS NULL THEN 'none'
+               WHEN c_acctbal < 0.0 THEN 'debt' ELSE 'ok' END AS standing,
+          if(c_nationkey % 2 = 0, 'even', 'odd') AS parity
+        FROM customer"""),
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(5000.0)).as("bal_cap"),
+        when(col("c_acctbal").isNull, lit("none"))
+          .when(col("c_acctbal") < 0.0, lit("debt"))
+          .otherwise(lit("ok")).as("standing"),
+        when(col("c_nationkey") % 2 === 0, lit("even"))
+          .otherwise(lit("odd")).as("parity"))),
+
+    // correlated subqueries through the SQL surface — Catalyst
+    // decorrelates (RewriteCorrelatedScalarSubquery) into the join+agg
+    // the engine would otherwise hand-write; same text runs on both
+    GQ("q33_correlated_subquery", {
+      val q = """SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 2.0 * c.c_acctbal
+                        AND c.c_acctbal > 0.0)"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, """SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 2.0 * c.c_acctbal
+                        AND c.c_acctbal > 0.0)""")),
+
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative
     // error vs exact is asserted in AnalyticsSpec.
