@@ -183,6 +183,67 @@ object Analytics {
                         AND o.o_totalprice > 2.0 * c.c_acctbal
                         AND c.c_acctbal > 0.0)""")),
 
+    // pivot (wide aggregation) — Spark's pivot vs hand-rolled CASE sums
+    GQ("q34_pivot",
+      Some(s"""SELECT l_linestatus,
+          ${osum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END")} AS A,
+          ${osum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END")} AS N,
+          ${osum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS R
+        FROM lineitem GROUP BY l_linestatus"""),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Engine.dsum(coalesce(col("l_quantity"), lit(0.0))))),
+
+    // array/collection functions over the tokenizer output
+    GQ("q35_array_functions",
+      Some("""SELECT doc_id,
+          CAST(len(tok) AS INT) AS n_tok,
+          CAST(len(list_distinct(tok)) AS INT) AS n_uniq,
+          list_contains(tok, 'data') AS has_data,
+          list_sort(list_distinct(tok))[1] AS first_word,
+          array_to_string(list_sort(list_distinct(tok))[1:3], '|') AS top3
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '') AS tok
+              FROM documents)"""),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tok"))
+        .select(
+          col("doc_id"),
+          size(col("tok")).cast(IntegerType).as("n_tok"),
+          size(array_distinct(col("tok"))).cast(IntegerType).as("n_uniq"),
+          array_contains(col("tok"), "data").as("has_data"),
+          element_at(array_sort(array_distinct(col("tok"))), 1).as("first_word"),
+          array_join(slice(array_sort(array_distinct(col("tok"))), 1, 3), "|")
+            .as("top3"))),
+
+    // time-series gap filling: dense hour spine x observed aggregates
+    GQ("q36_gapfill_hours",
+      Some(s"""WITH spine AS (
+          SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                        TIMESTAMP '2024-01-02 23:00:00',
+                                        INTERVAL 1 HOUR)) AS hr),
+        obs AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+                       ${osum("value")} AS total
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT spine.hr, coalesce(obs.n, 0) AS n,
+               coalesce(obs.total, CAST(0 AS DECIMAL(38,10))) AS total
+        FROM spine LEFT JOIN obs ON spine.hr = obs.hr"""),
+      (s, d) => {
+        val spine = s.range(1).select(explode(sequence(
+          to_timestamp(lit("2024-01-01 00:00:00")),
+          to_timestamp(lit("2024-01-02 23:00:00")),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+        val obs = t(s, d, "events").filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"), Engine.dsum(col("value")).as("total"))
+        spine.join(obs, Seq("hr"), "left")
+          .select(col("hr"), coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("total"), lit(0).cast(Engine.DEC)).as("total"))
+      }),
+
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative
     // error vs exact is asserted in AnalyticsSpec.
