@@ -58,7 +58,66 @@ object AsOf {
   private def rightPayloadType(df: DataFrame) =
     org.apache.spark.sql.types.StructType(df.schema.fields)
 
+  /** The dedicated physical operator for the same semantics
+    * (graft.plans.AsOfJoinExec: co-partitioned sorted merge, O(1) memory
+    * per key, no union row-widening). Output = left columns ++ right
+    * columns (right nullable); disambiguate names before calling.
+    * Deterministic among equal right (key, ts) requires `rightTie` —
+    * appended to the right sort order. */
+  def asofJoinPhysical(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      strict: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    val spark = left.sparkSession
+    org.apache.spark.sql.GraftShim.addStrategy(spark, graft.plans.AsOfStrategy)
+    val lPlan = left.queryExecution.analyzed
+    // Both sides often derive from the same scan (self-join shape); the
+    // analyzer's DeduplicateRelations only fixes built-in Join nodes, so
+    // mint fresh expression ids for the right side ourselves.
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan: LogicalPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], n: String) =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n"))
+    val rOut = rPlan.output
+    org.apache.spark.sql.GraftShim.ofRows(spark,
+      graft.plans.AsOfJoinNode(lPlan, rPlan,
+        keyCols.map(attr(lPlan.output, _)), keyCols.map(attr(rOut, _)),
+        attr(lPlan.output, tsCol), attr(rOut, tsCol), strict))
+  }
+
+  private val asofOracle =
+    """WITH v AS (SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'view'),
+          p AS (SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'purchase')
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               p.ts AS purchase_ts, v.event_id AS view_id,
+               v.value AS view_value
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts"""
+
   val defs: Seq[GQ] = Seq(
+    // same semantics through the dedicated physical operator
+    // (graft.plans.AsOfJoinExec) — identical oracle as e05
+    GQ("e07_asof_physical_operator", Some(asofOracle),
+      (s, d) => {
+        val ev = Engine.table(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+            col("value").as("view_value"))
+        // output = left cols ++ right cols; rename positionally to
+        // disambiguate the shared key/ts names
+        asofJoinPhysical(purchases, views, Seq("user_id"), "ts")
+          .toDF("user_id", "purchase_ts", "purchase_id", "value",
+            "r_user_id", "r_ts", "view_id", "view_value")
+          .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_value")
+      }),
+
     // purchase -> most recent strictly-prior page view of the same user
     GQ("e05_asof_purchase_view",
       Some("""WITH v AS (SELECT user_id, ts, event_id, value FROM events
