@@ -183,7 +183,8 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     delim.findFirstMatchIn(spec).foreach(m => o = o.copy(delimiter = m.group(1)))
     nul.findFirstMatchIn(spec).foreach(m => o = o.copy(nullValue = m.group(1)))
     par.findFirstMatchIn(spec).foreach(m => o = o.copy(parallel = Some(m.group(1).toInt)))
-    o
+    if ("""(?is)\bHEADER\b""".r.findFirstIn(spec).isDefined) o = o.copy(header = true)
+    o // bare CSV keyword = the default format, nothing to set
   }
 
   private def copyFrom(table: String, path: String, opts: String): DataFrame = {

@@ -80,6 +80,12 @@ class GraftSessionSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_copy_to").toString + "/out"
     sess.execute(s"COPY copy_target TO '$out'")
     assert(new java.io.File(out).exists())
+
+    // WITH CSV HEADER round trip
+    val csvH = Files.createTempFile("graft_sess_h", ".csv")
+    Files.writeString(csvH, "a|b|c\n5|6|hdr\n")
+    sess.execute(s"COPY copy_target FROM '$csvH' WITH CSV HEADER DELIMITERS '|'")
+    assert(sess.execute("SELECT c FROM copy_target WHERE a = 5").head.getString(0) == "hdr")
   }
 
   test("empty statement -> EmptyQueryResponse (lib.rs:453-457)") {
