@@ -78,7 +78,7 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private val reAbort: Regex = """(?is)^\s*(ABORT|ROLLBACK)\s*;?\s*$""".r
   private val reLock: Regex = """(?is)^\s*LOCK\s+(?:TABLE\s+)?([\w.]+)(?:\s+IN\s+(.+?)\s+MODE)?\s*;?\s*$""".r
   private val reCreateType: Regex = """(?is)^\s*CREATE\s+TYPE\s+([\w.]+)\s*;?\s*$""".r
-  private val reCreateTable: Regex = """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.+)\)\s*(?:WITH\s*\(.*\))?\s*;?\s*$""".r
+  private val reCreateTable: Regex = """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.+?)\)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""".r
   private val reCopyFrom: Regex =
     """(?is)^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(.*?)\s*;?\s*$""".r
   private val reCopyTo: Regex =
@@ -110,7 +110,7 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
       case reCreateType(name) =>
         // stub parity: parse + namespace-resolve only (typecmds.rs:17-28)
         tag(s"CreateTypeStmt { name: $name }")
-      case reCreateTable(name, cols) => createTable(name, cols)
+      case reCreateTable(name, cols, opts) => createTable(name, cols, Option(opts))
       case reCopyFrom(table, path, opts) => copyFrom(table, path, opts)
       case reCopyTo(table, path, opts) => copyTo(table, path, opts)
       case _ =>
@@ -152,7 +152,8 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     * varchar[(n)] (+ the rest of the bootstrap type surface), NOT NULL
     * (sql.lalrpop:336-379,432-438); rejected inside a transaction block
     * (tablecmds.rs:105). */
-  private def createTable(name: String, colsSpec: String): DataFrame = {
+  private def createTable(name: String, colsSpec: String,
+      reloptions: Option[String] = None): DataFrame = {
     if (tblock == TInProgress)
       throw new IllegalStateException("CREATE TABLE cannot run inside a transaction block")
     val colRe = """(?i)\s*(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)(\s+NOT\s+NULL)?\s*""".r
@@ -172,7 +173,14 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
         s"$cn $sparkTy${if (nn != null) " NOT NULL" else ""}"
       case bad => throw new IllegalArgumentException(s"cannot parse column: $bad")
     }
-    spark.sql(s"CREATE TABLE $name (${ddlCols.mkString(", ")}) USING parquet")
+    // reloptions (WITH (k=v, ...), reference rel.rs:20-25) -> table props
+    val props = reloptions.map(_.split(",").map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        s"'$k' = '$v'"
+      }.mkString(", ")).filter(_.nonEmpty)
+      .map(p => s" TBLPROPERTIES ($p)").getOrElse("")
+    spark.sql(s"CREATE TABLE $name (${ddlCols.mkString(", ")}) USING parquet$props")
   }
 
   private def copyOpts(spec: String): Copy.Options = {

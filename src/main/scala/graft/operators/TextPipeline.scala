@@ -93,6 +93,19 @@ object TextPipeline {
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
           .cast(IntegerType).as("bpe_ish_tokens"))),
 
+    // Deterministic content-hash sampling: ~10% of each source selected
+    // by a stable criterion (md5 prefix) — re-runs and re-partitions pick
+    // the SAME sample, unlike rand()-based sampling. The standard
+    // reproducible-subset op for training-data pipelines.
+    GQ("t05_deterministic_sample",
+      Some("""SELECT source, doc_id, md5(text) AS h
+        FROM documents
+        WHERE substring(md5(text), 1, 2) < '1a'"""),
+      (s, d) => docs(s, d)
+        .withColumn("h", md5(col("text").cast(BinaryType)))
+        .filter(substring(col("h"), 1, 2) < "1a")
+        .select("source", "doc_id", "h")),
+
     GQ("t04_fingerprint",
       Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,

@@ -88,6 +88,19 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(sess.execute("SELECT c FROM copy_target WHERE a = 5").head.getString(0) == "hdr")
   }
 
+  test("CREATE TABLE WITH (reloptions) -> table properties (rel.rs:20-25)") {
+    sess.execute("DROP TABLE IF EXISTS relopt_t")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "relopt_t")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    sess.execute(
+      "CREATE TABLE relopt_t (a int) WITH (data_blk_rows = 65536, enable_cs_wal = true)")
+    val props = spark.sql("SHOW TBLPROPERTIES relopt_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("data_blk_rows").contains("65536"))
+    assert(props.get("enable_cs_wal").contains("true"))
+  }
+
   test("empty statement -> EmptyQueryResponse (lib.rs:453-457)") {
     assert(sess.execute("  ").head.getString(0) == "EmptyQueryResponse")
   }
