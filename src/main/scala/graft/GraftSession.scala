@@ -173,13 +173,26 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
         s"$cn $sparkTy${if (nn != null) " NOT NULL" else ""}"
       case bad => throw new IllegalArgumentException(s"cannot parse column: $bad")
     }
-    // reloptions (WITH (k=v, ...), reference rel.rs:20-25) -> table props
-    val props = reloptions.map(_.split(",").map(_.trim).filter(_.nonEmpty)
-      .map { kv =>
-        val Array(k, v) = kv.split("=", 2).map(_.trim)
-        s"'$k' = '$v'"
-      }.mkString(", ")).filter(_.nonEmpty)
-      .map(p => s" TBLPROPERTIES ($p)").getOrElse("")
+    // reloptions (WITH (k=v, ...), reference rel.rs:20-25; grammar
+    // sql.lalrpop:401-418: ident = NumericOnly | Sconst, list non-empty)
+    // -> parquet table properties
+    // tokenize k = v pairs (v = 'sconst' | bare); cursor-coverage check
+    // rejects anything the grammar wouldn't accept (bare keys, empty list)
+    val optRe = """\s*(\w+)\s*=\s*(?:'([^']*)'|([^\s,']+))\s*(,|$)""".r
+    val props = reloptions.map { spec =>
+      if (spec.trim.isEmpty)
+        throw new IllegalArgumentException("WITH () requires at least one reloption")
+      val ms = optRe.findAllMatchIn(spec).toSeq
+      if (ms.isEmpty || ms.head.start != 0 || ms.last.end != spec.length ||
+        ms.sliding(2).exists { case Seq(a, b) => a.end != b.start; case _ => false })
+        throw new IllegalArgumentException(
+          s"cannot parse reloptions: $spec (expected key = value, ...)")
+      val entries = ms.map { m =>
+        val v = if (m.group(2) != null) m.group(2) else m.group(3)
+        s"'${m.group(1)}' = '${v.replace("'", "''")}'"
+      }
+      s" TBLPROPERTIES (${entries.mkString(", ")})"
+    }.getOrElse("")
     spark.sql(s"CREATE TABLE $name (${ddlCols.mkString(", ")}) USING parquet$props")
   }
 

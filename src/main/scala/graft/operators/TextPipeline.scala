@@ -93,6 +93,15 @@ object TextPipeline {
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
           .cast(IntegerType).as("bpe_ish_tokens"))),
 
+    GQ("t04_fingerprint",
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+          MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1"""),
+      (s, d) => docs(s, d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))),
+
     // Deterministic content-hash sampling: ~10% of each source selected
     // by a stable criterion (md5 prefix) — re-runs and re-partitions pick
     // the SAME sample, unlike rand()-based sampling. The standard
@@ -104,15 +113,6 @@ object TextPipeline {
       (s, d) => docs(s, d)
         .withColumn("h", md5(col("text").cast(BinaryType)))
         .filter(substring(col("h"), 1, 2) < "1a")
-        .select("source", "doc_id", "h")),
-
-    GQ("t04_fingerprint",
-      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
-          MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-        FROM documents GROUP BY 1"""),
-      (s, d) => docs(s, d)
-        .groupBy(fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs")))
+        .select("source", "doc_id", "h"))
   )
 }

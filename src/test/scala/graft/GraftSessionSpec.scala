@@ -99,6 +99,19 @@ class GraftSessionSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("data_blk_rows").contains("65536"))
     assert(props.get("enable_cs_wal").contains("true"))
+    // Sconst values (grammar: ident = NumericOnly | Sconst) and rejects
+    sess.execute("DROP TABLE IF EXISTS relopt_t2")
+    val loc2 = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "relopt_t2")
+    if (loc2.exists()) new scala.reflect.io.Directory(loc2).deleteRecursively()
+    sess.execute("CREATE TABLE relopt_t2 (a int) WITH (note = 'hello, world')")
+    val p2 = spark.sql("SHOW TBLPROPERTIES relopt_t2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p2.get("note").contains("hello, world"))
+    intercept[IllegalArgumentException](
+      sess.execute("CREATE TABLE relopt_bad (a int) WITH ()"))
+    intercept[IllegalArgumentException](
+      sess.execute("CREATE TABLE relopt_bad (a int) WITH (oids)"))
   }
 
   test("empty statement -> EmptyQueryResponse (lib.rs:453-457)") {
