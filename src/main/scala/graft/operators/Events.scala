@@ -87,10 +87,23 @@ object Events {
       (s, d) => firstEventPerKey(ev(s, d))),
 
     // Native session_window (Spark's merging session operator) — same
-    // 30-min-gap semantics as `sessionize` (cross-validated in
-    // EventsSpec); rows-only gate (DuckDB has no session windows; the
-    // lag+cumsum twin e02 IS the oracle-checked formulation).
-    GQ("e06_session_window_native", None,
+    // 30-min-gap semantics as `sessionize` (also cross-validated in
+    // EventsSpec). DuckDB has no session windows, but the session set is
+    // derivable with the lag+cumsum formulation, so the oracle checks the
+    // native operator too.
+    GQ("e06_session_window_native",
+      Some(s"""WITH x AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sess FROM x)
+        SELECT user_id, MIN(ts) AS t_start, COUNT(*) AS n_events,
+               ${osum("value")} AS total_value
+        FROM y GROUP BY user_id, sess"""),
       (s, d) => ev(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
