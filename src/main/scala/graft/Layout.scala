@@ -49,4 +49,28 @@ object Layout {
   /** Derived date partition column for event-shaped data. */
   def withEventDate(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("event_date", to_date(col(tsCol)))
+
+  /** Compact a table's small files: rewrite with ~`targetFileMB` output
+    * files (continuous ingest produces one file per micro-batch/task —
+    * the classic small-files problem; compaction restores scan
+    * efficiency: fewer footers, full row groups, better codec ratios).
+    * Overwrite is atomic per the commit protocol (the reference's
+    * manifest-publish analogue, sv.rs:537-554).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, table: String,
+      targetFileMB: Int = 128): Unit = {
+    val df = spark.table(table)
+    val bytes = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .stats.map(_.sizeInBytes.toLong)
+      .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
+    val files = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val tmp = df.repartition(files).cache()
+    tmp.count() // materialize BEFORE overwriting the source
+    tmp.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}__compacted")
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE ${table}__compacted RENAME TO $table")
+    tmp.unpersist()
+  }
 }

@@ -32,6 +32,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(day > 0 && day < all)
   }
 
+  test("compaction collapses a many-small-files table to few files") {
+    freshTable("frag_t"); freshTable("frag_t__compacted")
+    Engine.table(spark, TestSpark.sf, "lineitem")
+      .repartition(40) // simulate 40 micro-batch files
+      .write.format("parquet").saveAsTable("frag_t")
+    def nFiles = {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "frag_t")
+      Option(loc.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    val before = nFiles
+    assert(before >= 40)
+    val rows = spark.table("frag_t").count()
+    Layout.compact(spark, "frag_t", targetFileMB = 128)
+    assert(nFiles < 5, s"files after compact: $nFiles")
+    assert(spark.table("frag_t").count() == rows) // no data loss
+  }
+
   test("bucketed fact tables join with no exchange on either side") {
     freshTable("li_bucketed"); freshTable("ord_bucketed")
     Layout.writeBucketed(
