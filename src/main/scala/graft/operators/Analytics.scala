@@ -244,6 +244,34 @@ object Analytics {
             coalesce(col("total"), lit(0).cast(Engine.DEC)).as("total"))
       }),
 
+    // correlated scalar-aggregate subquery (decorrelated into an agg join)
+    GQ("q37_correlated_scalar_agg", {
+      val q = """SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c_acctbal > (SELECT 0.00002 * SUM(o.o_totalprice)
+                           FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d,
+        """SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c_acctbal > (SELECT 0.00002 * SUM(o.o_totalprice)
+                           FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    // LATERAL correlated subquery (top-1-per-group via lateral limit)
+    GQ("q38_lateral_join", {
+      val q = """SELECT c_custkey, t.o_orderkey AS best_order, t.o_totalprice AS best_price
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d,
+        """SELECT c_custkey, t.o_orderkey AS best_order, t.o_totalprice AS best_price
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""")),
+
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative
     // error vs exact is asserted in AnalyticsSpec.
