@@ -29,8 +29,8 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String, tieBreak: Seq[String],
       strict: Boolean = true): DataFrame = {
-    val lPay = struct(left.columns.map(left(_)): _*).as("l_pay")
-    val rPay = struct(right.columns.map(right(_)): _*).as("r_pay")
+    val lPay = struct(left.columns.toIndexedSeq.map(left(_)): _*).as("l_pay")
+    val rPay = struct(right.columns.toIndexedSeq.map(right(_)): _*).as("r_pay")
     // at equal ts: left first (strict -> same-ts right rows excluded by the
     // running frame), or right first (inclusive)
     val (lMark, rMark) = if (strict) (0, 1) else (1, 0)

@@ -64,7 +64,7 @@ object VectorSearch {
       corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
     def withBuckets(df: DataFrame, v: String): DataFrame = df.select(
-      df.columns.map(col) :+
+      df.columns.toIndexedSeq.map(col) :+
         posexplode(array((0 until tables).map(t =>
           lshBucket(col(v), planes, dim, t)): _*)).as(Seq("tbl", "bucket")): _*)
     val c = withBuckets(corpus, "embedding")
