@@ -35,6 +35,27 @@ object Relational {
 
   val defs: Seq[GQ] = Seq(
 
+    // ---- the reference's ONLY executable query shape: constant
+    // projection without FROM (Plan::Result, optimizer.rs:51-62,
+    // executor.rs:247-282) — OneRowRelation + Catalyst constant folding.
+    // Exercises the implemented fmgr surface: int4pl/mi/mul/div semantics
+    // (adt.rs) and the CSE the reference does at executor-init
+    // (executor.rs:194-211; free in codegen here).
+    GQ("q00_const_projection", {
+      val q = """SELECT 1 + 2 AS three, 7 * 6 - 2 AS forty,
+          CAST(7 / 2 AS DOUBLE) AS three_five,
+          -5 AS neg, abs(-5) AS abs5,
+          CAST('42' AS INT) AS in42, CAST(42 AS VARCHAR(10)) AS out42,
+          'a' || 'b' AS cat, 1 < 2 AS lt"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d,
+        """SELECT 1 + 2 AS three, 7 * 6 - 2 AS forty,
+          CAST(7 / 2 AS DOUBLE) AS three_five,
+          -5 AS neg, abs(-5) AS abs5,
+          CAST('42' AS INT) AS in42, CAST(42 AS VARCHAR(10)) AS out42,
+          'a' || 'b' AS cat, 1 < 2 AS lt""")),
+
     // ---- scan + filter + aggregate (TPC-H Q1 shape) --------------------
     // Filter reaches the Parquet scan (PushedFilters); agg is partial+final.
     GQ("q01_pricing_summary",
