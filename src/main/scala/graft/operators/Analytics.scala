@@ -272,6 +272,27 @@ object Analytics {
           WHERE o_custkey = c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""")),
 
+    // three-valued logic / null semantics (PG-grade: null propagation in
+    // arithmetic and comparison, null-safe equality, null-aware counts)
+    GQ("q39_null_semantics", {
+      val q = """SELECT c_custkey,
+          nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+          nullif(c_mktsegment, 'BUILDING') = 'BUILDING' IS NULL AS cmp_is_null,
+          CAST(nullif(c_acctbal, c_acctbal) + 1.0 AS DOUBLE) AS arith_null,
+          nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS nullsafe_eq,
+          coalesce(nullif(c_mktsegment, 'BUILDING'), 'was_building') AS coalesced
+        FROM customer"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, """SELECT c_custkey,
+          nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+          nullif(c_mktsegment, 'BUILDING') = 'BUILDING' IS NULL AS cmp_is_null,
+          CAST(nullif(c_acctbal, c_acctbal) + 1.0 AS DOUBLE) AS arith_null,
+          nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS nullsafe_eq,
+          coalesce(nullif(c_mktsegment, 'BUILDING'), 'was_building') AS coalesced
+        FROM customer"""),
+    ),
+
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative
     // error vs exact is asserted in AnalyticsSpec.
