@@ -119,6 +119,12 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     }
   }
 
+  /** Parameterized execution (the extended-protocol analogue of the
+    * reference's simple-query path): named parameters bind server-side
+    * via Spark's parameterized SQL — no string splicing. */
+  def executeWith(sql: String, params: Map[String, Any]): DataFrame =
+    spark.sql(sql, params)
+
   private def setGuc(name: String, value: String): DataFrame = {
     if (!localGucs.contains(name))
       throw new IllegalArgumentException(s"unrecognized configuration parameter \"$name\"")

@@ -114,6 +114,16 @@ class GraftSessionSpec extends AnyFunSuite {
       sess.execute("CREATE TABLE relopt_bad (a int) WITH (oids)"))
   }
 
+  test("parameterized queries bind named parameters (extended-protocol analogue)") {
+    val r = sess.executeWith(
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity >= :minq AND l_returnflag = :rf",
+      Map("minq" -> 49.0, "rf" -> "R"))
+    assert(r.head.getLong(0) > 0)
+    // binding, not splicing: a quote in the value cannot break the query
+    val s = sess.executeWith("SELECT :v AS v", Map("v" -> "o'brien"))
+    assert(s.head.getString(0) == "o'brien")
+  }
+
   test("empty statement -> EmptyQueryResponse (lib.rs:453-457)") {
     assert(sess.execute("  ").head.getString(0) == "EmptyQueryResponse")
   }

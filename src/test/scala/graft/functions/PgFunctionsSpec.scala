@@ -28,6 +28,15 @@ class PgFunctionsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(3L, -3L, -3L))
   }
 
+  test("division by zero errors under ANSI (PG parity)") {
+    intercept[Exception] {
+      Seq((1, 0)).toDF("a", "b").select(PG.pgDiv($"a", $"b")).collect()
+    }
+    intercept[Exception] {
+      Seq((1, 0)).toDF("a", "b").select(PG.pgMod($"a", $"b")).collect()
+    }
+  }
+
   test("pgMod sign follows dividend (PG semantics)") {
     val r = Seq((7, 3), (-7, 3)).toDF("a", "b")
       .select(PG.pgMod($"a", $"b")).collect().map(_.getInt(0))
