@@ -106,15 +106,23 @@ object Engine {
   // Double sums are order-dependent across partitions; aggregating through
   // DECIMAL(38,10) is exact, therefore deterministic under ANY partition
   // count (a 100 TB re-aggregation requirement) and bit-identical to an
-  // oracle using the same cast. Sums STAY decimal on output: converting
-  // a wide decimal to double can differ by 1 ulp between engines, so the
-  // exact type is the result type. Averages are small-magnitude; they are
+  // oracle using the same cast. The OUTPUT type is DOUBLE: emit via an
+  // exact decimal round to scale 6 followed by a decimal->double cast,
+  // which both Spark (BigDecimal compact path) and DuckDB evaluate as
+  // (double)unscaled / 1e6 — bit-identical while |unscaled| < 2^52.
+  // (Emitting the wide decimal itself breaks downstream consumers that
+  // read parquet decimals as exact Decimal objects while the SQL oracle
+  // returns binary doubles.) Averages are small-magnitude; they are
   // emitted as round(double, 6).
   // -------------------------------------------------------------------
   val DEC: DecimalType = DecimalType(38, 10)
+  val DEC6: DecimalType = DecimalType(38, 6)
 
-  /** Exact, order-independent sum of a double column (decimal result). */
-  def dsum(c: Column): Column = sum(c.cast(DEC)).cast(DEC)
+  /** Exact decimal -> DOUBLE emission (see block comment above). */
+  def decOut(c: Column): Column = c.cast(DEC6).cast(DoubleType)
+
+  /** Exact, order-independent sum of a double column (double result). */
+  def dsum(c: Column): Column = decOut(sum(c.cast(DEC)))
 
   /** Average of a double column: exact sum, one double division, 6dp. */
   def davg(c: Column): Column = round(sum(c.cast(DEC)).cast(DoubleType) / count(c), 6)

@@ -14,9 +14,11 @@ final case class GQ(
     run: (SparkSession, String) => DataFrame)
 
 object GQ {
-  /** Decimal-exact double sum, oracle side (see Engine.dsum). */
+  /** Decimal-exact double sum, oracle side (see Engine.dsum): aggregate
+    * exactly in DECIMAL(38,10), round exactly to scale 6, then one
+    * decimal->double conversion that matches Spark's bit-for-bit. */
   def osum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DECIMAL(38,10))"
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DECIMAL(38,6)) AS DOUBLE)"
   /** Average, oracle side (see Engine.davg). */
   def oavg(e: String): String =
     s"round(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE) / COUNT($e), 6)"

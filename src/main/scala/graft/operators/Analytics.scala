@@ -48,8 +48,8 @@ object Analytics {
           col("o_custkey"), col("o_orderkey"),
           lag("o_orderkey", 1).over(w).as("prev_order"),
           lead("o_orderkey", 1).over(w).as("next_order"),
-          dense_rank().over(wp).as("prio_rank"),
-          ntile(4).over(w).as("quartile"),
+          dense_rank().over(wp).cast(LongType).as("prio_rank"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
           first(col("o_orderkey")).over(w).as("first_order"),
           datediff(col("o_orderdate").cast(DateType),
             lag(col("o_orderdate"), 1).over(w).cast(DateType))
@@ -111,21 +111,24 @@ object Analytics {
 
     // bytea surface: byteacat (||), comparisons, octet_length, substr
     // (reference initdb:642-650, procs 890-892)
+    // bytea values are emitted hex-encoded: raw blobs are unsortable /
+    // unhashable in the comparison harness, and hex is a faithful text
+    // form of the same bytes on both engines.
     GQ("q30_bytea_operators",
       Some("""SELECT p_partkey,
-          encode(p_name) || encode(p_brand) AS cat,
+          hex(encode(p_name) || encode(p_brand)) AS cat,
           CAST(octet_length(encode(p_name)) AS INT) AS blen,
           encode(p_name) = encode(p_type) AS beq,
           encode(p_name) < encode(p_brand) AS blt,
-          encode(substring(p_name, 1, 3)) AS bsub
+          hex(encode(substring(p_name, 1, 3))) AS bsub
         FROM part"""),
       (s, d) => t(s, d, "part").select(
         col("p_partkey"),
-        concat(col("p_name").cast(BinaryType), col("p_brand").cast(BinaryType)).as("cat"),
+        hex(concat(col("p_name").cast(BinaryType), col("p_brand").cast(BinaryType))).as("cat"),
         octet_length(col("p_name").cast(BinaryType)).cast(IntegerType).as("blen"),
         (col("p_name").cast(BinaryType) === col("p_type").cast(BinaryType)).as("beq"),
         (col("p_name").cast(BinaryType) < col("p_brand").cast(BinaryType)).as("blt"),
-        substring(col("p_name"), 1, 3).cast(BinaryType).as("bsub"))),
+        hex(substring(col("p_name"), 1, 3).cast(BinaryType)).as("bsub"))),
 
     // explicit GROUPING SETS + grouping() markers (same SQL text on both
     // engines via the passthrough surface)
@@ -193,7 +196,13 @@ object Analytics {
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(Engine.dsum(coalesce(col("l_quantity"), lit(0.0))))),
+        .agg(Engine.dsum(coalesce(col("l_quantity"), lit(0.0))))
+        // a (status, flag) cell with no rows pivots to NULL; the oracle's
+        // SUM(CASE ... ELSE 0.0) yields 0 — align on 0
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0.0)).as("A"),
+          coalesce(col("N"), lit(0.0)).as("N"),
+          coalesce(col("R"), lit(0.0)).as("R"))),
 
     // array/collection functions over the tokenizer output
     GQ("q35_array_functions",
@@ -229,7 +238,7 @@ object Analytics {
                        ${osum("value")} AS total
                 FROM events WHERE event_type = 'purchase' GROUP BY 1)
         SELECT spine.hr, coalesce(obs.n, 0) AS n,
-               coalesce(obs.total, CAST(0 AS DECIMAL(38,10))) AS total
+               coalesce(obs.total, CAST(0 AS DOUBLE)) AS total
         FROM spine LEFT JOIN obs ON spine.hr = obs.hr"""),
       (s, d) => {
         val spine = s.range(1).select(explode(sequence(
@@ -241,7 +250,7 @@ object Analytics {
           .agg(count(lit(1)).as("n"), Engine.dsum(col("value")).as("total"))
         spine.join(obs, Seq("hr"), "left")
           .select(col("hr"), coalesce(col("n"), lit(0L)).as("n"),
-            coalesce(col("total"), lit(0).cast(Engine.DEC)).as("total"))
+            coalesce(col("total"), lit(0.0)).as("total"))
       }),
 
     // correlated scalar-aggregate subquery (decorrelated into an agg join)

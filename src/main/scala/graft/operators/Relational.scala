@@ -188,7 +188,7 @@ object Relational {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         t(s, d, "orders")
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast(LongType))
           .filter(col("rn") <= 2)
           .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       }),
@@ -196,11 +196,11 @@ object Relational {
     // ---- window: running aggregate (decimal-exact frames) --------------
     GQ("q10_running_qty_by_supplier",
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
                OVER (PARTITION BY l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(38,10)) AS run_qty
+               AS DECIMAL(38,6)) AS DOUBLE) AS run_qty
         FROM lineitem"""),
       (s, d) => {
         val w = Window.partitionBy("l_suppkey")
@@ -208,7 +208,7 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "lineitem").select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_quantity").cast(Engine.DEC)).over(w).cast(Engine.DEC).as("run_qty"))
+          Engine.decOut(sum(col("l_quantity").cast(Engine.DEC)).over(w)).as("run_qty"))
       }),
 
     // ---- set operations: UNION / EXCEPT / INTERSECT (SURVEY §2.7) ------
@@ -303,9 +303,9 @@ object Relational {
           round(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS pow_size,
           round(ln(p_retailprice), 6) AS ln_price,
           CAST(factorial(p_size % 10) AS BIGINT) AS fact_size,
-          floor(p_retailprice) AS floor_price,
-          ceil(p_retailprice) AS ceil_price,
-          sign(p_retailprice - 950.0) AS sign_delta
+          CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+          CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+          CAST(sign(p_retailprice - 950.0) AS DOUBLE) AS sign_delta
         FROM part"""),
       (s, d) => t(s, d, "part").select(
         col("p_partkey"),
