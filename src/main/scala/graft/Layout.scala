@@ -54,23 +54,28 @@ object Layout {
     * files (continuous ingest produces one file per micro-batch/task —
     * the classic small-files problem; compaction restores scan
     * efficiency: fewer footers, full row groups, better codec ratios).
-    * Overwrite is atomic per the commit protocol (the reference's
-    * manifest-publish analogue, sv.rs:537-554).
+    *
+    * Publish discipline (the reference's manifest-publish analogue,
+    * sv.rs:537-554): the compacted data is staged under
+    * `<table>__compacted`, then published with a single INSERT OVERWRITE
+    * commit — the table name exists at every failure point. A crash
+    * before the publish leaves the original untouched; a crash after
+    * leaves only a stale staging table, which the next compact() run
+    * drops first.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, table: String,
       targetFileMB: Int = 128): Unit = {
+    val staging = s"${table}__compacted"
+    spark.sql(s"DROP TABLE IF EXISTS $staging") // recover a prior failed run
     val df = spark.table(table)
     val bytes = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .stats.map(_.sizeInBytes.toLong)
       .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
     val files = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
-    val tmp = df.repartition(files).cache()
-    tmp.count() // materialize BEFORE overwriting the source
-    tmp.write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${table}__compacted")
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE ${table}__compacted RENAME TO $table")
-    tmp.unpersist()
+    df.repartition(files).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(staging)
+    spark.table(staging).write.mode(SaveMode.Overwrite).insertInto(table)
+    spark.sql(s"DROP TABLE $staging")
   }
 }

@@ -63,11 +63,13 @@ object AsOf {
     * per key, no union row-widening). Output = left columns ++ right
     * columns (right nullable); disambiguate names before calling.
     * Deterministic among equal right (key, ts) requires `rightTie` —
-    * appended to the right sort order. */
+    * appended to the right child's required sort order (mirroring the
+    * composed form's tieBreak); pass columns unique per (key, ts). */
   def asofJoinPhysical(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      rightTie: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     val spark = left.sparkSession
@@ -86,7 +88,8 @@ object AsOf {
     org.apache.spark.sql.GraftShim.ofRows(spark,
       graft.plans.AsOfJoinNode(lPlan, rPlan,
         keyCols.map(attr(lPlan.output, _)), keyCols.map(attr(rOut, _)),
-        attr(lPlan.output, tsCol), attr(rOut, tsCol), strict))
+        attr(lPlan.output, tsCol), attr(rOut, tsCol), strict,
+        rightTie.map(attr(rOut, _))))
   }
 
   private val asofOracle =
@@ -112,7 +115,8 @@ object AsOf {
             col("value").as("view_value"))
         // output = left cols ++ right cols; rename positionally to
         // disambiguate the shared key/ts names
-        asofJoinPhysical(purchases, views, Seq("user_id"), "ts")
+        asofJoinPhysical(purchases, views, Seq("user_id"), "ts",
+            rightTie = Seq("view_id"))
           .toDF("user_id", "purchase_ts", "purchase_id", "value",
             "r_user_id", "r_ts", "view_id", "view_value")
           .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_value")

@@ -58,15 +58,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     // Tokens/shingles materialized at projection boundaries (see
-    // TextFunctions.shingles perf note), then the signature frame is
-    // persisted: it feeds bucket counting AND both self-join sides, and
-    // at scale (sigs = numHashes*8 bytes/doc << corpus) recompute would
-    // re-scan the corpus three times.
+    // TextFunctions.shingles perf note). The signature frame feeds ONE
+    // linear pipeline (band -> bucket -> in-bucket pairing), so no
+    // caching: the corpus is scanned exactly once.
     val sig = documents
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
       .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
       .select(col("id"), GF.minhash(col("sh"), numHashes).as("sig"))
-      .persist()
 
     // band keys: hash of each signature slice (murmur3 over array<long>)
     val banded = sig.select(col("id"), col("sig"),
@@ -95,8 +93,11 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, bucketed by 16-bit chunks,
-    * pairs within `maxHamming` (bit_count(xor) — builtin). */
+  /** SimHash near-dup pairs: 64-bit signature, bucketed by 16-bit chunks
+    * (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks), pairs within
+    * `maxHamming` (bit_count(xor) — builtin). Like the minhash path this
+    * is ONE shuffle on (chunk, ck) with in-bucket pair generation — a
+    * linear pipeline, one corpus scan, nothing cached. */
   def simhashPairs(
       documents: DataFrame,
       idCol: String = "doc_id",
@@ -105,17 +106,20 @@ object Dedup {
     val sig = documents
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
       .select(col("id"), GF.simhash(col("tok")).as("sig"))
-      .persist()
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftrightunsigned", col("sig"), c * 16)
           .bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
-    val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val buckets = chunked.groupBy("chunk", "ck")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")) >= 2)
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -128,19 +132,20 @@ object Dedup {
       textCol: String,
       shingleK: Int,
       minJaccard: Double): DataFrame = {
-    val tok = documents
+    // shingle-set sizes ride along with each exploded row, so the
+    // intersection groupBy recovers them with any_value — no extra joins
+    // back to a cached frame (tokenization runs once per join side; this
+    // operator is only ever applied to bounded candidate sets)
+    val ex = documents
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
       .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
-      .persist() // reused by the exploded side AND the size side
-    val ex = tok.select(col("id"), explode(col("sh")).as("s"))
-    val sz = tok.select(col("id"), size(col("sh")).as("sz"))
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("ic"))
+      .agg(count(lit(1)).as("ic"),
+        any_value(col("a.sz")).as("sz_a"), any_value(col("b.sz")).as("sz_b"))
     inter
-      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("ic").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("ic")), 6)
           .as("jaccard"))

@@ -120,7 +120,7 @@ object VectorSearch {
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
-      .filter(col("sim") > 0.3)
+      .filter(col("sim") > threshold)
   }
 
   private val oracleCosine =

@@ -19,15 +19,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * buffering — the merge is O(1) memory per key.
   *
   * Semantics: LEFT OUTER; `strict` excludes ties (right.ts < left.ts),
-  * else right.ts <= left.ts. Deterministic among equal right (key, ts)
-  * by last-in-sort-order (callers append a tiebreak to `rightTs`
-  * ordering via the sort key list).
+  * else right.ts <= left.ts. The held match among equal right (key, ts)
+  * rows is the last in sort order, so determinism requires `rightTie`:
+  * tiebreak expressions appended after rightTs in the right child's
+  * required ordering (unique per (key, ts) group).
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    rightTie: Seq[Expression] = Seq.empty) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -36,8 +38,8 @@ case class AsOfJoinNode(
 
 object AsOfStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, strict) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, strict) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, strict, rTie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, strict, rTie) :: Nil
     case _ => Nil
   }
 }
@@ -46,7 +48,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    strict: Boolean) extends BinaryExecNode {
+    strict: Boolean,
+    rightTie: Seq[Expression] = Seq.empty) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -56,7 +59,7 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    (rightKeys ++ (rightTs +: rightTie)).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
