@@ -62,6 +62,75 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_fnv64"
 }
 
+/** graft_tokens(text) -> array<string>: lowercase alphanumeric word
+  * tokens — semantically identical to
+  * `filter(split(lower(text), "[^a-z0-9]+"), t => t <> "")` but a single
+  * native pass per row. The HOF formulation is evaluated interpreted,
+  * per element, with no subexpression elimination (the tokenize step
+  * dominated the dedup pipelines); this is the `Datums`-style batch
+  * kernel the reference would write (src/utils/adt.rs one-pass loops).
+  */
+case class Tokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    // UTF8String.toLowerCase == Lower's own kernel, so `lower(text)`
+    // and this expression can never disagree on case folding
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val n = s.length
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val c = s.charAt(i)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(start, i))
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0)
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(start, n))
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
+  override def prettyName: String = "graft_tokens"
+}
+
+/** graft_shingles(tok, k) -> array<string>: k-word shingles joined by
+  * single spaces; fewer than k tokens -> empty array. Matches the
+  * `transform(sequence(...), i -> concat_ws(" ", tok[i..i+k-1]))`
+  * formulation but in one native pass (the HOF version re-enters the
+  * interpreter k+2 times per shingle). */
+case class Shingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
+  override def prettyName: String = "graft_shingles"
+}
+
 /** minhash signature: array<string> tokens -> array<long> of length n.
   * One pass over the tokens, n permutations (SURVEY §7.2 step 6; public
   * MinHash scheme, Broder 1997). Empty/all-null input -> all-0xFF
@@ -92,6 +161,29 @@ case class MinHashSig(child: Expression, numHashes: Int)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   override def prettyName: String = "graft_minhash"
+}
+
+/** graft_sig_match(a, b) -> int: number of positions where two long
+  * arrays agree (minhash signature agreement — the LSH est-jaccard
+  * numerator). One native loop; the zip_with+aggregate HOF formulation
+  * is interpreted per element and dominated candidate-pair scoring. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0; var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_sig_match"
 }
 
 /** simhash64: array<string> tokens -> 64-bit simhash (Charikar 2002).
@@ -261,9 +353,14 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_tokens", es => Tokens(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      es => Shingles(es.head, if (es.size > 1) lit2int(es(1), 3) else 3), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       es => MinHashSig(es.head, if (es.size > 1) lit2int(es(1), 64) else 64), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sig_match",
+      es => SigMatchCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => ArrayDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es(0), es(1)), "built-in")
 
@@ -288,9 +385,13 @@ object GraftFunctions {
 
   // Column-API wrappers
   def fnv64(c: Column): Column = call_function("graft_fnv64", c)
+  def tokensNative(c: Column): Column = call_function("graft_tokens", c)
+  def shinglesNative(c: Column, k: Int): Column =
+    call_function("graft_shingles", c, org.apache.spark.sql.functions.lit(k))
   def minhash(c: Column, n: Int): Column =
     call_function("graft_minhash", c, org.apache.spark.sql.functions.lit(n))
   def simhash(c: Column): Column = call_function("graft_simhash", c)
+  def sigMatch(a: Column, b: Column): Column = call_function("graft_sig_match", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 }

@@ -16,26 +16,20 @@ import org.apache.spark.sql.types._
 object TextFunctions {
 
   /** Lowercase word tokens: split on non-alphanumeric runs, drop empties.
+    * Native one-pass kernel (functions.Tokens) — the HOF formulation
+    * `filter(split(lower(x), "[^a-z0-9]+"), t => t <> "")` is evaluated
+    * interpreted per element and dominated the dedup pipelines.
     * Oracle twin: list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t <> '') */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+  def tokens(text: Column): Column = GraftFunctions.tokensNative(text)
 
-  /** k-word shingles joined by single spaces (1-based element_at).
+  /** k-word shingles joined by single spaces — native one-pass kernel
+    * (functions.Shingles; the transform/element_at/concat_ws HOF version
+    * re-enters the interpreter k+2 times per shingle).
     * Oracle twin (k=3): CASE WHEN len(tok) >= 3 THEN list_transform(
     *   range(1, len(tok)-1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
-    *   ELSE [] END
-    *
-    * PERFORMANCE: `tok` MUST be a materialized column (an attribute), not
-    * a nested `tokens(...)` expression. Spark evaluates higher-order
-    * functions interpreted, without subexpression elimination inside the
-    * lambda — a nested tokenizer would be re-run for every element_at,
-    * turning tokenization O(n) into O(n*k) per row (measured 70x slowdown).
-    * Callers materialize via a prior .select/.withColumn. */
+    *   ELSE [] END */
   def shingles(tok: Column, k: Int): Column =
-    when(size(tok) >= k,
-      transform(sequence(lit(1), size(tok) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(tok, i + lit(j))): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
+    GraftFunctions.shinglesNative(tok, k)
 
   /** Canonical text normalization for fingerprinting: lowercase, strip
     * non-alphanumerics (keeping spaces), collapse runs, trim.

@@ -78,19 +78,20 @@ object Dedup {
     val buckets = banded.groupBy("band", "bh")
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-    val pairs = buckets
+    // estimate + threshold BEFORE the cross-band distinct: the in-bucket
+    // pair explosion and the signature comparison stay inside the bucket
+    // stage; only surviving (id_a, id_b, est) triples are shuffled to
+    // dedup pairs that surfaced from multiple bands (est is deterministic
+    // per pair, so dedup-after is equivalent)
+    buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct() // same pair can surface from multiple bands
-
-    pairs.select(col("id_a"), col("id_b"),
-      (aggregate(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-        .cast(DoubleType) / numHashes).as("est_jaccard"))
+        (GF.sigMatch(col("a.sig"), col("b.sig"))
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
   }
 
   /** SimHash near-dup pairs: 64-bit signature, bucketed by 16-bit chunks
@@ -120,8 +121,8 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: dedup survivors only
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for bounded candidate sets: explode
@@ -198,8 +199,7 @@ object Dedup {
       bands, rows)
       .select(col("band"), col("bh"), col("sig").as("c_sig"))
     val nearDupIds = nb.join(cb, Seq("band", "bh"))
-      .select(col("id"), (aggregate(zip_with(col("sig"), col("c_sig"),
-        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+      .select(col("id"), (GF.sigMatch(col("sig"), col("c_sig"))
         .cast(DoubleType) / numHashes).as("est"))
       .filter(col("est") >= minEstJaccard)
       .select(col("id").as(idCol)).distinct()

@@ -69,11 +69,15 @@ object VectorSearch {
           lshBucket(col(v), planes, dim, t)): _*)).as(Seq("tbl", "bucket")): _*)
     val c = withBuckets(corpus, "embedding")
     val q = withBuckets(queries, "qv")
+    // compute the (codegen'd, cheap) cosine BEFORE deduplicating: the
+    // dedup then shuffles only (qid, nid, sim) triples instead of rows
+    // carrying both embedding arrays — sim is deterministic per pair, so
+    // dedup-after is equivalent
     val pairs = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .dropDuplicates("qid", "vec_id")
       .select(col("qid"), col("vec_id").as("nid"),
         sim6(col("qv"), col("embedding")).as("sim"))
+      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "nid", "sim")
@@ -104,9 +108,9 @@ object VectorSearch {
     val q = assign(queries, "qid", "qv", nprobe)
     val pairs = c.join(broadcast(q), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .dropDuplicates("qid", "vec_id")
       .select(col("qid"), col("vec_id").as("nid"),
         sim6(col("qv"), col("embedding")).as("sim"))
+      .dropDuplicates("qid", "nid") // after sim: dedup shuffles triples, not vectors
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "nid", "sim")
@@ -128,7 +132,11 @@ object VectorSearch {
 
   /** Scale path for near-dup detection: multi-table LSH candidates then
     * exact cosine — replaces the quadratic all-pairs with one shuffle on
-    * (table, bucket) + bounded in-bucket pairing. */
+    * (table, bucket) + bounded in-bucket pairing. `planes` sets bucket
+    * granularity (2^planes buckets/table): more planes = smaller buckets
+    * but lower per-table recall (p_plane^planes); compensate with more
+    * tables. At threshold 0.3 (weakly-correlated vectors) p_plane ~ 0.6,
+    * so planes must stay low for usable recall. */
   def cosineNearDupPairsLsh(e: DataFrame, threshold: Double,
       planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
     val withB = e.select(col("vec_id"), col("embedding"),
@@ -138,10 +146,13 @@ object VectorSearch {
       col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = withB.select(col("tbl"), col("bucket"),
       col("vec_id").as("id_b"), col("embedding").as("vb"))
+    // cosine + threshold BEFORE the pair dedup: the in-bucket candidate
+    // explosion stays inside its join stage (never shuffled), and the
+    // distinct handles only surviving (id_a, id_b, sim) triples
     a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
       .filter(col("sim") > threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   val defs: Seq[GQ] = Seq(
