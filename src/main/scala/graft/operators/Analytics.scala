@@ -302,6 +302,34 @@ object Analytics {
         FROM customer"""),
     ),
 
+    // scalar subqueries in the SELECT list (each decorrelated by Catalyst
+    // into an aggregate join; same text runs on both engines)
+    GQ("q40_scalar_subquery_select", {
+      val q = """SELECT c_custkey,
+          (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM customer c"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, """SELECT c_custkey,
+          (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM customer c""")),
+
+    // DISTINCT ON (first row per key in a total order) — PG/DuckDB surface
+    // realized as a ranking window; deterministic via the orderkey tiebreak
+    GQ("q41_distinct_on",
+      Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey"""),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_orderdate")
+      }),
+
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative
     // error vs exact is asserted in AnalyticsSpec.

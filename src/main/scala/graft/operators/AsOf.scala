@@ -122,6 +122,31 @@ object AsOf {
           .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_value")
       }),
 
+    // inclusive mode (right.ts <= left.ts — DuckDB `ON p.ts >= v.ts`)
+    // through the same physical operator, strict = false
+    GQ("e08_asof_inclusive_physical",
+      Some("""WITH v AS (SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'view'),
+          p AS (SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'purchase')
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               p.ts AS purchase_ts, v.event_id AS view_id,
+               v.value AS view_value
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""),
+      (s, d) => {
+        val ev = Engine.table(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+            col("value").as("view_value"))
+        asofJoinPhysical(purchases, views, Seq("user_id"), "ts",
+            strict = false, rightTie = Seq("view_id"))
+          .toDF("user_id", "purchase_ts", "purchase_id", "value",
+            "r_user_id", "r_ts", "view_id", "view_value")
+          .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_value")
+      }),
+
     // purchase -> most recent strictly-prior page view of the same user
     GQ("e05_asof_purchase_view",
       Some("""WITH v AS (SELECT user_id, ts, event_id, value FROM events

@@ -207,6 +207,43 @@ object Dedup {
     exactClean.join(nearDupIds, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair graph + survivor pick —
+    * the step that turns pairwise similarity into actual corpus dedup
+    * (each cluster keeps its lowest id). Iterative min-label propagation
+    * to a fixpoint: label(v) := min(label(v), min over neighbors); each
+    * round is one shuffle on the node id, lineage is cut per round
+    * (localCheckpoint) so plans stay flat. Rounds needed = graph
+    * diameter — near-dup clusters are shallow (dups of dups of X are
+    * dups of X), so this converges in a handful of rounds at any scale;
+    * the classic large-star/small-star optimization halves rounds if
+    * diameters ever grow.
+    *
+    * Returns (id, cluster, is_survivor): cluster = min id reachable,
+    * survivor = the row whose id equals its cluster id.
+    */
+  def nearDupClusters(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("pid")).agg(min("lbl").as("nlbl"))
+      val next = labels.withColumnRenamed("lbl", "old")
+        .join(prop, col("id") === col("pid"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("id", "lbl")
+    }
+    labels.select(col("id"), col("lbl").as("cluster"),
+      (col("id") === col("lbl")).as("is_survivor"))
+  }
+
   // ------------------------------------------------------------------
   // Driver-verified query entries
   // ------------------------------------------------------------------
@@ -224,7 +261,46 @@ object Dedup {
       (s, d) => simhashPairs(docs(s, d), maxHamming = 12)),
 
     GQ("d04_dedup_ngram_jaccard",
-      Some("""WITH tok AS (
+      Some(s"""WITH $ngramPairCtes
+        SELECT id_a, id_b,
+               round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) AS jaccard
+        FROM it
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02"""),
+      (s, d) => ngramJaccardPairs(
+        docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3, 0.02)),
+
+    // clustering + survivor selection over the same bounded pair set as
+    // d04 — the oracle computes connected components with a recursive
+    // CTE (label = min reachable id, exactly the fixpoint the Spark
+    // label propagation converges to)
+    GQ("d05_neardup_clusters",
+      Some(s"""WITH RECURSIVE $ngramPairCtes,
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        cc AS (
+          SELECT doc_id AS id, doc_id AS lbl FROM documents WHERE doc_id < 300
+          UNION
+          SELECT e.dst, c.lbl FROM cc c JOIN edges e ON c.id = e.src)
+        SELECT id, MIN(lbl) AS cluster, (id = MIN(lbl)) AS is_survivor
+        FROM cc GROUP BY id"""),
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        nearDupClusters(pairs, dd.select(col("doc_id").as("id")))
+      })
+  )
+
+  /** Shared DuckDB CTE chain producing the bounded n-gram candidate set
+    * (d04's oracle twin of ngramJaccardPairs on doc_id < 300).
+    * (def, not val: referenced from `defs`, which initializes first.) */
+  private def ngramPairCtes: String = """tok AS (
           SELECT doc_id, list_distinct(
             CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1),
               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END) AS sh
@@ -235,14 +311,5 @@ object Dedup {
         sz AS (SELECT doc_id, len(sh) AS sz FROM tok),
         it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) AS jaccard
-        FROM it
-        JOIN sz sa ON id_a = sa.doc_id
-        JOIN sz sb ON id_b = sb.doc_id
-        WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02"""),
-      (s, d) => ngramJaccardPairs(
-        docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3, 0.02))
-  )
+               GROUP BY 1, 2)"""
 }

@@ -113,6 +113,26 @@ object TextPipeline {
       (s, d) => docs(s, d)
         .withColumn("h", md5(col("text").cast(BinaryType)))
         .filter(substring(col("h"), 1, 2) < "1a")
-        .select("source", "doc_id", "h"))
+        .select("source", "doc_id", "h")),
+
+    // Stratified deterministic sampling: a fixed quota per stratum
+    // (language), ranked by content hash — the per-source/per-language
+    // quota op for training mixes. Hash ranking keeps the pick stable
+    // under re-runs and re-partitioning; one shuffle on the stratum key.
+    GQ("t06_stratified_sample",
+      Some("""SELECT lang, doc_id, rn FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(text), doc_id) AS rn
+          FROM documents) WHERE rn <= 5"""),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(md5(col("text").cast(BinaryType)), col("doc_id"))
+        docs(s, d)
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 5)
+          .select("lang", "doc_id", "rn")
+      })
   )
 }

@@ -71,4 +71,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) > 0.7)
     assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) < 0.1)
   }
+
+  test("near-dup clustering: transitive closure + lowest-id survivor") {
+    import org.apache.spark.sql.functions.col
+    // chain 1-2, 2-6 (transitive: {1,2,6}), island {4,5}, singleton 3
+    val pairs = Seq((1L, 2L), (2L, 6L), (4L, 5L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val cc = Dedup.nearDupClusters(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(cc(1L) == (1L, true))
+    assert(cc(2L) == (1L, false))
+    assert(cc(6L) == (1L, false)) // transitivity: 6 reaches 1 via 2
+    assert(cc(3L) == (3L, true))  // singleton survives as its own cluster
+    assert(cc(4L) == (4L, true))
+    assert(cc(5L) == (4L, false))
+  }
 }
