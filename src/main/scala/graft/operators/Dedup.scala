@@ -222,10 +222,12 @@ object Dedup {
     * survivor = the row whose id equals its cluster id.
     */
   def nearDupClusters(pairs: DataFrame, nodes: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    // materialize the (possibly expensive) pair source ONCE, then derive
+    // the symmetric edge list from the materialized form — a union of
+    // two references to the raw plan would execute it twice
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
