@@ -79,6 +79,38 @@ object Blob {
     GQ("m02_decode_features", None,
       (s, d) => decodeFeatures(s,
         toMediaFrame(Engine.table(s, d, "documents"), "doc_id", "text", "text/plain"))
-        .toDF())
+        .toDF()),
+
+    // Frame sampling: fixed-size byte windows at a stride over the raw
+    // payload (video frame-sample / audio chunking shape), fully
+    // declarative — explode a frame index, slice bytes, checksum. The
+    // whole pipeline is scan + generate + project: no shuffle, prunes to
+    // the payload column, embarrassingly parallel at 100 TB.
+    GQ("m03_frame_sample",
+      // oracle slices VARCHAR (DuckDB has no BLOB substring/md5): char
+      // windows == byte windows because the documents corpus is ASCII
+      // (verified: octet_length(encode(text)) == length(text) for all rows)
+      Some("""WITH f AS (SELECT doc_id AS media_id, text,
+                unnest(range(0, least((octet_length(encode(text))-1)//1024 + 1, 4)))
+                  AS frame_no
+              FROM documents)
+        SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+               CAST(octet_length(encode(substring(text, CAST(frame_no*1024+1 AS INT), 256)))
+                    AS INT) AS f_bytes,
+               md5(substring(text, CAST(frame_no*1024+1 AS INT), 256)) AS f_checksum
+        FROM f"""),
+      (s, d) => {
+        val m = Engine.table(s, d, "documents").select(
+          col("doc_id").as("media_id"), col("text").cast(BinaryType).as("payload"))
+        m.select(col("media_id"), col("payload"),
+            explode(sequence(lit(0),
+              least(floor((octet_length(col("payload")) - 1) / 1024), lit(3))
+                .cast(IntegerType))).as("frame_no"))
+          .select(col("media_id"), col("frame_no"),
+            expr("substring(payload, frame_no*1024+1, 256)").as("frame"))
+          .select(col("media_id"), col("frame_no"),
+            octet_length(col("frame")).cast(IntegerType).as("f_bytes"),
+            md5(col("frame")).as("f_checksum"))
+      })
   )
 }

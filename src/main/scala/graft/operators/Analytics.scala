@@ -302,6 +302,27 @@ object Analytics {
         FROM customer"""),
     ),
 
+    // UNPIVOT — the inverse of q34's pivot (wide -> long), melting the
+    // per-flag sum columns back into (flag, qty) rows
+    GQ("q42_unpivot",
+      Some(s"""WITH wide AS (SELECT l_linestatus,
+          ${osum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END")} AS A,
+          ${osum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END")} AS N,
+          ${osum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS R
+        FROM lineitem GROUP BY l_linestatus)
+        SELECT l_linestatus, flag, qty
+        FROM wide UNPIVOT (qty FOR flag IN (A, N, R))"""),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Engine.dsum(coalesce(col("l_quantity"), lit(0.0))))
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0.0)).as("A"),
+          coalesce(col("N"), lit(0.0)).as("N"),
+          coalesce(col("R"), lit(0.0)).as("R"))
+        .unpivot(Array(col("l_linestatus")),
+          Array(col("A"), col("N"), col("R")), "flag", "qty")),
+
     // scalar subqueries in the SELECT list (each decorrelated by Catalyst
     // into an aggregate join; same text runs on both engines)
     GQ("q40_scalar_subquery_select", {

@@ -47,6 +47,21 @@ object Copy {
       .option("header", opts.header.toString)
       .csv(path)
 
+  /** JSONL (one JSON object per line) ingest — the interchange format of
+    * training-data pipelines. Same split-parallel reader; pass a schema
+    * to skip inference (mandatory at scale: inference scans the data
+    * twice and infers per-file). */
+  def fromJsonl(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    Engine.prepare(spark)
+    val r = spark.read
+    schema.map(r.schema).getOrElse(r).json(path)
+  }
+
+  /** JSONL export: one JSON object per row, split across tasks. */
+  def toJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** COPY ... FROM ... into a managed table (the full reference path:
     * ingest + publish to catalog). */
   def intoTable(spark: SparkSession, path: String, schema: StructType,

@@ -56,4 +56,17 @@ class CopySpec extends AnyFunSuite {
     val df = Copy.from(spark, f.toString, schema, Copy.Options(parallel = Some(8)))
     assert(df.rdd.getNumPartitions == 8)
   }
+
+  test("JSONL round trip preserves data and schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/out"
+    val df = Seq((1L, "alpha doc", "en"), (2L, "beta doc", "de"))
+      .toDF("doc_id", "text", "lang")
+    Copy.toJsonl(df, dir)
+    val back = Copy.fromJsonl(spark, dir, Some(df.schema))
+    // JSON sources are always nullable; compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
 }
