@@ -226,18 +226,38 @@ object Dedup {
     // the symmetric edge list from the materialized form — a union of
     // two references to the raw plan would execute it twice
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // adaptive parallelism for the iterative stage: the candidate-pair
+    // graph is usually tiny relative to the corpus (it holds only docs
+    // with a near-dup candidate), and a small graph iterated at full
+    // shuffle parallelism pays scheduling, not compute. Size the loop's
+    // partitioning from the (already materialized) edge count — the same
+    // runtime-statistics reasoning AQE applies within a query, applied
+    // across the loop.
+    val nParts = math.max(1, math.min(
+      p.count() / 50000L, p.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+      .repartition(nParts, col("src")).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .repartition(nParts, col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // neighbor min: one shuffle on the node id
       val prop = edges.join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("pid")).agg(min("lbl").as("nlbl"))
+      // pointer jumping: also adopt lbl(lbl(v)) — labels always point at
+      // real node ids, so the chain-halving join keeps the invariant
+      // (label stays within the component, >= component min) while
+      // cutting convergence from O(diameter) to O(log diameter) rounds
+      val hop = labels.select(col("id").as("hid"), col("lbl").as("hlbl"))
       val next = labels.withColumnRenamed("lbl", "old")
         .join(prop, col("id") === col("pid"), "left")
+        .join(hop, col("old") === col("hid"), "left")
         .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
+          least(col("old"),
+            coalesce(col("nlbl"), col("old")),
+            coalesce(col("hlbl"), col("old"))).as("lbl"))
         .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("id", "lbl")
