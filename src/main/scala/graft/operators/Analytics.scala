@@ -351,6 +351,39 @@ object Analytics {
           .select("o_custkey", "o_orderkey", "o_orderdate")
       }),
 
+    // distribution-rank window family: percent_rank / cume_dist are
+    // exact rational formulas ((rank-1)/(n-1), rank/n) — one IEEE
+    // division on identical integers, so bit-equal across engines
+    GQ("q43_window_distribution",
+      Some("""SELECT o_orderkey,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd,
+          CAST(ntile(10) OVER w AS BIGINT) AS decile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)"""),
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(10).over(w).cast(LongType).as("decile"))
+      }),
+
+    // Mergeable-sketch approximate percentiles (the 100 TB companion to
+    // q28's exact interpolated percentiles): partial sketches combine
+    // associatively, so the same query re-aggregates under any partition
+    // count. Estimates are algorithm-specific -> rows-only gate; the
+    // error bound vs the exact percentile is asserted in AnalyticsSpec.
+    GQ("a02_approx_percentiles", None,
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+            .as("approx_pcts"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))),
+
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative
     // error vs exact is asserted in AnalyticsSpec.

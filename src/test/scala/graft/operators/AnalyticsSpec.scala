@@ -57,4 +57,16 @@ class AnalyticsSpec extends AnyFunSuite {
       .select(col("r_match.tag")).head
     assert(out.getString(0) == "v_eq")
   }
+
+  test("approx percentiles stay within 1% of exact and merge across partitions") {
+    val rows = graft.SparkEntry.queries("a02_approx_percentiles")(spark, graft.TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approxP50 = r.getSeq[Double](1)(1)
+      val exactP50 = r.getDouble(2)
+      assert(math.abs(approxP50 - exactP50) <= 0.01 * exactP50,
+        s"approx p50 $approxP50 vs exact $exactP50")
+    }
+  }
 }
