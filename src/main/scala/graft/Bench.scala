@@ -22,7 +22,8 @@ object Bench {
     // keep the JSON line SHORT (3dp): the consumer tail-captures sbt
     // output, and full double precision over 60+ queries overflows the
     // capture window, truncating the line into unparseable JSON
-    def f3(v: Double): String = "%.3f".format(v)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // locale-proof decimal point
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

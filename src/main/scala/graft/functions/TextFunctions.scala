@@ -29,7 +29,12 @@ object TextFunctions {
     *   range(1, len(tok)-1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
     *   ELSE [] END */
   def shingles(tok: Column, k: Int): Column =
-    GraftFunctions.shinglesNative(tok, k)
+    // NULL token array -> empty shingle set (the behavior of the original
+    // when/otherwise form and the oracle's CASE ... ELSE []): without the
+    // coalesce, a NULL-text doc would get a NULL signature and silently
+    // drop out of dedup instead of pairing with other empty docs
+    coalesce(GraftFunctions.shinglesNative(tok, k),
+      array().cast(ArrayType(StringType, containsNull = false)))
 
   /** Canonical text normalization for fingerprinting: lowercase, strip
     * non-alphanumerics (keeping spaces), collapse runs, trim.

@@ -91,7 +91,7 @@ object Blob {
       // windows == byte windows because the documents corpus is ASCII
       // (verified: octet_length(encode(text)) == length(text) for all rows)
       Some("""WITH f AS (SELECT doc_id AS media_id, text,
-                unnest(range(0, least((octet_length(encode(text))-1)//1024 + 1, 4)))
+                unnest(range(0, least(greatest((octet_length(encode(text))-1)//1024 + 1, 1), 4)))
                   AS frame_no
               FROM documents)
         SELECT media_id, CAST(frame_no AS INT) AS frame_no,
@@ -99,18 +99,24 @@ object Blob {
                     AS INT) AS f_bytes,
                md5(substring(text, CAST(frame_no*1024+1 AS INT), 256)) AS f_checksum
         FROM f"""),
-      (s, d) => {
-        val m = Engine.table(s, d, "documents").select(
-          col("doc_id").as("media_id"), col("text").cast(BinaryType).as("payload"))
-        m.select(col("media_id"), col("payload"),
-            explode(sequence(lit(0),
-              least(floor((octet_length(col("payload")) - 1) / 1024), lit(3))
-                .cast(IntegerType))).as("frame_no"))
-          .select(col("media_id"), col("frame_no"),
-            expr("substring(payload, frame_no*1024+1, 256)").as("frame"))
-          .select(col("media_id"), col("frame_no"),
-            octet_length(col("frame")).cast(IntegerType).as("f_bytes"),
-            md5(col("frame")).as("f_checksum"))
-      })
+      (s, d) => frameSample(Engine.table(s, d, "documents").select(
+        col("doc_id").as("media_id"), col("text").cast(BinaryType).as("payload"))))
   )
+
+  /** Frame sampling over (media_id, payload): one `frameLen`-byte window
+    * every `stride` bytes, capped at `maxFrames` frames per payload; an
+    * empty payload yields exactly one empty frame on both sides (without
+    * the greatest() clamp, Spark's sequence(0, -1) would step BACKWARD
+    * to [0, -1] while the oracle's range() emits none). */
+  def frameSample(media: DataFrame, stride: Int = 1024, frameLen: Int = 256,
+      maxFrames: Int = 4): DataFrame =
+    media.select(col("media_id"), col("payload"),
+        explode(sequence(lit(0),
+          greatest(least(floor((octet_length(col("payload")) - 1) / stride),
+            lit(maxFrames - 1)), lit(0)).cast(IntegerType))).as("frame_no"))
+      .select(col("media_id"), col("frame_no"),
+        expr(s"substring(payload, frame_no*$stride+1, $frameLen)").as("frame"))
+      .select(col("media_id"), col("frame_no"),
+        octet_length(col("frame")).cast(IntegerType).as("f_bytes"),
+        md5(col("frame")).as("f_checksum"))
 }

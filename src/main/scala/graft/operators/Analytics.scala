@@ -18,6 +18,23 @@ object Analytics {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Engine.table(s, d, n)
 
+  /** q34/q42 shared wide frame: per-status sums pivoted by return flag,
+    * empty cells coalesced to 0 (matching SUM(CASE ... ELSE 0.0)). */
+  private def pivotWide(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Engine.dsum(coalesce(col("l_quantity"), lit(0.0))))
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0.0)).as("A"),
+        coalesce(col("N"), lit(0.0)).as("N"),
+        coalesce(col("R"), lit(0.0)).as("R"))
+
+  /** Oracle twin of pivotWide's three flag columns. */
+  private def pivotOracleCols: String = Seq("A", "N", "R").map(f =>
+    s"${osum(s"CASE WHEN l_returnflag = '$f' THEN l_quantity ELSE 0.0 END")} AS $f")
+    .mkString(",\n          ")
+
   val defs: Seq[GQ] = Seq(
 
     GQ("q25_cube_volume",
@@ -188,21 +205,9 @@ object Analytics {
 
     // pivot (wide aggregation) — Spark's pivot vs hand-rolled CASE sums
     GQ("q34_pivot",
-      Some(s"""SELECT l_linestatus,
-          ${osum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END")} AS A,
-          ${osum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END")} AS N,
-          ${osum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS R
+      Some(s"""SELECT l_linestatus, $pivotOracleCols
         FROM lineitem GROUP BY l_linestatus"""),
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_linestatus")
-        .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(Engine.dsum(coalesce(col("l_quantity"), lit(0.0))))
-        // a (status, flag) cell with no rows pivots to NULL; the oracle's
-        // SUM(CASE ... ELSE 0.0) yields 0 — align on 0
-        .select(col("l_linestatus"),
-          coalesce(col("A"), lit(0.0)).as("A"),
-          coalesce(col("N"), lit(0.0)).as("N"),
-          coalesce(col("R"), lit(0.0)).as("R"))),
+      (s, d) => pivotWide(t(s, d, "lineitem"))),
 
     // array/collection functions over the tokenizer output
     GQ("q35_array_functions",
@@ -303,23 +308,14 @@ object Analytics {
     ),
 
     // UNPIVOT — the inverse of q34's pivot (wide -> long), melting the
-    // per-flag sum columns back into (flag, qty) rows
+    // per-flag sum columns back into (flag, qty) rows; reuses q34's wide
+    // frame on both the Spark and oracle sides so the two can never drift
     GQ("q42_unpivot",
-      Some(s"""WITH wide AS (SELECT l_linestatus,
-          ${osum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END")} AS A,
-          ${osum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END")} AS N,
-          ${osum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS R
+      Some(s"""WITH wide AS (SELECT l_linestatus, $pivotOracleCols
         FROM lineitem GROUP BY l_linestatus)
         SELECT l_linestatus, flag, qty
         FROM wide UNPIVOT (qty FOR flag IN (A, N, R))"""),
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_linestatus")
-        .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(Engine.dsum(coalesce(col("l_quantity"), lit(0.0))))
-        .select(col("l_linestatus"),
-          coalesce(col("A"), lit(0.0)).as("A"),
-          coalesce(col("N"), lit(0.0)).as("N"),
-          coalesce(col("R"), lit(0.0)).as("R"))
+      (s, d) => pivotWide(t(s, d, "lineitem"))
         .unpivot(Array(col("l_linestatus")),
           Array(col("A"), col("N"), col("R")), "flag", "qty")),
 

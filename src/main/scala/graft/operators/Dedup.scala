@@ -103,7 +103,8 @@ object Dedup {
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sig = documents
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
       .select(col("id"), GF.simhash(col("tok")).as("sig"))
@@ -112,9 +113,12 @@ object Dedup {
         c => call_function("shiftrightunsigned", col("sig"), c * 16)
           .bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    // same skew guard as the minhash path: a degenerate chunk value (e.g.
+    // simhash 0 from empty token lists) must not collect an unbounded
+    // bucket into one aggregation row
     val buckets = chunked.groupBy("chunk", "ck")
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")) >= 2)
+      .filter(size(col("members")).between(2, maxBucket))
     buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
@@ -233,8 +237,11 @@ object Dedup {
     // partitioning from the (already materialized) edge count — the same
     // runtime-statistics reasoning AQE applies within a query, applied
     // across the loop.
+    // size from BOTH frames: few candidate pairs over a huge corpus must
+    // not collapse corpus-wide label propagation to one task
+    val graphRows = math.max(p.count(), nodes.count())
     val nParts = math.max(1, math.min(
-      p.count() / 50000L, p.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
+      graphRows / 50000L, p.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(nParts, col("src")).localCheckpoint()

@@ -123,12 +123,14 @@ object TextPipeline {
       Some("""SELECT lang, doc_id, rn FROM (
           SELECT lang, doc_id,
                  ROW_NUMBER() OVER (PARTITION BY lang
-                                    ORDER BY md5(text), doc_id) AS rn
+                                    ORDER BY md5(text) NULLS LAST, doc_id) AS rn
           FROM documents) WHERE rn <= 5"""),
       (s, d) => {
+        // explicit NULLS LAST: Spark defaults ASC to nulls-first, DuckDB
+        // to nulls-last — a NULL text would silently shift the sample
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang")
-          .orderBy(md5(col("text").cast(BinaryType)), col("doc_id"))
+          .orderBy(md5(col("text").cast(BinaryType)).asc_nulls_last, col("doc_id"))
         docs(s, d)
           .withColumn("rn", row_number().over(w).cast(LongType))
           .filter(col("rn") <= 5)

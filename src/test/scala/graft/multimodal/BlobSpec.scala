@@ -29,4 +29,30 @@ class BlobSpec extends AnyFunSuite {
     assert(f1.forall(f => f.brightness >= 0.0 && f.brightness <= 1.0))
     assert(f1.forall(f => f.width >= 16 && f.height >= 16))
   }
+
+  test("frame sampling: stride windows, frame cap, and empty payload") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val long = "ab" * 1500  // 3000 bytes -> frames at offsets 0, 1024, 2048
+    val media = Seq((1L, long), (2L, ""), (3L, "x" * 6000))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+    val f = Blob.frameSample(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    // 3000-byte payload: 3 frames; windows are 256B except we verify offsets
+    assert(f.keySet.count(_._1 == 1L) == 3)
+    assert(f((1L, 0))._1 == 256 && f((1L, 2))._1 == 256)
+    val md5_0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(long.substring(0, 256).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(f((1L, 0))._2 == md5_0) // window content = bytes [0, 256)
+    val md5_2 = java.security.MessageDigest.getInstance("MD5")
+      .digest(long.substring(2048, 2048 + 256).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(f((1L, 2))._2 == md5_2) // stride offset arithmetic
+    // empty payload: exactly one empty frame
+    assert(f.keySet.count(_._1 == 2L) == 1 && f((2L, 0))._1 == 0)
+    // 6000-byte payload: capped at maxFrames = 4
+    assert(f.keySet.count(_._1 == 3L) == 4)
+  }
 }

@@ -71,11 +71,14 @@ def main():
             results[name] = f"ROWCOUNT spark={len(got)} oracle={len(exp)}"; continue
         bad = None
         g = got.values.tolist(); e = exp.values.tolist()
+        import numpy as np
         for i, (a, b) in enumerate(zip(g, e)):
             for j, (x, y) in enumerate(zip(a, b)):
                 ok = False
                 try:
-                    if x == y: ok = True
+                    if isinstance(x, (np.ndarray, list)) or isinstance(y, (np.ndarray, list)):
+                        ok = np.array_equal(np.asarray(x), np.asarray(y))
+                    elif x == y: ok = True
                     elif x != x and y != y: ok = True  # NaN
                     elif hasattr(x, "isoformat") or hasattr(y, "isoformat"):
                         ok = pd.Timestamp(x) == pd.Timestamp(y)
