@@ -115,6 +115,79 @@ object Events {
           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         FROM events"""),
       (s, d) => ev(s, d).select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val")))
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))),
+
+    // range (band) join: views in the hour before each purchase — an
+    // equi key (user) + time-band residual. Shuffles once on the equi
+    // key; the band condition filters inside the join stage, so the
+    // plan is a plain shuffle join at any scale, never a cross product.
+    GQ("e09_time_band_join",
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        SELECT p.event_id AS purchase_id,
+               COUNT(v.ts) AS views_prior_hour
+        FROM p LEFT JOIN v ON v.user_id = p.user_id
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        GROUP BY p.event_id"""),
+      (s, d) => {
+        val e = ev(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        p.join(v, col("v_user") === col("p_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") < col("p_ts"), "left")
+          .groupBy("purchase_id")
+          .agg(count(col("v_ts")).as("views_prior_hour"))
+      }),
+
+    // interval-overlap join WITHOUT an equi key — the case a naive plan
+    // turns into a cross product. Scale path: explode each interval to
+    // the hour buckets it spans (any overlapping pair shares the bucket
+    // containing an intersection point -> sound), equi-join on the
+    // bucket, verify the exact overlap inside the stage, dedup pairs.
+    // The oracle is DuckDB's native range join over the same sessions.
+    GQ("e10_interval_overlap",
+      Some(s"""WITH x AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events WHERE user_id < 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, CAST(SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM x),
+        s AS (SELECT user_id, sess, MIN(ts) AS t_start, MAX(ts) AS t_end
+              FROM y GROUP BY user_id, sess)
+        SELECT a.user_id AS user_a, a.sess AS sess_a,
+               b.user_id AS user_b, b.sess AS sess_b,
+               CAST(epoch_us(least(a.t_end, b.t_end))
+                    - epoch_us(greatest(a.t_start, b.t_start)) AS BIGINT) AS overlap_us
+        FROM s a JOIN s b ON a.user_id < b.user_id
+          AND a.t_start <= b.t_end AND b.t_start <= a.t_end"""),
+      (s, d) => {
+        val sess = sessionize(ev(s, d).filter(col("user_id") < 50))
+          .select(col("user_id"), col("sess"), col("t_start"), col("t_end"))
+        val bucketed = sess.select(col("user_id"), col("sess"),
+          col("t_start"), col("t_end"),
+          explode(sequence(date_trunc("hour", col("t_start")),
+            date_trunc("hour", col("t_end")),
+            expr("INTERVAL 1 HOUR"))).as("hb"))
+        val a = bucketed.select(col("hb"), col("user_id").as("user_a"),
+          col("sess").as("sess_a"), col("t_start").as("sa"), col("t_end").as("ea"))
+        val b = bucketed.select(col("hb"), col("user_id").as("user_b"),
+          col("sess").as("sess_b"), col("t_start").as("sb"), col("t_end").as("eb"))
+        a.join(b, Seq("hb"))
+          .filter(col("user_a") < col("user_b") &&
+            col("sa") <= col("eb") && col("sb") <= col("ea"))
+          .select(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"),
+            (unix_micros(least(col("ea"), col("eb")))
+              - unix_micros(greatest(col("sa"), col("sb")))).as("overlap_us"))
+          .dropDuplicates("user_a", "sess_a", "user_b", "sess_b")
+      })
   )
 }
