@@ -163,6 +163,39 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "graft_minhash"
 }
 
+/** graft_bands(sig, bands) -> array<long>: one deterministic hash per
+  * equal-width band of a minhash signature (LSH banding). Native
+  * single-pass replacement for transform(sequence(...),
+  * b -> hash(slice(sig, ...))) — interpreted, with a slice allocation
+  * per band. Band index is folded into the hash so identical slices in
+  * different bands never collide into one bucket key. */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val rows = math.max(1, n / bands)
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = GraftHash.splitmix64(b.toLong)
+      var i = b * rows
+      val end = math.min(n, i + rows)
+      while (i < end) {
+        h = GraftHash.splitmix64(h ^ sig.getLong(i))
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): BandHashes = copy(child = c)
+  override def prettyName: String = "graft_bands"
+}
+
 /** graft_sig_match(a, b) -> int: number of positions where two long
   * arrays agree (minhash signature agreement — the LSH est-jaccard
   * numerator). One native loop; the zip_with+aggregate HOF formulation
@@ -361,6 +394,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_match",
       es => SigMatchCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bands",
+      es => BandHashes(es.head, if (es.size > 1) lit2int(es(1), 16) else 16), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => ArrayDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es(0), es(1)), "built-in")
 
@@ -392,6 +427,8 @@ object GraftFunctions {
     call_function("graft_minhash", c, org.apache.spark.sql.functions.lit(n))
   def simhash(c: Column): Column = call_function("graft_simhash", c)
   def sigMatch(a: Column, b: Column): Column = call_function("graft_sig_match", a, b)
+  def bandHashes(sig: Column, bands: Int): Column =
+    call_function("graft_bands", sig, org.apache.spark.sql.functions.lit(bands))
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 }

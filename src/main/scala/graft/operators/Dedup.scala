@@ -56,42 +56,41 @@ object Dedup {
       shingleK: Int = 3,
       minEstJaccard: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
-    // Tokens/shingles materialized at projection boundaries (see
-    // TextFunctions.shingles perf note). The signature frame feeds ONE
-    // linear pipeline (band -> bucket -> in-bucket pairing), so no
-    // caching: the corpus is scanned exactly once.
+    // Tokens/shingles/minhash/banding are all native one-pass kernels.
+    // The bucket stage carries ONLY (id, band, bh): shuffling signatures
+    // through the groupBy would amplify sig bytes x bands (64*8B x 16
+    // per doc); instead candidate pairs are deduped narrow and the two
+    // signatures joined back afterward — at corpus scale the pair list
+    // is orders of magnitude smaller than the banded corpus.
     val sig = documents
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
       .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
       .select(col("id"), GF.minhash(col("sh"), numHashes).as("sig"))
 
-    // band keys: hash of each signature slice (murmur3 over array<long>)
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+    val banded = sig.select(col("id"),
+      posexplode(GF.bandHashes(col("sig"), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
     // ONE shuffle: group each (band, bucket); skew guard caps pathological
     // buckets (a degenerate constant column cannot go quadratic); pair
-    // generation is a bounded in-bucket cross product via double explode.
+    // generation is a bounded in-bucket cross product via double explode,
+    // deduped while still narrow (a pair can surface from many bands).
     val buckets = banded.groupBy("band", "bh")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-    // estimate + threshold BEFORE the cross-band distinct: the in-bucket
-    // pair explosion and the signature comparison stay inside the bucket
-    // stage; only surviving (id_a, id_b, est) triples are shuffled to
-    // dedup pairs that surfaced from multiple bands (est is deterministic
-    // per pair, so dedup-after is equivalent)
-    buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (GF.sigMatch(col("a.sig"), col("b.sig"))
+    val pairs = buckets
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (GF.sigMatch(col("sig_a"), col("sig_b"))
           .cast(DoubleType) / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .distinct()
   }
 
   /** SimHash near-dup pairs: 64-bit signature, bucketed by 16-bit chunks
@@ -166,10 +165,9 @@ object Dedup {
       .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
       .select(col("id"), GF.minhash(col("sh"), numHashes).as("sig"))
 
-  private def bandify(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+  private def bandify(sig: DataFrame, bands: Int): DataFrame =
     sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      posexplode(graft.functions.GraftFunctions.bandHashes(col("sig"), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
   /** Incremental corpus hygiene: which NEW documents survive against an
@@ -188,7 +186,6 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       minEstJaccard: Double = 0.8): DataFrame = {
-    val rows = numHashes / bands
     // (1) exact: in-batch survivors, then anti join on corpus fingerprints
     val inBatch = exactSurvivors(newDocs)
     val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp"))
@@ -198,9 +195,9 @@ object Dedup {
 
     // (2) near-dup vs corpus: banded signatures cross-set join
     val nb = bandify(signatures(exactClean, idCol, textCol, numHashes, shingleK),
-      bands, rows)
+      bands)
     val cb = bandify(signatures(corpus, idCol, textCol, numHashes, shingleK),
-      bands, rows)
+      bands)
       .select(col("band"), col("bh"), col("sig").as("c_sig"))
     val nearDupIds = nb.join(cb, Seq("band", "bh"))
       .select(col("id"), (GF.sigMatch(col("sig"), col("c_sig"))
