@@ -73,5 +73,42 @@ object Catalog {
 
     kbTypes.toDF("oid", "typname", "typlen", "typalign")
       .createOrReplaceTempView("kb_type")
+
+    // kb_namespace (initdb/main.rs:205-216,349-356) and kb_database
+    // (initdb/main.rs:48-74,325-339): the two bootstrap namespaces and
+    // the template/default databases.
+    Seq((11, "kb_catalog"), (2200, "public"))
+      .toDF("oid", "nspname").createOrReplaceTempView("kb_namespace")
+    Seq((1, "template1", true, false), (16384, "kuiba", false, true))
+      .toDF("oid", "datname", "datistemplate", "datallowconn")
+      .createOrReplaceTempView("kb_database")
+
+    // kb_proc (initdb/main.rs:218-269) + kb_operator (initdb/main.rs:
+    // 464-650): the arithmetic proc matrix actually registered in the
+    // FunctionRegistry (functions.GraftFunctions.arithProcs) plus the
+    // graft kernel surface. prokind 'f', provolatile 'i' (immutable).
+    val arith = functions.GraftFunctions.arithProcs
+    val kernelProcs = Seq(
+      ("graft_fnv64", 1, 20), ("graft_tokens", 1, 0), ("graft_shingles", 2, 0),
+      ("graft_minhash", 2, 0), ("graft_simhash", 1, 20),
+      ("graft_sig_match", 2, 23), ("graft_bands", 2, 0),
+      ("graft_dot", 2, 701), ("graft_cosine", 2, 701),
+      ("int4in", 1, 23), ("int4out", 1, 1043))
+    val procRows =
+      arith.zipWithIndex.map { case ((name, _, _, res), i) =>
+        (20000 + i, name, "f", "i", 2, res)
+      } ++ kernelProcs.zipWithIndex.map { case ((name, nargs, res), i) =>
+        (21000 + i, name, "f", "i", nargs, res)
+      }
+    procRows.toDF("oid", "proname", "prokind", "provolatile",
+      "pronargs", "prorettype").createOrReplaceTempView("kb_proc")
+
+    val opRows = arith.zipWithIndex.map { case ((name, l, r, res), i) =>
+      val sym = functions.GraftFunctions.opSymbol(
+        name.replaceAll("^(int|float)[0-9]+", ""))
+      (30000 + i, sym, l, r, res, name)
+    }
+    opRows.toDF("oid", "oprname", "oprleft", "oprright", "oprresult", "oprcode")
+      .createOrReplaceTempView("kb_operator")
   }
 }

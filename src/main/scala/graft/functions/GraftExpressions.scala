@@ -383,6 +383,62 @@ object GraftFunctions {
     case _ => default
   }
 
+  /** The reference's declared mixed-width arithmetic proc matrix
+    * (reference src/bin/initdb/main.rs:528-584, proc rows 691-894):
+    * int{2,4,8} x {pl,mi,mul,div} including every mixed-width pairing
+    * (int24pl = int2+int4 -> int4, int48mi = int4-int8 -> int8, ...) and
+    * float{4,8} x {pl,mi,mul,div} with float48/float84 promotions.
+    * Each row: (proname, leftTypeOid, rightTypeOid, resultTypeOid).
+    * PG semantics: integer ops overflow-error under ANSI; int division
+    * truncates toward zero; mixed widths promote to the wider side.
+    */
+  val arithProcs: Seq[(String, Int, Int, Int)] = {
+    val ints = Seq("2" -> 21, "4" -> 23, "8" -> 20) // digit -> type oid
+    val floats = Seq("4" -> 700, "8" -> 701)
+    def wider(a: Int, b: Int): Int = // by typlen: int2 < int4 < int8
+      Seq(a, b).maxBy(Seq(21, 23, 20, 700, 701).indexOf)
+    val ops = Seq("pl", "mi", "mul", "div")
+    val intRows = for {
+      (dl, ol) <- ints; (dr, or) <- ints; op <- ops
+    } yield {
+      val name = if (dl == dr) s"int$dl$op" else s"int$dl$dr$op"
+      (name, ol, or, wider(ol, or))
+    }
+    val floatRows = for {
+      (dl, ol) <- floats; (dr, or) <- floats; op <- ops
+    } yield {
+      val name = if (dl == dr) s"float$dl$op" else s"float$dl$dr$op"
+      (name, ol, or, wider(ol, or))
+    }
+    intRows ++ floatRows
+  }
+
+  private val oidToType: Map[Int, DataType] = Map(
+    21 -> ShortType, 23 -> IntegerType, 20 -> LongType,
+    700 -> FloatType, 701 -> DoubleType)
+
+  /** The operator symbol each proc family implements (kb_operator.oprname
+    * -> oprcode mapping, reference initdb/main.rs:464-650). */
+  val opSymbol: Map[String, String] =
+    Map("pl" -> "+", "mi" -> "-", "mul" -> "*", "div" -> "/")
+
+  private def arithExpr(name: String, result: DataType,
+      es: Seq[Expression]): Expression = {
+    val op = name.replaceAll("^(int|float)[0-9]+", "")
+    val l = Cast(es(0), result)
+    val r = Cast(es(1), result)
+    (op, result) match {
+      case ("pl", _) => Add(l, r)
+      case ("mi", _) => Subtract(l, r)
+      case ("mul", _) => Multiply(l, r)
+      // Spark's Divide is double/decimal-only (the analyzer would coerce
+      // anyway); cast back so float4div yields float4 per the catalog
+      case ("div", FloatType | DoubleType) => Cast(Divide(l, r), result)
+      case ("div", _) => Cast(IntegralDivide(l, r), result) // PG: truncating
+      case _ => throw new IllegalArgumentException(name)
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
@@ -399,19 +455,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dot", es => ArrayDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es(0), es(1)), "built-in")
 
-    // The reference's 6 wired fmgr entries, by their catalog proc names
-    // (src/utils/fmgr.rs:44-53 -> src/utils/adt.rs) — SQL-callable with
-    // identical semantics (ANSI overflow errors, truncating division,
-    // erroring text input):
-    reg.createOrReplaceTempFunction("int4pl",
-      es => Add(Cast(es(0), IntegerType), Cast(es(1), IntegerType)), "built-in")
-    reg.createOrReplaceTempFunction("int4mi",
-      es => Subtract(Cast(es(0), IntegerType), Cast(es(1), IntegerType)), "built-in")
-    reg.createOrReplaceTempFunction("int4mul",
-      es => Multiply(Cast(es(0), IntegerType), Cast(es(1), IntegerType)), "built-in")
-    reg.createOrReplaceTempFunction("int4div",
-      es => Cast(IntegralDivide(Cast(es(0), IntegerType), Cast(es(1), IntegerType)),
-        IntegerType), "built-in")
+    // The reference's declared arithmetic proc matrix by catalog name
+    // (int4pl/int24mul/float48div/..., initdb/main.rs:691-894) — the 6
+    // procs its fmgr actually wires (src/utils/fmgr.rs:44-53) plus the
+    // full declared envelope, all SQL-callable with PG semantics (ANSI
+    // overflow errors, truncating integer division):
+    arithProcs.foreach { case (name, _, _, resOid) =>
+      val result = oidToType(resOid)
+      reg.createOrReplaceTempFunction(name,
+        es => arithExpr(name, result, es), "built-in")
+    }
     reg.createOrReplaceTempFunction("int4in",
       es => Cast(es.head, IntegerType), "built-in")
     reg.createOrReplaceTempFunction("int4out",

@@ -142,4 +142,40 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM kb_type WHERE typname = 'varchar'")
       .head.getInt(2) == -1) // varlena typlen
   }
+
+  test("declared arithmetic proc matrix is SQL-callable with PG semantics") {
+    // mixed-width procs from the bootstrap catalog (initdb:528-584)
+    assert(spark.sql("SELECT int24pl(CAST(1 AS SMALLINT), 2)").head.getInt(0) == 3)
+    assert(spark.sql("SELECT int48mul(3, CAST(4 AS BIGINT))").head.getLong(0) == 12L)
+    assert(spark.sql("SELECT int8div(CAST(-7 AS BIGINT), CAST(2 AS BIGINT))")
+      .head.getLong(0) == -3L) // PG integer division truncates toward zero
+    assert(spark.sql("SELECT float48mul(CAST(1.5 AS FLOAT), CAST(2.0 AS DOUBLE))")
+      .head.getDouble(0) == 3.0)
+    assert(spark.sql("SELECT float4div(CAST(1 AS FLOAT), CAST(2 AS FLOAT))")
+      .head.getFloat(0) == 0.5f) // result type float4 per the catalog
+    // ANSI overflow errors (adt.rs:29-34 parity)
+    val e = intercept[Exception] {
+      spark.sql("SELECT int2pl(CAST(32767 AS SMALLINT), CAST(1 AS SMALLINT))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("overflow"))
+  }
+
+  test("kb_proc and kb_operator expose the declared surface") {
+    Catalog.registerKbViews(spark)
+    // every operator row resolves to a registered proc by name (the
+    // kb_operator.oprcode -> kb_proc join the analyzer does, sem.rs:221-262)
+    val dangling = spark.sql(
+      """SELECT o.oprcode FROM kb_operator o
+         LEFT JOIN kb_proc p ON o.oprcode = p.proname
+         WHERE p.proname IS NULL""").count()
+    assert(dangling == 0)
+    // the full mixed-width matrix: (3 int widths)^2 x 4 ops + (2 float)^2 x 4
+    assert(spark.sql("SELECT COUNT(*) FROM kb_operator").head.getLong(0) == 52)
+    val r = spark.sql(
+      """SELECT p.prorettype FROM kb_operator o JOIN kb_proc p ON o.oprcode = p.proname
+         WHERE o.oprname = '+' AND o.oprleft = 21 AND o.oprright = 23""").head
+    assert(r.getInt(0) == 23) // int2 + int4 -> int4
+    assert(spark.sql("SELECT nspname FROM kb_namespace ORDER BY oid")
+      .collect().map(_.getString(0)).toSeq == Seq("kb_catalog", "public"))
+  }
 }
