@@ -87,7 +87,10 @@ object Catalog {
     // 464-650): the arithmetic proc matrix actually registered in the
     // FunctionRegistry (functions.GraftFunctions.arithProcs) plus the
     // graft kernel surface. prokind 'f', provolatile 'i' (immutable).
-    val arith = functions.GraftFunctions.arithProcs
+    val GF = functions.GraftFunctions
+    // binary proc families: arithmetic, comparison, bitwise, named
+    // (dsqrt/dcbrt are unary but ride in the 4-tuple shape with rOid 0)
+    val binaryProcs = GF.arithProcs ++ GF.cmpProcs ++ GF.bitProcs ++ GF.namedProcs
     val kernelProcs = Seq(
       ("graft_fnv64", 1, 20), ("graft_tokens", 1, 0), ("graft_shingles", 2, 0),
       ("graft_minhash", 2, 0), ("graft_simhash", 1, 20),
@@ -95,20 +98,32 @@ object Catalog {
       ("graft_dot", 2, 701), ("graft_cosine", 2, 701),
       ("int4in", 1, 23), ("int4out", 1, 1043))
     val procRows =
-      arith.zipWithIndex.map { case ((name, _, _, res), i) =>
-        (20000 + i, name, "f", "i", 2, res)
+      binaryProcs.zipWithIndex.map { case ((name, _, rOid, res), i) =>
+        (20000 + i, name, "f", "i", if (rOid == 0) 1 else 2, res)
+      } ++ GF.unaryProcs.zipWithIndex.map { case ((name, _, res), i) =>
+        (22000 + i, name, "f", "i", 1, res)
       } ++ kernelProcs.zipWithIndex.map { case ((name, nargs, res), i) =>
-        (21000 + i, name, "f", "i", nargs, res)
+        (23000 + i, name, "f", "i", nargs, res)
       }
     procRows.toDF("oid", "proname", "prokind", "provolatile",
       "pronargs", "prorettype").createOrReplaceTempView("kb_proc")
 
-    val opRows = arith.zipWithIndex.map { case ((name, l, r, res), i) =>
-      val sym = functions.GraftFunctions.opSymbol(
-        name.replaceAll("^(int|float)[0-9]+", ""))
-      (30000 + i, sym, l, r, res, name)
+    // operator rows: every binary proc whose family has a PG operator
+    // symbol (arithmetic + comparison + bitwise); unary um/abs map to
+    // prefix '-' / '@' with oprleft = 0 (PG's unary-operator convention)
+    val binOps = (GF.arithProcs ++ GF.cmpProcs ++ GF.bitProcs).flatMap {
+      case (name, l, r, res) =>
+        GF.opSymbol.get(name.replaceAll("^(int|float|bool|bytea)[0-9]*", ""))
+          .map(sym => (sym, l, r, res, name))
     }
-    opRows.toDF("oid", "oprname", "oprleft", "oprright", "oprresult", "oprcode")
+    val unOps = GF.unaryProcs.map { case (name, a, res) =>
+      (if (name.endsWith("um")) "-" else "@", 0, a, res, name)
+    } ++ GF.bitProcs.collect { // bitwise not: prefix '~'
+      case (name, l, 0, res) => ("~", 0, l, res, name)
+    }
+    (binOps ++ unOps).zipWithIndex
+      .map { case ((sym, l, r, res, code), i) => (30000 + i, sym, l, r, res, code) }
+      .toDF("oid", "oprname", "oprleft", "oprright", "oprresult", "oprcode")
       .createOrReplaceTempView("kb_operator")
   }
 }

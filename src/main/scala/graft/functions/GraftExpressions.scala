@@ -417,10 +417,53 @@ object GraftFunctions {
     21 -> ShortType, 23 -> IntegerType, 20 -> LongType,
     700 -> FloatType, 701 -> DoubleType)
 
+  /** Comparison proc matrix (initdb/main.rs:465-480,552-563): every
+    * numeric pairing x {eq,ne,lt,gt,le,ge} -> bool (oid 16), plus
+    * booleq/bytea comparisons. */
+  val cmpProcs: Seq[(String, Int, Int, Int)] = {
+    val ints = Seq("2" -> 21, "4" -> 23, "8" -> 20)
+    val floats = Seq("4" -> 700, "8" -> 701)
+    val ops = Seq("eq", "ne", "lt", "gt", "le", "ge")
+    val intRows = for { (dl, ol) <- ints; (dr, or) <- ints; op <- ops }
+      yield (if (dl == dr) s"int$dl$op" else s"int$dl$dr$op", ol, or, 16)
+    val floatRows = for { (dl, ol) <- floats; (dr, or) <- floats; op <- ops }
+      yield (if (dl == dr) s"float$dl$op" else s"float$dl$dr$op", ol, or, 16)
+    val boolBytea = Seq(("booleq", 16, 16, 16)) ++
+      ops.map(op => (s"bytea$op", 17, 17, 16))
+    intRows ++ floatRows ++ boolBytea
+  }
+
+  /** Unary procs (initdb:496-497,536-544,564,585): um (negate) and abs
+    * per numeric type. (name, argOid, resultOid) */
+  val unaryProcs: Seq[(String, Int, Int)] =
+    Seq("2" -> 21, "4" -> 23, "8" -> 20).flatMap { case (d, o) =>
+      Seq((s"int${d}um", o, o), (s"int${d}abs", o, o))
+    } ++ Seq(
+      ("float4um", 700, 700), ("float4abs", 700, 700),
+      ("float8um", 701, 701), ("float8abs", 701, 701))
+
+  /** Bitwise procs (initdb:619-636): and/or/xor/not/shl/shr for each int
+    * width; shift amount is int4 per PG. */
+  val bitProcs: Seq[(String, Int, Int, Int)] =
+    Seq("2" -> 21, "4" -> 23, "8" -> 20).flatMap { case (d, o) =>
+      Seq((s"int${d}and", o, o, o), (s"int${d}or", o, o, o),
+        (s"int${d}xor", o, o, o), (s"int${d}not", o, 0, o),
+        (s"int${d}shl", o, 23, o), (s"int${d}shr", o, 23, o))
+    }
+
+  /** Named math/string procs (initdb:762-764,890-892): dsqrt/dcbrt/dpow
+    * (the |/ ||/ ^ operators) and byteacat (||). */
+  val namedProcs: Seq[(String, Int, Int, Int)] = Seq(
+    ("dsqrt", 701, 0, 701), ("dcbrt", 701, 0, 701),
+    ("dpow", 701, 701, 701), ("byteacat", 17, 17, 17))
+
   /** The operator symbol each proc family implements (kb_operator.oprname
     * -> oprcode mapping, reference initdb/main.rs:464-650). */
-  val opSymbol: Map[String, String] =
-    Map("pl" -> "+", "mi" -> "-", "mul" -> "*", "div" -> "/")
+  val opSymbol: Map[String, String] = Map(
+    "pl" -> "+", "mi" -> "-", "mul" -> "*", "div" -> "/",
+    "eq" -> "=", "ne" -> "<>", "lt" -> "<", "gt" -> ">",
+    "le" -> "<=", "ge" -> ">=",
+    "and" -> "&", "or" -> "|", "xor" -> "#", "shl" -> "<<", "shr" -> ">>")
 
   private def arithExpr(name: String, result: DataType,
       es: Seq[Expression]): Expression = {
@@ -465,10 +508,80 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(name,
         es => arithExpr(name, result, es), "built-in")
     }
+    cmpProcs.foreach { case (name, _, _, _) =>
+      val op = name.replaceAll("^(int|float|bool|bytea)[0-9]*", "")
+      val wide = if (name.startsWith("bytea") || name.startsWith("bool")) None
+        else Some(oidToType(widerOid(name)))
+      reg.createOrReplaceTempFunction(name, es => {
+        val (l, r) = wide match {
+          case Some(t) => (Cast(es(0), t), Cast(es(1), t))
+          case None => (es(0), es(1))
+        }
+        op match {
+          case "eq" => EqualTo(l, r)
+          case "ne" => Not(EqualTo(l, r))
+          case "lt" => LessThan(l, r)
+          case "gt" => GreaterThan(l, r)
+          case "le" => LessThanOrEqual(l, r)
+          case "ge" => GreaterThanOrEqual(l, r)
+        }
+      }, "built-in")
+    }
+    unaryProcs.foreach { case (name, argOid, _) =>
+      val t = oidToType(argOid)
+      reg.createOrReplaceTempFunction(name, es => {
+        val a = Cast(es.head, t)
+        if (name.endsWith("um")) UnaryMinus(a) else Abs(a)
+      }, "built-in")
+    }
+    bitProcs.foreach { case (name, lOid, _, _) =>
+      val t = oidToType(lOid)
+      reg.createOrReplaceTempFunction(name, es => {
+        val a = Cast(es.head, t)
+        name.replaceAll("^int[0-9]", "") match {
+          case "and" => BitwiseAnd(a, Cast(es(1), t))
+          case "or" => BitwiseOr(a, Cast(es(1), t))
+          case "xor" => BitwiseXor(a, Cast(es(1), t))
+          case "not" => BitwiseNot(a)
+          // Spark shifts require an int/long base; widen, shift, narrow
+          case "shl" => Cast(ShiftLeft(
+            Cast(a, if (t == LongType) LongType else IntegerType),
+            Cast(es(1), IntegerType)), t)
+          case "shr" => Cast(ShiftRight(
+            Cast(a, if (t == LongType) LongType else IntegerType),
+            Cast(es(1), IntegerType)), t)
+        }
+      }, "built-in")
+    }
+    reg.createOrReplaceTempFunction("dsqrt",
+      es => Sqrt(Cast(es.head, DoubleType)), "built-in")
+    reg.createOrReplaceTempFunction("dcbrt",
+      es => Cbrt(Cast(es.head, DoubleType)), "built-in")
+    reg.createOrReplaceTempFunction("dpow",
+      es => Pow(Cast(es(0), DoubleType), Cast(es(1), DoubleType)), "built-in")
+    reg.createOrReplaceTempFunction("byteacat",
+      es => Concat(Seq(Cast(es(0), BinaryType), Cast(es(1), BinaryType))), "built-in")
     reg.createOrReplaceTempFunction("int4in",
       es => Cast(es.head, IntegerType), "built-in")
     reg.createOrReplaceTempFunction("int4out",
       es => Cast(Cast(es.head, IntegerType), StringType), "built-in")
+  }
+
+  /** Wider of the two operand types encoded in a mixed-width proc name
+    * (int24lt -> int4; float48ge -> float8; same-width -> that width). */
+  private def widerOid(name: String): Int = {
+    val m = "^(int|float)([0-9])([0-9])?".r.findFirstMatchIn(name).get
+    val fam = m.group(1)
+    val dl = m.group(2)
+    val dr = Option(m.group(3)).getOrElse(dl)
+    val d = Seq(dl, dr).maxBy(Seq("2", "4", "8").indexOf) // 2 < 4 < 8
+    (fam, d) match {
+      case ("int", "2") => 21
+      case ("int", "4") => 23
+      case ("int", "8") => 20
+      case ("float", "4") => 700
+      case _ => 701
+    }
   }
 
   // Column-API wrappers

@@ -169,8 +169,19 @@ class GraftSessionSpec extends AnyFunSuite {
          LEFT JOIN kb_proc p ON o.oprcode = p.proname
          WHERE p.proname IS NULL""").count()
     assert(dangling == 0)
-    // the full mixed-width matrix: (3 int widths)^2 x 4 ops + (2 float)^2 x 4
-    assert(spark.sql("SELECT COUNT(*) FROM kb_operator").head.getLong(0) == 52)
+    // arithmetic (52) + comparison (85) + bitwise (18) + unary (10)
+    assert(spark.sql("SELECT COUNT(*) FROM kb_operator").head.getLong(0) == 165)
+    // comparison and bitwise families present with PG symbols
+    assert(spark.sql(
+      "SELECT oprcode FROM kb_operator WHERE oprname = '<=' AND oprleft = 23 AND oprright = 20")
+      .head.getString(0) == "int48le")
+    assert(spark.sql(
+      "SELECT oprcode FROM kb_operator WHERE oprname = '#' AND oprleft = 20")
+      .head.getString(0) == "int8xor")
+    assert(spark.sql("SELECT int48le(3, CAST(4 AS BIGINT))").head.getBoolean(0))
+    assert(spark.sql("SELECT int2shl(CAST(3 AS SMALLINT), 2)").head.getShort(0) == 12)
+    assert(spark.sql("SELECT float8abs(-2.5)").head.getDouble(0) == 2.5)
+    assert(spark.sql("SELECT dpow(2.0, 10.0)").head.getDouble(0) == 1024.0)
     val r = spark.sql(
       """SELECT p.prorettype FROM kb_operator o JOIN kb_proc p ON o.oprcode = p.proname
          WHERE o.oprname = '+' AND o.oprleft = 21 AND o.oprright = 23""").head
