@@ -57,7 +57,13 @@ object Engine {
     // read as long nanos and convert in `table` (truncate to micros,
     // exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP read).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    functions.GraftFunctions.register(spark)
+    // idempotent per session: prepare() runs on every table access, and
+    // the function surface is ~230 registry entries
+    val regKey = "graft.functions.registered"
+    if (!spark.conf.getOption(regKey).contains("true")) {
+      functions.GraftFunctions.register(spark)
+      spark.conf.set(regKey, "true")
+    }
     spark
   }
 
