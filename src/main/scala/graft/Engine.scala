@@ -49,6 +49,10 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // runtime row-level join filtering: build a bloom filter from the
+    // selective side of a shuffle join and push it into the other side's
+    // scan — at 100 TB this prunes fact-table rows before the exchange
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // Driver parquet writes timestamps as not-UTC-adjusted; read them as
     // TimestampType (instant, session TZ = UTC) so timestamp arithmetic
     // and the DuckDB oracle agree on wall-clock values.

@@ -115,6 +115,65 @@ object TextPipeline {
         .filter(substring(col("h"), 1, 2) < "1a")
         .select("source", "doc_id", "h")),
 
+    // End-to-end quality funnel — the composed pre-training filter:
+    // confidently-English (marker score), long enough, AND the exact-dedup
+    // survivor of its fingerprint group. One scan for scoring + one
+    // fingerprint aggregation + a semi join on the survivor set.
+    GQ("t08_quality_funnel",
+      Some(s"""WITH s AS (
+          SELECT doc_id,
+                 len(list_filter(tok, t -> list_contains(['the','and','of','is'], t))) AS score_en,
+                 len(tok) AS n_words
+          FROM (SELECT doc_id, $oracleTokens AS tok FROM documents)),
+        surv AS (SELECT MIN(doc_id) AS keep_id FROM documents
+                 GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+        SELECT doc_id, CAST(score_en AS INT) AS score_en,
+               CAST(n_words AS INT) AS n_words
+        FROM s JOIN surv ON doc_id = keep_id
+        WHERE score_en >= 2 AND n_words >= 20"""),
+      (s, d) => {
+        val scored = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tok"))
+          .select(col("doc_id"),
+            langScore(col("tok"), "en").cast(IntegerType).as("score_en"),
+            size(col("tok")).cast(IntegerType).as("n_words"))
+        val survivors = docs(s, d)
+          .groupBy(fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .select("keep_id")
+        scored
+          .join(survivors, col("doc_id") === col("keep_id"), "left_semi")
+          .filter(col("score_en") >= 2 && col("n_words") >= 20)
+      }),
+
+    // PII-style pattern scrubbing: emails / URLs / long digit runs
+    // replaced with typed placeholder tokens — pure per-row regex
+    // projection, no shuffle, the standard pre-training redaction pass.
+    GQ("t07_redact",
+      Some("""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s]+', '<URL>', 'g'),
+            '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+          CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s]+', '<URL>', 'g'),
+            '[0-9]{6,}', '<NUM>', 'g')) - length(text) AS BIGINT) AS delta
+        FROM documents"""),
+      (s, d) => {
+        def redact(c: org.apache.spark.sql.Column) =
+          regexp_replace(regexp_replace(regexp_replace(c,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "https?://[^\\s]+", "<URL>"),
+            "[0-9]{6,}", "<NUM>")
+        docs(s, d).select(
+          col("doc_id"),
+          redact(col("text")).as("redacted"),
+          (length(redact(col("text"))) - length(col("text")))
+            .cast(LongType).as("delta"))
+      }),
+
     // Stratified deterministic sampling: a fixed quota per stratum
     // (language), ranked by content hash — the per-source/per-language
     // quota op for training mixes. Hash ranking keeps the pick stable
