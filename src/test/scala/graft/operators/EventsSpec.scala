@@ -44,4 +44,13 @@ class EventsSpec extends AnyFunSuite {
     val recall = (exact intersect lsh).size.toDouble / math.max(exact.size, 1)
     assert(recall >= 0.3, s"recall=$recall")
   }
+
+  test("range joins keep equi-join plans — no nested loop, no cartesian") {
+    for (q <- Seq("e09_time_band_join", "e10_interval_overlap")) {
+      val plan = graft.SparkEntry.queries(q)(spark, graft.TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+    }
+  }
 }
