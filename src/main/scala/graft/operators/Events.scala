@@ -117,6 +117,37 @@ object Events {
       (s, d) => ev(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))),
 
+    // rolling time-window aggregate: RANGE frame with an interval bound
+    // (each row sees the trailing hour of its user's events) — the
+    // time-series rolling-sum operator; one shuffle+sort per user key.
+    // The sum aggregates in exact decimal (RANGE frames are evaluated
+    // with segment trees / re-association in some engines, so a double
+    // sum would be order-sensitive) and emits via the decOut conversion.
+    GQ("e11_rolling_hour_window", {
+      val q = """SELECT event_id, user_id, ts,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,6)) AS DOUBLE) AS hour_sum,
+          COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_n
+        FROM events"""
+      Some(q)
+    },
+      (s, d) => {
+        Engine.registerViews(s, d)
+        s.sql("""SELECT event_id, user_id, ts,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,6)) AS DOUBLE) AS hour_sum,
+          COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_n
+        FROM events""")
+      }),
+
     // range (band) join: views in the hour before each purchase — an
     // equi key (user) + time-band residual. Shuffles once on the equi
     // key; the band condition filters inside the join stage, so the
