@@ -380,6 +380,34 @@ object Analytics {
             .as("approx_pcts"),
           expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))),
 
+    // recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4.x): a
+    // recursive month spine over the orders range, gap-filled monthly
+    // counts — the recursion-based twin of q36's generate_series spine;
+    // identical text runs on both engines
+    GQ("q44_recursive_cte", {
+      val q = """WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '1996-12-01 00:00:00')
+        SELECT months.m AS month_start, COALESCE(o.n, 0) AS n_orders
+        FROM months LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
+          FROM orders GROUP BY 1) o
+        ON months.m = o.mo"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, """WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '1996-12-01 00:00:00')
+        SELECT months.m AS month_start, COALESCE(o.n, 0) AS n_orders
+        FROM months LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
+          FROM orders GROUP BY 1) o
+        ON months.m = o.mo""")),
+
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative
     // error vs exact is asserted in AnalyticsSpec.
