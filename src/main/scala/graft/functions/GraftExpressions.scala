@@ -168,7 +168,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * single-pass replacement for transform(sequence(...),
   * b -> hash(slice(sig, ...))) — interpreted, with a slice allocation
   * per band. Band index is folded into the hash so identical slices in
-  * different bands never collide into one bucket key. */
+  * different bands never collide into one bucket key.
+  * CONTRACT: bands must divide the signature length (callers enforce) —
+  * otherwise the tail elements are ignored, and bands beyond the length
+  * would hash to per-band constants (whole-corpus buckets). */
 case class BandHashes(child: Expression, bands: Int)
     extends UnaryExpression with CodegenFallback {
   require(bands >= 1)
@@ -389,8 +392,13 @@ object GraftFunctions {
     * (int24pl = int2+int4 -> int4, int48mi = int4-int8 -> int8, ...) and
     * float{4,8} x {pl,mi,mul,div} with float48/float84 promotions.
     * Each row: (proname, leftTypeOid, rightTypeOid, resultTypeOid).
-    * PG semantics: integer ops overflow-error under ANSI; int division
-    * truncates toward zero; mixed widths promote to the wider side.
+    * Semantics are ANSI-strict PG: integer ops and narrowing casts
+    * ERROR on overflow (including shifts that PG's C code would wrap —
+    * wrapping silently corrupts at scale, so the strict behavior is
+    * deliberate and documented in ARCHITECTURE.md); int division
+    * truncates toward zero; mixed widths promote to the wider side;
+    * float edge cases follow IEEE (Inf/NaN) rather than PG's range
+    * errors.
     */
   val arithProcs: Seq[(String, Int, Int, Int)] = {
     val ints = Seq("2" -> 21, "4" -> 23, "8" -> 20) // digit -> type oid

@@ -35,6 +35,19 @@ object Analytics {
     s"${osum(s"CASE WHEN l_returnflag = '$f' THEN l_quantity ELSE 0.0 END")} AS $f")
     .mkString(",\n          ")
 
+  /** q44's single source of truth — the SAME text runs on Spark (via the
+    * passthrough) and on the oracle, so the two can never drift. */
+  private def recursiveMonthsSql: String = """WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '1996-12-01 00:00:00')
+        SELECT months.m AS month_start, COALESCE(o.n, 0) AS n_orders
+        FROM months LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
+          FROM orders GROUP BY 1) o
+        ON months.m = o.mo"""
+
   val defs: Seq[GQ] = Seq(
 
     GQ("q25_cube_volume",
@@ -384,29 +397,8 @@ object Analytics {
     // recursive month spine over the orders range, gap-filled monthly
     // counts — the recursion-based twin of q36's generate_series spine;
     // identical text runs on both engines
-    GQ("q44_recursive_cte", {
-      val q = """WITH RECURSIVE months(m) AS (
-          SELECT TIMESTAMP '1995-01-01 00:00:00'
-          UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM months
-          WHERE m < TIMESTAMP '1996-12-01 00:00:00')
-        SELECT months.m AS month_start, COALESCE(o.n, 0) AS n_orders
-        FROM months LEFT JOIN (
-          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
-          FROM orders GROUP BY 1) o
-        ON months.m = o.mo"""
-      Some(q)
-    },
-      (s, d) => Engine.sql(s, d, """WITH RECURSIVE months(m) AS (
-          SELECT TIMESTAMP '1995-01-01 00:00:00'
-          UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM months
-          WHERE m < TIMESTAMP '1996-12-01 00:00:00')
-        SELECT months.m AS month_start, COALESCE(o.n, 0) AS n_orders
-        FROM months LEFT JOIN (
-          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
-          FROM orders GROUP BY 1) o
-        ON months.m = o.mo""")),
+    GQ("q44_recursive_cte", Some(recursiveMonthsSql),
+      (s, d) => Engine.sql(s, d, recursiveMonthsSql)),
 
     // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
     // Estimates are sketch-library-specific -> rows-only gate; relative

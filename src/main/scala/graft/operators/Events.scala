@@ -55,6 +55,20 @@ object Events {
       .select("user_id", "event_type", "event_id", "ts")
   }
 
+  /** e11's single source of truth: identical text runs on both engines.
+    * The sum aggregates in exact decimal — RANGE frames may be evaluated
+    * with re-association (segment trees), where a double sum would be
+    * order-sensitive — and emits via the decOut double conversion. */
+  private def rollingHourSql: String = """SELECT event_id, user_id, ts,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,6)) AS DOUBLE) AS hour_sum,
+          COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_n
+        FROM events"""
+
   val defs: Seq[GQ] = Seq(
 
     GQ("e01_hourly_event_stats",
@@ -123,30 +137,8 @@ object Events {
     // The sum aggregates in exact decimal (RANGE frames are evaluated
     // with segment trees / re-association in some engines, so a double
     // sum would be order-sensitive) and emits via the decOut conversion.
-    GQ("e11_rolling_hour_window", {
-      val q = """SELECT event_id, user_id, ts,
-          CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
-            PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-            AS DECIMAL(38,6)) AS DOUBLE) AS hour_sum,
-          COUNT(*) OVER (
-            PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_n
-        FROM events"""
-      Some(q)
-    },
-      (s, d) => {
-        Engine.registerViews(s, d)
-        s.sql("""SELECT event_id, user_id, ts,
-          CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
-            PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-            AS DECIMAL(38,6)) AS DOUBLE) AS hour_sum,
-          COUNT(*) OVER (
-            PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_n
-        FROM events""")
-      }),
+    GQ("e11_rolling_hour_window", Some(rollingHourSql),
+      (s, d) => Engine.sql(s, d, rollingHourSql)),
 
     // range (band) join: views in the hour before each purchase — an
     // equi key (user) + time-band residual. Shuffles once on the equi

@@ -12,9 +12,12 @@ import graft.functions.TextFunctions.fingerprint
   * Scale shape: the static corpus side is touched only as fingerprints
   * (a precomputable side table); the stream side keeps one state row per
   * distinct fingerprint seen. In-stream dedup state is unbounded by
-  * nature (an exact-dedup key set never expires); production deployments
-  * bound it with a watermark on ingest time when "duplicate within N
-  * days" is acceptable — exposed via `watermarkCol`/`watermark`.
+  * nature (an exact-dedup key set never expires); pass `watermarkCol`
+  * to accept "duplicate within the watermark delay" semantics instead —
+  * that path uses dropDuplicatesWithinWatermark, the ONLY dedup form
+  * whose state the watermark actually evicts (a plain
+  * dropDuplicates("fp") ignores the watermark unless the event-time
+  * column is part of the key).
   */
 object DocsStreaming {
 
@@ -28,10 +31,14 @@ object DocsStreaming {
       watermarkCol: Option[String] = None,
       watermark: String = "1 day"): DataFrame = {
     val fped = newDocs.withColumn("fp", fingerprint(col(textCol)))
-    val marked = watermarkCol.map(c => fped.withWatermark(c, watermark))
-      .getOrElse(fped)
-    marked
-      .dropDuplicates("fp") // in-stream: first arrival survives
+    val deduped = watermarkCol match {
+      // bounded state: first-arrival-wins within the watermark delay
+      case Some(c) => fped.withWatermark(c, watermark)
+        .dropDuplicatesWithinWatermark("fp")
+      // exact forever-dedup: state grows with distinct fingerprints
+      case None => fped.dropDuplicates("fp")
+    }
+    deduped
       .join(corpusFp, Seq("fp"), "left_anti") // stream-static anti join
       .drop("fp")
   }
