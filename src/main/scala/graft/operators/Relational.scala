@@ -451,6 +451,54 @@ object Relational {
           count(col("o_orderkey")).as("n_orders"),
           dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))),
 
+    // ---- multiset set operations (EXCEPT ALL / INTERSECT ALL keep
+    // duplicate multiplicity — the semantic counterpart of q11's
+    // distinct variants) --------------------------------------------------
+    GQ("q45_setops_all",
+      Some("""SELECT 'ea' AS tag, k FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45.0
+          EXCEPT ALL
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        UNION ALL
+        SELECT 'ia' AS tag, k FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45.0
+          INTERSECT ALL
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val a = li.filter(col("l_quantity") >= 45.0).select(col("l_suppkey").as("k"))
+        val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+        a.exceptAll(b).withColumn("tag", lit("ea"))
+          .unionByName(a.intersectAll(b).withColumn("tag", lit("ia")))
+          .select("tag", "k")
+      }),
+
+    // ---- full outer join (both-sides-preserved; completes the §2.3
+    // join-type family alongside inner/left/semi/anti/as-of/range) -------
+    GQ("q46_full_outer_join",
+      Some("""SELECT n_name, c_cnt, s_cnt FROM (
+          SELECT n_nationkey AS ck, COUNT(*) AS c_cnt FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE c_acctbal > 9900.0 GROUP BY 1) c
+        FULL OUTER JOIN (
+          SELECT n_nationkey AS sk, COUNT(*) AS s_cnt FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE s_acctbal > 9000.0 GROUP BY 1) s
+        ON c.ck = s.sk
+        JOIN nation ON n_nationkey = COALESCE(c.ck, s.sk)"""),
+      (s, d) => {
+        val n = broadcast(t(s, d, "nation"))
+        val c = t(s, d, "customer").filter(col("c_acctbal") > 9900.0)
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_nationkey").as("ck")).agg(count(lit(1)).as("c_cnt"))
+        val sup = t(s, d, "supplier").filter(col("s_acctbal") > 9000.0)
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_nationkey").as("sk")).agg(count(lit(1)).as("s_cnt"))
+        c.join(sup, col("ck") === col("sk"), "full_outer")
+          .join(n, col("n_nationkey") === coalesce(col("ck"), col("sk")))
+          .select("n_name", "c_cnt", "s_cnt")
+      }),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {
