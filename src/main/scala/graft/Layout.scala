@@ -57,16 +57,30 @@ object Layout {
     *
     * Publish discipline (the reference's manifest-publish analogue,
     * sv.rs:537-554): the compacted data is staged under
-    * `<table>__compacted`, then published with a single INSERT OVERWRITE
-    * commit — the table name exists at every failure point. A crash
-    * before the publish leaves the original untouched; a crash after
-    * leaves only a stale staging table, which the next compact() run
-    * drops first.
+    * `<table>__compacted`, then published into the target and the staging
+    * table dropped — the table name exists at every failure point.
+    *
+    * Crash recovery: the publish is INSERT OVERWRITE on a file-source
+    * table, which is NOT atomic — Spark clears the target's files before
+    * the write job commits, so a crash inside that window leaves the
+    * target truncated while the staging table holds the only complete
+    * copy. On entry, an existing staging table is therefore RECONCILED,
+    * never blindly dropped: if staging has more rows than the target, the
+    * target was truncated mid-publish and staging is re-published first;
+    * otherwise (staging itself is the partial/equal copy from a crash
+    * mid-staging-write) the target is authoritative and staging is
+    * dropped. Publish-then-drop makes re-running after any crash point
+    * converge on a complete target.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, table: String,
       targetFileMB: Int = 128): Unit = {
     val staging = s"${table}__compacted"
-    spark.sql(s"DROP TABLE IF EXISTS $staging") // recover a prior failed run
+    if (spark.catalog.tableExists(staging)) {
+      if (spark.table(staging).count() > spark.table(table).count())
+        publish(spark, staging, table) // target truncated mid-publish
+      else
+        spark.sql(s"DROP TABLE $staging") // target authoritative
+    }
     val df = spark.table(table)
     val bytes = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -75,7 +89,15 @@ object Layout {
     val files = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     df.repartition(files).write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(staging)
-    spark.table(staging).write.mode(SaveMode.Overwrite).insertInto(table)
+    publish(spark, staging, table)
+  }
+
+  /** INSERT OVERWRITE `target` from `staging`, then drop `staging` —
+    * staging's data outlives the publish so a crash at any point is
+    * recoverable by compact()'s entry reconciliation. */
+  private def publish(spark: org.apache.spark.sql.SparkSession,
+      staging: String, target: String): Unit = {
+    spark.table(staging).write.mode(SaveMode.Overwrite).insertInto(target)
     spark.sql(s"DROP TABLE $staging")
   }
 }

@@ -169,9 +169,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * b -> hash(slice(sig, ...))) — interpreted, with a slice allocation
   * per band. Band index is folded into the hash so identical slices in
   * different bands never collide into one bucket key.
-  * CONTRACT: bands must divide the signature length (callers enforce) —
-  * otherwise the tail elements are ignored, and bands beyond the length
-  * would hash to per-band constants (whole-corpus buckets). */
+  * CONTRACT: bands must divide the signature length — enforced HERE (not
+  * only at the Scala entry points) because graft_bands(sig, b) is
+  * SQL-callable: a non-dividing bands would silently ignore the
+  * signature tail, and bands > length would hash only the per-band seed
+  * (constant whole-corpus buckets). */
 case class BandHashes(child: Expression, bands: Int)
     extends UnaryExpression with CodegenFallback {
   require(bands >= 1)
@@ -179,7 +181,10 @@ case class BandHashes(child: Expression, bands: Int)
   override def nullSafeEval(v: Any): Any = {
     val sig = v.asInstanceOf[ArrayData]
     val n = sig.numElements()
-    val rows = math.max(1, n / bands)
+    if (n < bands || n % bands != 0)
+      throw new IllegalArgumentException(
+        s"graft_bands: bands ($bands) must divide the signature length ($n)")
+    val rows = n / bands
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
@@ -254,6 +259,73 @@ case class SimHash64(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "graft_simhash"
+}
+
+/** graft_max_shingle_count(tokens, k) -> int: occurrence count of the
+  * most frequent k-word shingle within ONE document's token array.
+  * The core of Gopher-style repetition quality signals (top n-gram
+  * fraction): a per-row one-pass kernel, so the whole repetition score
+  * is a shuffle-free scan+project at any corpus size — the oracle's
+  * explode + two-level groupBy formulation shuffles every n-gram.
+  * Counts exact shingle STRINGS (not hashes): a hash collision would
+  * merge two shingles' counts and diverge from the oracle.
+  * Empty/too-short input -> 0. */
+case class MaxShingleCount(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k ($k) must be >= 1")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) 0
+    else {
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      val counts = new java.util.HashMap[String, Int]((n - k + 1) * 2)
+      var max = 0
+      i = 0
+      while (i <= n - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        val c = counts.merge(sb.toString, 1, Integer.sum)
+        if (c > max) max = c
+        i += 1
+      }
+      max
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): MaxShingleCount =
+    copy(child = c)
+  override def prettyName: String = "graft_max_shingle_count"
+}
+
+/** Bloom-filter membership probe against a driver-built
+  * org.apache.spark.util.sketch.BloomFilter (Serializable — ships in the
+  * task closure like a broadcast small-join side). `false` is definitive
+  * (no false negatives), `true` means "verify exactly" — the standard
+  * cheap pre-filter that keeps the expensive membership join's input
+  * small at 100 TB. Probes the UTF-8 bytes of a string / raw binary /
+  * long, matching BloomFilter.put semantics on each type. */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => bloom.mightContainBinary(s.getBytes)
+    case b: Array[Byte] => bloom.mightContainBinary(b)
+    case l: Long => bloom.mightContainLong(l)
+    case i: Int => bloom.mightContainLong(i.toLong)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_contains: unsupported input ${other.getClass}")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+  override def prettyName: String = "graft_bloom_contains"
 }
 
 /** Generic numeric-array element access for the vector kernels: any

@@ -385,13 +385,21 @@ object Analytics {
     // associatively, so the same query re-aggregates under any partition
     // count. Estimates are algorithm-specific -> rows-only gate; the
     // error bound vs the exact percentile is asserted in AnalyticsSpec.
+    // NOTE: no array-typed output columns — the driver's comparison sorts
+    // the result via pandas, which crashes on ndarray cells (round-2 a02
+    // err). The sketch result is unpacked into scalar columns instead.
     GQ("a02_approx_percentiles", None,
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-            .as("approx_pcts"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))),
+            .as("pcts"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("approx_p25"),
+          element_at(col("pcts"), 2).as("approx_p50"),
+          element_at(col("pcts"), 3).as("approx_p75"),
+          col("exact_p50"))),
 
     // recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4.x): a
     // recursive month spine over the orders range, gap-filled monthly

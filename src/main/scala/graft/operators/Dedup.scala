@@ -18,8 +18,9 @@ import graft.functions.TextFunctions._
   *  - MinHash/LSH shuffles on (band, bandHash) buckets; candidate groups
   *    are capped (maxBucket) so a degenerate constant column cannot
   *    produce a quadratic bucket — the standard guard at web scale;
-  *  - SimHash buckets by 16-bit chunks (pigeonhole: any pair within
-  *    hamming distance 3 shares at least one of the 4 chunks);
+  *  - SimHash buckets by maxHamming+1 bit-range chunks (pigeonhole: any
+  *    pair within the hamming radius shares at least one chunk — recall
+  *    is complete for every maxHamming, not just a fixed radius);
   *  - pairwise Jaccard is only ever run INSIDE candidate buckets (or on
   *    explicitly bounded subsets for the oracle check), never all-pairs.
   */
@@ -100,24 +101,44 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, bucketed by 16-bit chunks
-    * (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks), pairs within
-    * `maxHamming` (bit_count(xor) — builtin). Like the minhash path this
-    * is ONE shuffle on (chunk, ck) with in-bucket pair generation — a
-    * linear pipeline, one corpus scan, nothing cached. */
+  /** SimHash near-dup pairs: 64-bit signature, bucketed into
+    * `maxHamming + 1` bit-range chunks, pairs within `maxHamming`
+    * (bit_count(xor) — builtin). The chunk count is DERIVED from
+    * maxHamming so the pigeonhole recall guarantee always holds: a pair
+    * differing in at most maxHamming bits cannot differ in all
+    * maxHamming+1 chunks, so it shares at least one chunk value and is
+    * guaranteed to surface as a candidate (100% recall at any
+    * maxHamming <= 63 — a fixed 4x16-bit split would silently miss
+    * pairs differing in all 4 chunks once maxHamming > 3). Like the
+    * minhash path this is ONE shuffle on (chunk, ck) with in-bucket
+    * pair generation — a linear pipeline, one corpus scan, nothing
+    * cached. The recall/shuffle trade is explicit: higher maxHamming =
+    * more, narrower chunks = more bucket rows and larger buckets. */
   def simhashPairs(
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming ($maxHamming) must be in [0, 63] for a 64-bit signature")
+    val nChunks = maxHamming + 1
     val sig = documents
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
       .select(col("id"), GF.simhash(col("tok")).as("sig"))
+    // chunk i covers bits [i*64/n, (i+1)*64/n) — widths differ by at most
+    // one bit when n does not divide 64; boundaries are computed here so
+    // every signature bit lands in exactly one chunk
+    val chunkExprs: Seq[Column] = (0 until nChunks).map { i =>
+      val lo = i * 64 / nChunks
+      val hi = (i + 1) * 64 / nChunks
+      val width = hi - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      call_function("shiftrightunsigned", col("sig"), lit(lo))
+        .bitwiseAND(lit(mask))
+    }
     val chunked = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftrightunsigned", col("sig"), c * 16)
-          .bitwiseAND(lit(0xFFFFL)))))
+      posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
     // same skew guard as the minhash path: a degenerate chunk value (e.g.
     // simhash 0 from empty token lists) must not collect an unbounded
@@ -231,6 +252,18 @@ object Dedup {
     * Returns (id, cluster, is_survivor): cluster = min id reachable,
     * survivor = the row whose id equals its cluster id.
     */
+  /** Release the blocks behind an (eager) localCheckpoint'd frame.
+    * Each loop round supersedes the previous round's checkpoint; without
+    * an explicit unpersist the blocks linger until the ContextCleaner
+    * happens to GC them, carrying storage memory across queries in a
+    * long-lived session. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def nearDupClusters(pairs: DataFrame, nodes: DataFrame): DataFrame = {
     // materialize the (possibly expensive) pair source ONCE, then derive
     // the symmetric edge list from the materialized form — a union of
@@ -251,8 +284,13 @@ object Dedup {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(nParts, col("src")).localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    releaseCheckpoint(p) // edges (eagerly materialized) supersedes p
+    // `labelsCp` is always the checkpointed frame itself (its logical
+    // plan is the LogicalRDD), so releaseCheckpoint can find the
+    // persisted RDD; `labels` is the (id, lbl) view over it
+    var labelsCp = nodes.select(col("id"), col("id").as("lbl"))
       .repartition(nParts, col("id")).localCheckpoint()
+    var labels = labelsCp
     var changed = 1L
     while (changed > 0) {
       // neighbor min: one shuffle on the node id
@@ -273,8 +311,14 @@ object Dedup {
             coalesce(col("hlbl"), col("old"))).as("lbl"))
         .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
+      releaseCheckpoint(labelsCp) // next (eagerly materialized) supersedes it
+      labelsCp = next
       labels = next.select("id", "lbl")
     }
+    releaseCheckpoint(edges) // the fixpoint no longer needs the edge list
+    // the final labels checkpoint stays persisted: the returned frame
+    // reads from it. It holds one (id, lbl) row per node — the result
+    // itself — and is released by ContextCleaner when the frame is GC'd.
     labels.select(col("id"), col("lbl").as("cluster"),
       (col("id") === col("lbl")).as("is_survivor"))
   }

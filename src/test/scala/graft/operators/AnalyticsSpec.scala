@@ -63,8 +63,9 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approxP50 = r.getSeq[Double](1)(1)
-      val exactP50 = r.getDouble(2)
+      // columns: l_returnflag, approx_p25, approx_p50, approx_p75, exact_p50
+      val approxP50 = r.getDouble(2)
+      val exactP50 = r.getDouble(4)
       assert(math.abs(approxP50 - exactP50) <= 0.01 * exactP50,
         s"approx p50 $approxP50 vs exact $exactP50")
     }

@@ -37,11 +37,12 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: exact dups at hamming 0, near-dups close, unrelated far") {
-    val pairs = Dedup.simhashPairs(corpus, maxHamming = 64)
+    // maxHamming 63 = 64 one-bit chunks: every pair not at distance 64
+    // shares a chunk, so recall is total and every distance is observable
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 63)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs((1L, 3L)) == 0)
-    // (1,2) differ by one token: IF bucketed together (they share a 16-bit
-    // chunk only when the flipped bits spare one chunk), distance is small
+    // (1,2) differ by one token -> few flipped weight sums -> small distance
     pairs.get((1L, 2L)).foreach(h => assert(h <= 16))
     // unrelated docs never collide at distance 0
     assert(!pairs.exists(p => p._2 == 0 && p._1 != ((1L, 3L))))
