@@ -316,7 +316,8 @@ case class BloomMightContain(child: Expression,
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(v: Any): Any = v match {
-    case s: UTF8String => bloom.mightContainBinary(s.getBytes)
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      bloom.mightContainBinary(s.getBytes)
     case b: Array[Byte] => bloom.mightContainBinary(b)
     case l: Long => bloom.mightContainLong(l)
     case i: Int => bloom.mightContainLong(i.toLong)
@@ -577,6 +578,8 @@ object GraftFunctions {
       es => BandHashes(es.head, if (es.size > 1) lit2int(es(1), 16) else 16), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => ArrayDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_max_shingle_count",
+      es => MaxShingleCount(es.head, if (es.size > 1) lit2int(es(1), 1) else 1), "built-in")
 
     // The reference's declared arithmetic proc matrix by catalog name
     // (int4pl/int24mul/float48div/..., initdb/main.rs:691-894) — the 6
@@ -677,4 +680,19 @@ object GraftFunctions {
     call_function("graft_bands", sig, org.apache.spark.sql.functions.lit(bands))
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def maxShingleCount(tok: Column, k: Int): Column =
+    call_function("graft_max_shingle_count", tok,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Column probing `c` against a driver-built bloom filter. Goes through
+    * a per-bloom registry entry (the expression carries the filter object,
+    * so it cannot be a plain name-only SQL function); each registration
+    * replaces the previous one — build-probe-discard, single-session use,
+    * like a broadcast variable's lifecycle. */
+  def bloomContains(spark: SparkSession, c: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", es => BloomMightContain(es.head, bloom), "built-in")
+    call_function("graft_bloom_contains", c)
+  }
 }

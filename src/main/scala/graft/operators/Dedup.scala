@@ -323,6 +323,55 @@ object Dedup {
       (col("id") === col("lbl")).as("is_survivor"))
   }
 
+  /** Exact membership dedup with a bloom pre-filter: drop batch rows
+    * whose content hash exists in the corpus. The bloom filter (built
+    * distributed, shipped in the task closure like a broadcast join
+    * side) splits the batch in one shuffle-free scan:
+    *   - probe negative -> DEFINITELY not in the corpus (bloom has no
+    *     false negatives): kept without touching the join;
+    *   - probe positive -> candidate: verified by an exact anti join.
+    * Result is exact; the bloom only shrinks the join's input. At 100 TB
+    * this is the difference between anti-joining the full batch against
+    * the corpus-fingerprint table and anti-joining the ~(dup_rate + fpp)
+    * fraction that probes positive. fpp trades bloom size (driver+task
+    * memory) against wasted join traffic.
+    */
+  def bloomMembershipDedup(batch: DataFrame, corpus: DataFrame,
+      textCol: String = "text", fpp: Double = 0.03): DataFrame = {
+    val spark = batch.sparkSession
+    val fpCol = md5(col(textCol).cast(BinaryType))
+    val corpusFp = corpus.select(fpCol.as("fp"))
+    val expected = math.max(corpusFp.count(), 1L)
+    val bloom = corpusFp.stat.bloomFilter("fp", expected, fpp)
+    val b = batch.withColumn("fp", fpCol)
+    val probe = GF.bloomContains(spark, col("fp"), bloom)
+    val definiteKeep = b.filter(!probe)
+    val verified = b.filter(probe).join(corpusFp, Seq("fp"), "left_anti")
+    definiteKeep.unionByName(verified).drop("fp")
+  }
+
+  /** Eval-set decontamination: drop every training document sharing at
+    * least one k-word shingle with an eval/benchmark document — the
+    * standard pre-training leakage guard. Shingles are compared by a
+    * 128-bit hash pair (fnv64 + xxhash64) so the semi/anti joins shuffle
+    * 16-byte keys instead of k-word strings; a false contamination
+    * requires the SAME 128-bit collision, ~2^-128 per pair — not
+    * reachable at any corpus size.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
+      .select(col("id"),
+        explode(array_distinct(shingles(col("tok"), shingleK))).as("s"))
+      .select(col("id"), GF.fnv64(col("s")).as("h1"), xxhash64(col("s")).as("h2"))
+    val contaminated = grams(train)
+      .join(grams(eval_).select("h1", "h2").distinct(), Seq("h1", "h2"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // Driver-verified query entries
   // ------------------------------------------------------------------
@@ -373,7 +422,41 @@ object Dedup {
         val pairs = ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
           .select("id_a", "id_b")
         nearDupClusters(pairs, dd.select(col("doc_id").as("id")))
-      })
+      }),
+
+    // bloom pre-filtered exact membership dedup: result is EXACT (the
+    // bloom only prunes the anti join's input), so the oracle is the
+    // plain NOT IN — the probabilistic structure must be invisible in
+    // the output
+    GQ("d08_bloom_dedup",
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id < 250 AND md5(text) NOT IN
+          (SELECT md5(text) FROM documents WHERE doc_id >= 250)"""),
+      (s, d) => bloomMembershipDedup(
+        docs(s, d).filter(col("doc_id") < 250),
+        docs(s, d).filter(col("doc_id") >= 250))
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // eval-set decontamination (8-gram overlap): the 128-bit-hash join
+    // is output-equivalent to the oracle's string-equality join
+    GQ("d09_decontaminate",
+      Some(s"""WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 8 THEN
+            list_transform(range(1, len(t) - 6), i -> t[i] || ' ' || t[i+1] || ' ' ||
+              t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+              t[i+6] || ' ' || t[i+7])
+          ELSE [] END)) AS s FROM tok),
+        bad AS (SELECT DISTINCT t.doc_id FROM sh t
+                JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) e ON t.s = e.s
+                WHERE t.doc_id % 50 <> 0)
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)"""),
+      (s, d) => decontaminate(
+        docs(s, d).filter(col("doc_id") % 50 =!= 0),
+        docs(s, d).filter(col("doc_id") % 50 === 0))
+        .select("doc_id", "lang", "source"))
   )
 
   /** Shared DuckDB CTE chain producing the bounded n-gram candidate set

@@ -499,6 +499,32 @@ object Relational {
           .select("n_name", "c_cnt", "s_cnt")
       }),
 
+    // value-RANGE window frame (vs q10's ROWS frame and e11's interval
+    // RANGE frame): peers within +-1000.0 of each row's price, per
+    // customer. One shuffle on the partition key; the frame itself is a
+    // sliding bound over the sorted run, not a per-row re-scan. Sum goes
+    // through DECIMAL(38,10) so frame re-association under any partition
+    // count is exact (Engine.dsum discipline applied to a window).
+    GQ("q47_range_frame", {
+      val w = """PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING"""
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice,
+          COUNT(*) OVER ($w) AS n_near,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER ($w)
+               AS DECIMAL(38,6)) AS DOUBLE) AS sum_near
+        FROM orders""")
+    },
+      (s, d) => {
+        val w = """PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING"""
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          expr(s"COUNT(*) OVER ($w)").as("n_near"),
+          Engine.decOut(expr(
+            s"SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER ($w)"))
+            .as("sum_near"))
+      }),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {

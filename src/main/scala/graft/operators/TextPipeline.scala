@@ -194,6 +194,66 @@ object TextPipeline {
           .withColumn("rn", row_number().over(w).cast(LongType))
           .filter(col("rn") <= 5)
           .select("lang", "doc_id", "rn")
-      })
+      }),
+
+    // Gopher-style repetition signals: fraction of the document covered
+    // by its most frequent word / bigram / trigram, plus duplicate-word
+    // fraction. Spark side is a shuffle-free scan+project — the
+    // per-document top-n-gram count is a native one-pass kernel
+    // (MaxShingleCount), where the oracle (and a naive implementation)
+    // explodes every n-gram through a two-level aggregation. Both sides
+    // divide the same exact integers, so round(,6) is bit-identical.
+    GQ("t09_repetition", {
+      def gramCte(name: String, expr: String) =
+        s"""$name AS (SELECT doc_id, MAX(c) AS m FROM (
+             SELECT doc_id, g, COUNT(*) AS c
+             FROM (SELECT doc_id, unnest($expr) AS g FROM tok)
+             GROUP BY doc_id, g) GROUP BY doc_id)"""
+      val bigram = "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1]) ELSE [] END"
+      val trigram = "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END"
+      Some(s"""WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+        ${gramCte("g1", "t")}, ${gramCte("g2", bigram)}, ${gramCte("g3", trigram)}
+        SELECT tok.doc_id, CAST(len(t) AS INT) AS n_words,
+          round(CAST(coalesce(g1.m, 0) AS DOUBLE) / greatest(len(t), 1), 6) AS top_word_frac,
+          round(CAST(coalesce(g2.m, 0) AS DOUBLE) / greatest(len(t) - 1, 1), 6) AS top_bigram_frac,
+          round(CAST(coalesce(g3.m, 0) AS DOUBLE) / greatest(len(t) - 2, 1), 6) AS top_trigram_frac,
+          round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1), 6) AS dup_word_frac
+        FROM tok
+        LEFT JOIN g1 ON tok.doc_id = g1.doc_id
+        LEFT JOIN g2 ON tok.doc_id = g2.doc_id
+        LEFT JOIN g3 ON tok.doc_id = g3.doc_id""")
+    },
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GF}
+        docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"),
+            size(col("t")).cast(IntegerType).as("n_words"),
+            round(GF.maxShingleCount(col("t"), 1).cast(DoubleType) /
+              greatest(size(col("t")), lit(1)), 6).as("top_word_frac"),
+            round(GF.maxShingleCount(col("t"), 2).cast(DoubleType) /
+              greatest(size(col("t")) - 1, lit(1)), 6).as("top_bigram_frac"),
+            round(GF.maxShingleCount(col("t"), 3).cast(DoubleType) /
+              greatest(size(col("t")) - 2, lit(1)), 6).as("top_trigram_frac"),
+            round(lit(1.0) - size(array_distinct(col("t"))).cast(DoubleType) /
+              greatest(size(col("t")), lit(1)), 6).as("dup_word_frac"))
+      }),
+
+    // Corpus vocabulary: top-k tokens by frequency with a deterministic
+    // tie-break. explode -> partial (map-side) count -> final count ->
+    // TakeOrderedAndProject: the only full-width shuffle carries one
+    // (token, partial_count) row per distinct token per partition, and
+    // top-k never sorts the full vocabulary.
+    GQ("t10_vocab_topk",
+      Some(s"""SELECT g AS token, COUNT(*) AS cnt
+        FROM (SELECT unnest($oracleTokens) AS g FROM documents)
+        GROUP BY g ORDER BY cnt DESC, token LIMIT 100"""),
+      (s, d) => docs(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100))
   )
 }

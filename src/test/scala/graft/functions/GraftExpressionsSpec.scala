@@ -65,4 +65,46 @@ class GraftExpressionsSpec extends AnyFunSuite {
       .toDF("a", "b") // mixed float/double element types
     assert(d.select(GF.dot($"a", $"b")).head.getDouble(0) == 32.0)
   }
+
+  test("max shingle count: unigram/bigram/trigram + degenerate inputs") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")), // top word a=3; top bigram "a b"=2
+      (2L, Seq("x")),                     // single token
+      (3L, Seq.empty[String])             // empty
+    ).toDF("id", "tok")
+    val got = df.select($"id",
+      GF.maxShingleCount($"tok", 1).as("m1"),
+      GF.maxShingleCount($"tok", 2).as("m2"),
+      GF.maxShingleCount($"tok", 3).as("m3"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(got(1L) == ((3, 2, 2))) // trigrams: "a b a" x2, "b a b" x1
+    assert(got(2L) == ((1, 0, 0))) // too short for k=2,3 -> 0
+    assert(got(3L) == ((0, 0, 0)))
+  }
+
+  test("max shingle count counts exact strings, not token boundaries") {
+    // "ab"+"c" vs "a"+"bc": joined with a separator they differ — the
+    // kernel must not collapse them the way plain concatenation would
+    val df = Seq((Seq("ab", "c", "ab", "c"), Seq("a", "bc", "a", "bc")))
+      .toDF("t1", "t2")
+    val r = df.select(GF.maxShingleCount($"t1", 2), GF.maxShingleCount($"t2", 2)).head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2) // each repeats its OWN bigram twice
+  }
+
+  test("graft_bands enforces bands-divides-length on the SQL surface") {
+    Seq(Tuple1(Seq(1L, 2L, 3L, 4L))).toDF("sig").createOrReplaceTempView("bands_in")
+    // dividing: fine
+    assert(spark.sql("SELECT graft_bands(sig, 2) FROM bands_in")
+      .head.getSeq[Long](0).length == 2)
+    // non-dividing and bands > length: rejected, not silently wrong
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_bands(sig, 3) FROM bands_in").collect()
+    }
+    assert(e1.getMessage.contains("must divide"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_bands(sig, 8) FROM bands_in").collect()
+    }
+    assert(e2.getMessage.contains("must divide"))
+  }
 }

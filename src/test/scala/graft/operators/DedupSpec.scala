@@ -87,4 +87,41 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(4L) == (4L, true))
     assert(cc(5L) == (4L, false))
   }
+
+  test("bloom membership dedup is exact: dups dropped, uniques kept") {
+    val corpusDf = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "an existing corpus document about distributed query processing at scale")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 100
+      (2L, "a fresh document that does not exist in the corpus at all"),
+      (3L, "an existing corpus document about distributed query processing at scale") // dup of 101
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomMembershipDedup(batch, corpusDf)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L))
+    // a tiny/aggressive filter (high fpp) must not change the RESULT —
+    // false positives are caught by the exact verification join
+    val outHighFpp = Dedup.bloomMembershipDedup(batch, corpusDf, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(outHighFpp.toSeq == Seq(2L))
+  }
+
+  test("decontamination drops train docs sharing an 8-gram with eval") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val train = Seq(
+      (1L, s"prefix words then $shared and a tail of different content here"),
+      (2L, "no overlap with the benchmark at all in this training document text"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota broken eight gram here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, s"question text containing $shared as the leaked answer span")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval_).select("doc_id").as[Long]
+      .collect().sorted
+    // doc 1 leaks the full 8-gram -> dropped; doc 3 shares only a 7-token
+    // prefix -> kept; doc 2 untouched
+    assert(out.toSeq == Seq(2L, 3L))
+  }
 }
