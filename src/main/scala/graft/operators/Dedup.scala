@@ -385,8 +385,15 @@ object Dedup {
     GQ("d02_dedup_minhash_lsh", None, // hash-scheme-specific: rows-only gate
       (s, d) => minhashCandidates(docs(s, d), minEstJaccard = 0.05)),
 
+    // radius 6: simhash dedup radii stay small in practice (the published
+    // web-scale scheme uses hamming<=3 on 64-bit fingerprints) because
+    // chunk width shrinks as maxHamming+1 chunks are needed for total
+    // recall — at radius 12 the 13 ~5-bit chunks have only ~32 distinct
+    // values each, so every bucket approaches the maxBucket cap and pair
+    // generation goes quadratic-ish. Radius 6 keeps 9-bit chunks (512
+    // values) and still catches real near-dups.
     GQ("d03_dedup_simhash", None, // hash-scheme-specific: rows-only gate
-      (s, d) => simhashPairs(docs(s, d), maxHamming = 12)),
+      (s, d) => simhashPairs(docs(s, d), maxHamming = 6)),
 
     GQ("d04_dedup_ngram_jaccard",
       Some(s"""WITH $ngramPairCtes

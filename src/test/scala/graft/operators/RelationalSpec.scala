@@ -62,4 +62,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.size == SparkEntry.all.size) // no dup names
   }
+
+  test("t09: repetition signals are a shuffle-free scan+project") {
+    // the whole point of the MaxShingleCount kernel: per-document stats
+    // must never exchange data (the oracle's explode+groupBy would)
+    val p = plan("t09_repetition")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("t10: vocab top-k is partial-agg + TakeOrdered, no global sort") {
+    val p = plan("t10_vocab_topk")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side combine
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q47: one shuffle for the range-frame window") {
+    val p = plan("q47_range_frame")
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
 }
