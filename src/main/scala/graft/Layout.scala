@@ -100,4 +100,53 @@ object Layout {
     spark.table(staging).write.mode(SaveMode.Overwrite).insertInto(target)
     spark.sql(s"DROP TABLE $staging")
   }
+
+  /** Z-order (Morton) clustering write: cluster `df` on MULTIPLE numeric
+    * columns at once so every output file covers a narrow min/max range
+    * of EACH column — parquet column stats then prune scans filtered on
+    * any clustered column, not just the first sort key (a lexicographic
+    * sort gives file-level locality only on its leading column).
+    *
+    * Mechanics: each column is min/max-normalized into 2^bits buckets
+    * (one tiny agg job for the bounds), the bucket bits are interleaved
+    * into a Morton key (native kernel, functions.InterleaveBits), and
+    * the data is range-partitioned + sorted by that key. At 100 TB the
+    * bounds agg is a full scan but a scalar result; use known domain
+    * bounds via `boundsHint` to skip it. Skew caveat: min/max bucketing
+    * degrades under heavy-tailed columns (most rows share few buckets) —
+    * quantile bucketing would be the upgrade, at the cost of an
+    * approx-percentile pass.
+    */
+  def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
+      files: Int, bits: Int = 16,
+      boundsHint: Map[String, (Double, Double)] = Map.empty): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 8, "1..8 z-order columns")
+    val bounds: Map[String, (Double, Double)] =
+      if (zCols.forall(boundsHint.contains)) boundsHint
+      else {
+        val aggs = zCols.flatMap(c =>
+          Seq(min(col(c).cast("double")).as(s"mn_$c"),
+            max(col(c).cast("double")).as(s"mx_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        zCols.zipWithIndex.map { case (c, i) =>
+          // empty/all-null input -> any constant bounds work (bucket 0)
+          if (r.isNullAt(2 * i)) c -> (0.0, 1.0)
+          else c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        }.toMap
+      }
+    val top = (1L << math.min(bits, 63 / zCols.size)) - 1
+    val buckets = zCols.map { c =>
+      val (mn, mx) = bounds(c)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(top), greatest(lit(0L),
+        ((col(c).cast("double") - lit(mn)) / lit(span) * lit(top.toDouble))
+          .cast("long"))).cast("int")
+    }
+    val zv = graft.functions.GraftFunctions.interleaveBits(buckets: _*)
+    df.withColumn("__z", zv)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
 }

@@ -304,6 +304,72 @@ case class MaxShingleCount(child: Expression, k: Int)
   override def prettyName: String = "graft_max_shingle_count"
 }
 
+/** Count-min-sketch frequency floor probe: true iff the sketch's
+  * (over-)estimate of `child`'s count is >= threshold. CMS only ever
+  * OVERestimates, so `false` definitively means "true count below
+  * threshold" — the pruning direction heavy-hitter detection needs:
+  * rows probing false are dropped without shuffling, rows probing true
+  * are verified by an exact aggregation over the (tiny) candidate set.
+  * Same build-probe lifecycle as BloomMightContain. Strings are probed
+  * as java.lang.String to match DataFrameStatFunctions.countMinSketch's
+  * add path. */
+case class CmsAtLeast(child: Expression,
+    cms: org.apache.spark.util.sketch.CountMinSketch, threshold: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = {
+    val est = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        cms.estimateCount(s.toString)
+      case l: Long => cms.estimateCount(l)
+      case i: Int => cms.estimateCount(i)
+      case other => cms.estimateCount(other)
+    }
+    est >= threshold
+  }
+  override protected def withNewChildInternal(c: Expression): CmsAtLeast =
+    copy(child = c)
+  override def prettyName: String = "graft_cms_at_least"
+}
+
+/** graft_interleave_bits(b1, b2, ...) -> long: bit-interleaves N
+  * non-negative int bucket values into one Z-order (Morton) key. Bit i
+  * of child c lands at position i*N + c, so sorting by the result
+  * clusters rows that are close in EVERY dimension — the multi-column
+  * data-skipping layout (each output file then has narrow min/max
+  * ranges on all interleaved columns, and parquet stats prune scans
+  * filtered on any of them). Each child contributes floor(63/N) bits;
+  * higher bits are ignored (callers bucket into that range). Null
+  * buckets sort first (treated as 0). */
+case class InterleaveBits(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.nonEmpty && children.size <= 8,
+    s"interleave_bits takes 1..8 columns, got ${children.size}")
+  private val bitsPerCol = 63 / children.size
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    var out = 0L
+    var c = 0
+    val n = children.size
+    while (c < n) {
+      val v = children(c).eval(input)
+      val bucket = if (v == null) 0L
+        else v.asInstanceOf[Number].longValue() & ((1L << bitsPerCol) - 1)
+      var b = 0
+      while (b < bitsPerCol) {
+        out |= ((bucket >>> b) & 1L) << (b * n + c)
+        b += 1
+      }
+      c += 1
+    }
+    out
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): InterleaveBits = copy(children = cs)
+  override def prettyName: String = "graft_interleave_bits"
+}
+
 /** Bloom-filter membership probe against a driver-built
   * org.apache.spark.util.sketch.BloomFilter (Serializable — ships in the
   * task closure like a broadcast small-join side). `false` is definitive
@@ -580,6 +646,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_max_shingle_count",
       es => MaxShingleCount(es.head, if (es.size > 1) lit2int(es(1), 1) else 1), "built-in")
+    reg.createOrReplaceTempFunction("graft_interleave_bits",
+      es => InterleaveBits(es), "built-in")
 
     // The reference's declared arithmetic proc matrix by catalog name
     // (int4pl/int24mul/float48div/..., initdb/main.rs:691-894) — the 6
@@ -683,6 +751,8 @@ object GraftFunctions {
   def maxShingleCount(tok: Column, k: Int): Column =
     call_function("graft_max_shingle_count", tok,
       org.apache.spark.sql.functions.lit(k))
+  def interleaveBits(buckets: Column*): Column =
+    call_function("graft_interleave_bits", buckets: _*)
 
   /** Column probing `c` against a driver-built bloom filter. Goes through
     * a per-bloom registry entry (the expression carries the filter object,
@@ -694,5 +764,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains", es => BloomMightContain(es.head, bloom), "built-in")
     call_function("graft_bloom_contains", c)
+  }
+
+  /** Column testing `c`'s count-min estimate against a floor — same
+    * registry lifecycle as [[bloomContains]]. */
+  def cmsAtLeast(spark: SparkSession, c: Column,
+      cms: org.apache.spark.util.sketch.CountMinSketch, threshold: Long): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_at_least", es => CmsAtLeast(es.head, cms, threshold), "built-in")
+    call_function("graft_cms_at_least", c)
   }
 }

@@ -358,16 +358,23 @@ object Dedup {
     * requires the SAME 128-bit collision, ~2^-128 per pair — not
     * reachable at any corpus size.
     */
+  /** (id, h1, h2) — one row per distinct k-shingle of each document,
+    * keyed by the 128-bit (fnv64, xxhash64) hash pair. The shared
+    * shingle-table builder for batch and streaming decontamination;
+    * an eval set's table is tiny, precomputable, and broadcastable. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame = df
+    .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
+    .select(col("id"),
+      explode(array_distinct(shingles(col("tok"), shingleK))).as("s"))
+    .select(col("id"), GF.fnv64(col("s")).as("h1"), xxhash64(col("s")).as("h2"))
+
   def decontaminate(train: DataFrame, eval_ : DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
-      .select(col("id"),
-        explode(array_distinct(shingles(col("tok"), shingleK))).as("s"))
-      .select(col("id"), GF.fnv64(col("s")).as("h1"), xxhash64(col("s")).as("h2"))
-    val contaminated = grams(train)
-      .join(grams(eval_).select("h1", "h2").distinct(), Seq("h1", "h2"), "left_semi")
+    val contaminated = shingleHashes(train, idCol, textCol, shingleK)
+      .join(shingleHashes(eval_, idCol, textCol, shingleK)
+        .select("h1", "h2").distinct(), Seq("h1", "h2"), "left_semi")
       .select(col("id").as(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }

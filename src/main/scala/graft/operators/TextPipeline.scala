@@ -254,6 +254,31 @@ object TextPipeline {
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
-        .limit(100))
+        .limit(100)),
+
+    // Heavy hitters, sketch-pruned but EXACT (the d08 pattern applied to
+    // frequencies): pass 1 folds the token stream into a count-min
+    // sketch (distributed build, KB-sized result); pass 2 keeps only
+    // tokens whose CMS estimate reaches the floor — CMS never
+    // underestimates, so no true heavy hitter is lost — and exact-counts
+    // that candidate set, re-checking the floor. The full-vocabulary
+    // shuffle of a naive `GROUP BY token HAVING count >= N` shrinks to
+    // the candidate tokens; at 100 TB that is the difference between
+    // shuffling the whole token stream and shuffling the heavy tail.
+    // Result is exact -> plain SQL oracle.
+    GQ("t11_heavy_hitters",
+      Some(s"""SELECT g AS token, COUNT(*) AS cnt
+        FROM (SELECT unnest($oracleTokens) AS g FROM documents)
+        GROUP BY g HAVING COUNT(*) >= 100"""),
+      (s, d) => {
+        import graft.functions.{GraftFunctions => GF}
+        val floor = 100L
+        val toks = docs(s, d).select(explode(tokens(col("text"))).as("token"))
+        val cms = toks.stat.countMinSketch(
+          "token", eps = 0.0001, confidence = 0.99, seed = 42)
+        toks.filter(GF.cmsAtLeast(s, col("token"), cms, floor))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= floor)
+      })
   )
 }

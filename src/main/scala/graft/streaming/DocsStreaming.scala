@@ -42,4 +42,35 @@ object DocsStreaming {
       .join(corpusFp, Seq("fp"), "left_anti") // stream-static anti join
       .drop("fp")
   }
+
+  /** Streaming twin of `operators.Dedup.decontaminate`: drop incoming
+    * documents that share any k-word shingle with a static eval set.
+    * `evalGrams` = the eval set's (h1, h2) shingle-hash table (built once
+    * with `Dedup.shingleHashes` — precomputable, tiny, broadcastable).
+    *
+    * Shape: per-micro-batch exact decontamination via `foreachBatch`.
+    * The doc-level filter is "NO shingle hits the eval set", which as a
+    * streaming dataflow would need a stream-derived anti-join side
+    * (unsupported: the contaminated-id set comes from the stream
+    * itself). Inside foreachBatch the micro-batch is a plain DataFrame,
+    * so the batch operator's exact semi+anti join shape applies
+    * verbatim — stateless across batches (the eval side is static, and
+    * contamination of a doc depends only on that doc), so per-batch
+    * application IS the correct streaming semantics, not an
+    * approximation of it.
+    *
+    * Returns a started query writing surviving rows through `sink`.
+    */
+  def decontaminateQuery(
+      newDocs: DataFrame, evalGrams: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val contaminated = graft.operators.Dedup
+        .shingleHashes(batch, idCol, textCol, shingleK)
+        .join(evalGrams, Seq("h1", "h2"), "left_semi")
+        .select(col("id").as(idCol)).distinct()
+      sink(batch.join(contaminated, Seq(idCol), "left_anti"), batchId)
+    }.start()
 }

@@ -78,4 +78,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(unbucketed.queryExecution.executedPlan.toString
       .contains("Exchange hashpartitioning"))
   }
+
+  test("z-order clustering narrows per-file ranges on BOTH columns") {
+    freshTable("grid_z"); freshTable("grid_lin")
+    import spark.implicits._
+    // a 256x256 grid: x and y independent, so any lexicographic sort
+    // leaves the trailing column spread across the full domain per file
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x, y)))
+      .toDF("x", "y")
+    Layout.writeZOrdered(grid, "grid_z", Seq("x", "y"), files = 16)
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .write.format("parquet").saveAsTable("grid_lin")
+
+    // per-file min/max spans are exactly what parquet stats pruning sees
+    def meanSpan(table: String, c: String): Double = {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      val files = loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 8, s"$table files: ${files.length}")
+      files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)), max(col(c))).head
+        (r.getInt(1) - r.getInt(0)).toDouble
+      }.sum / files.length
+    }
+    // z-order: 16 files tile the grid ~4x4 -> each file spans ~1/4 of
+    // each dimension; allow slack for range-partition boundary files
+    assert(meanSpan("grid_z", "x") < 128.0)
+    assert(meanSpan("grid_z", "y") < 128.0)
+    // lexicographic control: leading column narrow, trailing column spans
+    // essentially the whole domain in every file
+    assert(meanSpan("grid_lin", "y") > 200.0)
+  }
 }

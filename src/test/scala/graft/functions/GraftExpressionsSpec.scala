@@ -92,6 +92,21 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2 && r.getInt(1) == 2) // each repeats its OWN bigram twice
   }
 
+  test("cms floor probe never loses a true heavy hitter, even when sloppy") {
+    val tokens = (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 40).map(i => s"cold_$i")).map(Tuple1(_))
+    val df = tokens.toDF("token")
+    // deliberately coarse sketch (huge eps) -> heavy overestimation
+    val cms = df.stat.countMinSketch("token", eps = 0.5, confidence = 0.9, seed = 1)
+    val out = df.filter(GF.cmsAtLeast(spark, col("token"), cms, 30L))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact despite the sloppy sketch: overestimates only ever let
+    // extra candidates through to the exact re-count
+    assert(out == Map("hot" -> 50L, "warm" -> 30L))
+  }
+
   test("graft_bands enforces bands-divides-length on the SQL surface") {
     Seq(Tuple1(Seq(1L, 2L, 3L, 4L))).toDF("sig").createOrReplaceTempView("bands_in")
     // dividing: fine

@@ -41,4 +41,36 @@ class DocsStreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(survivors == Seq(2L, 5L))
   }
+
+  test("streaming decontamination drops docs leaking an eval 8-gram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalGrams = graft.operators.Dedup.shingleHashes(
+      Seq((100L, s"question containing $shared as the answer"))
+        .toDF("doc_id", "text"), "doc_id", "text", 8)
+      .select("h1", "h2").distinct()
+
+    val in = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = DocsStreaming.decontaminateQuery(
+      in.toDF().toDF("doc_id", "text"), evalGrams) { (batch, _) =>
+      kept.synchronized {
+        kept ++= batch.select("doc_id").as[Long].collect()
+      }
+    }
+
+    in.addData(
+      (1L, s"training text that leaks $shared inside its body"),
+      (2L, "clean training text with no benchmark overlap whatsoever here"))
+    q.processAllAvailable()
+    // second micro-batch: decontamination is stateless per batch
+    in.addData((3L, s"another leaky doc repeating $shared verbatim"),
+      (4L, "and another clean one about join reordering strategies"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(kept.sorted.toSeq == Seq(2L, 4L))
+  }
 }
