@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is ONE bare JSON line on stdout; sbt's default
+// logged output prepends "[info] " to every forked-run line, which breaks
+// the consumer's JSON parse. StdoutOutput inherits the fork's stdio
+// directly (no log prefixes).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

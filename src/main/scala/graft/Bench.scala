@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * per entry instead of ~30), and the full-name map is written to
   * BENCH_DETAIL.json as a file instead of stdout. A final hard guard drops
   * the queries map entirely rather than ever exceeding the window.
+  *
+  * Round-3 postmortem ("parsed": null despite a complete line): sbt's
+  * logged output strategy prefixes every forked line with "[info] " /
+  * "[error] ", so the line was never bare JSON. Fixes: build.sbt sets
+  * `run / outputStrategy := StdoutOutput` (stdio inherited, no prefixes),
+  * log level is ERROR so no WARN noise interleaves, and the JSON line is
+  * printed as the LAST output after spark.stop().
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,16 +29,23 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR") // keep stdout/stderr free of WARN noise
     Engine.prepare(spark)
     // BASELINE.md methodology: warm numbers = 2nd run in the session
     // (first run pays one-time codegen/JIT/planning, not per-query cost).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // A failing query must NOT bench as a fast success: it records an
+    // error marker instead of a timing (Right=seconds, Left=error).
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          name -> Left(e.getClass.getSimpleName)
+        }
+      }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // locale-proof decimal point
     // Short keys: everything before the first '_' ("q03_top_orders" -> "q03").
@@ -42,20 +56,30 @@ object Bench {
       val counts = pref.groupBy(_._2).view.mapValues(_.size).toMap
       pref.map { case (full, p) => full -> (if (counts(p) == 1) p else full) }.toMap
     }
-    val qs = results.map { case (k, v) => "\"" + shortKeys(k) + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(if (line.length <= 1800) line
-            else s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    // Failures surface as -1 in the numeric stdout map (keeps the consumer's
+    // parse trivially numeric) and as "err:<Exception>" in the detail file.
+    val qs = results.map { case (k, v) =>
+      "\"" + shortKeys(k) + "\":" + f3(v.getOrElse(-1.0))
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Right(t)) => t }
+    val errs = results.collect { case (k, Left(_)) => k }
+    val total = ok.sum
+    val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}"""
+    val out = if (line.length <= 1800) line
+      else s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"$errField}"""
     // Full-name per-query detail goes to a FILE (no length constraint) for
     // BASELINE.md bookkeeping and human inspection.
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{\"total\":" + f3(total) + ",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    val detail = results.map {
+      case (k, Right(t)) => "\"" + k + "\":" + f3(t)
+      case (k, Left(e)) => "\"" + k + "\":\"err:" + e + "\""
+    }.mkString("{\"total\":" + f3(total) + ",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => } // detail file is best-effort; stdout line is the contract
-    spark.stop()
+    spark.stop() // stop BEFORE printing: nothing may log after the JSON line
+    println(out)
+    System.out.flush()
   }
 }

@@ -754,24 +754,21 @@ object GraftFunctions {
   def interleaveBits(buckets: Column*): Column =
     call_function("graft_interleave_bits", buckets: _*)
 
-  /** Column probing `c` against a driver-built bloom filter. Goes through
-    * a per-bloom registry entry (the expression carries the filter object,
-    * so it cannot be a plain name-only SQL function); each registration
-    * replaces the previous one — build-probe-discard, single-session use,
-    * like a broadcast variable's lifecycle. */
+  /** Column probing `c` against a driver-built bloom filter. The Column
+    * captures its own expression instance directly (GraftShim.column) —
+    * no shared registry name, so two live blooms can never probe each
+    * other's sketch. */
   def bloomContains(spark: SparkSession, c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains", es => BloomMightContain(es.head, bloom), "built-in")
-    call_function("graft_bloom_contains", c)
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(BloomMightContain(shim.expression(c), bloom))
   }
 
   /** Column testing `c`'s count-min estimate against a floor — same
-    * registry lifecycle as [[bloomContains]]. */
+    * direct-capture lifecycle as [[bloomContains]]. */
   def cmsAtLeast(spark: SparkSession, c: Column,
       cms: org.apache.spark.util.sketch.CountMinSketch, threshold: Long): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cms_at_least", es => CmsAtLeast(es.head, cms, threshold), "built-in")
-    call_function("graft_cms_at_least", c)
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(CmsAtLeast(shim.expression(c), cms, threshold))
   }
 }

@@ -9,6 +9,18 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap a raw Catalyst expression as a Column (private[sql] in 4.x).
+    * Needed for expressions carrying non-serializable-by-name state (a
+    * driver-built sketch object): a registry-name indirection would share
+    * one mutable slot across sketches, so each Column must capture its own
+    * expression instance directly. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse bridge: the Catalyst expression behind a Column. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Idempotently install a planner strategy on a live session. */
   def addStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
