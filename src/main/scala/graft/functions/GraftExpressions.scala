@@ -515,6 +515,187 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
   override def prettyName: String = "graft_cosine"
 }
 
+/** One-pass nearest-centroid selection for IVF coarse quantization. */
+object NearestCellsKernel {
+  /** Indices of the `n` centroids nearest to `v` by cosine, best first
+    * (ties broken by lower index). One call per row; |centroids| is a
+    * fixed parameter (k-means-style coarse codebook), NOT a function of
+    * corpus size — this is what keeps IVF assignment linear at 100 TB
+    * (no row explosion, no per-row shuffle, no window).
+    */
+  def topN(v: ArrayData, et: DataType,
+      cents: Array[Array[Double]], n: Int): ArrayData = {
+    val get = VectorKernels.conv(et)
+    val len = v.numElements()
+    // query norm once
+    var nv = 0.0
+    var i = 0
+    while (i < len) { val x = get(v, i); nv += x * x; i += 1 }
+    val keep = math.min(n, cents.length)
+    val bestIdx = new Array[Int](keep)
+    val bestSim = new Array[Double](keep)
+    var size = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val m = math.min(len, c.length)
+      var dot = 0.0; var nc = 0.0
+      var t = 0
+      while (t < m) { val x = get(v, t); dot += x * c(t); nc += c(t) * c(t); t += 1 }
+      val sim = if (nv == 0.0 || nc == 0.0) 0.0
+        else dot / (java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc))
+      // insertion into the (tiny, best-first) kept list
+      if (size < keep || sim > bestSim(size - 1)) {
+        var p = math.min(size, keep - 1)
+        while (p > 0 && bestSim(p - 1) < sim) {
+          bestIdx(p) = bestIdx(p - 1); bestSim(p) = bestSim(p - 1); p -= 1
+        }
+        bestIdx(p) = j; bestSim(p) = sim
+        if (size < keep) size += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(bestIdx.take(size).map(x => x: Any))
+  }
+}
+
+/** graft_nearest_cells(vec) -> array<int>: indices of the `n` nearest
+  * centroids (cosine, best first) from a driver-built codebook. The
+  * codebook is captured in the expression (like [[BloomMightContain]]'s
+  * sketch) and ships once per task via the plan, not per row. Corpus
+  * assignment uses n=1; query probing uses n=nprobe.
+  */
+case class NearestCells(child: Expression,
+    centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any =
+    NearestCellsKernel.topN(v.asInstanceOf[ArrayData], elemType, centroids, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cents = ctx.addReferenceObj("cents", centroids, "double[][]")
+      val et = ctx.addReferenceObj("et", elemType,
+        classOf[DataType].getName)
+      s"${ev.value} = graft.functions.NearestCellsKernel.topN($v, $et, $cents, $n);"
+    })
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+  override def prettyName: String = "graft_nearest_cells"
+}
+
+/** Bounded top-k heap of (nid, sim) pairs — the buffer behind
+  * [[TopKPairsAgg]]. Keeps the k best by (sim desc, nid asc); the root of
+  * the binary heap is the WORST kept element so an incoming better pair
+  * evicts in O(log k). */
+final class TopKHeap(val k: Int) {
+  val nids = new Array[Long](math.max(k, 1))
+  val sims = new Array[Double](math.max(k, 1))
+  var size = 0
+
+  // heap order: parent no better than children (root = worst kept)
+  private def worseThan(si: Double, ni: Long, sj: Double, nj: Long): Boolean =
+    si < sj || (si == sj && ni > nj)
+
+  private def swap(i: Int, j: Int): Unit = {
+    val tn = nids(i); nids(i) = nids(j); nids(j) = tn
+    val ts = sims(i); sims(i) = sims(j); sims(j) = ts
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0 && worseThan(sims(i), nids(i), sims((i - 1) / 2), nids((i - 1) / 2))) {
+      swap(i, (i - 1) / 2); i = (i - 1) / 2
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var w = i // worst of the triple
+      if (l < size && worseThan(sims(l), nids(l), sims(w), nids(w))) w = l
+      if (r < size && worseThan(sims(r), nids(r), sims(w), nids(w))) w = r
+      if (w == i) done = true else { swap(i, w); i = w }
+    }
+  }
+
+  def insert(nid: Long, sim: Double): Unit = {
+    if (size < k) {
+      nids(size) = nid; sims(size) = sim; size += 1; siftUp(size - 1)
+    } else if (k > 0 && worseThan(sims(0), nids(0), sim, nid)) {
+      nids(0) = nid; sims(0) = sim; siftDown()
+    }
+  }
+
+  def absorb(o: TopKHeap): Unit = {
+    var i = 0
+    while (i < o.size) { insert(o.nids(i), o.sims(i)); i += 1 }
+  }
+
+  /** Kept pairs best-first as array<struct<nid,sim>>. */
+  def toArrayData: GenericArrayData = {
+    val order = (0 until size).sortBy(i => (-sims(i), nids(i)))
+    new GenericArrayData(order.map(i =>
+      new GenericInternalRow(Array[Any](nids(i), sims(i)))).toArray[Any])
+  }
+}
+
+/** graft_topk_pairs(nid, sim, k): per-group exact top-k by (sim desc,
+  * nid asc) as a partial-aggregating bounded heap — per-partition heaps
+  * of size k merge into a final size-k heap per group. This is Spark's
+  * own TakeOrderedAndProject shape applied per group: at 100 TB a
+  * query's N candidates reduce to (#partitions x k) before the shuffle,
+  * where a window row_number() <= k would sort all N in ONE task.
+  */
+case class TopKPairsAgg(nid: Expression, sim: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends aggregate.TypedImperativeAggregate[TopKHeap] {
+  override def children: Seq[Expression] = Seq(nid, sim)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("nid", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  override def update(b: TopKHeap, input: org.apache.spark.sql.catalyst.InternalRow): TopKHeap = {
+    val n = nid.eval(input)
+    val s = sim.eval(input)
+    if (n != null && s != null)
+      b.insert(n.asInstanceOf[Long], s.asInstanceOf[Double])
+    b
+  }
+  override def merge(b: TopKHeap, o: TopKHeap): TopKHeap = { b.absorb(o); b }
+  override def eval(b: TopKHeap): Any = b.toArrayData
+
+  override def serialize(b: TopKHeap): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + 16 * b.size)
+    buf.putInt(b.size)
+    var i = 0
+    while (i < b.size) { buf.putLong(b.nids(i)); buf.putDouble(b.sims(i)); i += 1 }
+    buf.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val h = new TopKHeap(k)
+    var i = 0
+    while (i < n) { h.insert(buf.getLong, buf.getDouble); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): TopKPairsAgg =
+    copy(nid = cs(0), sim = cs(1))
+  override def prettyName: String = "graft_topk_pairs"
+}
+
 /** Registry — the fmgr analogue (reference src/utils/fmgr.rs:44-53 wires 6
   * functions by oid; we wire ours by name into Catalyst's FunctionRegistry
   * so both the Column API (call_function) and plain SQL can use them).
@@ -758,6 +939,21 @@ object GraftFunctions {
     * captures its own expression instance directly (GraftShim.column) —
     * no shared registry name, so two live blooms can never probe each
     * other's sketch. */
+  /** Indices (best first) of the `n` nearest codebook centroids to `v`. */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(NearestCells(shim.expression(v), centroids, n))
+  }
+
+  /** Per-group exact top-k of (nid, sim) pairs by (sim desc, nid asc) as
+    * array<struct<nid,sim>> — bounded-heap partial aggregation, never a
+    * single-task window sort. */
+  def topKPairs(nid: Column, sim: Column, k: Int): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(TopKPairsAgg(shim.expression(nid), shim.expression(sim), k)
+      .toAggregateExpression())
+  }
+
   def bloomContains(spark: SparkSession, c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
     val shim = org.apache.spark.sql.GraftShim

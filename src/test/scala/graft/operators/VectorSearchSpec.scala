@@ -48,6 +48,33 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(ivf.map(_._1) == exact.map(_._1))
   }
 
+  test("top-k plans use partial bounded-heap aggregation, not a window sort") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    for (df <- Seq(VectorSearch.bruteForceTopK(e, q, 10),
+                   VectorSearch.lshTopK(e, q, 10),
+                   VectorSearch.ivfTopK(e, q, 10))) {
+      val p = df.queryExecution.executedPlan.toString
+      // single-task-per-group sort (the round-3 scale-killer) is banned
+      assert(!p.contains("Window"), p.linesIterator.take(12).mkString("\n"))
+      // bounded-heap aggregate runs partial (per-partition) before the
+      // qid exchange: each partition ships <= k pairs per query
+      assert(p.contains("graft_topk_pairs"), "heap aggregate missing")
+      assert(p.contains("ObjectHashAggregate"), "partial agg missing")
+    }
+  }
+
+  test("IVF assignment is a narrow pass: no nested-loop join, no N x cells explosion") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val p = VectorSearch.ivfTopK(e, q, 10).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), "IVF must not nested-loop the codebook")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("graft_nearest_cells"), "native argmin assignment missing")
+  }
+
   test("lshBucket is deterministic across evaluations and tables differ") {
     val e = Engine.table(spark, TestSpark.sf, "embeddings").limit(50)
     def buckets(t: Int) = e.select(col("vec_id"),
