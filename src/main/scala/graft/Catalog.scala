@@ -88,40 +88,53 @@ object Catalog {
     // FunctionRegistry (functions.GraftFunctions.arithProcs) plus the
     // graft kernel surface. prokind 'f', provolatile 'i' (immutable).
     val GF = functions.GraftFunctions
-    // binary proc families: arithmetic, comparison, bitwise, named
-    // (dsqrt/dcbrt are unary but ride in the 4-tuple shape with rOid 0)
-    val binaryProcs = GF.arithProcs ++ GF.cmpProcs ++ GF.bitProcs ++ GF.namedProcs
+    // binary proc families: arithmetic, modulo, comparison, bitwise,
+    // named (dsqrt/dcbrt are unary but ride the 4-tuple with rOid 0)
+    val binaryProcs = GF.arithProcs ++ GF.modProcs ++ GF.cmpProcs ++
+      GF.bitProcs ++ GF.namedProcs
     val kernelProcs = Seq(
       ("graft_fnv64", 1, 20), ("graft_tokens", 1, 0), ("graft_shingles", 2, 0),
       ("graft_minhash", 2, 0), ("graft_simhash", 1, 20),
       ("graft_sig_match", 2, 23), ("graft_bands", 2, 0),
-      ("graft_dot", 2, 701), ("graft_cosine", 2, 701),
-      ("int4in", 1, 23), ("int4out", 1, 1043))
+      ("graft_dot", 2, 701), ("graft_cosine", 2, 701))
     val procRows =
       binaryProcs.zipWithIndex.map { case ((name, _, rOid, res), i) =>
         (20000 + i, name, "f", "i", if (rOid == 0) 1 else 2, res)
-      } ++ GF.unaryProcs.zipWithIndex.map { case ((name, _, res), i) =>
-        (22000 + i, name, "f", "i", 1, res)
-      } ++ kernelProcs.zipWithIndex.map { case ((name, nargs, res), i) =>
-        (23000 + i, name, "f", "i", nargs, res)
+      } ++ (GF.unaryProcs ++ GF.upProcs).zipWithIndex.map {
+        case ((name, _, res), i) => (22000 + i, name, "f", "i", 1, res)
+      } ++ (GF.ioProcs ++ kernelProcs).zipWithIndex.map {
+        case ((name, nargs, res), i) => (23000 + i, name, "f", "i", nargs, res)
       }
     procRows.toDF("oid", "proname", "prokind", "provolatile",
       "pronargs", "prorettype").createOrReplaceTempView("kb_proc")
 
     // operator rows: every binary proc whose family has a PG operator
-    // symbol (arithmetic + comparison + bitwise); unary um/abs map to
-    // prefix '-' / '@' with oprleft = 0 (PG's unary-operator convention)
-    val binOps = (GF.arithProcs ++ GF.cmpProcs ++ GF.bitProcs).flatMap {
-      case (name, l, r, res) =>
+    // symbol (arithmetic + modulo + comparison + bitwise); unary
+    // um/abs/up map to prefix '-' / '@' / '+' with oprleft = 0 (PG's
+    // prefix-operator convention). The special rows complete the
+    // reference's 186-operator bootstrap (initdb/main.rs:464-650):
+    // factorial postfix/prefix, root/power, bytea LIKE and concat.
+    val binOps = (GF.arithProcs ++ GF.modProcs ++ GF.cmpProcs ++ GF.bitProcs)
+      .flatMap { case (name, l, r, res) =>
         GF.opSymbol.get(name.replaceAll("^(int|float|bool|bytea)[0-9]*", ""))
           .map(sym => (sym, l, r, res, name))
-    }
+      }
     val unOps = GF.unaryProcs.map { case (name, a, res) =>
       (if (name.endsWith("um")) "-" else "@", 0, a, res, name)
+    } ++ GF.upProcs.map { case (name, a, res) => ("+", 0, a, res, name)
     } ++ GF.bitProcs.collect { // bitwise not: prefix '~'
       case (name, l, 0, res) => ("~", 0, l, res, name)
     }
-    (binOps ++ unOps).zipWithIndex
+    val specialOps = Seq(
+      ("!", 20, 0, 1700, "numeric_fac"), // postfix factorial (op 388)
+      ("!!", 0, 20, 1700, "numeric_fac"), // prefix factorial (op 389)
+      ("|/", 0, 701, 701, "dsqrt"), // square root (op 596)
+      ("||/", 0, 701, 701, "dcbrt"), // cube root (op 597)
+      ("^", 701, 701, 701, "dpow"), // power (op 965)
+      ("~~", 17, 17, 16, "bytealike"), // LIKE (op 2016)
+      ("!~~", 17, 17, 16, "byteanlike"), // NOT LIKE (op 2017)
+      ("||", 17, 17, 17, "byteacat")) // bytea concat (op 2018)
+    (binOps ++ unOps ++ specialOps).zipWithIndex
       .map { case ((sym, l, r, res, code), i) => (30000 + i, sym, l, r, res, code) }
       .toDF("oid", "oprname", "oprleft", "oprright", "oprresult", "oprcode")
       .createOrReplaceTempView("kb_operator")

@@ -27,6 +27,10 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   Engine.prepare(spark)
   dataDir.foreach(Engine.registerViews(spark, _))
 
+  /** Identity in the process-wide lock table (lmgr's se_lock_info
+    * analogue, reference src/access/lmgr.rs:171-199). */
+  private val sessionId: Long = GraftSession.nextSessionId()
+
   // -- GUCs (reference src/guc/gucdef.yaml; SET/SHOW src/utility.rs:107-149)
   // Where a reference GUC has a real Spark analogue it is LINKED to the
   // Spark conf; the rest are session-local values with reference defaults.
@@ -100,10 +104,10 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
         if (tblock == TInProgress) tag("WARNING: there is already a transaction in progress")
         else { tblock = TInProgress; tag("BEGIN") }
       case reCommit(_) =>
-        val t = tblock; tblock = TDefault; heldLocks.clear()
+        val t = tblock; tblock = TDefault; releaseLocks()
         tag(if (t == TAborted) "ROLLBACK" else "COMMIT")
       case reAbort(_) =>
-        tblock = TDefault; heldLocks.clear(); tag("ROLLBACK")
+        tblock = TDefault; releaseLocks(); tag("ROLLBACK")
       case reSet(name, value) => setGuc(name.toLowerCase, value)
       case reShow(name) => showGuc(name.toLowerCase)
       case reLock(table, mode) => lockTable(table, Option(mode))
@@ -150,8 +154,15 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     if (!lockModes.contains(m))
       throw new IllegalArgumentException(s"unrecognized lock mode: $m")
     spark.table(table) // errors like rv_get_oid if the table doesn't exist
+    // enforce the cross-session conflict matrix (lmgr.rs LOCKCONFLICT)
+    GraftSession.LockManager.acquire(sessionId, table, m)
     heldLocks += ((table, m))
     tag("LOCK TABLE")
+  }
+
+  private def releaseLocks(): Unit = {
+    heldLocks.clear()
+    GraftSession.LockManager.releaseAll(sessionId)
   }
 
   /** CREATE TABLE with the reference's column grammar: int | smallint |
@@ -224,5 +235,62 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private def copyTo(table: String, path: String, opts: String): DataFrame = {
     Copy.to(spark.table(table), path, copyOpts(opts))
     tag("COPY")
+  }
+}
+
+object GraftSession {
+  private val sessionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextSessionId(): Long = sessionCounter.incrementAndGet()
+
+  /** Process-wide lock table enforcing PG's 8x8 table-lock conflict
+    * matrix — the lmgr analogue (reference src/access/lmgr.rs:32-68
+    * LOCKCONFLICT bitmasks; conflict check lmgr.rs:277-373). The
+    * reference queues conflicting requests and waits; here a conflicting
+    * request throws immediately (NOWAIT semantics): an analytics session
+    * holding a lock for a multi-minute Spark job would otherwise block a
+    * peer indefinitely with no deadlock detector. A session's own grants
+    * never conflict with its new requests (re-grant, lmgr.rs:305-312).
+    */
+  private[graft] object LockManager {
+    // mode ordinals follow the reference enum (lmgr.rs:35-46)
+    private val modeIndex: Map[String, Int] = Map(
+      "ACCESS SHARE" -> 1, "ROW SHARE" -> 2, "ROW EXCLUSIVE" -> 3,
+      "SHARE UPDATE EXCLUSIVE" -> 4, "SHARE" -> 5,
+      "SHARE ROW EXCLUSIVE" -> 6, "EXCLUSIVE" -> 7, "ACCESS EXCLUSIVE" -> 8)
+    private def bit(i: Int): Int = 1 << i
+    // LOCKCONFLICT (lmgr.rs:57+): per-mode mask of conflicting modes
+    private val conflictMask: Array[Int] = Array(
+      0,
+      bit(8), // ACCESS SHARE
+      bit(7) | bit(8), // ROW SHARE
+      bit(5) | bit(6) | bit(7) | bit(8), // ROW EXCLUSIVE
+      bit(4) | bit(5) | bit(6) | bit(7) | bit(8), // SHARE UPDATE EXCLUSIVE
+      bit(3) | bit(4) | bit(6) | bit(7) | bit(8), // SHARE
+      bit(3) | bit(4) | bit(5) | bit(6) | bit(7) | bit(8), // SHARE ROW EXCLUSIVE
+      bit(2) | bit(3) | bit(4) | bit(5) | bit(6) | bit(7) | bit(8), // EXCLUSIVE
+      (1 to 8).map(bit).reduce(_ | _)) // ACCESS EXCLUSIVE
+
+    // table -> (sessionId -> mask of granted modes)
+    private val held =
+      scala.collection.mutable.Map[String, scala.collection.mutable.Map[Long, Int]]()
+
+    def acquire(sid: Long, table: String, mode: String): Unit = synchronized {
+      val m = modeIndex(mode)
+      val grants = held.getOrElseUpdate(table, scala.collection.mutable.Map())
+      val others = grants.iterator.collect { case (s, g) if s != sid => g }
+        .foldLeft(0)(_ | _)
+      if ((conflictMask(m) & others) != 0)
+        throw new IllegalStateException(
+          s"could not obtain $mode lock on relation \"$table\": " +
+            "conflicting lock held by another session")
+      grants(sid) = grants.getOrElse(sid, 0) | bit(m)
+    }
+
+    /** Drop every grant of one session (COMMIT/ABORT path —
+      * lmgr.rs release-on-xact-end). */
+    def releaseAll(sid: Long): Unit = synchronized {
+      held.values.foreach(_.remove(sid))
+      held.filterInPlace((_, g) => g.nonEmpty)
+    }
   }
 }

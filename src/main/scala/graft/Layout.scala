@@ -64,22 +64,25 @@ object Layout {
     * table, which is NOT atomic — Spark clears the target's files before
     * the write job commits, so a crash inside that window leaves the
     * target truncated while the staging table holds the only complete
-    * copy. On entry, an existing staging table is therefore RECONCILED,
-    * never blindly dropped: if staging has more rows than the target, the
-    * target was truncated mid-publish and staging is re-published first;
-    * otherwise (staging itself is the partial/equal copy from a crash
-    * mid-staging-write) the target is authoritative and staging is
-    * dropped. Publish-then-drop makes re-running after any crash point
-    * converge on a complete target.
+    * copy. Recovery runs on EXPLICIT publish intent, not inference: the
+    * publish first durably marks the staging table (a table property in
+    * the metastore — the WAL-record analogue of the reference's manifest
+    * publish) and the marker only disappears when staging is dropped
+    * after a completed overwrite. On entry: staging with the marker =>
+    * a publish was in flight => re-publish (idempotent overwrite);
+    * staging without the marker => the crash was mid-staging-write =>
+    * the target is authoritative and staging is dropped. Row-count
+    * comparison is NOT used — it cannot distinguish a truncated target
+    * from one that legitimately shrank after the crash.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, table: String,
       targetFileMB: Int = 128): Unit = {
     val staging = s"${table}__compacted"
     if (spark.catalog.tableExists(staging)) {
-      if (spark.table(staging).count() > spark.table(table).count())
-        publish(spark, staging, table) // target truncated mid-publish
+      if (hasPublishIntent(spark, staging))
+        publish(spark, staging, table) // publish was in flight: finish it
       else
-        spark.sql(s"DROP TABLE $staging") // target authoritative
+        spark.sql(s"DROP TABLE $staging") // crash pre-publish: target authoritative
     }
     val df = spark.table(table)
     val bytes = spark.sessionState.catalog
@@ -92,11 +95,24 @@ object Layout {
     publish(spark, staging, table)
   }
 
-  /** INSERT OVERWRITE `target` from `staging`, then drop `staging` —
-    * staging's data outlives the publish so a crash at any point is
-    * recoverable by compact()'s entry reconciliation. */
+  /** Marker recorded in the metastore BEFORE the destructive overwrite
+    * begins; cleared only by dropping staging after it completes. */
+  private val PublishIntentProp = "graft.publish_intent"
+
+  private def hasPublishIntent(spark: org.apache.spark.sql.SparkSession,
+      staging: String): Boolean =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(staging))
+      .properties.contains(PublishIntentProp)
+
+  /** Durably record intent, INSERT OVERWRITE `target` from `staging`,
+    * then drop `staging` (which clears the intent) — staging's data
+    * outlives the publish so a crash at any point is recoverable by
+    * compact()'s entry reconciliation, and re-publish is idempotent. */
   private def publish(spark: org.apache.spark.sql.SparkSession,
       staging: String, target: String): Unit = {
+    spark.sql(
+      s"ALTER TABLE $staging SET TBLPROPERTIES('$PublishIntentProp' = '$target')")
     spark.table(staging).write.mode(SaveMode.Overwrite).insertInto(target)
     spark.sql(s"DROP TABLE $staging")
   }
@@ -134,7 +150,11 @@ object Layout {
           else c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
         }.toMap
       }
-    val top = (1L << math.min(bits, 63 / zCols.size)) - 1
+    // bits capped at 31: the bucket is materialized as int for the
+    // interleave kernel, and 2^31+ buckets would wrap the cast negative
+    // (scrambling the Morton order); 31 bits/column already far exceeds
+    // any useful stats-pruning granularity
+    val top = (1L << math.min(math.min(bits, 31), 63 / zCols.size)) - 1
     val buckets = zCols.map { c =>
       val (mn, mx) = bounds(c)
       val span = if (mx > mn) mx - mn else 1.0

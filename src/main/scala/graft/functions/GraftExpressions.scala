@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -348,6 +349,18 @@ case class InterleaveBits(children: Seq[Expression])
   private val bitsPerCol = 63 / children.size
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
+  // integral-only contract (buckets): a string/decimal argument must be
+  // an ANALYSIS error, not an executor-time ClassCastException from the
+  // Number cast below (Spark's Decimal is not a java.lang.Number)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.zipWithIndex.collect {
+      case (c, i) if !Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(c.dataType) => s"arg $i: ${c.dataType.simpleString}"
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires integral bucket arguments, got ${bad.mkString(", ")}")
+  }
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     var out = 0L
     var c = 0
@@ -756,7 +769,7 @@ object GraftFunctions {
       yield (if (dl == dr) s"int$dl$op" else s"int$dl$dr$op", ol, or, 16)
     val floatRows = for { (dl, ol) <- floats; (dr, or) <- floats; op <- ops }
       yield (if (dl == dr) s"float$dl$op" else s"float$dl$dr$op", ol, or, 16)
-    val boolBytea = Seq(("booleq", 16, 16, 16)) ++
+    val boolBytea = ops.map(op => (s"bool$op", 16, 16, 16)) ++
       ops.map(op => (s"bytea$op", 17, 17, 16))
     intRows ++ floatRows ++ boolBytea
   }
@@ -785,10 +798,41 @@ object GraftFunctions {
     ("dsqrt", 701, 0, 701), ("dcbrt", 701, 0, 701),
     ("dpow", 701, 701, 701), ("byteacat", 17, 17, 17))
 
+  /** Same-width modulo procs (initdb proc rows int2mod/int4mod/int8mod;
+    * '%' operator rows 439/529/530). PG semantics: truncating remainder
+    * with the sign of the dividend — identical to Spark's Remainder. */
+  val modProcs: Seq[(String, Int, Int, Int)] = Seq(
+    ("int2mod", 21, 21, 21), ("int4mod", 23, 23, 23), ("int8mod", 20, 20, 20))
+
+  /** Unary plus (identity) procs (initdb rows 1910-1914; prefix '+'
+    * operator rows 1916-1920). (name, argOid, resultOid) */
+  val upProcs: Seq[(String, Int, Int)] = Seq(
+    ("int2up", 21, 21), ("int4up", 23, 23), ("int8up", 20, 20),
+    ("float4up", 700, 700), ("float8up", 701, 701))
+
+  /** Type text-I/O + typmod + misc procs completing the reference's
+    * 203-proc bootstrap envelope (initdb/main.rs:691-894): typinput/
+    * typoutput per bootstrapped type, varchar typmod in/out, factorial
+    * (numeric_fac, result oid 1700 matching the reference row even
+    * though numeric is not itself bootstrapped), bytea LIKE.
+    * (name, nargs, resultOid) */
+  val ioProcs: Seq[(String, Int, Int)] = Seq(
+    ("boolin", 1, 16), ("boolout", 1, 1043),
+    ("byteain", 1, 17), ("byteaout", 1, 1043),
+    ("int2in", 1, 21), ("int2out", 1, 1043),
+    ("int4in", 1, 23), ("int4out", 1, 1043),
+    ("int8in", 1, 20), ("int8out", 1, 1043),
+    ("float4in", 1, 700), ("float4out", 1, 1043),
+    ("float8in", 1, 701), ("float8out", 1, 1043),
+    ("varcharin", 3, 1043), ("varcharout", 1, 1043),
+    ("varchartypmodin", 1, 23), ("varchartypmodout", 1, 1043),
+    ("numeric_fac", 1, 1700),
+    ("bytealike", 2, 16), ("byteanlike", 2, 16))
+
   /** The operator symbol each proc family implements (kb_operator.oprname
     * -> oprcode mapping, reference initdb/main.rs:464-650). */
   val opSymbol: Map[String, String] = Map(
-    "pl" -> "+", "mi" -> "-", "mul" -> "*", "div" -> "/",
+    "pl" -> "+", "mi" -> "-", "mul" -> "*", "div" -> "/", "mod" -> "%",
     "eq" -> "=", "ne" -> "<>", "lt" -> "<", "gt" -> ">",
     "le" -> "<=", "ge" -> ">=",
     "and" -> "&", "or" -> "|", "xor" -> "#", "shl" -> "<<", "shr" -> ">>")
@@ -893,10 +937,57 @@ object GraftFunctions {
       es => Pow(Cast(es(0), DoubleType), Cast(es(1), DoubleType)), "built-in")
     reg.createOrReplaceTempFunction("byteacat",
       es => Concat(Seq(Cast(es(0), BinaryType), Cast(es(1), BinaryType))), "built-in")
-    reg.createOrReplaceTempFunction("int4in",
-      es => Cast(es.head, IntegerType), "built-in")
-    reg.createOrReplaceTempFunction("int4out",
-      es => Cast(Cast(es.head, IntegerType), StringType), "built-in")
+    // % — PG mod truncates with the dividend's sign, same as Remainder
+    modProcs.foreach { case (name, lOid, _, _) =>
+      val t = oidToType(lOid)
+      reg.createOrReplaceTempFunction(name,
+        es => Cast(Remainder(Cast(es(0), t), Cast(es(1), t)), t), "built-in")
+    }
+    // unary + — identity at the declared type
+    upProcs.foreach { case (name, argOid, _) =>
+      val t = oidToType(argOid)
+      reg.createOrReplaceTempFunction(name, es => Cast(es.head, t), "built-in")
+    }
+    // typinput/typoutput surface: text form <-> value, PG conventions
+    // (bool t/f, bytea \x hex, varchar typmod = n + 4 header bytes)
+    val castIn: Seq[(String, DataType)] = Seq(
+      ("int2in", ShortType), ("int4in", IntegerType), ("int8in", LongType),
+      ("float4in", FloatType), ("float8in", DoubleType),
+      ("boolin", BooleanType), ("varcharin", StringType))
+    castIn.foreach { case (name, t) =>
+      reg.createOrReplaceTempFunction(name, es => Cast(es.head, t), "built-in")
+    }
+    val castOut: Seq[(String, DataType)] = Seq(
+      ("int2out", ShortType), ("int4out", IntegerType), ("int8out", LongType),
+      ("float4out", FloatType), ("float8out", DoubleType),
+      ("varcharout", StringType))
+    castOut.foreach { case (name, t) =>
+      reg.createOrReplaceTempFunction(name,
+        es => Cast(Cast(es.head, t), StringType), "built-in")
+    }
+    reg.createOrReplaceTempFunction("boolout",
+      es => If(Cast(es.head, BooleanType), Literal("t"), Literal("f")), "built-in")
+    reg.createOrReplaceTempFunction("byteain", es => {
+      val s = Cast(es.head, StringType)
+      If(StartsWith(s, Literal("\\x")),
+        Unhex(Substring(s, Literal(3), Literal(Int.MaxValue))),
+        Cast(s, BinaryType)) // PG escape-format fallback: raw utf8 bytes
+    }, "built-in")
+    reg.createOrReplaceTempFunction("byteaout",
+      es => Concat(Seq(Literal("\\x"),
+        Lower(Hex(Cast(es.head, BinaryType))))), "built-in")
+    reg.createOrReplaceTempFunction("varchartypmodin", // '(n)' -> n + VARHDRSZ
+      es => Add(Cast(es.head, IntegerType), Literal(4)), "built-in")
+    reg.createOrReplaceTempFunction("varchartypmodout", // typmod -> '(n)'
+      es => Concat(Seq(Literal("("),
+        Cast(Subtract(Cast(es.head, IntegerType), Literal(4)), StringType),
+        Literal(")"))), "built-in")
+    reg.createOrReplaceTempFunction("numeric_fac",
+      es => Factorial(Cast(es.head, IntegerType)), "built-in")
+    reg.createOrReplaceTempFunction("bytealike",
+      es => Like(Cast(es(0), StringType), Cast(es(1), StringType), '\\'), "built-in")
+    reg.createOrReplaceTempFunction("byteanlike",
+      es => Not(Like(Cast(es(0), StringType), Cast(es(1), StringType), '\\')), "built-in")
   }
 
   /** Wider of the two operand types encoded in a mixed-width proc name

@@ -337,17 +337,35 @@ object Dedup {
     * memory) against wasted join traffic.
     */
   def bloomMembershipDedup(batch: DataFrame, corpus: DataFrame,
-      textCol: String = "text", fpp: Double = 0.03): DataFrame = {
+      textCol: String = "text", fpp: Double = 0.03,
+      maxBloomItems: Long = 100000000L): DataFrame = {
     val spark = batch.sparkSession
     val fpCol = md5(col(textCol).cast(BinaryType))
     val corpusFp = corpus.select(fpCol.as("fp"))
-    val expected = math.max(corpusFp.count(), 1L)
-    val bloom = corpusFp.stat.bloomFilter("fp", expected, fpp)
     val b = batch.withColumn("fp", fpCol)
-    val probe = GF.bloomContains(spark, col("fp"), bloom)
-    val definiteKeep = b.filter(!probe)
-    val verified = b.filter(probe).join(corpusFp, Seq("fp"), "left_anti")
-    definiteKeep.unionByName(verified).drop("fp")
+    // Size the bloom WITHOUT a dedicated counting scan (round-3 finding:
+    // corpusFp.count() cost one extra full pass): use the plan's
+    // statistics — parquet row-count when the plan exposes it, else a
+    // bytes-based overestimate. Sizing only shifts the REALIZED fpp;
+    // correctness never depends on it (the anti join verifies every
+    // positive probe).
+    val stats = corpusFp.queryExecution.optimizedPlan.stats
+    val expected = stats.rowCount.map(_.toLong)
+      .getOrElse(math.max(stats.sizeInBytes.toLong / 64L, 1L))
+    if (expected > maxBloomItems) {
+      // Ceiling: beyond ~1e8 items the driver-aggregated bloom is the
+      // new bottleneck (~1.1 GB/1e9 items at 3% fpp -> driver OOM at a
+      // 10^12-doc corpus). The operator degrades to the plain exact
+      // anti join — same result, no sketch. A partitioned bloom build
+      // would be the next step if the prefilter is still wanted there.
+      b.join(corpusFp, Seq("fp"), "left_anti").drop("fp")
+    } else {
+      val bloom = corpusFp.stat.bloomFilter("fp", math.max(expected, 1L), fpp)
+      val probe = GF.bloomContains(spark, col("fp"), bloom)
+      val definiteKeep = b.filter(!probe)
+      val verified = b.filter(probe).join(corpusFp, Seq("fp"), "left_anti")
+      definiteKeep.unionByName(verified).drop("fp")
+    }
   }
 
   /** Eval-set decontamination: drop every training document sharing at

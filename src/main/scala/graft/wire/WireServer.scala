@@ -1,0 +1,238 @@
+package graft.wire
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Catalog, GraftSession}
+
+/** PostgreSQL v3 wire-protocol front-end over [[GraftSession]] — the
+  * reference's remote entry point re-expressed for the Spark engine
+  * (protocol: reference src/protocol.rs:1-497; session loop
+  * src/lib.rs:289-375 `do_postgres_main`; thread-per-connection accept
+  * src/bin/kuiba/main.rs:50-57).
+  *
+  * Supported surface (the reference's own subset): startup handshake
+  * (SSLRequest -> 'N', CancelRequest recognized, StartupMessage with
+  * required `user` param) -> AuthenticationOk -> ParameterStatus report
+  * -> BackendKeyData -> ReadyForQuery loop handling simple Query ('Q')
+  * and Terminate ('X'). Results render in text format via the engine's
+  * PG output conventions (bool t/f, bytea \x hex — PgFunctions
+  * renderers) with type oids from the kb_type bootstrap
+  * (Catalog.typeOid).
+  *
+  * Scale note: the wire server is a control-plane veneer — each Query
+  * executes as a normal distributed Spark job; only the (client-bound)
+  * result rows flow through the socket. `maxRows` caps the collect so a
+  * SELECT over a 100 TB table cannot OOM the driver serving the socket.
+  */
+class WireServer(spark: SparkSession, dataDir: Option[String] = None,
+    port: Int = 0, maxRows: Int = 100000) {
+
+  private val server = new ServerSocket(port)
+  @volatile private var running = true
+  private val sessionCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The actual bound port (ephemeral when constructed with 0). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptThread = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val sid = sessionCounter.incrementAndGet()
+        val t = new Thread(() => handleConnection(sock, sid),
+          s"graft-wire-conn-$sid")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => // closed during accept -> exit loop
+        case _: Exception if !running =>
+      }
+    }
+  }, "graft-wire-accept")
+  acceptThread.setDaemon(true)
+
+  def start(): WireServer = { acceptThread.start(); this }
+
+  def close(): Unit = {
+    running = false
+    server.close()
+  }
+
+  // ---------------------------------------------------------------- wire io
+
+  private final val ProtoV3 = 196608 // 3.0
+  private final val SslRequestCode = 80877103
+  private final val CancelRequestCode = 80877102
+
+  private def cstr(s: String): Array[Byte] = {
+    val b = s.getBytes(UTF_8)
+    java.util.Arrays.copyOf(b, b.length + 1) // trailing NUL
+  }
+
+  /** Typed message: tag byte + int32(len incl itself) + body. */
+  private def send(out: DataOutputStream, tag: Char, body: Array[Byte]*): Unit = {
+    out.writeByte(tag)
+    out.writeInt(4 + body.map(_.length).sum)
+    body.foreach(out.write)
+  }
+
+  private def i32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def i16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def readBody(in: DataInputStream): Array[Byte] = {
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    body
+  }
+
+  private def readCstr(b: Array[Byte], pos: Int): (String, Int) = {
+    val end = b.indexOf(0: Byte, pos)
+    (new String(b, pos, end - pos, UTF_8), end + 1)
+  }
+
+  // ------------------------------------------------------------- handshake
+
+  private def handleConnection(sock: Socket, sid: Int): Unit = {
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+      var body = readBody(in)
+      var code = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+        ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+      if (code == CancelRequestCode) { sock.close(); return }
+      if (code == SslRequestCode) { // NOSSL, then the real startup (lib.rs:304-309)
+        out.writeByte('N'); out.flush()
+        body = readBody(in)
+        code = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+          ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+      }
+      if (code != ProtoV3)
+        throw new IllegalArgumentException(s"unsupported protocol version $code")
+      // startup params: cstr pairs until empty name (protocol.rs:133-156)
+      val params = scala.collection.mutable.Map[String, String]()
+      var pos = 4
+      var done = false
+      while (!done) {
+        val (name, p1) = readCstr(body, pos)
+        if (name.isEmpty) done = true
+        else { val (value, p2) = readCstr(body, p1); params(name) = value; pos = p2 }
+      }
+      if (!params.contains("user"))
+        throw new IllegalArgumentException("StartupMessage: no user key")
+
+      val sess = new GraftSession(spark, dataDir)
+      // AuthenticationOk (trust auth, like the reference)
+      send(out, 'R', i32(0))
+      // ParameterStatus report (report_all_gucs analogue)
+      for ((k, v) <- Seq("server_version" -> "14.0 (graft)",
+        "client_encoding" -> "UTF8", "server_encoding" -> "UTF8",
+        "integer_datetimes" -> "on"))
+        send(out, 'S', cstr(k), cstr(v))
+      // BackendKeyData: session id + cancel key
+      send(out, 'K', i32(sid), i32(sid * 2654435761L.toInt))
+
+      queryLoop(in, out, sess)
+    } catch {
+      case _: EOFException | _: SocketException => // client went away
+      case _: Exception if !running =>
+    } finally {
+      try sock.close() catch { case _: Exception => }
+    }
+  }
+
+  // ------------------------------------------------------------ query loop
+
+  private def txStatus(sess: GraftSession): Byte = sess.transactionState match {
+    case "in_transaction" => 'T'
+    case "failed_transaction" => 'E'
+    case _ => 'I'
+  }
+
+  private def queryLoop(in: DataInputStream, out: DataOutputStream,
+      sess: GraftSession): Unit = {
+    var alive = true
+    while (alive && running) {
+      send(out, 'Z', Array(txStatus(sess)))
+      out.flush()
+      val msgType = in.read()
+      if (msgType == -1 || msgType == 'X') { alive = false }
+      else {
+        val body = readBody(in)
+        if (msgType != 'Q') {
+          sendError(out, "08P01", s"unexpected message type ${msgType.toChar}")
+        } else {
+          val (query, _) = readCstr(body, 0)
+          try {
+            val df = sess.execute(query)
+            writeResult(out, df)
+          } catch {
+            case e: Exception =>
+              sendError(out, "XX000",
+                Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          }
+        }
+      }
+    }
+  }
+
+  private def sendError(out: DataOutputStream, sqlstate: String, msg: String): Unit = {
+    // ErrorResponse field list S/C/M + NUL terminator (protocol.rs:199-230)
+    send(out, 'E',
+      Array('S'.toByte) ++ cstr("ERROR"),
+      Array('C'.toByte) ++ cstr(sqlstate),
+      Array('M'.toByte) ++ cstr(msg),
+      Array(0.toByte))
+  }
+
+  /** Utility tags (GraftSession's single command_status column) become a
+    * bare CommandComplete; everything else streams RowDescription +
+    * DataRows in text format + "SELECT n". */
+  private def writeResult(out: DataOutputStream, df: DataFrame): Unit = {
+    val schema = df.schema
+    if (schema.length == 1 && schema.head.name == "command_status") {
+      val tagValue = df.head.getString(0)
+      send(out, 'C', cstr(tagValue))
+      return
+    }
+    // RowDescription: name, table oid 0, attnum 0, type oid, typlen,
+    // typmod -1, format 0 (text)
+    val fields = schema.fields
+    send(out, 'T', (i16(fields.length) +: fields.map { f =>
+      cstr(f.name) ++ i32(0) ++ i16(0) ++ i32(Catalog.typeOid(f.dataType)) ++
+        i16(Catalog.typeLen(f.dataType)) ++ i32(-1) ++ i16(0)
+    }).reduce(_ ++ _))
+    // text rendering via the engine's PG output conventions
+    // (PgFunctions.pgBoolOut / \x-hex bytea; everything else casts)
+    val rendered = df.select(fields.map { f =>
+      val c = col(s"`${f.name}`")
+      (f.dataType match {
+        case BooleanType => when(c, lit("t")).otherwise(lit("f"))
+        case BinaryType => concat(lit("\\x"), lower(hex(c)))
+        case _ => c.cast(StringType)
+      }).as(f.name)
+    }.toIndexedSeq: _*)
+    val rows = rendered.limit(maxRows).collect()
+    rows.foreach { row =>
+      val cols = (0 until fields.length).map { i =>
+        if (row.isNullAt(i)) i32(-1)
+        else {
+          val b = row.getString(i).getBytes(UTF_8)
+          i32(b.length) ++ b
+        }
+      }
+      send(out, 'D', (i16(fields.length) +: cols).reduce(_ ++ _))
+    }
+    send(out, 'C', cstr(s"SELECT ${rows.length}"))
+  }
+}

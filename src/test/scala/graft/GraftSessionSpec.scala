@@ -39,6 +39,34 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(sess.execute("ROLLBACK").head.getString(0) == "ROLLBACK")
   }
 
+  test("cross-session lock conflicts follow the lmgr matrix (lmgr.rs:105-160)") {
+    val a = new GraftSession(spark, Some(TestSpark.sf))
+    val b = new GraftSession(spark, Some(TestSpark.sf))
+    a.execute("BEGIN"); b.execute("BEGIN")
+    try {
+      // SHARE + SHARE: self-compatible — both sessions may hold it
+      a.execute("LOCK TABLE nation IN SHARE MODE")
+      b.execute("LOCK TABLE nation IN SHARE MODE")
+      // SHARE + EXCLUSIVE: conflicting — second session is refused
+      intercept[IllegalStateException](
+        b.execute("LOCK TABLE nation IN EXCLUSIVE MODE"))
+      // a session's own grants never conflict with its new requests
+      a.execute("LOCK TABLE region IN ACCESS EXCLUSIVE MODE")
+      a.execute("LOCK TABLE region IN ACCESS SHARE MODE")
+      // but another session is shut out of an ACCESS EXCLUSIVE'd table
+      intercept[IllegalStateException](
+        b.execute("LOCK TABLE region IN ACCESS SHARE MODE"))
+    } finally { a.execute("COMMIT") }
+    // released on COMMIT: b can now take the previously conflicting lock
+    b.execute("LOCK TABLE region IN EXCLUSIVE MODE")
+    b.execute("ABORT")
+    // and ABORT released b's grants too
+    val c = new GraftSession(spark, Some(TestSpark.sf))
+    c.execute("BEGIN")
+    c.execute("LOCK TABLE region IN ACCESS EXCLUSIVE MODE")
+    c.execute("COMMIT")
+  }
+
   test("LOCK requires a transaction block and a valid mode (lockcmds.rs:18-24)") {
     intercept[IllegalStateException](sess.execute("LOCK TABLE lineitem"))
     sess.execute("BEGIN")
@@ -160,6 +188,27 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("overflow"))
   }
 
+  test("documented divergence: txn-block reads see external writes (no MVCC snapshot)") {
+    // The reference gives statements in a BEGIN block a consistent
+    // snapshot (src/access/xact.rs:77-99, csmvcc.rs). Graft's documented
+    // divergence (SURVEY §7.3): Spark has no multi-statement snapshot;
+    // each statement reads CURRENT table state, while every individual
+    // write stays atomic via the parquet commit protocol. This spec
+    // pins the divergence as intended behavior, not a regression.
+    spark.sql("DROP TABLE IF EXISTS mvcc_probe_t")
+    sess.execute("CREATE TABLE mvcc_probe_t (a int)")
+    sess.execute("BEGIN")
+    try {
+      assert(sess.execute("SELECT COUNT(*) AS n FROM mvcc_probe_t").head.getLong(0) == 0)
+      spark.sql("INSERT INTO mvcc_probe_t VALUES (1)") // another writer, mid-block
+      // reference under snapshot isolation: still 0; graft: sees the write
+      assert(sess.execute("SELECT COUNT(*) AS n FROM mvcc_probe_t").head.getLong(0) == 1)
+    } finally {
+      sess.execute("COMMIT")
+      spark.sql("DROP TABLE IF EXISTS mvcc_probe_t")
+    }
+  }
+
   test("kb_proc and kb_operator expose the declared surface") {
     Catalog.registerKbViews(spark)
     // every operator row resolves to a registered proc by name (the
@@ -169,8 +218,27 @@ class GraftSessionSpec extends AnyFunSuite {
          LEFT JOIN kb_proc p ON o.oprcode = p.proname
          WHERE p.proname IS NULL""").count()
     assert(dangling == 0)
-    // arithmetic (52) + comparison (85) + bitwise (18) + unary (10)
-    assert(spark.sql("SELECT COUNT(*) FROM kb_operator").head.getLong(0) == 165)
+    // the FULL reference bootstrap envelope (initdb/main.rs:464-650):
+    // 186 operator rows, and all 203 reference procs present (kb_proc
+    // additionally carries the graft kernel procs, prefixed graft_)
+    assert(spark.sql("SELECT COUNT(*) FROM kb_operator").head.getLong(0) == 186)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM kb_proc WHERE proname NOT LIKE 'graft%'")
+      .head.getLong(0) == 203)
+    // the round-3 gap rows exist and execute: |/ ||/ ^ ! !! ~~ !~~ % +(unary)
+    for (sym <- Seq("|/", "||/", "^", "!", "!!", "~~", "!~~", "%", "||"))
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM kb_operator WHERE oprname = '${sym.replace("'", "''")}'")
+        .head.getLong(0) >= 1, s"missing operator $sym")
+    assert(spark.sql("SELECT int4mod(7, 3)").head.getInt(0) == 1)
+    assert(spark.sql("SELECT int4up(-7)").head.getInt(0) == -7)
+    assert(spark.sql("SELECT numeric_fac(5)").head.getLong(0) == 120L)
+    assert(spark.sql("SELECT boolout(true)").head.getString(0) == "t")
+    assert(spark.sql("SELECT byteaout(byteain('\\\\x6162'))").head.getString(0) == "\\x6162")
+    assert(spark.sql("SELECT bytealike(CAST('abc' AS BINARY), CAST('a%' AS BINARY))")
+      .head.getBoolean(0))
+    assert(spark.sql("SELECT varchartypmodout(varchartypmodin('10'))")
+      .head.getString(0) == "(10)")
     // comparison and bitwise families present with PG symbols
     assert(spark.sql(
       "SELECT oprcode FROM kb_operator WHERE oprname = '<=' AND oprleft = 23 AND oprright = 20")

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality linter over EVERY driver query entry: at 100 TB a
+  * nested-loop or cartesian join is almost always an accident that
+  * multiplies row counts (the round-3 verdict found one hiding inside
+  * the IVF assignment). Any new entry that plans one fails here unless
+  * it is explicitly allowlisted with a scale justification.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Intentionally nested-loop entries, each with a documented scale
+    * story:
+    *  - d06_embedding_neardup: the exact all-pairs oracle twin of d07's
+    *    LSH path (declared-quadratic, VectorSearch.cosineNearDupPairs);
+    *  - s01_ann_bruteforce: the exact baseline; the nested-loop side is
+    *    the BROADCAST query set (|Q| << corpus), so cost stays linear
+    *    in the corpus and the top-k reduction is partial-aggregated.
+    */
+  private val allowNestedLoop = Set("d06_embedding_neardup", "s01_ann_bruteforce")
+
+  test("no query plans an unapproved nested-loop or cartesian join") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      if (!allowNestedLoop(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans BroadcastNestedLoopJoin — allowlist only with a scale justification")
+      assert(!p.contains("CartesianProduct"), s"$name plans CartesianProduct")
+    }
+  }
+}

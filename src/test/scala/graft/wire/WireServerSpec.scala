@@ -1,0 +1,150 @@
+package graft.wire
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Drives the v3 wire front-end through a REAL TCP round-trip with a
+  * hand-rolled client: startup -> AuthenticationOk -> ParameterStatus ->
+  * BackendKeyData -> ReadyForQuery, then simple queries (SELECT / SET /
+  * BEGIN / error handling / utility tags) — the reference's
+  * do_postgres_main loop surface (src/lib.rs:289-375). */
+class WireServerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Minimal v3 client for the spec. */
+  final class Client(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new DataInputStream(sock.getInputStream)
+    private val out = new DataOutputStream(sock.getOutputStream)
+
+    def startup(user: String = "graft"): Unit = {
+      val body = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      d.writeInt(196608) // protocol 3.0
+      d.write("user".getBytes(UTF_8)); d.write(0)
+      d.write(user.getBytes(UTF_8)); d.write(0)
+      d.write(0) // param list terminator
+      out.writeInt(4 + body.size())
+      body.writeTo(out)
+      out.flush()
+    }
+
+    /** (tag, body) of the next backend message. */
+    def read(): (Char, Array[Byte]) = {
+      val tag = in.read().toChar
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      (tag, body)
+    }
+
+    /** Read messages until ReadyForQuery; returns (messages, txStatus). */
+    def drain(): (Seq[(Char, Array[Byte])], Char) = {
+      val msgs = scala.collection.mutable.ArrayBuffer[(Char, Array[Byte])]()
+      var status = ' '
+      while (status == ' ') {
+        val (tag, body) = read()
+        if (tag == 'Z') status = body(0).toChar else msgs += ((tag, body))
+      }
+      (msgs.toSeq, status)
+    }
+
+    def query(q: String): Unit = {
+      val qb = q.getBytes(UTF_8)
+      out.writeByte('Q'); out.writeInt(4 + qb.length + 1)
+      out.write(qb); out.write(0); out.flush()
+    }
+
+    def terminate(): Unit = {
+      out.writeByte('X'); out.writeInt(4); out.flush(); sock.close()
+    }
+
+    /** Text values of all DataRow messages in `msgs`. */
+    def dataRows(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[String]] =
+      msgs.collect { case ('D', b) =>
+        val n = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+        var pos = 2
+        (0 until n).map { _ =>
+          val len = ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+            ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+          pos += 4
+          if (len == -1) null
+          else { val s = new String(b, pos, len, UTF_8); pos += len; s }
+        }
+      }
+
+    def cstrAt(b: Array[Byte], pos: Int): String =
+      new String(b, pos, b.indexOf(0: Byte, pos) - pos, UTF_8)
+  }
+
+  test("startup handshake then SELECT round-trips rows over TCP") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup()
+      val (hello, status) = c.drain()
+      assert(status == 'I')
+      assert(hello.head._1 == 'R' && hello.head._2.forall(_ == 0)) // AuthenticationOk
+      assert(hello.exists(_._1 == 'S')) // ParameterStatus
+      assert(hello.exists(_._1 == 'K')) // BackendKeyData
+
+      c.query("SELECT 1 + 2 AS three, 'x' AS s")
+      val (msgs, _) = c.drain()
+      val rowDesc = msgs.find(_._1 == 'T').get._2
+      assert(c.cstrAt(rowDesc, 2) == "three") // first field name after int16 count
+      assert(c.dataRows(msgs) == Seq(Seq("3", "x")))
+      assert(msgs.exists { case (t, b) => t == 'C' && c.cstrAt(b, 0) == "SELECT 1" })
+      c.terminate()
+    } finally srv.close()
+  }
+
+  test("SET/SHOW/BEGIN drive utility tags and transaction status bytes") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+
+      c.query("SET batch_size = 4096")
+      val (setMsgs, st1) = c.drain()
+      assert(setMsgs.exists { case (t, b) => t == 'C' && c.cstrAt(b, 0) == "SET" })
+      assert(st1 == 'I')
+
+      c.query("SHOW batch_size")
+      val (showMsgs, _) = c.drain()
+      assert(c.dataRows(showMsgs) == Seq(Seq("batch_size", "4096")))
+
+      c.query("BEGIN")
+      val (_, st2) = c.drain()
+      assert(st2 == 'T') // in transaction block
+
+      c.query("SELECT broken syntax here !!!")
+      val (errMsgs, st3) = c.drain()
+      assert(errMsgs.exists(_._1 == 'E'))
+      // the error aborted neither protocol nor session, but PG keeps the
+      // block usable until an explicit ABORT in our state machine
+      c.query("COMMIT")
+      val (_, st4) = c.drain()
+      assert(st4 == 'I')
+      assert(st3 == 'T' || st3 == 'E')
+      c.terminate()
+    } finally srv.close()
+  }
+
+  test("real table query flows through the engine and renders text rows") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+      c.query("SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 2")
+      val (msgs, _) = c.drain()
+      assert(c.dataRows(msgs).length == 2)
+      assert(c.dataRows(msgs).forall(_.head.nonEmpty))
+      c.terminate()
+    } finally srv.close()
+  }
+}
