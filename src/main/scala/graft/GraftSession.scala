@@ -146,6 +146,20 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
       s"unrecognized configuration parameter \"$n\"")
   }
 
+  /** Resolve an unqualified relation name through search_path order —
+    * the rv_get_oid path (reference src/catalog/namespace.rs:29-70):
+    * the session's temp/view namespace shadows everything (PG's
+    * implicit temp schema), then the first search_path namespace where
+    * the name exists wins. Qualified names pass through untouched. */
+  private[graft] def resolveRelation(name: String): String = {
+    if (name.contains(".")) return name
+    if (spark.catalog.tableExists(name)) return name
+    localGucs("search_path").split(",").map(_.trim).filter(_.nonEmpty)
+      .collectFirst {
+        case ns if spark.catalog.tableExists(s"$ns.$name") => s"$ns.$name"
+      }.getOrElse(name)
+  }
+
   private def lockTable(table: String, mode: Option[String]): DataFrame = {
     // requires a transaction block (src/commands/lockcmds.rs:18-24)
     if (tblock != TInProgress)
@@ -153,10 +167,11 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     val m = mode.map(_.toUpperCase.replaceAll("\\s+", " ")).getOrElse("ACCESS EXCLUSIVE")
     if (!lockModes.contains(m))
       throw new IllegalArgumentException(s"unrecognized lock mode: $m")
-    spark.table(table) // errors like rv_get_oid if the table doesn't exist
+    val rel = resolveRelation(table)
+    spark.table(rel) // errors like rv_get_oid if the table doesn't exist
     // enforce the cross-session conflict matrix (lmgr.rs LOCKCONFLICT)
-    GraftSession.LockManager.acquire(sessionId, table, m)
-    heldLocks += ((table, m))
+    GraftSession.LockManager.acquire(sessionId, rel, m)
+    heldLocks += ((rel, m))
     tag("LOCK TABLE")
   }
 
@@ -226,14 +241,15 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   }
 
   private def copyFrom(table: String, path: String, opts: String): DataFrame = {
-    val schema = spark.table(table).schema
+    val rel = resolveRelation(table)
+    val schema = spark.table(rel).schema
     Copy.from(spark, path, schema, copyOpts(opts))
-      .write.mode("append").insertInto(table)
+      .write.mode("append").insertInto(rel)
     tag(s"COPY")
   }
 
   private def copyTo(table: String, path: String, opts: String): DataFrame = {
-    Copy.to(spark.table(table), path, copyOpts(opts))
+    Copy.to(spark.table(resolveRelation(table)), path, copyOpts(opts))
     tag("COPY")
   }
 }

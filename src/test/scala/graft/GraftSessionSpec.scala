@@ -67,6 +67,27 @@ class GraftSessionSpec extends AnyFunSuite {
     c.execute("COMMIT")
   }
 
+  test("search_path resolves unqualified relations in namespace order (namespace.rs:29-70)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS public")
+    spark.sql("DROP TABLE IF EXISTS public.sp_probe_t")
+    spark.sql("CREATE TABLE public.sp_probe_t (a int) USING parquet")
+    try {
+      val s = new GraftSession(spark, Some(TestSpark.sf))
+      // default search_path = kb_catalog,public (gucdef.yaml:80):
+      // kb_catalog has no such table -> falls through to public
+      s.execute("BEGIN")
+      assert(s.execute("LOCK TABLE sp_probe_t IN ACCESS SHARE MODE")
+        .head.getString(0) == "LOCK TABLE")
+      assert(s.locks.contains(("public.sp_probe_t", "ACCESS SHARE")))
+      s.execute("COMMIT")
+      // temp views shadow search_path namespaces (PG's implicit temp ns)
+      assert(s.resolveRelation("lineitem") == "lineitem")
+      // an unqualified miss everywhere passes through (error surfaces
+      // at spark.table, matching rv_get_oid's failure point)
+      assert(s.resolveRelation("no_such_rel_anywhere") == "no_such_rel_anywhere")
+    } finally spark.sql("DROP TABLE IF EXISTS public.sp_probe_t")
+  }
+
   test("LOCK requires a transaction block and a valid mode (lockcmds.rs:18-24)") {
     intercept[IllegalStateException](sess.execute("LOCK TABLE lineitem"))
     sess.execute("BEGIN")
