@@ -37,6 +37,17 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
   @volatile private var running = true
   private val sessionCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Cancel map: session id -> secret key from BackendKeyData (the
+    * reference's cancelmap, lib.rs:318-321 insert_cancel_map). A
+    * CancelRequest carrying a matching (sid, key) cancels that
+    * session's in-flight Spark jobs via its job group. */
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+
+  private def cancelKeyOf(sid: Int): Int =
+    (graft.functions.GraftHash.splitmix64(sid.toLong) & 0x7fffffffL).toInt
+  private def jobGroupOf(sid: Int): String = s"graft-wire-$sid"
+
   /** The actual bound port (ephemeral when constructed with 0). */
   def boundPort: Int = server.getLocalPort
 
@@ -110,7 +121,19 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
       var body = readBody(in)
       var code = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
         ((body(2) & 0xff) << 8) | (body(3) & 0xff)
-      if (code == CancelRequestCode) { sock.close(); return }
+      if (code == CancelRequestCode) {
+        // (sid, key) follow the code (protocol.rs:47-63); a valid pair
+        // cancels the target session's in-flight jobs (the reference's
+        // handle_cancel_request + termreq path), then the cancel
+        // connection closes without a response, per protocol
+        val tsid = ((body(4) & 0xff) << 24) | ((body(5) & 0xff) << 16) |
+          ((body(6) & 0xff) << 8) | (body(7) & 0xff)
+        val tkey = ((body(8) & 0xff) << 24) | ((body(9) & 0xff) << 16) |
+          ((body(10) & 0xff) << 8) | (body(11) & 0xff)
+        if (cancelKeys.getOrDefault(tsid, tkey + 1) == tkey)
+          spark.sparkContext.cancelJobGroup(jobGroupOf(tsid))
+        sock.close(); return
+      }
       if (code == SslRequestCode) { // NOSSL, then the real startup (lib.rs:304-309)
         out.writeByte('N'); out.flush()
         body = readBody(in)
@@ -139,14 +162,16 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
         "client_encoding" -> "UTF8", "server_encoding" -> "UTF8",
         "integer_datetimes" -> "on"))
         send(out, 'S', cstr(k), cstr(v))
-      // BackendKeyData: session id + cancel key
-      send(out, 'K', i32(sid), i32(sid * 2654435761L.toInt))
+      // BackendKeyData: session id + cancel key (lib.rs:318-321)
+      cancelKeys.put(sid, cancelKeyOf(sid))
+      send(out, 'K', i32(sid), i32(cancelKeyOf(sid)))
 
-      queryLoop(in, out, sess)
+      queryLoop(in, out, sess, sid)
     } catch {
       case _: EOFException | _: SocketException => // client went away
       case _: Exception if !running =>
     } finally {
+      cancelKeys.remove(sid)
       try sock.close() catch { case _: Exception => }
     }
   }
@@ -160,7 +185,7 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
   }
 
   private def queryLoop(in: DataInputStream, out: DataOutputStream,
-      sess: GraftSession): Unit = {
+      sess: GraftSession, sid: Int): Unit = {
     var alive = true
     while (alive && running) {
       send(out, 'Z', Array(txStatus(sess)))
@@ -174,13 +199,17 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
         } else {
           val (query, _) = readCstr(body, 0)
           try {
+            // every Spark job of this statement runs under the session's
+            // job group so a CancelRequest can interrupt it mid-flight
+            spark.sparkContext.setJobGroup(jobGroupOf(sid),
+              s"wire session $sid", interruptOnCancel = true)
             val df = sess.execute(query)
             writeResult(out, df)
           } catch {
             case e: Exception =>
               sendError(out, "XX000",
                 Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
-          }
+          } finally spark.sparkContext.clearJobGroup()
         }
       }
     }

@@ -135,6 +135,53 @@ class WireServerSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("cross-session lock conflicts surface as ErrorResponse over TCP") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val a = new Client(srv.boundPort); a.startup(); a.drain()
+      val b = new Client(srv.boundPort); b.startup(); b.drain()
+      a.query("BEGIN"); a.drain()
+      b.query("BEGIN"); b.drain()
+      a.query("LOCK TABLE part IN EXCLUSIVE MODE")
+      val (aMsgs, _) = a.drain()
+      assert(aMsgs.exists { case (t, m) => t == 'C' && a.cstrAt(m, 0) == "LOCK TABLE" })
+      // the conflicting grant from another TCP session is refused with a
+      // protocol ErrorResponse, and b's connection stays usable
+      b.query("LOCK TABLE part IN EXCLUSIVE MODE")
+      val (bMsgs, _) = b.drain()
+      assert(bMsgs.exists(_._1 == 'E'))
+      a.query("COMMIT"); a.drain() // releases a's grant
+      b.query("LOCK TABLE part IN EXCLUSIVE MODE")
+      val (bMsgs2, _) = b.drain()
+      assert(bMsgs2.exists { case (t, m) => t == 'C' && b.cstrAt(m, 0) == "LOCK TABLE" })
+      b.query("COMMIT"); b.drain()
+      a.terminate(); b.terminate()
+    } finally srv.close()
+  }
+
+  test("CancelRequest with the BackendKeyData pair is accepted; session stays healthy") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup()
+      val (hello, _) = c.drain()
+      val key = hello.find(_._1 == 'K').get._2 // int32 sid, int32 cancel key
+      // a second raw connection carrying the cancel code + (sid, key);
+      // the server validates against its cancel map, cancels the target
+      // session's job group, and closes without responding (protocol)
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      val out = new DataOutputStream(sock.getOutputStream)
+      out.writeInt(16); out.writeInt(80877102); out.write(key); out.flush()
+      assert(sock.getInputStream.read() == -1) // closed, no response
+      // the target session was idle: cancel is a no-op and the
+      // connection continues serving queries
+      c.query("SELECT 41 + 1 AS x")
+      val (msgs, _) = c.drain()
+      assert(c.dataRows(msgs) == Seq(Seq("42")))
+      c.terminate()
+    } finally srv.close()
+  }
+
   test("real table query flows through the engine and renders text rows") {
     val srv = new WireServer(spark, Some(TestSpark.sf)).start()
     try {
