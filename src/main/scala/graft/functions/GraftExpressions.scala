@@ -598,6 +598,148 @@ case class NearestCells(child: Expression,
   override def prettyName: String = "graft_nearest_cells"
 }
 
+/** Product-quantization kernels (the IVF-PQ search path, s04): per-subspace
+  * codebooks built driver-side from a deterministic corpus sample and
+  * captured in the expressions (the [[NearestCells]] lifecycle — shipped
+  * once per task via the plan, never per row). Quantizer is the same
+  * cosine-nearest family as the coarse assignment. */
+object PqKernels {
+  /** Corpus-side encode: code_j = nearest codeword of subvector j. One
+    * pass per row; output is m small ints — the compressed representation
+    * candidate generation carries INSTEAD of the full vector (8 codes vs
+    * 64 floats is the 100 TB shuffle/scan saving). */
+  def encode(v: ArrayData, et: DataType,
+      books: Array[Array[Array[Double]]]): ArrayData = {
+    val get = VectorKernels.conv(et)
+    val m = books.length
+    val out = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val book = books(j)
+      val subDim = if (book.isEmpty) 0 else book(0).length
+      var nv = 0.0
+      var t = 0
+      while (t < subDim) { val x = get(v, off + t); nv += x * x; t += 1 }
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var dot = 0.0; var nc = 0.0
+        var u = 0
+        while (u < subDim) {
+          val x = get(v, off + u); dot += x * cw(u); nc += cw(u) * cw(u); u += 1
+        }
+        val sim = if (nv == 0.0 || nc == 0.0) 0.0
+          else dot / (java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc))
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += subDim
+      j += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
+  /** Query-side ADC table, flattened m x cbSize:
+    * table[j*cbSize + c] = dot(q_sub_j, books[j][c]). Computed ONCE per
+    * query row, so scoring a candidate costs m array lookups instead of a
+    * dim-wide dot product. */
+  def adcTable(q: ArrayData, et: DataType,
+      books: Array[Array[Array[Double]]]): ArrayData = {
+    val get = VectorKernels.conv(et)
+    val m = books.length
+    val cb = if (m == 0) 0 else books(0).length
+    val out = new Array[Double](m * cb)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val book = books(j)
+      val subDim = if (book.isEmpty) 0 else book(0).length
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var dot = 0.0
+        var u = 0
+        while (u < subDim) { dot += get(q, off + u) * cw(u); u += 1 }
+        out(j * cb + c) = dot
+        c += 1
+      }
+      off += subDim
+      j += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
+  /** Candidate ADC score: sum_j table[j*cbSize + codes[j]] — the
+    * asymmetric-distance inner-product estimate. */
+  def adcSum(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val per = table.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += table.getDouble(j * per + codes.getInt(j)); j += 1 }
+    s
+  }
+}
+
+/** graft_pq_encode(vec) -> array<int>: per-subspace codeword ids. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], elemType, books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.addReferenceObj("books", books, "double[][][]")
+      val et = ctx.addReferenceObj("et", elemType, classOf[DataType].getName)
+      s"${ev.value} = graft.functions.PqKernels.encode($v, $et, $b);"
+    })
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** graft_pq_adc_table(qvec) -> array<double>: flattened per-query lookup
+  * table of subspace inner products. */
+case class PqAdcTable(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.adcTable(v.asInstanceOf[ArrayData], elemType, books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.addReferenceObj("books", books, "double[][][]")
+      val et = ctx.addReferenceObj("et", elemType, classOf[DataType].getName)
+      s"${ev.value} = graft.functions.PqKernels.adcTable($v, $et, $b);"
+    })
+  override protected def withNewChildInternal(c: Expression): PqAdcTable =
+    copy(child = c)
+  override def prettyName: String = "graft_pq_adc_table"
+}
+
+/** graft_pq_adc_sum(codes, table) -> double: the per-candidate ADC score;
+  * the hot inner loop of PQ search (m lookups, codegen'd). */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, table: Any): Any =
+    PqKernels.adcSum(codes.asInstanceOf[ArrayData], table.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) =>
+      s"${ev.value} = graft.functions.PqKernels.adcSum($c, $t);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcSum = copy(left = l, right = r)
+  override def prettyName: String = "graft_pq_adc_sum"
+}
+
 /** Bounded top-k heap of (nid, sim) pairs — the buffer behind
   * [[TopKPairsAgg]]. Keeps the k best by (sim desc, nid asc); the root of
   * the binary heap is the WORST kept element so an incoming better pair
@@ -1034,6 +1176,24 @@ object GraftFunctions {
   def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
     val shim = org.apache.spark.sql.GraftShim
     shim.column(NearestCells(shim.expression(v), centroids, n))
+  }
+
+  /** PQ codeword ids of `v` under driver-built per-subspace codebooks. */
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(PqEncode(shim.expression(v), books))
+  }
+
+  /** Flattened per-query ADC lookup table for `q` (computed once/row). */
+  def pqAdcTable(q: Column, books: Array[Array[Array[Double]]]): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(PqAdcTable(shim.expression(q), books))
+  }
+
+  /** ADC inner-product estimate: m table lookups per candidate. */
+  def pqAdcSum(codes: Column, table: Column): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(PqAdcSum(shim.expression(codes), shim.expression(table)))
   }
 
   /** Per-group exact top-k of (nid, sim) pairs by (sim desc, nid asc) as

@@ -256,6 +256,70 @@ object TextPipeline {
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
 
+    // Sliding token-window chunking — the training/RAG segmentation op:
+    // every document becomes ceil-many overlapping chunks of <= 64
+    // whitespace tokens with stride 48. Pure scan + generator explode
+    // (no shuffle); chunk count derives from the document alone, so the
+    // op stays embarrassingly parallel and the output is deterministic
+    // under any partitioning. At 100 TB the only growth is output rows
+    // (~n_tokens/stride per doc), never an exchange.
+    GQ("t12_chunk_documents", {
+      val C = 64; val S = 48
+      Some(s"""WITH tok AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+          FROM documents),
+        n AS (SELECT doc_id, t, len(t) AS n FROM tok)
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               CAST(least($C, n - i*$S) AS INT) AS chunk_tokens,
+               array_to_string(t[i*$S+1 : i*$S+$C], ' ') AS chunk_text
+        FROM (SELECT doc_id, t, n,
+                unnest(range(0, greatest(CAST(ceil((n - $C) / $S.0) AS BIGINT), 0) + 1)) AS i
+              FROM n)""")
+    },
+      (s, d) => {
+        val C = 64; val S = 48
+        docs(s, d)
+          .select(col("doc_id"),
+            filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
+          .withColumn("n", size(col("t")))
+          .withColumn("i", explode(sequence(lit(0L),
+            greatest(ceil((col("n") - C).cast(DoubleType) / S), lit(0L)))))
+          .select(col("doc_id"),
+            col("i").cast(IntegerType).as("chunk_id"),
+            least(lit(C), col("n") - col("i") * S).cast(IntegerType)
+              .as("chunk_tokens"),
+            array_join(slice(col("t"), (col("i") * S + 1).cast(IntegerType),
+              lit(C)), " ").as("chunk_text"))
+      }),
+
+    // Unigram-LM quality score (the CCNet-style LM filter with the LM
+    // trained on the corpus itself): per-document mean token log-prob
+    // under the corpus unigram distribution. Rare-token-heavy documents
+    // score low. Two-pass: train = one shuffle (token counts, partial
+    // agg), score = join on token (AQE broadcasts when vocab is small)
+    // + one agg on doc_id. No driver-side state: the "model" is a
+    // DataFrame joined distributively, so a 100 TB corpus trains and
+    // scores in the same plan.
+    GQ("t13_lm_quality",
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($oracleTokens) AS token FROM documents),
+        freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT SUM(c) AS t FROM freq)
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+               round(AVG(ln(CAST(c AS DOUBLE) / t)), 4) AS avg_logprob
+        FROM tok JOIN freq USING (token) CROSS JOIN tot
+        GROUP BY doc_id"""),
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val freq = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        val tot = freq.agg(sum("c").as("t"))
+        tok.join(freq, "token").crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+            round(avg(log(col("c").cast(DoubleType) / col("t"))), 4)
+              .as("avg_logprob"))
+      }),
+
     // Heavy hitters, sketch-pruned but EXACT (the d08 pattern applied to
     // frequencies): pass 1 folds the token stream into a count-min
     // sketch (distributed build, KB-sized result); pass 2 keeps only

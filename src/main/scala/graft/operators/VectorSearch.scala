@@ -126,6 +126,65 @@ object VectorSearch {
     topKPerQid(pairs, k)
   }
 
+  /** IVF-PQ: the production-scale ANN shape — coarse IVF cells for
+    * candidate generation plus product-quantized codes for candidate
+    * scoring, then an exact rerank of the ADC shortlist.
+    *
+    * Why this is THE 100 TB path: candidate generation joins on cell id
+    * carrying only (vec_id, cid, codes) — m small ints per row instead of
+    * the dim-float vector (8 codes vs 64 floats = 16x less shuffle/scan
+    * width per candidate); scoring a candidate is m table lookups (the
+    * per-query ADC table is computed once per query row); only the
+    * Q x rerank shortlist ever touches full vectors again. On a real
+    * deployment the (cid, codes) columns are precomputed once and stored
+    * alongside the table (Layout.scala's bucketing discipline) — here the
+    * encode pass runs inline since the testdata has no index table.
+    *
+    * Codebooks are a deterministic hash-ordered corpus sample (same
+    * scheme as [[ivfTopK]]'s centroids): subspace j's codeword c is
+    * sample vector c sliced to dims [j*subDim, (j+1)*subDim). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 3, m: Int = 8, codebookSize: Int = 32,
+      rerank: Int = 50, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    val picked = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(math.max(cells, codebookSize)).collect()
+    val sampleVecs: Array[Array[Double]] = picked.sortBy(_.getLong(0)).map(r =>
+      r.getSeq[Number](1).map(_.doubleValue).toArray)
+    val centroids = sampleVecs.take(cells)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      sampleVecs.take(codebookSize).map(v => v.slice(j * subDim, (j + 1) * subDim))
+    }
+
+    // index side: one codegen'd pass computes cell id + PQ codes; the
+    // full embedding is dropped before any join
+    val c = corpus
+      .withColumn("cid", GF.nearestCells(col("embedding"), centroids, 1)(0))
+      .withColumn("codes", GF.pqEncode(col("embedding"), books))
+      .select("vec_id", "cid", "codes")
+    // query side: nprobe probed cells + the per-query ADC lookup table
+    val q = queries
+      .withColumn("cid", explode(GF.nearestCells(col("qv"), centroids, nprobe)))
+      .withColumn("adc", GF.pqAdcTable(col("qv"), books))
+      .select("qid", "cid", "adc")
+    // each corpus row has exactly ONE cid, so a (qid, nid) pair cannot
+    // repeat across probes — no dedup needed before the heap
+    val cand = c.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
+    val shortlist = topKPerQid(cand, rerank).select("qid", "nid")
+    // exact rerank: fetch true vectors for the Q x rerank shortlist only
+    val exact = corpus
+      .join(broadcast(shortlist), col("vec_id") === col("nid"))
+      .join(broadcast(queries.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("nid"), sim6(col("qv"), col("embedding")).as("sim"))
+    topKPerQid(exact, k)
+  }
+
   /** All embedding pairs above a cosine threshold (near-dup detection).
     * General path bounds candidates via LSH buckets; the oracle entry
     * below runs the exact bounded variant. */
@@ -208,6 +267,14 @@ object VectorSearch {
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         ivfTopK(e, q, 10)
+      }),
+
+    GQ("s04_ann_ivfpq", None, // approximate: rows-only gate + recall spec
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        ivfPqTopK(e, q, 10)
       })
   )
 }

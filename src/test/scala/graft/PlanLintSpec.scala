@@ -17,9 +17,12 @@ class PlanLintSpec extends AnyFunSuite {
     *    LSH path (declared-quadratic, VectorSearch.cosineNearDupPairs);
     *  - s01_ann_bruteforce: the exact baseline; the nested-loop side is
     *    the BROADCAST query set (|Q| << corpus), so cost stays linear
-    *    in the corpus and the top-k reduction is partial-aggregated.
+    *    in the corpus and the top-k reduction is partial-aggregated;
+    *  - t13_lm_quality: the nested-loop side is ONE row (the broadcast
+    *    global token total) — a constant-space scalar join.
     */
-  private val allowNestedLoop = Set("d06_embedding_neardup", "s01_ann_bruteforce")
+  private val allowNestedLoop =
+    Set("d06_embedding_neardup", "s01_ann_bruteforce", "t13_lm_quality")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
