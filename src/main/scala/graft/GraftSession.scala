@@ -32,22 +32,47 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private val sessionId: Long = GraftSession.nextSessionId()
 
   // -- GUCs (reference src/guc/gucdef.yaml; SET/SHOW src/utility.rs:107-149)
-  // Where a reference GUC has a real Spark analogue it is LINKED to the
-  // Spark conf; the rest are session-local values with reference defaults.
+  // The COMPLETE gucdef.yaml envelope: every reference GUC with its
+  // vartype (SET type-checks like utility.rs to_i32/to_f64/to_bool) and
+  // boot_val. REPORT-flagged entries are what the wire front-end sends as
+  // ParameterStatus (protocol.rs:382-402 report_guc/should_report).
+  // Where a GUC has a real Spark analogue it is LINKED to the Spark conf.
   private val linkedGucs: Map[String, String] = Map(
     "batch_size" -> "spark.sql.parquet.columnarReaderBatchSize", // gucdef.yaml:146-149
     "search_path" -> "spark.sql.catalog.spark_catalog.defaultDatabase")
+  // name -> (vartype INT|REAL|BOOL|STR, boot_val) in gucdef.yaml order
+  private val gucDefs: Seq[(String, (String, String))] = Seq(
+    "max_connections" -> ("INT", "16"),
+    "port" -> ("INT", "1218"),
+    "log_min_messages" -> ("STR", "DEBUG2"),
+    "server_version" -> ("STR", "0.0.1"), // REPORT
+    "server_encoding" -> ("STR", "UTF8"), // REPORT
+    "client_encoding" -> ("STR", "UTF8"), // REPORT
+    "is_superuser" -> ("BOOL", "true"), // REPORT
+    "seq_page_cost" -> ("REAL", "1.0"),
+    "search_path" -> ("STR", "public,kb_catalog"),
+    "clog_l1cache_size" -> ("INT", "1024"),
+    "clog_l2cache_size" -> ("INT", "128"),
+    "wal_buff_max_size" -> ("INT", "33554432"),
+    "wal_file_max_size" -> ("INT", "1073741824"),
+    "xid_stop_limit" -> ("INT", "2000000000"),
+    "mvcc_blk_rows" -> ("INT", "65536"),
+    "data_blk_rows" -> ("INT", "65536"),
+    "mvcc_buf_cap" -> ("INT", "16"),
+    "max_files_per_process" -> ("INT", "1000"),
+    "enable_cs_wal" -> ("BOOL", "false"),
+    "table_sv_cap" -> ("INT", "1024"),
+    "table_mvcc_cap" -> ("INT", "1024"),
+    "batch_size" -> ("INT", "1024"))
+  private val gucTypes: Map[String, String] = gucDefs.map { case (n, (t, _)) => n -> t }.toMap
   private val localGucs = scala.collection.mutable.Map[String, String](
-    "batch_size" -> "1024", // gucdef.yaml:146
-    "data_blk_rows" -> "65536", // gucdef.yaml:116
-    "mvcc_blk_rows" -> "65536", // gucdef.yaml:111
-    "mvcc_buf_cap" -> "16", // gucdef.yaml:121
-    "wal_buff_max_size" -> "33554432", // gucdef.yaml:96
-    "wal_file_max_size" -> "1073741824", // gucdef.yaml:101
-    "max_connections" -> "16", // gucdef.yaml:31
-    "search_path" -> "kb_catalog,public", // gucdef.yaml:80
-    "enable_cs_wal" -> "true", // gucdef.yaml:126
-    "port" -> "5432")
+    gucDefs.map { case (n, (_, v)) => n -> v }: _*)
+
+  /** The REPORT-flagged GUCs (gucdef.yaml flags: REPORT) with current
+    * values — the wire front-end's ParameterStatus set. */
+  def reportGucs: Seq[(String, String)] =
+    Seq("server_version", "server_encoding", "client_encoding", "is_superuser")
+      .map(n => n -> localGucs(n))
 
   // -- transaction block state machine (xact.rs TBlockState subset)
   sealed trait TBlock
@@ -132,6 +157,19 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private def setGuc(name: String, value: String): DataFrame = {
     if (!localGucs.contains(name))
       throw new IllegalArgumentException(s"unrecognized configuration parameter \"$name\"")
+    // vartype check, the utility.rs:117-134 to_i32/to_f64/to_bool path:
+    // a mistyped value is an error, not a silent string store
+    val ok = gucTypes(name) match {
+      case "INT" => value.trim.matches("[+-]?\\d+") &&
+        scala.util.Try(value.trim.toLong).toOption.exists(v =>
+          v >= Int.MinValue && v <= Int.MaxValue)
+      case "REAL" => scala.util.Try(value.trim.toDouble).isSuccess
+      case "BOOL" => Set("true", "false", "on", "off", "t", "f", "1", "0",
+        "yes", "no")(value.trim.toLowerCase)
+      case _ => true
+    }
+    if (!ok) throw new IllegalArgumentException(
+      s"invalid value for parameter \"$name\": \"$value\"")
     localGucs(name) = value
     linkedGucs.get(name).foreach { conf =>
       try spark.conf.set(conf, value) catch { case _: Exception => }

@@ -157,10 +157,10 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
       val sess = new GraftSession(spark, dataDir)
       // AuthenticationOk (trust auth, like the reference)
       send(out, 'R', i32(0))
-      // ParameterStatus report (report_all_gucs analogue)
-      for ((k, v) <- Seq("server_version" -> "14.0 (graft)",
-        "client_encoding" -> "UTF8", "server_encoding" -> "UTF8",
-        "integer_datetimes" -> "on"))
+      // ParameterStatus: exactly the REPORT-flagged GUC set with the
+      // session's values (protocol.rs:398-402 report_all_gucs ->
+      // report_guc's should_report filter)
+      for ((k, v) <- sess.reportGucs)
         send(out, 'S', cstr(k), cstr(v))
       // BackendKeyData: session id + cancel key (lib.rs:318-321)
       cancelKeys.put(sid, cancelKeyOf(sid))

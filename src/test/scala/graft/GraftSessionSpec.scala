@@ -29,6 +29,31 @@ class GraftSessionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sess.execute("SET nope = 1"))
   }
 
+  test("the full gucdef.yaml envelope: 22 GUCs, boot values, typed SET") {
+    val s = new GraftSession(spark)
+    // all 22 reference GUCs exist with their boot_vals (gucdef.yaml)
+    assert(s.execute("SHOW all").count() == 22)
+    assert(s.execute("SHOW port").head.getString(1) == "1218")
+    assert(s.execute("SHOW search_path").head.getString(1) == "public,kb_catalog")
+    assert(s.execute("SHOW enable_cs_wal").head.getString(1) == "false")
+    assert(s.execute("SHOW server_version").head.getString(1) == "0.0.1")
+    assert(s.execute("SHOW log_min_messages").head.getString(1) == "DEBUG2")
+    assert(s.execute("SHOW xid_stop_limit").head.getString(1) == "2000000000")
+    assert(s.execute("SHOW seq_page_cost").head.getString(1) == "1.0")
+    // vartype enforcement (utility.rs to_i32/to_f64/to_bool): a mistyped
+    // value errors instead of storing a string
+    intercept[IllegalArgumentException](s.execute("SET port = 'abc'"))
+    intercept[IllegalArgumentException](s.execute("SET seq_page_cost = 'fast'"))
+    intercept[IllegalArgumentException](s.execute("SET enable_cs_wal = maybe"))
+    s.execute("SET enable_cs_wal = on")
+    assert(s.execute("SHOW enable_cs_wal").head.getString(1) == "on")
+    s.execute("SET seq_page_cost = 2.5")
+    assert(s.execute("SHOW seq_page_cost").head.getString(1) == "2.5")
+    // REPORT-flagged set = what the wire front-end sends as ParameterStatus
+    assert(s.reportGucs.map(_._1) ==
+      Seq("server_version", "server_encoding", "client_encoding", "is_superuser"))
+  }
+
   test("transaction block state machine incl. aborted-block rejection") {
     assert(sess.execute("BEGIN").head.getString(0) == "BEGIN")
     assert(sess.transactionState == "in_transaction")
@@ -73,8 +98,8 @@ class GraftSessionSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE public.sp_probe_t (a int) USING parquet")
     try {
       val s = new GraftSession(spark, Some(TestSpark.sf))
-      // default search_path = kb_catalog,public (gucdef.yaml:80):
-      // kb_catalog has no such table -> falls through to public
+      // default search_path = public,kb_catalog (gucdef.yaml:80) ->
+      // the unqualified name resolves in public
       s.execute("BEGIN")
       assert(s.execute("LOCK TABLE sp_probe_t IN ACCESS SHARE MODE")
         .head.getString(0) == "LOCK TABLE")
