@@ -121,10 +121,10 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
 
     // aborted-block rejection: only COMMIT/ABORT get through (lib.rs:448-452)
     if (tblock == TAborted && !(reCommit.matches(trimmed) || reAbort.matches(trimmed)))
-      throw new IllegalStateException(
+      throw new GraftStateError(Errors.InFailedSqlTransaction,
         "current transaction is aborted, commands ignored until end of transaction block")
 
-    trimmed match {
+    try trimmed match {
       case reBegin(_) =>
         if (tblock == TInProgress) tag("WARNING: there is already a transaction in progress")
         else { tblock = TInProgress; tag("BEGIN") }
@@ -145,8 +145,18 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
       case _ =>
         // the optimizable path: Catalyst parse/analyze/optimize/execute
         spark.sql(trimmed)
+    } catch {
+      case e: Throwable => onStatementError(); throw e
     }
   }
+
+  /** A failed statement inside a transaction block aborts the block —
+    * exec_simple_query's error path (lib.rs:468-473 -> abort_cur_tran,
+    * xact.rs:573-576: Inprogress -> Abort). Analysis-time failures hit
+    * the catch in [[execute]]; the wire front-end also reports lazy
+    * execution-time failures here. */
+  private[graft] def onStatementError(): Unit =
+    if (tblock == TInProgress) tblock = TAborted
 
   /** Parameterized execution (the extended-protocol analogue of the
     * reference's simple-query path): named parameters bind server-side
@@ -156,7 +166,8 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
 
   private def setGuc(name: String, value: String): DataFrame = {
     if (!localGucs.contains(name))
-      throw new IllegalArgumentException(s"unrecognized configuration parameter \"$name\"")
+      throw new GraftArgError(Errors.UndefinedObject,
+        s"unrecognized configuration parameter \"$name\"")
     // vartype check, the utility.rs:117-134 to_i32/to_f64/to_bool path:
     // a mistyped value is an error, not a silent string store
     val ok = gucTypes(name) match {
@@ -168,7 +179,7 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
         "yes", "no")(value.trim.toLowerCase)
       case _ => true
     }
-    if (!ok) throw new IllegalArgumentException(
+    if (!ok) throw new GraftArgError(Errors.InvalidParameterValue,
       s"invalid value for parameter \"$name\": \"$value\"")
     localGucs(name) = value
     linkedGucs.get(name).foreach { conf =>
@@ -180,7 +191,7 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private def showGuc(name: String): DataFrame = name match {
     case "all" => result(localGucs.toSeq.sorted, ("name", "setting"))
     case n if localGucs.contains(n) => result(Seq((n, localGucs(n))), ("name", "setting"))
-    case n => throw new IllegalArgumentException(
+    case n => throw new GraftArgError(Errors.UndefinedObject,
       s"unrecognized configuration parameter \"$n\"")
   }
 
@@ -201,10 +212,11 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private def lockTable(table: String, mode: Option[String]): DataFrame = {
     // requires a transaction block (src/commands/lockcmds.rs:18-24)
     if (tblock != TInProgress)
-      throw new IllegalStateException("LOCK TABLE can only be used in transaction blocks")
+      throw new GraftStateError(Errors.NoActiveSqlTransaction,
+        "LOCK TABLE can only be used in transaction blocks")
     val m = mode.map(_.toUpperCase.replaceAll("\\s+", " ")).getOrElse("ACCESS EXCLUSIVE")
     if (!lockModes.contains(m))
-      throw new IllegalArgumentException(s"unrecognized lock mode: $m")
+      throw new GraftArgError(Errors.SyntaxError, s"unrecognized lock mode: $m")
     val rel = resolveRelation(table)
     spark.table(rel) // errors like rv_get_oid if the table doesn't exist
     // enforce the cross-session conflict matrix (lmgr.rs LOCKCONFLICT)
@@ -225,7 +237,8 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private def createTable(name: String, colsSpec: String,
       reloptions: Option[String] = None): DataFrame = {
     if (tblock == TInProgress)
-      throw new IllegalStateException("CREATE TABLE cannot run inside a transaction block")
+      throw new GraftStateError(Errors.ActiveSqlTransaction,
+        "CREATE TABLE cannot run inside a transaction block")
     val colRe = """(?i)\s*(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)(\s+NOT\s+NULL)?\s*""".r
     val ddlCols = colsSpec.split(",").map {
       case colRe(cn, ty, nn) =>
@@ -238,10 +251,10 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
           case "float8" | "double" => "DOUBLE"
           case "bytea" => "BINARY"
           case v if v.startsWith("varchar") => v.toUpperCase
-          case other => throw new IllegalArgumentException(s"unknown type: $other")
+          case other => throw new GraftArgError(Errors.UndefinedObject, s"unknown type: $other")
         }
         s"$cn $sparkTy${if (nn != null) " NOT NULL" else ""}"
-      case bad => throw new IllegalArgumentException(s"cannot parse column: $bad")
+      case bad => throw new GraftArgError(Errors.SyntaxError, s"cannot parse column: $bad")
     }
     // reloptions (WITH (k=v, ...), reference rel.rs:20-25; grammar
     // sql.lalrpop:401-418: ident = NumericOnly | Sconst, list non-empty)
@@ -251,11 +264,11 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     val optRe = """\s*(\w+)\s*=\s*(?:'([^']*)'|([^\s,']+))\s*(,|$)""".r
     val props = reloptions.map { spec =>
       if (spec.trim.isEmpty)
-        throw new IllegalArgumentException("WITH () requires at least one reloption")
+        throw new GraftArgError(Errors.SyntaxError, "WITH () requires at least one reloption")
       val ms = optRe.findAllMatchIn(spec).toSeq
       if (ms.isEmpty || ms.head.start != 0 || ms.last.end != spec.length ||
         ms.sliding(2).exists { case Seq(a, b) => a.end != b.start; case _ => false })
-        throw new IllegalArgumentException(
+        throw new GraftArgError(Errors.SyntaxError,
           s"cannot parse reloptions: $spec (expected key = value, ...)")
       val entries = ms.map { m =>
         val v = if (m.group(2) != null) m.group(2) else m.group(3)

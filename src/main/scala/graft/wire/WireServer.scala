@@ -207,12 +207,26 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
             writeResult(out, df)
           } catch {
             case e: Exception =>
-              sendError(out, "XX000",
+              // a lazy (execution-time) failure must abort a transaction
+              // block exactly like an analysis-time one (lib.rs:468-473)
+              sess.onStatementError()
+              sendError(out, sqlStateOf(e),
                 Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
           } finally spark.sparkContext.clearJobGroup()
         }
       }
     }
+  }
+
+  /** SQLSTATE for ErrorResponse field 'C' (errcodes.rs scheme): session
+    * errors carry their own code ([[graft.HasSqlState]]); Spark errors
+    * carry one via SparkThrowable (e.g. 42P01 TABLE_OR_VIEW_NOT_FOUND,
+    * 42601 PARSE_SYNTAX_ERROR); anything else is internal_error. */
+  private def sqlStateOf(e: Exception): String = e match {
+    case h: graft.HasSqlState => h.sqlstate
+    case st: org.apache.spark.SparkThrowable if st.getSqlState != null =>
+      st.getSqlState
+    case _ => graft.Errors.InternalError
   }
 
   private def sendError(out: DataOutputStream, sqlstate: String, msg: String): Unit = {

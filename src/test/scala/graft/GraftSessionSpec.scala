@@ -57,11 +57,21 @@ class GraftSessionSpec extends AnyFunSuite {
   test("transaction block state machine incl. aborted-block rejection") {
     assert(sess.execute("BEGIN").head.getString(0) == "BEGIN")
     assert(sess.transactionState == "in_transaction")
-    // statement failure aborts the block in PG; simulate via explicit ABORT path:
     assert(sess.execute("COMMIT").head.getString(0) == "COMMIT")
     assert(sess.transactionState == "idle")
     sess.execute("BEGIN")
     assert(sess.execute("ROLLBACK").head.getString(0) == "ROLLBACK")
+    // statement failure aborts the block (lib.rs:468-473 ->
+    // xact.rs:573-576 Inprogress -> Abort): subsequent statements are
+    // rejected with 25P02 until COMMIT/ABORT, and COMMIT of an aborted
+    // block reports ROLLBACK
+    sess.execute("BEGIN")
+    intercept[Exception](sess.execute("SELECT * FROM no_such_table_xyz"))
+    assert(sess.transactionState == "failed_transaction")
+    val rejected = intercept[GraftStateError](sess.execute("SELECT 1"))
+    assert(rejected.sqlstate == Errors.InFailedSqlTransaction)
+    assert(sess.execute("COMMIT").head.getString(0) == "ROLLBACK")
+    assert(sess.transactionState == "idle")
   }
 
   test("cross-session lock conflicts follow the lmgr matrix (lmgr.rs:105-160)") {
@@ -72,15 +82,20 @@ class GraftSessionSpec extends AnyFunSuite {
       // SHARE + SHARE: self-compatible — both sessions may hold it
       a.execute("LOCK TABLE nation IN SHARE MODE")
       b.execute("LOCK TABLE nation IN SHARE MODE")
-      // SHARE + EXCLUSIVE: conflicting — second session is refused
+      // SHARE + EXCLUSIVE: conflicting — second session is refused, and
+      // the failure aborts b's block (xact.rs: Inprogress -> Abort): b
+      // must roll back and start over, exactly like PG
       intercept[IllegalStateException](
         b.execute("LOCK TABLE nation IN EXCLUSIVE MODE"))
+      assert(b.transactionState == "failed_transaction")
+      b.execute("ROLLBACK"); b.execute("BEGIN")
       // a session's own grants never conflict with its new requests
       a.execute("LOCK TABLE region IN ACCESS EXCLUSIVE MODE")
       a.execute("LOCK TABLE region IN ACCESS SHARE MODE")
       // but another session is shut out of an ACCESS EXCLUSIVE'd table
       intercept[IllegalStateException](
         b.execute("LOCK TABLE region IN ACCESS SHARE MODE"))
+      b.execute("ROLLBACK"); b.execute("BEGIN")
     } finally { a.execute("COMMIT") }
     // released on COMMIT: b can now take the previously conflicting lock
     b.execute("LOCK TABLE region IN EXCLUSIVE MODE")

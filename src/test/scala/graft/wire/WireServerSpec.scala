@@ -80,6 +80,20 @@ class WireServerSpec extends AnyFunSuite {
 
     def cstrAt(b: Array[Byte], pos: Int): String =
       new String(b, pos, b.indexOf(0: Byte, pos) - pos, UTF_8)
+
+    /** Field map (S severity / C sqlstate / M message) of the first
+      * ErrorResponse in `msgs`. */
+    def errFields(msgs: Seq[(Char, Array[Byte])]): Map[Char, String] =
+      msgs.collectFirst { case ('E', b) =>
+        var pos = 0
+        val m = scala.collection.mutable.Map[Char, String]()
+        while (pos < b.length && b(pos) != 0) {
+          val f = b(pos).toChar; pos += 1
+          val s = cstrAt(b, pos); pos += s.getBytes(UTF_8).length + 1
+          m(f) = s
+        }
+        m.toMap
+      }.getOrElse(Map.empty)
   }
 
   test("startup handshake then SELECT round-trips rows over TCP") {
@@ -146,11 +160,15 @@ class WireServerSpec extends AnyFunSuite {
       val (aMsgs, _) = a.drain()
       assert(aMsgs.exists { case (t, m) => t == 'C' && a.cstrAt(m, 0) == "LOCK TABLE" })
       // the conflicting grant from another TCP session is refused with a
-      // protocol ErrorResponse, and b's connection stays usable
+      // protocol ErrorResponse, and the failure aborts b's block (PG
+      // semantics: status 'E', roll back to continue)
       b.query("LOCK TABLE part IN EXCLUSIVE MODE")
-      val (bMsgs, _) = b.drain()
+      val (bMsgs, bSt) = b.drain()
       assert(bMsgs.exists(_._1 == 'E'))
+      assert(bSt == 'E')
       a.query("COMMIT"); a.drain() // releases a's grant
+      b.query("ROLLBACK"); b.drain()
+      b.query("BEGIN"); b.drain()
       b.query("LOCK TABLE part IN EXCLUSIVE MODE")
       val (bMsgs2, _) = b.drain()
       assert(bMsgs2.exists { case (t, m) => t == 'C' && b.cstrAt(m, 0) == "LOCK TABLE" })
@@ -178,6 +196,34 @@ class WireServerSpec extends AnyFunSuite {
       c.query("SELECT 41 + 1 AS x")
       val (msgs, _) = c.drain()
       assert(c.dataRows(msgs) == Seq(Seq("42")))
+      c.terminate()
+    } finally srv.close()
+  }
+
+  test("ErrorResponse carries reference SQLSTATEs (errcodes.rs scheme)") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+      c.query("SHOW no_such_guc")
+      assert(c.errFields(c.drain()._1)('C') == "42704") // undefined_object (utility.rs:143)
+      c.query("SET port = 'abc'")
+      assert(c.errFields(c.drain()._1)('C') == "22023") // invalid_parameter_value
+      c.query("SELECT * FROM no_such_table_qq")
+      assert(c.errFields(c.drain()._1)('C') == "42P01") // Spark's own TABLE_OR_VIEW_NOT_FOUND
+      c.query("LOCK TABLE nation")
+      assert(c.errFields(c.drain()._1)('C') == "25P01") // no_active_sql_transaction
+      // failure inside a block aborts it: status 'E', further statements
+      // rejected with 25P02 until rollback (lib.rs:448-452,468-473)
+      c.query("BEGIN"); c.drain()
+      c.query("SELECT * FROM no_such_table_qq"); c.drain()
+      c.query("SELECT 1")
+      val (rejected, st) = c.drain()
+      assert(c.errFields(rejected)('C') == "25P02") // in_failed_sql_transaction
+      assert(st == 'E')
+      c.query("ROLLBACK"); c.drain()
+      c.query("SELECT 1 AS ok")
+      assert(c.dataRows(c.drain()._1) == Seq(Seq("1")))
       c.terminate()
     } finally srv.close()
   }
