@@ -279,16 +279,37 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     spark.sql(s"CREATE TABLE $name (${ddlCols.mkString(", ")}) USING parquet$props")
   }
 
+  /** COPY options with the reference's validation discipline
+    * (copy.rs:202-270 parse_copyopts): an unrecognized option is a
+    * syntax error (42601, copy.rs:261), a recognized option with a
+    * mistyped value is invalid_parameter_value (22023). Grammar
+    * surface = [USING] DELIMITERS 'x' | NULL 'x' | CSV | (parallel n)
+    * (sql.lalrpop:508-529) + HEADER as a documented extension. */
   private def copyOpts(spec: String): Copy.Options = {
     var o = Copy.Options()
-    val delim = """(?is)DELIMITERS?\s+'([^']+)'""".r
-    val nul = """(?is)NULL\s+'([^']*)'""".r
-    val par = """(?is)\(\s*parallel\s+(\d+)\s*\)""".r
-    delim.findFirstMatchIn(spec).foreach(m => o = o.copy(delimiter = m.group(1)))
-    nul.findFirstMatchIn(spec).foreach(m => o = o.copy(nullValue = m.group(1)))
-    par.findFirstMatchIn(spec).foreach(m => o = o.copy(parallel = Some(m.group(1).toInt)))
-    if ("""(?is)\bHEADER\b""".r.findFirstIn(spec).isDefined) o = o.copy(header = true)
-    o // bare CSV keyword = the default format, nothing to set
+    var rest = spec
+    def strip(re: Regex)(f: Regex.Match => Unit): Unit =
+      re.findFirstMatchIn(rest).foreach { m =>
+        f(m); rest = rest.substring(0, m.start) + " " + rest.substring(m.end)
+      }
+    strip("""(?is)(?:USING\s+)?DELIMITERS?\s+'([^']+)'""".r)(m =>
+      o = o.copy(delimiter = m.group(1)))
+    strip("""(?is)NULL\s+(?:AS\s+)?'([^']*)'""".r)(m =>
+      o = o.copy(nullValue = m.group(1)))
+    strip("""(?is)\(\s*parallel\s+([^)]*?)\s*\)""".r) { m =>
+      val v = m.group(1)
+      if (!v.matches("\\d+"))
+        throw new GraftArgError(Errors.InvalidParameterValue,
+          s"COPY parallel $v not recognized")
+      o = o.copy(parallel = Some(v.toInt))
+    }
+    strip("""(?is)\bHEADER\b""".r)(_ => o = o.copy(header = true))
+    strip("""(?is)\bCSV\b""".r)(_ => ()) // bare CSV = the default format
+    strip("""(?is)\bWITH\b""".r)(_ => ())
+    if (rest.trim.nonEmpty)
+      throw new GraftArgError(Errors.SyntaxError,
+        s"option ${rest.trim} not recognized")
+    o
   }
 
   private def copyFrom(table: String, path: String, opts: String): DataFrame = {

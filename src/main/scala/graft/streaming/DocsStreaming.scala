@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.functions.TextFunctions.fingerprint
 
@@ -41,6 +43,48 @@ object DocsStreaming {
     deduped
       .join(corpusFp, Seq("fp"), "left_anti") // stream-static anti join
       .drop("fp")
+  }
+
+  /** Streaming sequence packing — the stateful twin of
+    * `operators.Packing.packSequences`: documents arriving on a stream
+    * are greedily packed into `budget`-token bins per shard, with the
+    * running (bin, fill) carried ACROSS micro-batches as keyed group
+    * state (`flatMapGroupsWithState`, the SURVEY §2.9 custom-state
+    * shape). A batch boundary never resets a bin: a shard's stream packs
+    * exactly as if it had arrived all at once.
+    *
+    * Ordering: a stream has no global doc_id order to sort by, so
+    * packing order is arrival order, refined to doc_id order WITHIN each
+    * micro-batch (deterministic for a given batch decomposition). State
+    * per shard is two longs — bounded by the shard count, no timeout
+    * needed.
+    */
+  def packSequences(newDocs: DataFrame, budget: Long,
+      shardCol: String = "source"): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val sized = newDocs.select(
+      col(shardCol).cast(StringType).as("shard"),
+      col("doc_id").cast(LongType).as("doc_id"),
+      size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+        .cast(LongType).as("n_tokens"))
+      .as[(String, Long, Long)]
+    sized.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (shard, rows, state) =>
+        // fill < 0 marks "no document packed yet" (first bin opens lazily
+        // so the first document sets fill = n exactly like the batch op)
+        var (bin, fill) = state.getOption.getOrElse((0L, -1L))
+        val out = rows.toSeq.sortBy(_._2).map { case (_, id, n) =>
+          if (fill < 0) fill = n
+          else if (fill + n <= budget) fill += n
+          else { bin += 1; fill = n }
+          (shard, id, n, bin)
+        }
+        state.update((bin, fill))
+        out.iterator
+      }
+      .toDF("source", "doc_id", "n_tokens", "bin")
   }
 
   /** Streaming twin of `operators.Dedup.decontaminate`: drop incoming

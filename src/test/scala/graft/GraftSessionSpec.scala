@@ -140,6 +140,15 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(sess.locks.isEmpty) // released at txn end
   }
 
+  test("COPY rejects unrecognized options and mistyped values (copy.rs:202-270)") {
+    val unknown = intercept[GraftArgError](
+      sess.execute("COPY lineitem FROM '/tmp/nope.csv' WITH BOGUS"))
+    assert(unknown.sqlstate == Errors.SyntaxError) // copy.rs:261
+    val mistyped = intercept[GraftArgError](
+      sess.execute("COPY lineitem FROM '/tmp/nope.csv' (parallel 'two')"))
+    assert(mistyped.sqlstate == Errors.InvalidParameterValue) // copy.rs:242
+  }
+
   test("CREATE TYPE is a parse-and-acknowledge stub (typecmds.rs:17-28)") {
     assert(sess.execute("CREATE TYPE mytype").head.getString(0)
       .contains("CreateTypeStmt"))

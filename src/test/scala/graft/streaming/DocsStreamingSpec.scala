@@ -73,4 +73,43 @@ class DocsStreamingSpec extends AnyFunSuite {
 
     assert(kept.sorted.toSeq == Seq(2L, 4L))
   }
+
+  test("streaming packing carries (bin, fill) state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // ~5 tokens per doc; budget 12 -> two docs per bin
+    def doc(i: Long, src: String) =
+      (i, src, s"word$i text of five tokens")
+    val in = MemoryStream[(Long, String, String)]
+    val out = DocsStreaming.packSequences(
+      in.toDF().toDF("doc_id", "source", "text"), budget = 12L)
+    val q = out.writeStream.format("memory")
+      .queryName("pack_out").outputMode(OutputMode.Append).start()
+
+    in.addData(doc(1, "web"), doc(2, "web"), doc(3, "web"))
+    q.processAllAvailable()
+    // batch 2 continues the open bin: doc 3 left bin 1 at fill 5, so
+    // doc 4 joins bin 1 (5+5 <= 12) — a reset would wrongly open bin 0
+    in.addData(doc(4, "web"), doc(5, "web"), doc(10, "books"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("pack_out")
+      .select("doc_id", "source", "bin").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ("web", 0L) && got(2L) == ("web", 0L)) // 5+5 fits
+    assert(got(3L) == ("web", 1L)) // 15 > 12 -> new bin
+    assert(got(4L) == ("web", 1L)) // continued across the batch boundary
+    assert(got(5L) == ("web", 2L))
+    assert(got(10L) == ("books", 0L)) // independent shard state
+    // exactly the batch operator's result on the same arrival order
+    val batch = graft.operators.Packing.packSequences(
+      Seq(doc(1, "web"), doc(2, "web"), doc(3, "web"), doc(4, "web"),
+        doc(5, "web"), doc(10, "books"))
+        .toDF("doc_id", "source", "text"), 12L)
+      .select("doc_id", "source", "bin").as[(Long, String, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3.toLong)).toMap
+    assert(batch == got)
+  }
 }
