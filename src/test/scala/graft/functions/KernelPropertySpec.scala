@@ -81,4 +81,47 @@ class KernelPropertySpec extends AnyFunSuite {
     // sanity: self-pairs agree fully
     assert(rows.length == sigs.size * sigs.size)
   }
+
+  test("PQ ADC table+lookup == direct subspace dot products on generated vectors") {
+    import spark.implicits._
+    val dim = 16; val m = 4; val sub = dim / m; val cb = 8
+    val vecGen = Gen.listOfN(dim, Gen.choose(-5.0, 5.0))
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      Array.tabulate(cb) { c =>
+        sample(vecGen, 1000L + j * 31 + c).slice(j * sub, (j + 1) * sub).toArray
+      }
+    }
+    val vecs = (300L to 330L).map(s => sample(vecGen, s))
+    val rows = vecs.toDF("v")
+      .select(col("v"),
+        GraftFunctions.pqEncode(col("v"), books).as("codes"),
+        GraftFunctions.pqAdcSum(
+          GraftFunctions.pqEncode(col("v"), books),
+          GraftFunctions.pqAdcTable(col("v"), books)).as("adc"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == m && codes.forall(c => c >= 0 && c < cb))
+      // the ADC estimate of a vector against ITSELF must equal the sum of
+      // its subspace dots with its own codewords, computed directly
+      val direct = (0 until m).map { j =>
+        val cw = books(j)(codes(j))
+        (0 until sub).map(t => v(j * sub + t) * cw(t)).sum
+      }.sum
+      assert(math.abs(r.getDouble(2) - direct) < 1e-9)
+      // each code is genuinely the argmax-cosine codeword of its subspace
+      (0 until m).foreach { j =>
+        def cos(cw: Array[Double]): Double = {
+          val s = v.slice(j * sub, (j + 1) * sub)
+          val dot = s.zip(cw).map { case (x, y) => x * y }.sum
+          val na = math.sqrt(s.map(x => x * x).sum)
+          val nb = math.sqrt(cw.map(x => x * x).sum)
+          if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+        }
+        val best = (0 until cb).maxBy(c => cos(books(j)(c)))
+        assert(cos(books(j)(codes(j))) >= cos(books(j)(best)) - 1e-12)
+      }
+    }
+  }
 }
