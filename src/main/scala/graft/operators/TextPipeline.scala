@@ -320,6 +320,85 @@ object TextPipeline {
               .as("avg_logprob"))
       }),
 
+    // Span-level cross-document dedup (the C4 line-dedup / Lee et al.
+    // repeated-substring removal shape): a document's non-overlapping
+    // 3-token segment occurring in >= 2 DISTINCT documents is repeated
+    // boilerplate and is dropped from every document; survivors are
+    // reassembled in original order. Two shuffles at any scale: the
+    // segment document-frequency count and the per-doc reassembly — the
+    // heavy-segment table is small and AQE broadcasts the anti-join
+    // side. (On a real crawl the segment is a line/sentence; the
+    // synthetic corpus has no sentence boundaries, so segments are
+    // fixed token blocks — the dataflow is identical.)
+    GQ("t14_span_dedup", {
+      val L = 3; val N = 2
+      Some(s"""WITH tok AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+          FROM documents),
+        segs AS (
+          SELECT doc_id, g.i AS pos, g.seg
+          FROM (SELECT doc_id,
+                  list_transform(range(1, CAST(ceil(len(t) / $L.0) AS BIGINT) + 1),
+                    i -> array_to_string(t[(i-1)*$L+1 : i*$L], ' ')) AS ss
+                FROM tok),
+            LATERAL (SELECT unnest(ss) AS seg, generate_subscripts(ss, 1) AS i) g
+          WHERE g.seg <> ''),
+        heavy AS (SELECT seg FROM segs GROUP BY seg
+                  HAVING COUNT(DISTINCT doc_id) >= $N)
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS kept_segments,
+               string_agg(seg, ' ' ORDER BY pos) AS cleaned
+        FROM segs WHERE seg NOT IN (SELECT seg FROM heavy)
+        GROUP BY doc_id""")
+    },
+      (s, d) => {
+        val L = 3; val N = 2
+        val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
+        val segs = docs(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), posexplode(
+            when(size(col("t")) > 0, transform(
+              sequence(lit(1L), ceil(size(col("t")).cast(DoubleType) / L)),
+              i => array_join(
+                slice(col("t"), ((i - 1) * L + 1).cast(IntegerType), lit(L)), " ")))
+              .otherwise(array().cast(ArrayType(StringType))))
+            .as(Seq("pos0", "seg")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("seg"))
+          .filter(col("seg") =!= "")
+        val heavy = segs.groupBy("seg")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= N).select("seg")
+        segs.join(heavy, Seq("seg"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(IntegerType).as("kept_segments"),
+            array_join(transform(array_sort(
+              collect_list(struct(col("pos"), col("seg")))),
+              x => x.getField("seg")), " ").as("cleaned"))
+      }),
+
+    // Mixture sampling: per-source KEEP RATES (web 30%, books 90%, ...)
+    // applied via the deterministic content-hash criterion — the
+    // training-mix re-weighting op (t05 = one global rate, t06 = fixed
+    // quota; this is the proportional form). Selection is stable under
+    // re-partitioning and re-runs; one scan, no shuffle.
+    GQ("t15_mixture_sample",
+      Some("""SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT)
+                   / 16777216.0 AS u
+          FROM documents)
+        WHERE u < CASE source
+          WHEN 'web' THEN 0.3 WHEN 'books' THEN 0.9
+          WHEN 'code' THEN 0.6 ELSE 0.5 END"""),
+      (s, d) => {
+        val u = conv(substring(md5(col("text").cast(BinaryType)), 1, 6), 16, 10)
+          .cast(LongType).cast(DoubleType) / 16777216.0
+        val rate = when(col("source") === "web", 0.3)
+          .when(col("source") === "books", 0.9)
+          .when(col("source") === "code", 0.6)
+          .otherwise(0.5)
+        docs(s, d).filter(u < rate).select("source", "doc_id")
+      }),
+
     // Heavy hitters, sketch-pruned but EXACT (the d08 pattern applied to
     // frequencies): pass 1 folds the token stream into a count-min
     // sketch (distributed build, KB-sized result); pass 2 keeps only
