@@ -422,6 +422,57 @@ object TextPipeline {
         toks.filter(GF.cmsAtLeast(s, col("token"), cms, floor))
           .groupBy("token").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= floor)
+      }),
+
+    // BM25 retrieval (Robertson/Sparck Jones with the Lucene idf
+    // variant, k1=1.2 b=0.75): score every document against a fixed
+    // term query and return the top 20. The inverted-index shape, run
+    // as dataflow: tf = one scan with the doc length riding along each
+    // posting (no second scan), df/N/avgdl are tiny aggregates joined
+    // back by broadcast. At 100 TB the only big shuffle is the
+    // (doc_id, term) tf aggregation, pre-filtered to the query terms —
+    // postings for non-query terms never leave the scan. Scores are
+    // rounded before the top-k so the DuckDB comparison and the
+    // tie-break (doc_id) are exact.
+    GQ("t16_bm25", {
+      val terms = Seq("scan", "hash", "merge").map(t => s"'$t'").mkString(", ")
+      Some(s"""WITH dl AS (SELECT doc_id, len($oracleTokens) AS dl FROM documents),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest($oracleTokens) AS token FROM documents)
+               WHERE token IN ($terms) GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id, bm25 FROM (
+          SELECT doc_id,
+                 round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1)
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY doc_id)
+        ORDER BY bm25 DESC, doc_id LIMIT 20""")
+    },
+      (s, d) => {
+        val terms = Seq("scan", "hash", "merge")
+        val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("tok"))
+        val stats = base.agg(count(lit(1)).as("n"),
+          avg(size(col("tok"))).as("avgdl"))
+        val tf = base
+          .select(col("doc_id"), size(col("tok")).as("dl"),
+            explode(col("tok")).as("token"))
+          .filter(col("token").isin(terms: _*))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df_), "token")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+              * col("tf") * 2.2
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .as("term_score"))
+          .groupBy("doc_id")
+          .agg(round(sum(col("term_score")), 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
       })
   )
 }

@@ -19,10 +19,13 @@ class PlanLintSpec extends AnyFunSuite {
     *    the BROADCAST query set (|Q| << corpus), so cost stays linear
     *    in the corpus and the top-k reduction is partial-aggregated;
     *  - t13_lm_quality: the nested-loop side is ONE row (the broadcast
-    *    global token total) — a constant-space scalar join.
+    *    global token total) — a constant-space scalar join;
+    *  - t16_bm25: same shape — the broadcast side is the ONE-row
+    *    (N, avgdl) corpus-stats aggregate.
     */
   private val allowNestedLoop =
-    Set("d06_embedding_neardup", "s01_ann_bruteforce", "t13_lm_quality")
+    Set("d06_embedding_neardup", "s01_ann_bruteforce", "t13_lm_quality",
+      "t16_bm25")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
