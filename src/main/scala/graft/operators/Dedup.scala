@@ -276,19 +276,26 @@ object Dedup {
     // partitioning from the (already materialized) edge count — the same
     // runtime-statistics reasoning AQE applies within a query, applied
     // across the loop.
-    // size from BOTH frames: few candidate pairs over a huge corpus must
-    // not collapse corpus-wide label propagation to one task
-    val graphRows = math.max(p.count(), nodes.count())
+    val graphRows = p.count()
     val nParts = math.max(1, math.min(
       graphRows / 50000L, p.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(nParts, col("src")).localCheckpoint()
     releaseCheckpoint(p) // edges (eagerly materialized) supersedes p
+    // iterate ONLY over nodes that occur in the graph: an isolated node
+    // can never adopt a neighbor's label, so dragging the full corpus
+    // through every round just re-shuffles rows that cannot change. At
+    // 100 TB that is the difference between |corpus| rows per round and
+    // |near-dup candidate| rows per round (typically orders smaller —
+    // the LSH residue). Isolated nodes rejoin at the end as their own
+    // single-member clusters. The symmetric edge list lists every graph
+    // node as a src, so distinct(src) IS the graph's node set.
     // `labelsCp` is always the checkpointed frame itself (its logical
     // plan is the LogicalRDD), so releaseCheckpoint can find the
     // persisted RDD; `labels` is the (id, lbl) view over it
-    var labelsCp = nodes.select(col("id"), col("id").as("lbl"))
+    var labelsCp = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
       .repartition(nParts, col("id")).localCheckpoint()
     var labels = labelsCp
     var changed = 1L
@@ -317,10 +324,15 @@ object Dedup {
     }
     releaseCheckpoint(edges) // the fixpoint no longer needs the edge list
     // the final labels checkpoint stays persisted: the returned frame
-    // reads from it. It holds one (id, lbl) row per node — the result
-    // itself — and is released by ContextCleaner when the frame is GC'd.
-    labels.select(col("id"), col("lbl").as("cluster"),
-      (col("id") === col("lbl")).as("is_survivor"))
+    // reads from it. It holds one (id, lbl) row per GRAPH node (small)
+    // and is released by ContextCleaner when the frame is GC'd. The
+    // corpus rejoins here — one broadcast-able join (labels is the tiny
+    // side), never an extra corpus shuffle; isolated nodes surface as
+    // their own surviving singleton clusters.
+    nodes.join(labels.withColumnRenamed("id", "gid"),
+        col("id") === col("gid"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"),
+        (col("id") === coalesce(col("lbl"), col("id"))).as("is_survivor"))
   }
 
   /** Exact membership dedup with a bloom pre-filter: drop batch rows
