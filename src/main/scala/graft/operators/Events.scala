@@ -211,6 +211,84 @@ object Events {
             (unix_micros(least(col("ea"), col("eb")))
               - unix_micros(greatest(col("sa"), col("sb")))).as("overlap_us"))
           .dropDuplicates("user_a", "sess_a", "user_b", "sess_b")
+      }),
+
+    // Ordered funnel (the windowFunnel shape): per user, the deepest
+    // view -> click -> purchase step reached, each later step strictly
+    // after the previous one and inside 24h of the funnel start. Three
+    // conditional min-aggregations chained by joins; every agg AND
+    // every join keys on user_id, so the whole funnel is one shuffle
+    // lineage on the user key at any scale — no windows, no
+    // per-user event collection.
+    GQ("e12_funnel",
+      Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                 JOIN t1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts > t1.t1
+                   AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+          t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                 JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+                   AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        SELECT u.user_id,
+               CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                         WHEN t2.t2 IS NOT NULL THEN 2
+                         WHEN t1.t1 IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS funnel_step
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        LEFT JOIN t3 USING (user_id)"""),
+      (s, d) => {
+        val e = ev(s, d)
+        val day = expr("INTERVAL 24 HOURS")
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val t2 = e.filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("ts") > col("t1") && col("ts") <= col("t1") + day)
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase")
+          .join(t1, "user_id").join(t2, "user_id")
+          .filter(col("ts") > col("t2") && col("ts") <= col("t1") + day)
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        e.select("user_id").distinct()
+          .join(t1, Seq("user_id"), "left")
+          .join(t2, Seq("user_id"), "left")
+          .join(t3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3)
+              .when(col("t2").isNotNull, 2)
+              .when(col("t1").isNotNull, 1)
+              .otherwise(0).cast(IntegerType).as("funnel_step"))
+      }),
+
+    // Retention cohorts: users cohorted by signup day; for day offsets
+    // 0..7, how many are active (any event) that day. Two aggregations
+    // (cohort per user, distinct active days per user) and one join,
+    // all keyed on user_id; the final (cohort, offset) rollup is a
+    // shuffle of |users x 8| rows at most. The standard growth-analytics
+    // matrix, as pure keyed dataflow.
+    GQ("e13_retention",
+      Some("""WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+                 FROM events WHERE event_type = 'signup' GROUP BY 1),
+          a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        SELECT c.cohort, CAST(a.d - c.cohort AS INT) AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM a JOIN c USING (user_id)
+        WHERE a.d >= c.cohort AND a.d <= c.cohort + 7
+        GROUP BY 1, 2"""),
+      (s, d) => {
+        val e = ev(s, d)
+        val c = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts").cast(DateType)).as("cohort"))
+        val a = e.select(col("user_id"), col("ts").cast(DateType).as("d"))
+          .distinct()
+        a.join(c, "user_id")
+          .filter(col("d") >= col("cohort") && col("d") <= date_add(col("cohort"), 7))
+          .groupBy(col("cohort"), datediff(col("d"), col("cohort"))
+            .cast(IntegerType).as("day_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
       })
   )
 }
