@@ -49,6 +49,35 @@ object Events {
   /** Keyed dedup keeping the earliest event — the batch twin of
     * streaming dropDuplicates (deterministic survivor, unlike
     * dropDuplicates' arbitrary pick). */
+  /** Ordered funnel (the windowFunnel shape): per user, the deepest
+    * view -> click -> purchase step reached, each later step strictly
+    * after the previous one and inside `windowHours` of the funnel
+    * start. Chained conditional min-aggregations; every agg AND join
+    * keys on user_id — one shuffle lineage on the user key, no windows,
+    * no per-user event collection. */
+  def funnelSteps(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val win = expr(s"INTERVAL $windowHours HOURS")
+    val t1 = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = events.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = events.filter(col("event_type") === "purchase")
+      .join(t1, "user_id").join(t2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    events.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).cast(IntegerType).as("funnel_step"))
+  }
+
   def firstEventPerKey(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -239,29 +268,7 @@ object Events {
         FROM (SELECT DISTINCT user_id FROM events) u
         LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
         LEFT JOIN t3 USING (user_id)"""),
-      (s, d) => {
-        val e = ev(s, d)
-        val day = expr("INTERVAL 24 HOURS")
-        val t1 = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val t2 = e.filter(col("event_type") === "click")
-          .join(t1, "user_id")
-          .filter(col("ts") > col("t1") && col("ts") <= col("t1") + day)
-          .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        val t3 = e.filter(col("event_type") === "purchase")
-          .join(t1, "user_id").join(t2, "user_id")
-          .filter(col("ts") > col("t2") && col("ts") <= col("t1") + day)
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        e.select("user_id").distinct()
-          .join(t1, Seq("user_id"), "left")
-          .join(t2, Seq("user_id"), "left")
-          .join(t3, Seq("user_id"), "left")
-          .select(col("user_id"),
-            when(col("t3").isNotNull, 3)
-              .when(col("t2").isNotNull, 2)
-              .when(col("t1").isNotNull, 1)
-              .otherwise(0).cast(IntegerType).as("funnel_step"))
-      }),
+      (s, d) => funnelSteps(ev(s, d))),
 
     // Retention cohorts: users cohorted by signup day; for day offsets
     // 0..7, how many are active (any event) that day. Two aggregations

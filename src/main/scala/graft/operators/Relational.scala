@@ -525,6 +525,27 @@ object Relational {
             .as("sum_near"))
       }),
 
+    // FILTER-clause aggregates (SQL:2003 <filter clause>, PG/DuckDB
+    // native syntax): each aggregate sees only its predicate's rows.
+    // Spark has no FILTER syntax; the same semantics compile to
+    // conditional aggregation — count(when(p, 1)) skips nulls, and the
+    // exact-decimal sum wraps a when(p, x) projection. One partial+final
+    // aggregation either way; the predicates evaluate inside the scan
+    // stage, so no extra pass at any scale.
+    GQ("q48_filtered_agg",
+      Some(s"""SELECT l_returnflag,
+          COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+          ${osum("CASE WHEN l_discount > 0.05 THEN l_extendedprice END")} AS disc_revenue,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag"""),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_quantity") > 25, lit(1))).as("n_bulk"),
+          dsum(when(col("l_discount") > 0.05, col("l_extendedprice")))
+            .as("disc_revenue"),
+          count(lit(1)).as("n"))),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {

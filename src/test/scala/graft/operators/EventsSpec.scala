@@ -53,4 +53,28 @@ class EventsSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
     }
   }
+
+  test("funnel ordering + window semantics on crafted edge cases") {
+    import spark.implicits._
+    def t(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // u1: full ordered funnel inside 24h            -> 3
+    // u2: purchase BEFORE click (order violation)   -> 2
+    // u3: click BEFORE the first view               -> 1
+    // u4: click 25h after the view (window expired) -> 1
+    // u5: no view at all (funnel never starts)      -> 0
+    // u6: second click inside window rescues an early out-of-order one -> 2
+    val rows = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      (2L, "view", t(1)), (2L, "purchase", t(2)), (2L, "click", t(3)),
+      (3L, "click", t(1)), (3L, "view", t(2)),
+      (4L, "view", t(1)), (4L, "click",
+        java.sql.Timestamp.valueOf(t(1).toLocalDateTime.plusHours(25))),
+      (5L, "click", t(1)), (5L, "purchase", t(2)),
+      (6L, "click", t(1)), (6L, "view", t(2)), (6L, "click", t(3)))
+    val ev = rows.toDF("user_id", "event_type", "ts")
+    val got = Events.funnelSteps(ev).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 2))
+  }
 }
