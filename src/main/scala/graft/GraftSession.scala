@@ -181,7 +181,17 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     }
     if (!ok) throw new GraftArgError(Errors.InvalidParameterValue,
       s"invalid value for parameter \"$name\": \"$value\"")
-    localGucs(name) = value
+    // store the typed canonical form, not the raw spelling — the
+    // reference's to_bool/to_i32/to_f64 parse stores a typed value and
+    // SHOW renders its canonical text (utility.rs:117-134)
+    val canonical = gucTypes(name) match {
+      case "BOOL" => if (Set("true", "on", "t", "1", "yes")(value.trim.toLowerCase))
+        "true" else "false"
+      case "INT" => value.trim.toLong.toString
+      case "REAL" => value.trim.toDouble.toString
+      case _ => value
+    }
+    localGucs(name) = canonical
     linkedGucs.get(name).foreach { conf =>
       try spark.conf.set(conf, value) catch { case _: Exception => }
     }

@@ -46,9 +46,6 @@ object Events {
         dsum(col("value")).as("total_value"))
   }
 
-  /** Keyed dedup keeping the earliest event — the batch twin of
-    * streaming dropDuplicates (deterministic survivor, unlike
-    * dropDuplicates' arbitrary pick). */
   /** Ordered funnel (the windowFunnel shape): per user, the deepest
     * view -> click -> purchase step reached, each later step strictly
     * after the previous one and inside `windowHours` of the funnel
@@ -78,6 +75,9 @@ object Events {
           .otherwise(0).cast(IntegerType).as("funnel_step"))
   }
 
+  /** Keyed dedup keeping the earliest event — the batch twin of
+    * streaming dropDuplicates (deterministic survivor, unlike
+    * dropDuplicates' arbitrary pick). */
   def firstEventPerKey(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -27,7 +27,8 @@ object Packing {
     Engine.table(s, d, "documents")
 
   /** Greedy first-fit-in-order packing of `documents` into `budget`-token
-    * bins per `shardCol`. Returns (source, doc_id, n_tokens, bin). */
+    * bins per `shardCol`. Returns (<shardCol>, doc_id, n_tokens, bin) —
+    * the first output column carries the caller's shard-key name. */
   def packSequences(documents: DataFrame, budget: Long,
       shardCol: String = "source"): DataFrame = {
     val spark = documents.sparkSession
@@ -54,8 +55,8 @@ object Packing {
           (shard, id, n, bin)
         }
       }
-      .toDF("source", "doc_id", "n_tokens", "bin")
-      .select(col("source"), col("doc_id"),
+      .toDF(shardCol, "doc_id", "n_tokens", "bin")
+      .select(col(shardCol), col("doc_id"),
         col("n_tokens").cast(IntegerType).as("n_tokens"),
         col("bin").cast(IntegerType).as("bin"))
   }

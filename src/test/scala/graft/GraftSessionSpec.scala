@@ -45,8 +45,14 @@ class GraftSessionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.execute("SET port = 'abc'"))
     intercept[IllegalArgumentException](s.execute("SET seq_page_cost = 'fast'"))
     intercept[IllegalArgumentException](s.execute("SET enable_cs_wal = maybe"))
+    // typed store: SHOW renders the canonical form, not the raw spelling
+    // (the reference stores the to_bool/to_i32 result, not the string)
     s.execute("SET enable_cs_wal = on")
-    assert(s.execute("SHOW enable_cs_wal").head.getString(1) == "on")
+    assert(s.execute("SHOW enable_cs_wal").head.getString(1) == "true")
+    s.execute("SET enable_cs_wal = 'no'")
+    assert(s.execute("SHOW enable_cs_wal").head.getString(1) == "false")
+    s.execute("SET port = '+5432'")
+    assert(s.execute("SHOW port").head.getString(1) == "5432")
     s.execute("SET seq_page_cost = 2.5")
     assert(s.execute("SHOW seq_page_cost").head.getString(1) == "2.5")
     // REPORT-flagged set = what the wire front-end sends as ParameterStatus
