@@ -18,6 +18,7 @@ object SparkEntry {
       operators.AsOf.defs ++
       operators.Dedup.defs ++
       operators.VectorSearch.defs ++
+      operators.Cluster.defs ++
       operators.TextPipeline.defs ++
       operators.Packing.defs ++
       operators.Events.defs ++

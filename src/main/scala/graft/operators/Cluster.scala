@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, GQ}
+import graft.functions.{GraftFunctions => GF}
+
+/** Embedding-space clustering operators for the training-data pipeline:
+  * distributed Lloyd's k-means and SemDeDup-style semantic deduplication
+  * (Abbas et al. 2023, arXiv:2303.09540 — cluster the corpus, then drop
+  * within-cluster near-duplicates by cosine).
+  *
+  * 100 TB shape shared by both:
+  *  - centroids live on the driver (k x dim doubles, k is a PARAMETER,
+  *    never a function of corpus size) and ship to executors inside the
+  *    plan — assignment is one codegen'd pass over the corpus with no
+  *    row explosion, no window, no join;
+  *  - the only corpus-wide exchange keys on the (small-cardinality)
+  *    cluster id, where partial aggregation collapses each map task's
+  *    contribution to <= k x dim rows before the shuffle.
+  */
+object Cluster {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Engine.table(s, d, "embeddings")
+
+  /** Rounded cosine (6dp): robust to last-ulp engine differences while
+    * keeping full discrimination — the d06-proven oracle contract. */
+  private def sim6(a: Column, b: Column): Column = round(GF.cosine(a, b), 6)
+
+  /** Deterministic, oracle-expressible seed centroids: the `k` lowest
+    * vec_ids on a fixed stride (`vec_id % step = 0`), ordered by vec_id
+    * (cid = rank). A TakeOrderedAndProject of k rows — k x dim doubles
+    * to the driver at any corpus size. (The hash-ordered spread sample
+    * used by [[VectorSearch.ivfTopK]] is the better-mixed choice when no
+    * cross-engine oracle needs to reproduce the selection.) */
+  def seedCentroids(e: DataFrame, k: Int, step: Int = 37): Array[Array[Double]] =
+    e.filter(col("vec_id") % step === 0)
+      .orderBy("vec_id").limit(k)
+      .collect()
+      .map(r => r.getSeq[Number](r.fieldIndex("embedding"))
+        .map(_.doubleValue).toArray)
+
+  /** Nearest-centroid id by ROUNDED cosine, ties to the lower cid —
+    * built from array builtins (not [[GF.nearestCells]]) precisely so the
+    * DuckDB oracle can reproduce the argmax bit-for-bit: both engines
+    * rank round(cosine, 6) descending, then cid. Stays inside
+    * WholeStageCodegen; |centroids| terms per row, no row explosion. */
+  def assignByCosine(v: Column, centroids: Array[Array[Double]]): Column = {
+    val sims = array(centroids.toIndexedSeq.map(c =>
+      sim6(v, typedLit(c.toIndexedSeq))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast(IntegerType)
+  }
+
+  /** SemDeDup: assign each embedding to its nearest seed centroid, then
+    * within each cluster drop every row that has a LOWER-id neighbor
+    * with cosine > `tau` (the kept row of each near-dup group is its
+    * minimum vec_id). Returns the surviving (vec_id, cid) rows.
+    *
+    * This is the scale answer to d06's corpus-wide quadratic: the
+    * pairwise pass runs per cluster, so its cost is bounded by the
+    * largest cluster (~(N/k)^2 per cluster); k is the dial — at real
+    * corpus scale pick k ~ N / desired-cluster-size (SemDeDup's own
+    * regime), and the per-cluster work stays constant as the corpus
+    * grows. One shuffle on cid for the self-join; the drop set joins
+    * back as a shuffle anti join on vec_id. */
+  def semanticDedup(e: DataFrame, k: Int = 8, tau: Double = 0.35,
+      step: Int = 37): DataFrame = {
+    val cents = seedCentroids(e, k, step)
+    val asg = e.select(col("vec_id"), col("embedding"),
+      assignByCosine(col("embedding"), cents).as("cid"))
+    val a = asg.select(col("cid").as("cid_a"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = asg.select(col("cid").as("cid_b"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    // cosine + threshold evaluate inside the join stage; only surviving
+    // (id_b) keys are shuffled for the distinct + anti join
+    val drops = a.join(b, col("cid_a") === col("cid_b") &&
+        col("id_a") < col("id_b"))
+      .filter(sim6(col("va"), col("vb")) > tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.join(drops, Seq("vec_id"), "left_anti").select("vec_id", "cid")
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column, cosine
+    * assignment (= spherical k-means: cosine is norm-invariant, so the
+    * un-normalized mean update assigns identically to the normalized
+    * one). Deterministic: seed from the hash-ordered corpus sample (the
+    * [[VectorSearch.ivfTopK]] codebook scheme), centroid sums aggregate
+    * in exact decimal so float addition order cannot vary the result
+    * across partitionings/runs.
+    *
+    * Per iteration: one codegen'd assignment pass (native argmin kernel,
+    * centroids in the plan) + one exchange keyed on (cid, pos) whose
+    * map-side combine emits <= k x dim rows per task, then k x dim
+    * decimals to the driver for the mean. Empty clusters keep their old
+    * centroid. Returns (assignment with `cid`, final centroids). */
+  def kmeans(e: DataFrame, vecCol: String, k: Int, iters: Int,
+      dim: Int = 64): (DataFrame, Array[Array[Double]]) = {
+    val picked = e.select(col("vec_id"), col(vecCol))
+      .orderBy(hash(col("vec_id")), col("vec_id")).limit(k).collect()
+    var cents: Array[Array[Double]] = picked.sortBy(_.getLong(0)).map(r =>
+      r.getSeq[Number](1).map(_.doubleValue).toArray)
+    var it = 0
+    while (it < iters) {
+      val asg = e.withColumn("cid", GF.nearestCells(col(vecCol), cents, 1)(0))
+      val stats = asg
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast(DecimalType(38, 12))).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        val cid = r.getInt(0)
+        val pos = r.getInt(1)
+        val sx = r.getDecimal(2)
+        val n = r.getLong(3)
+        next(cid)(pos) = sx.doubleValue / n
+      }
+      cents = next
+      it += 1
+    }
+    (e.withColumn("cid", GF.nearestCells(col(vecCol), cents, 1)(0)), cents)
+  }
+
+  private val oracleCos =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+  private def ocos(a: String, b: String): String =
+    oracleCos.format(a, b, a, a, b, b)
+
+  val defs: Seq[GQ] = Seq(
+
+    GQ("d10_semantic_dedup",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8),
+        c AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid FROM c0),
+        asg AS (SELECT vec_id, v, cid FROM (
+            SELECT a.vec_id, a.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                     ORDER BY round(${ocos("a.v", "c.v")}, 6) DESC, c.cid) AS rn
+            FROM e a CROSS JOIN c) WHERE rn = 1),
+        drops AS (SELECT DISTINCT b.vec_id
+                  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                  WHERE round(${ocos("a.v", "b.v")}, 6) > 0.35)
+        SELECT vec_id, cid FROM asg
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""),
+      (s, d) => semanticDedup(emb(s, d))),
+
+    // Lloyd's is seeded from Spark's hash ordering (not reproducible in
+    // DuckDB SQL) -> rows-only gate; convergence/purity/determinism are
+    // spec-tested (ClusterSpec).
+    GQ("c01_kmeans_embeddings", None,
+      (s, d) => {
+        val (asg, cents) = kmeans(emb(s, d), "embedding", k = 10, iters = 3)
+        val simToCent = cents.toIndexedSeq.zipWithIndex
+          .foldLeft(lit(Double.NaN)) { case (acc, (c, i)) =>
+            when(col("cid") === i, sim6(col("embedding"), typedLit(c.toIndexedSeq)))
+              .otherwise(acc)
+          }
+        asg.select(col("cid"), simToCent.as("sim"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"), Engine.davg(col("sim")).as("avg_sim"))
+      })
+  )
+}

@@ -296,6 +296,51 @@ object Events {
           .groupBy(col("cohort"), datediff(col("d"), col("cohort"))
             .cast(IntegerType).as("day_offset"))
           .agg(count_distinct(col("user_id")).as("n_users"))
+      }),
+
+    // Event-rate anomaly detection: per event type, hourly counts whose
+    // z-score against the trailing 24 observed hours exceeds |2|. All
+    // window statistics derive from EXACT integer sums (n, n*n over a
+    // ROWS frame) — a float mean/stddev computed incrementally by a
+    // sliding-window engine would accumulate error differently per
+    // engine (the e11 lesson) — so the one double expression is written
+    // identically on both sides. One shuffle for the hourly rollup, one
+    // per-type window whose partitions are |hours| rows; at 100 TB the
+    // hourly pre-aggregation is what keeps the window input tiny.
+    GQ("e14_rate_anomaly",
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                 COUNT(*) AS n FROM events GROUP BY 1, 2),
+          x AS (SELECT event_type, hr, n,
+                  SUM(n) OVER w AS s, SUM(n * n) OVER w AS ssq,
+                  COUNT(*) OVER w AS c
+                FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+          z AS (SELECT event_type, hr, n, c,
+                  (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / c)
+                    / (c - 1) AS v,
+                  CAST(s AS DOUBLE) / c AS m
+                FROM x WHERE c >= 12)
+        SELECT event_type, hr, n, round((n - m) / sqrt(v), 6) AS z
+        FROM z WHERE v > 0 AND abs(round((n - m) / sqrt(v), 6)) > 2"""),
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(-24, -1)
+        val x = hourly
+          .withColumn("s", sum(col("n")).over(w))
+          .withColumn("ssq", sum(col("n") * col("n")).over(w))
+          .withColumn("c", count(lit(1)).over(w))
+          .filter(col("c") >= 12)
+          .withColumn("m", col("s").cast(DoubleType) / col("c"))
+          .withColumn("v",
+            (col("ssq").cast(DoubleType)
+              - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("c"))
+              / (col("c") - 1))
+        x.withColumn("z", round((col("n") - col("m")) / sqrt(col("v")), 6))
+          .filter(col("v") > 0 && abs(col("z")) > 2)
+          .select("event_type", "hr", "n", "z")
       })
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -473,6 +474,44 @@ object TextPipeline {
           .agg(round(sum(col("term_score")), 4).as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
+      }),
+
+    // Per-document keyword extraction: top-3 terms by TF-IDF. The df
+    // (document frequency) side is vocabulary-bounded — broadcast here;
+    // at a 100 TB corpus where the vocabulary outgrows a broadcast it
+    // degrades to ONE shuffle of the (doc_id, token, tf) table keyed on
+    // token. The final top-3 window partitions by doc_id with a
+    // per-document cardinality bounded by document length (the t12
+    // argument), so no task ever sorts more than one document's terms.
+    GQ("t17_tfidf_keywords",
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($oracleTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (SELECT doc_id, token,
+            round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+          FROM tf JOIN df USING (token) CROSS JOIN n)
+        SELECT doc_id, token, tfidf FROM (
+          SELECT doc_id, token, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rn
+          FROM scored) WHERE rn <= 3"""),
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val tf = base.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(dfc), "token")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"),
+            round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6)
+              .as("tfidf"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "token", "tfidf")
       })
   )
 }

@@ -21,11 +21,13 @@ class PlanLintSpec extends AnyFunSuite {
     *  - t13_lm_quality: the nested-loop side is ONE row (the broadcast
     *    global token total) — a constant-space scalar join;
     *  - t16_bm25: same shape — the broadcast side is the ONE-row
-    *    (N, avgdl) corpus-stats aggregate.
+    *    (N, avgdl) corpus-stats aggregate;
+    *  - t17_tfidf_keywords: same shape — the broadcast side is the
+    *    ONE-row corpus document count feeding the idf term.
     */
   private val allowNestedLoop =
     Set("d06_embedding_neardup", "s01_ann_bruteforce", "t13_lm_quality",
-      "t16_bm25")
+      "t16_bm25", "t17_tfidf_keywords")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
