@@ -512,6 +512,47 @@ object TextPipeline {
         scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("doc_id", "token", "tfidf")
+      }),
+
+    // DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    // score every document by the log-likelihood ratio between a TARGET
+    // domain's unigram LM (here: the lang='en' slice) and the raw-corpus
+    // LM, add-1 smoothed over the joint vocabulary — the reweighting
+    // that lets a pipeline sample a raw crawl toward a target
+    // distribution. Distinct from t13 (absolute corpus-LM quality):
+    // this is RELATIVE domain affinity. Same 100 TB shape as t13: both
+    // LMs are DataFrames joined distributively on token (vocab-bounded
+    // -> broadcast; degrades to one token-keyed shuffle), one agg on
+    // doc_id; no driver-side model state.
+    GQ("t18_dsir_weights",
+      Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($oracleTokens) AS token FROM documents),
+        raw AS (SELECT token, COUNT(*) AS cr FROM tok GROUP BY 1),
+        tgt AS (SELECT token, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        st AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
+                      (SELECT COUNT(*) FROM raw) AS b,
+                      (SELECT SUM(ct) FROM tgt) AS tt)
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+               round(AVG(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + b))
+                       - ln(CAST(cr + 1 AS DOUBLE) / (tr + b))), 4) AS dsir_weight
+        FROM tok JOIN raw USING (token) LEFT JOIN tgt USING (token) CROSS JOIN st
+        GROUP BY doc_id"""),
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("token"))
+        val raw = tok.groupBy("token").agg(count(lit(1)).as("cr"))
+        val tgt = tok.filter(col("lang") === "en")
+          .groupBy("token").agg(count(lit(1)).as("ct"))
+        val st = raw.agg(sum("cr").as("tr"), count(lit(1)).as("b"))
+          .crossJoin(tgt.agg(sum("ct").as("tt")))
+        tok.join(broadcast(raw), "token")
+          .join(broadcast(tgt), Seq("token"), "left")
+          .crossJoin(broadcast(st))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+            round(avg(
+              log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) / (col("tt") + col("b")))
+                - log((col("cr") + 1).cast(DoubleType) / (col("tr") + col("b")))), 4)
+              .as("dsir_weight"))
       })
   )
 }

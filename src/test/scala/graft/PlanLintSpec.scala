@@ -23,11 +23,13 @@ class PlanLintSpec extends AnyFunSuite {
     *  - t16_bm25: same shape — the broadcast side is the ONE-row
     *    (N, avgdl) corpus-stats aggregate;
     *  - t17_tfidf_keywords: same shape — the broadcast side is the
-    *    ONE-row corpus document count feeding the idf term.
+    *    ONE-row corpus document count feeding the idf term;
+    *  - t18_dsir_weights: same shape — the broadcast side is the
+    *    ONE-row (tr, b, tt) smoothing-constant aggregate.
     */
   private val allowNestedLoop =
     Set("d06_embedding_neardup", "s01_ann_bruteforce", "t13_lm_quality",
-      "t16_bm25", "t17_tfidf_keywords")
+      "t16_bm25", "t17_tfidf_keywords", "t18_dsir_weights")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
