@@ -87,6 +87,31 @@ object DocsStreaming {
       .toDF("source", "doc_id", "n_tokens", "bin")
   }
 
+  /** Streaming twin of `operators.Cluster.semanticDedup`'s corpus-guard
+    * stage: drop incoming embedding rows that are semantic near-dups
+    * (cosine > `tau`) of a kept corpus row in the SAME centroid cell.
+    * Centroids are a driver-side k x dim array (the
+    * `Cluster.seedCentroids` / `Cluster.kmeans` output) shipped once in
+    * the plan; the kept corpus participates only as (cid, embedding) —
+    * precomputable and bucketable by cid. The stream-static left_anti
+    * join keys on cid equality with the codegen'd cosine as the join
+    * residual, so each incoming row scores only against its own cell
+    * (the SemDeDup bound, not the whole corpus). In-stream near-dups
+    * are NOT deduped here — that would need stream-derived join state;
+    * chain [[dedupAgainstCorpus]] upstream for exact-payload dups.
+    */
+  def semanticDedupAgainstCorpus(newVecs: DataFrame, corpusKept: DataFrame,
+      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val asg = newVecs.withColumn("cid",
+      graft.operators.Cluster.assignByCosine(col("embedding"), centroids))
+    val kept = corpusKept.select(col("cid").as("k_cid"),
+      col("embedding").as("kv"))
+    asg.join(kept,
+      col("cid") === col("k_cid") &&
+        graft.functions.GraftFunctions.cosine(col("embedding"), col("kv")) > tau,
+      "left_anti")
+  }
+
   /** Streaming twin of `operators.Dedup.decontaminate`: drop incoming
     * documents that share any k-word shingle with a static eval set.
     * `evalGrams` = the eval set's (h1, h2) shingle-hash table (built once

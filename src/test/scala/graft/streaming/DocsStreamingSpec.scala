@@ -112,4 +112,34 @@ class DocsStreamingSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> (r._2, r._3.toLong)).toMap
     assert(batch == got)
   }
+
+  test("streaming semantic dedup drops in-cell cosine near-dups of the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val centroids = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val kept = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cid", "embedding")
+
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = DocsStreaming.semanticDedupAgainstCorpus(
+      in.toDF().toDF("vec_id", "embedding"), kept, centroids, tau = 0.8)
+    val q = out.writeStream.format("memory")
+      .queryName("sem_out").outputMode(OutputMode.Append).start()
+
+    in.addData(
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)),  // cell 0, cos vs kept ~0.99 -> drop
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)))  // orthogonal to its cell's kept row -> keep
+    q.processAllAvailable()
+    // second batch: the static side is consulted identically per batch
+    in.addData(
+      (3L, Seq(0.1, 0.9, 0.0, 0.0)),  // cell 1 near-dup -> drop
+      (4L, Seq(-1.0, 0.2, 0.0, 0.0))) // cell 1 (cos 0.196 < 0.8) -> keep
+    q.processAllAvailable()
+    q.stop()
+
+    val survivors = spark.table("sem_out")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(2L, 4L))
+  }
 }
