@@ -185,6 +185,43 @@ object VectorSearch {
     topKPerQid(exact, k)
   }
 
+  /** Mutual k-NN graph over the WHOLE corpus — the neighborhood-graph
+    * primitive behind graph-based curation (an edge survives only if
+    * each endpoint ranks the other in its own top-k, which prunes the
+    * asymmetric "hub" edges a plain kNN graph accumulates).
+    *
+    * Scale shape: corpus-vs-corpus kNN must NOT broadcast anything
+    * ([[lshTopK]] broadcasts its query set — correct for |Q| << N, a
+    * scale-killer here). Candidates come from the multi-table LSH
+    * bucket SELF-join (one shuffle on (tbl, bucket), in-bucket pairing
+    * bounded by bucket size), each surviving pair feeds BOTH directions
+    * of the bounded-heap per-qid top-k, and the mutual filter is one
+    * self-join on the (k x N)-row directed edge list keyed on the pair.
+    * Emits (id_a < id_b, sim) once per mutual edge. */
+  def mutualKnnGraph(e: DataFrame, k: Int,
+      planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val withB = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
+    val a = withB.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = withB.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
+      .dropDuplicates("id_a", "id_b")
+    val directed = pairs.select(col("id_a").as("qid"), col("id_b").as("nid"), col("sim"))
+      .unionByName(pairs.select(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))
+    val topk = topKPerQid(directed, k)
+    // mutual: (a -> b) must exist with (b -> a); emit each edge once
+    val fwd = topk.filter(col("qid") < col("nid"))
+    val rev = topk.filter(col("qid") > col("nid"))
+      .select(col("nid").as("qid"), col("qid").as("nid"))
+    fwd.join(rev, Seq("qid", "nid"))
+      .select(col("qid").as("id_a"), col("nid").as("id_b"), col("sim"))
+  }
+
   /** All embedding pairs above a cosine threshold (near-dup detection).
     * General path bounds candidates via LSH buckets; the oracle entry
     * below runs the exact bounded variant. */
@@ -275,6 +312,9 @@ object VectorSearch {
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         ivfPqTopK(e, q, 10)
-      })
+      }),
+
+    GQ("s05_mutual_knn_graph", None, // LSH-approximate: rows-only + spec
+      (s, d) => mutualKnnGraph(emb(s, d), 5))
   )
 }
