@@ -240,14 +240,17 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph + survivor pick —
     * the step that turns pairwise similarity into actual corpus dedup
-    * (each cluster keeps its lowest id). Iterative min-label propagation
-    * to a fixpoint: label(v) := min(label(v), min over neighbors); each
+    * (each cluster keeps its lowest id). Two execution regimes chosen
+    * from the MEASURED edge count (see body): a driver-local union-find
+    * when the graph is small (exact, no per-round scheduling), and an
+    * iterative distributed min-label propagation to a fixpoint
+    * otherwise: label(v) := min(label(v), min over neighbors); each
     * round is one shuffle on the node id, lineage is cut per round
-    * (localCheckpoint) so plans stay flat. Rounds needed = graph
-    * diameter — near-dup clusters are shallow (dups of dups of X are
-    * dups of X), so this converges in a handful of rounds at any scale;
-    * the classic large-star/small-star optimization halves rounds if
-    * diameters ever grow.
+    * (localCheckpoint) so plans stay flat. Rounds needed = O(log
+    * diameter) with pointer jumping — near-dup clusters are shallow
+    * (dups of dups of X are dups of X), so this converges in a handful
+    * of rounds at any scale; both regimes produce identical labels
+    * (spec-asserted).
     *
     * Returns (id, cluster, is_survivor): cluster = min id reachable,
     * survivor = the row whose id equals its cluster id.
@@ -264,19 +267,49 @@ object Dedup {
       case _ => ()
     }
 
-  def nearDupClusters(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, nodes: DataFrame,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) pair source ONCE, then derive
     // the symmetric edge list from the materialized form — a union of
     // two references to the raw plan would execute it twice
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    // adaptive parallelism for the iterative stage: the candidate-pair
-    // graph is usually tiny relative to the corpus (it holds only docs
-    // with a near-dup candidate), and a small graph iterated at full
-    // shuffle parallelism pays scheduling, not compute. Size the loop's
-    // partitioning from the (already materialized) edge count — the same
-    // runtime-statistics reasoning AQE applies within a query, applied
-    // across the loop.
+    // adaptive execution, sized from the (already materialized) edge
+    // count — the same runtime-statistics reasoning AQE applies within
+    // a query, applied across the loop. The candidate-pair graph holds
+    // only docs WITH a near-dup candidate (the LSH residue), orders
+    // smaller than the corpus, so two regimes:
+    //  - graph fits driver memory (<= driverMaxEdges, ~32 MB of longs
+    //    at the default): exact union-find on the driver — O(E α(E))
+    //    with zero per-round job scheduling, the same min-id labels;
+    //  - larger: the distributed min-label fixpoint below, whose
+    //    partitioning is itself sized from the edge count.
     val graphRows = p.count()
+    if (graphRows <= driverMaxEdges) {
+      val edgeRows = p.collect()
+      releaseCheckpoint(p)
+      // union-find, roots pinned to the component minimum: attaching the
+      // LARGER root under the smaller keeps root == min id with no
+      // separate relabel pass; path compression bounds chain length
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def root(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeRows.foreach { e =>
+        val a = e.getLong(0); val b = e.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = root(a); val rb = root(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = parent.keys.toSeq.map(id => (id, root(id))).toDF("id", "lbl")
+      return attachLabels(nodes, labels)
+    }
     val nParts = math.max(1, math.min(
       graphRows / 50000L, p.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -325,15 +358,18 @@ object Dedup {
     releaseCheckpoint(edges) // the fixpoint no longer needs the edge list
     // the final labels checkpoint stays persisted: the returned frame
     // reads from it. It holds one (id, lbl) row per GRAPH node (small)
-    // and is released by ContextCleaner when the frame is GC'd. The
-    // corpus rejoins here — one broadcast-able join (labels is the tiny
-    // side), never an extra corpus shuffle; isolated nodes surface as
-    // their own surviving singleton clusters.
+    // and is released by ContextCleaner when the frame is GC'd.
+    attachLabels(nodes, labels)
+  }
+
+  /** Rejoin the corpus to the graph labels — one broadcast-able join
+    * (labels is the tiny side), never an extra corpus shuffle; isolated
+    * nodes surface as their own surviving singleton clusters. */
+  private def attachLabels(nodes: DataFrame, labels: DataFrame): DataFrame =
     nodes.join(labels.withColumnRenamed("id", "gid"),
         col("id") === col("gid"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"),
         (col("id") === coalesce(col("lbl"), col("id"))).as("is_survivor"))
-  }
 
   /** Exact membership dedup with a bloom pre-filter: drop batch rows
     * whose content hash exists in the corpus. The bloom filter (built

@@ -194,12 +194,16 @@ object VectorSearch {
     * ([[lshTopK]] broadcasts its query set — correct for |Q| << N, a
     * scale-killer here). Candidates come from the multi-table LSH
     * bucket SELF-join (one shuffle on (tbl, bucket), in-bucket pairing
-    * bounded by bucket size), each surviving pair feeds BOTH directions
-    * of the bounded-heap per-qid top-k, and the mutual filter is one
-    * self-join on the (k x N)-row directed edge list keyed on the pair.
-    * Emits (id_a < id_b, sim) once per mutual edge. */
+    * bounded by bucket size; `planes` is the volume dial — in-bucket
+    * pairs shrink ~2x per extra plane, per-table recall drops
+    * p_plane^planes, compensated by `tables`). The ONE pair scan feeds
+    * both directions of the bounded-heap per-qid top-k via a generator
+    * (a union of two references to the pair plan would execute the LSH
+    * join twice — the d05 lesson), and mutuality is a canonical-pair
+    * count==2 aggregation, not a self-join that would re-execute the
+    * top-k subtree. Emits (id_a < id_b, sim) once per mutual edge. */
   def mutualKnnGraph(e: DataFrame, k: Int,
-      planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+      planes: Int = 5, tables: Int = 8, dim: Int = 64): DataFrame = {
     val withB = e.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until tables).map(t =>
         lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
@@ -211,15 +215,19 @@ object VectorSearch {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
       .dropDuplicates("id_a", "id_b")
-    val directed = pairs.select(col("id_a").as("qid"), col("id_b").as("nid"), col("sim"))
-      .unionByName(pairs.select(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))
+    val directed = pairs.select(explode(array(
+        struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
+        struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
+      .select(col("e.qid"), col("e.nid"), col("e.sim"))
     val topk = topKPerQid(directed, k)
-    // mutual: (a -> b) must exist with (b -> a); emit each edge once
-    val fwd = topk.filter(col("qid") < col("nid"))
-    val rev = topk.filter(col("qid") > col("nid"))
-      .select(col("nid").as("qid"), col("qid").as("nid"))
-    fwd.join(rev, Seq("qid", "nid"))
-      .select(col("qid").as("id_a"), col("nid").as("id_b"), col("sim"))
+    // a directed (qid, nid) survives at most once (candidates deduped),
+    // so canonical count == 2 <=> both endpoints kept each other
+    topk.select(least(col("qid"), col("nid")).as("id_a"),
+        greatest(col("qid"), col("nid")).as("id_b"), col("sim"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n"), max(col("sim")).as("sim"))
+      .filter(col("n") === 2)
+      .select("id_a", "id_b", "sim")
   }
 
   /** All embedding pairs above a cosine threshold (near-dup detection).

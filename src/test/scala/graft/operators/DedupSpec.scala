@@ -86,6 +86,11 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(3L) == (3L, true))  // singleton survives as its own cluster
     assert(cc(4L) == (4L, true))
     assert(cc(5L) == (4L, false))
+    // the distributed fixpoint (forced via driverMaxEdges = -1) must
+    // produce byte-identical labels to the driver union-find path
+    val dist = Dedup.nearDupClusters(pairs, nodes, driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(dist == cc)
   }
 
   test("bloom membership dedup is exact: dups dropped, uniques kept") {
