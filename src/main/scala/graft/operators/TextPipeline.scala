@@ -553,6 +553,31 @@ object TextPipeline {
               log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) / (col("tt") + col("b")))
                 - log((col("cr") + 1).cast(DoubleType) / (col("tr") + col("b")))), 4)
               .as("dsir_weight"))
+      }),
+
+    // Character-entropy quality signal — the classic gibberish/boiler-
+    // plate detector (low entropy = repeated characters/padding, high =
+    // random noise; natural text sits in a narrow band). Shape: the
+    // char explode is |text| rows but collapses map-side to <= charset
+    // rows per doc per partition (partial agg on (doc_id, ch)); the
+    // per-doc total comes from a window over the ALREADY-aggregated
+    // counts — bounded by charset size, never a second scan.
+    GQ("t19_char_entropy",
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        w AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM cc)
+        SELECT doc_id, round(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 4)
+               AS char_entropy
+        FROM w GROUP BY doc_id"""),
+      (s, d) => {
+        val cc = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        val n = sum(col("c")).over(Window.partitionBy("doc_id"))
+        val p = col("c").cast(DoubleType) / col("n")
+        cc.withColumn("n", n)
+          .groupBy("doc_id")
+          .agg(round(-sum(p * log(p)), 4).as("char_entropy"))
       })
   )
 }
