@@ -93,6 +93,42 @@ class DedupSpec extends AnyFunSuite {
     assert(dist == cc)
   }
 
+  test("CC regimes agree on random graphs (chains, stars, cycles, isolates)") {
+    import spark.implicits._
+    // deterministic pseudo-random graphs exercising deep chains (the
+    // pointer-jumping path), high-degree stars, cycles, and isolates
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val ids = (0L until n.toLong).toSeq
+      val edges = Seq.newBuilder[(Long, Long)]
+      // random edges
+      (1 to n / 2).foreach { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a != b) edges += ((math.min(a, b), math.max(a, b)))
+      }
+      // one long chain (depth stresses the fixpoint round count)
+      val chain = rnd.shuffle(ids.toList).take(10)
+      chain.sliding(2).foreach { case Seq(a, b) =>
+        edges += ((math.min(a, b), math.max(a, b))); case _ => }
+      val pairs = edges.result().distinct.toDF("id_a", "id_b")
+      val nodes = ids.toDF("id")
+      val small = Dedup.nearDupClusters(pairs, nodes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val dist = Dedup.nearDupClusters(pairs, nodes, driverMaxEdges = -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(dist == small, s"trial $trial: regimes disagree")
+      // every node labeled exactly once, every cluster label is a member
+      assert(small.size == n)
+      val byCluster = small.groupBy(_._2)
+      byCluster.foreach { case (lbl, members) =>
+        assert(members.exists(_._1 == lbl), s"cluster $lbl lacks its root")
+        assert(members.count(_._3) == 1, s"cluster $lbl survivor count != 1")
+        assert(members.map(_._1).min == lbl, s"cluster $lbl root not the min id")
+      }
+    }
+  }
+
   test("bloom membership dedup is exact: dups dropped, uniques kept") {
     val corpusDf = Seq(
       (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
