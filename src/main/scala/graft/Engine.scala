@@ -136,4 +136,15 @@ object Engine {
 
   /** Average of a double column: exact sum, one double division, 6dp. */
   def davg(c: Column): Column = round(sum(c.cast(DEC)).cast(DoubleType) / count(c), 6)
+
+  /** Drop the cached blocks behind a localCheckpoint'd frame once a
+    * downstream materialization supersedes it (iterative operators cut
+    * lineage every round; without the release each round's blocks pin
+    * storage memory for the life of the session). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

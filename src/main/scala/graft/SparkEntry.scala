@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.VectorSearch.defs ++
       operators.Cluster.defs ++
+      operators.Graph.defs ++
       operators.TextPipeline.defs ++
       operators.Packing.defs ++
       operators.Events.defs ++

@@ -261,11 +261,7 @@ object Dedup {
     * happens to GC them, carrying storage memory across queries in a
     * long-lived session. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Engine.releaseCheckpoint(df)
 
   def nearDupClusters(pairs: DataFrame, nodes: DataFrame,
       driverMaxEdges: Long = 2000000L): DataFrame = {
@@ -542,7 +538,7 @@ object Dedup {
   /** Shared DuckDB CTE chain producing the bounded n-gram candidate set
     * (d04's oracle twin of ngramJaccardPairs on doc_id < 300).
     * (def, not val: referenced from `defs`, which initializes first.) */
-  private def ngramPairCtes: String = """tok AS (
+  private[operators] def ngramPairCtes: String = """tok AS (
           SELECT doc_id, list_distinct(
             CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1),
               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END) AS sh

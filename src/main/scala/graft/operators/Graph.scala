@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, GQ}
+
+/** Graph analytics over document/embedding similarity graphs — the
+  * iterative-dataflow companion to [[Dedup.nearDupClusters]] (connected
+  * components) and [[VectorSearch.mutualKnnGraph]] (edge construction).
+  * PageRank-style centrality is the standard curation signal on top of a
+  * near-dup or kNN graph: high-rank nodes are "hub" documents whose
+  * content recurs across the corpus (boilerplate, mirrors), low-rank
+  * isolated nodes are unique content.
+  *
+  * 100 TB shape: the rank table is one row per node and the adjacency
+  * list one row per edge — both orders smaller than the corpus (only
+  * near-dup candidates appear). Per iteration there are exactly two
+  * shuffles (contributions keyed by dst; the node left-join), the
+  * adjacency is materialized ONCE and re-read from its checkpointed
+  * form every round, and the iteration count is a fixed parameter, so
+  * total cost is O(iters x |E|) with no plan growth (lineage is cut at
+  * the materialized adjacency; each round's plan is 2 joins deep).
+  *
+  * Summation is decimal-exact ([[Engine.dsum]]): double addition is not
+  * associative, so a plain double SUM would diverge from any oracle —
+  * and from its own re-run under a different partitioning. Ranks are
+  * rounded to 6dp each round, making the fixpoint engine-independent.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank. `edges` is the DIRECTED edge list (src,
+    * dst) — pass both directions for an undirected graph; `nodes` is
+    * (id), the full node set (isolated nodes keep the damping floor).
+    * rank_0 = 1; rank_{i+1}(v) = (1-d) + d * sum_{u->v} rank_i(u)/deg(u)
+    * (the unnormalized formulation: ranks sum to ~|V|, avoiding a 1/N
+    * division whose rounding the oracle would have to reproduce).
+    *
+    * Damping defaults to 0.8, not the textbook 0.85, for a cross-engine
+    * determinism reason: the per-round sum `s` is decimal-exact at 6dp,
+    * so d * s has an exact 7-digit decimal value whose 7th digit is
+    * (6th-digit x 8) mod 10 — always EVEN for d = 0.8. The per-round
+    * round(x, 6) therefore never sees a halfway point (margin >= 1e-7,
+    * nine orders above double ulp), and engines that disagree on
+    * halfway ties (Spark HALF_UP vs DuckDB's float rounding) still
+    * produce identical ranks. With d = 0.85 the 7th digit can be 5 and
+    * ties DO occur (observed: 0.5930625 -> 0.593063 vs 0.593062). */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+      damping: Double = 0.8): DataFrame = {
+    // materialize adjacency + out-degree once; every iteration re-reads
+    // this LogicalRDD instead of re-running the (possibly expensive)
+    // edge-producing plan
+    // the adjacency plan references `edges` twice (degree + join), so
+    // materialize the edge source first — otherwise the edge-producing
+    // plan executes once per reference (the d05 lesson)
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    Engine.releaseCheckpoint(e)
+    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      // contribution pass: rank/deg is one IEEE double division per
+      // edge (deterministic); the shuffle on dst carries (dst, c) only.
+      // Each contribution is rounded to 6dp BEFORE the decimal sum so
+      // the DECIMAL(38,10) aggregate has zero digits beyond scale 6 —
+      // its scale-6 emission is then exact in any engine regardless of
+      // downcast tie policy (Spark rounds HALF_UP, DuckDB truncates;
+      // with raw quotients they disagree on half the values).
+      val contribs = adj.join(ranks, col("src") === col("id"))
+        .select(col("dst"), round(col("rank") / col("deg"), 6).as("c"))
+      val sums = contribs.groupBy("dst").agg(Engine.dsum(col("c")).as("s"))
+      ranks = nodes.join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          round(lit(1.0 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)), 6)
+            .as("rank"))
+    }
+    val out = ranks.localCheckpoint()
+    Engine.releaseCheckpoint(adj)
+    out
+  }
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Engine.table(s, d, "documents")
+
+  val defs: Seq[GQ] = Seq(
+    // PageRank over the d04/d05 bounded near-dup graph, 3 iterations.
+    // The oracle unrolls the iteration as a CTE chain with the SAME
+    // decimal-exact contribution sums — both engines compute identical
+    // 6dp ranks, so this hash-matches despite being an iterative
+    // floating-point algorithm.
+    GQ("g01_pagerank", {
+      def step(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst, round(r.rank / d.deg, 6) AS c
+              FROM edges e JOIN deg d ON e.src = d.src
+              JOIN r$prev r ON r.id = e.src),
+            r$cur AS (SELECT n.id,
+                round(0.2 + 0.8 * COALESCE(${GQ.osum("c")}, 0.0), 6) AS rank
+              FROM nodes n LEFT JOIN c$cur ON n.id = c$cur.dst
+              GROUP BY n.id)"""
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+        ${step("0", "1")}, ${step("1", "2")}, ${step("2", "3")}
+        SELECT id, rank FROM r3""")
+    },
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        pageRank(edges, dd.select(col("doc_id").as("id")), iters = 3)
+      })
+  )
+}

@@ -546,6 +546,27 @@ object Relational {
             .as("disc_revenue"),
           count(lit(1)).as("n"))),
 
+    // PG dialect parity: DISTINCT ON (the reference speaks the PG
+    // grammar) — first row per key under the query's ORDER BY. Spark has
+    // no DISTINCT ON; the canonical translation is a row_number window
+    // over the same (partition, order) pair. The tiebreak column makes
+    // the pick total, so both engines choose the same row. At scale this
+    // is one shuffle on the partition key with partial sort — the same
+    // plan DISTINCT ON compiles to in PG.
+    GQ("q49_distinct_on",
+      Some("""SELECT DISTINCT ON (o_custkey)
+          o_custkey, o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+      }),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {

@@ -578,6 +578,25 @@ object TextPipeline {
         cc.withColumn("n", n)
           .groupBy("doc_id")
           .agg(round(-sum(p * log(p)), 4).as("char_entropy"))
-      })
+      }),
+
+    // canonical text normalization — the first stage of every training
+    // pipeline (before hashing, tokenizing, or dedup): control chars ->
+    // space, runs of whitespace collapsed, trimmed, lowercased. Pure
+    // scan + project (zero exchanges); the regexes stick to constructs
+    // Java regex and RE2 interpret identically ([\x00-\x1f], ' +'), and
+    // DuckDB's regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all default.
+    GQ("t20_normalize",
+      Some("""SELECT doc_id,
+          lower(trim(regexp_replace(
+            regexp_replace(text, '[\x00-\x1f]', ' ', 'g'), ' +', ' ', 'g')))
+            AS norm_text
+        FROM documents"""),
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        lower(trim(regexp_replace(
+          regexp_replace(col("text"), "[\\x00-\\x1f]", " "), " +", " ")))
+          .as("norm_text")))
   )
 }

@@ -230,6 +230,22 @@ object VectorSearch {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Exact radius (range) search: every corpus vector with cosine >=
+    * `tau` of each query — the fixed-radius dual of top-k retrieval
+    * (candidate pools for curation, "all docs similar to this seed").
+    * Scale shape matches [[bruteForceTopK]]: queries broadcast, corpus
+    * never shuffled, the cosine + threshold evaluate in ONE codegen'd
+    * scan pass, and only matching (qid, nid, sim) triples leave the
+    * stage — there is no top-k heap because the radius itself bounds
+    * the output. At 100 TB with a selective tau this is the cheapest
+    * retrieval shape possible: scan + filter, zero exchanges. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      tau: Double): DataFrame =
+    corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        sim6(col("qv"), col("embedding")).as("sim"))
+      .filter(col("sim") >= tau)
+
   /** All embedding pairs above a cosine threshold (near-dup detection).
     * General path bounds candidates via LSH buckets; the oracle entry
     * below runs the exact bounded variant. */
@@ -323,6 +339,21 @@ object VectorSearch {
       }),
 
     GQ("s05_mutual_knn_graph", None, // LSH-approximate: rows-only + spec
-      (s, d) => mutualKnnGraph(emb(s, d), 5))
+      (s, d) => mutualKnnGraph(emb(s, d), 5)),
+
+    // exact fixed-radius retrieval: scan + filter, no heap, no window —
+    // the oracle is the same cross join with the same rounded cosine
+    GQ("s06_range_search",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT qid, nid, sim FROM (
+          SELECT a.vec_id AS qid, b.vec_id AS nid, round($oracleCosine, 6) AS sim
+          FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id)
+        WHERE sim >= 0.25"""),
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        rangeSearch(e, q, 0.25)
+      })
   )
 }

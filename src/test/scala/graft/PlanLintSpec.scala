@@ -18,6 +18,9 @@ class PlanLintSpec extends AnyFunSuite {
     *  - s01_ann_bruteforce: the exact baseline; the nested-loop side is
     *    the BROADCAST query set (|Q| << corpus), so cost stays linear
     *    in the corpus and the top-k reduction is partial-aggregated;
+    *  - s06_range_search: identical shape to s01 (broadcast query set
+    *    vs corpus scan) with the radius filter fused into the same
+    *    stage — no heap, zero exchanges after the scan;
     *  - t13_lm_quality: the nested-loop side is ONE row (the broadcast
     *    global token total) — a constant-space scalar join;
     *  - t16_bm25: same shape — the broadcast side is the ONE-row
@@ -28,8 +31,8 @@ class PlanLintSpec extends AnyFunSuite {
     *    ONE-row (tr, b, tt) smoothing-constant aggregate.
     */
   private val allowNestedLoop =
-    Set("d06_embedding_neardup", "s01_ann_bruteforce", "t13_lm_quality",
-      "t16_bm25", "t17_tfidf_keywords", "t18_dsir_weights")
+    Set("d06_embedding_neardup", "s01_ann_bruteforce", "s06_range_search",
+      "t13_lm_quality", "t16_bm25", "t17_tfidf_keywords", "t18_dsir_weights")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
