@@ -63,6 +63,40 @@ object Blob {
       }
   }
 
+  /** STUB perceptual hasher: the published average-hash (aHash) scheme —
+    * 64 block means compared to the global mean, one bit each — applied
+    * to the RAW payload bytes in place of decoded grayscale pixels (no
+    * image libs in this container). The locality property that makes the
+    * downstream pipeline meaningful is real: a small payload edit moves
+    * few block means, so near-identical payloads land within a small
+    * Hamming radius. Real deployment swaps the byte windows for an 8x8
+    * downsampled luma plane; the signature type (64-bit long), the
+    * Iterator->Iterator batch shape, and everything downstream are
+    * unchanged. */
+  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would open the decoder library ONCE here
+        it.map { case (id, bytes) =>
+          val b = if (bytes == null || bytes.isEmpty) Array[Byte](0) else bytes
+          val means = Array.tabulate(64) { j =>
+            val lo = j * b.length / 64
+            val hi = math.max((j + 1) * b.length / 64, lo + 1)
+            var s = 0.0
+            var i = lo
+            while (i < hi && i < b.length) { s += (b(i) & 0xff); i += 1 }
+            s / (hi - lo)
+          }
+          val gm = means.sum / 64
+          var h = 0L
+          var j = 0
+          while (j < 64) { if (means(j) > gm) h |= (1L << j); j += 1 }
+          (id, h)
+        }
+      }.toDF("id", "sig")
+  }
+
   val defs: Seq[GQ] = Seq(
     // Binary plumbing parity: encode text -> blob, typed metadata.
     GQ("m01_binary_metadata",
@@ -100,7 +134,41 @@ object Blob {
                md5(substring(text, CAST(frame_no*1024+1 AS INT), 256)) AS f_checksum
         FROM f"""),
       (s, d) => frameSample(Engine.table(s, d, "documents").select(
-        col("doc_id").as("media_id"), col("text").cast(BinaryType).as("payload"))))
+        col("doc_id").as("media_id"), col("text").cast(BinaryType).as("payload")))),
+
+    // Perceptual-hash near-dup at FRAME granularity (the video/image
+    // near-dup shape: fingerprint every sampled frame, match frames
+    // across media, aggregate to media pairs). Whole-payload hashes
+    // cannot bridge content that shifts or differs in length; frame
+    // windows localize the comparison, so media sharing any window
+    // content match on those frames. Dataflow: frame explode (scan +
+    // generate, no shuffle) -> stub aHash (mapPartitions, the decode
+    // seam) -> pigeonhole Hamming buckets (operators.Dedup
+    // .hammingNeighborPairs — one shuffle on (chunk, value),
+    // bucket-capped, complete within the radius) -> media-pair
+    // aggregation (one shuffle on the pair). Rows-only gate (signature
+    // is stub-specific); BlobSpec asserts locality + recall.
+    GQ("m04_phash_neardup", None,
+      (s, d) => {
+        val media = Engine.table(s, d, "documents").select(
+          col("doc_id").as("media_id"),
+          col("text").cast(BinaryType).as("payload"))
+        val frames = frameBlobs(media)
+          .select((col("media_id") * 4 + col("frame_no")).as("media_id"),
+            col("frame").as("payload"))
+        val pairs = graft.operators.Dedup.hammingNeighborPairs(
+          perceptualHash(s, frames), maxHamming = 4)
+        // frame id = media*4 + frame_no; id_a < id_b => media_a <= media_b,
+        // so after dropping same-media pairs the pair is already canonical
+        pairs
+          .select(floor(col("id_a") / 4).cast(LongType).as("media_a"),
+            floor(col("id_b") / 4).cast(LongType).as("media_b"),
+            col("hamming"))
+          .filter(col("media_a") =!= col("media_b"))
+          .groupBy("media_a", "media_b")
+          .agg(count(lit(1)).as("n_frame_matches"),
+            min("hamming").as("min_hamming"))
+      })
   )
 
   /** Frame sampling over (media_id, payload): one `frameLen`-byte window
@@ -110,13 +178,20 @@ object Blob {
     * to [0, -1] while the oracle's range() emits none). */
   def frameSample(media: DataFrame, stride: Int = 1024, frameLen: Int = 256,
       maxFrames: Int = 4): DataFrame =
+    frameBlobs(media, stride, frameLen, maxFrames)
+      .select(col("media_id"), col("frame_no"),
+        octet_length(col("frame")).cast(IntegerType).as("f_bytes"),
+        md5(col("frame")).as("f_checksum"))
+
+  /** The raw sampled windows behind [[frameSample]]: (media_id,
+    * frame_no, frame bytes) — the input granularity for frame-level
+    * fingerprinting (m04). */
+  def frameBlobs(media: DataFrame, stride: Int = 1024, frameLen: Int = 256,
+      maxFrames: Int = 4): DataFrame =
     media.select(col("media_id"), col("payload"),
         explode(sequence(lit(0),
           greatest(least(floor((octet_length(col("payload")) - 1) / stride),
             lit(maxFrames - 1)), lit(0)).cast(IntegerType))).as("frame_no"))
       .select(col("media_id"), col("frame_no"),
         expr(s"substring(payload, frame_no*$stride+1, $frameLen)").as("frame"))
-      .select(col("media_id"), col("frame_no"),
-        octet_length(col("frame")).cast(IntegerType).as("f_bytes"),
-        md5(col("frame")).as("f_checksum"))
 }

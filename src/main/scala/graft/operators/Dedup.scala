@@ -122,10 +122,25 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming ($maxHamming) must be in [0, 63] for a 64-bit signature")
-    val nChunks = maxHamming + 1
     val sig = documents
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
       .select(col("id"), GF.simhash(col("tok")).as("sig"))
+    hammingNeighborPairs(sig, maxHamming, maxBucket)
+  }
+
+  /** All (id_a < id_b) pairs whose 64-bit signatures differ in at most
+    * `maxHamming` bits, from a (id, sig) frame — the pigeonhole-complete
+    * candidate scheme shared by simhash text dedup (d03) and perceptual-
+    * hash media dedup (m04): any two signatures within the radius agree
+    * on at least one of maxHamming+1 disjoint chunks, so bucketing on
+    * every (chunk, value) finds every qualifying pair. One shuffle on
+    * (chunk, value); `maxBucket` caps degenerate buckets (constant
+    * signatures) so no aggregation row is unbounded. */
+  def hammingNeighborPairs(sig: DataFrame, maxHamming: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming ($maxHamming) must be in [0, 63] for a 64-bit signature")
+    val nChunks = maxHamming + 1
     // chunk i covers bits [i*64/n, (i+1)*64/n) — widths differ by at most
     // one bit when n does not divide 64; boundaries are computed here so
     // every signature bit lands in exactly one chunk

@@ -55,4 +55,50 @@ class BlobSpec extends AnyFunSuite {
     // 6000-byte payload: capped at maxFrames = 4
     assert(f.keySet.count(_._1 == 3L) == 4)
   }
+
+  test("perceptual hash: locality — a small payload edit stays in radius") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 40)
+    val edited = base.updated(100, 'X').updated(900, 'Y') // 2-char edit
+    val unrelated = base.map(c => if (c.isLetter) ('z' - (c - 'a')).toChar else c)
+    val media = Seq((1L, base), (2L, edited), (3L, unrelated))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+    val sig = Blob.perceptualHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) <= 6,
+      s"2-char edit moved ${ham(sig(1L), sig(2L))} bits — locality broken")
+    assert(ham(sig(1L), sig(3L)) > 6,
+      s"unrelated payload only ${ham(sig(1L), sig(3L))} bits away")
+  }
+
+  test("m04 bucket scheme finds EVERY pair within the radius (recall=1)") {
+    import org.apache.spark.sql.functions._
+    // corpus + a same-length edited copy of every 10th doc (ids offset
+    // by 100000): guarantees in-radius positives at the tiny test scale
+    // factor. The edit must preserve length — block windows are
+    // length-relative, so an append shifts every block (exactly like
+    // real aHash, where resize normalizes dimensions first).
+    val base = Engine.table(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text")
+    val edits = base.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(lit("Q"), substring(col("text"), 2, 1000000)).as("text"))
+    val docs = base.unionByName(edits)
+    val media = Blob.toMediaFrame(docs, "doc_id", "text", "text/plain")
+    val sig = Blob.perceptualHash(spark, media)
+    val got = graft.operators.Dedup.hammingNeighborPairs(sig, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth over collected signatures
+    val s = sig.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- s; (ib, sb) <- s
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ia, ib)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "corpus has no near-dup payloads — test is vacuous")
+  }
 }
