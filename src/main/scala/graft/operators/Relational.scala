@@ -546,26 +546,84 @@ object Relational {
             .as("disc_revenue"),
           count(lit(1)).as("n"))),
 
-    // PG dialect parity: DISTINCT ON (the reference speaks the PG
-    // grammar) — first row per key under the query's ORDER BY. Spark has
-    // no DISTINCT ON; the canonical translation is a row_number window
-    // over the same (partition, order) pair. The tiebreak column makes
-    // the pick total, so both engines choose the same row. At scale this
-    // is one shuffle on the partition key with partial sort — the same
-    // plan DISTINCT ON compiles to in PG.
-    GQ("q49_distinct_on",
-      Some("""SELECT DISTINCT ON (o_custkey)
-          o_custkey, o_orderkey, o_totalprice, o_orderdate
-        FROM orders
-        ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""),
+    // PG window-frame grammar parity: EXCLUDE CURRENT ROW. Spark's
+    // window spec has no EXCLUDE clause; the algebraic compilation is
+    // frame-aggregate minus the current row's contribution — exact
+    // because the subtraction happens in DECIMAL (a double round-trip
+    // would reintroduce order sensitivity). A 1-row partition must emit
+    // NULL (the excluded frame is empty), not 0 — hence the n_excl
+    // guard. Same single shuffle + partition sort as any window.
+    GQ("q50_frame_exclude", {
+      val w = """PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING"""
+      Some(s"""SELECT o_orderkey, o_custkey,
+          CAST(COUNT(*) OVER ($w EXCLUDE CURRENT ROW) AS BIGINT) AS n_excl,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+               OVER ($w EXCLUDE CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS sum_excl
+        FROM orders""")
+    },
       (s, d) => {
-        val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        t(s, d, "orders")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        val w = """PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING"""
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          (expr(s"COUNT(*) OVER ($w)") - 1).as("n_excl"),
+          when(expr(s"COUNT(*) OVER ($w)") > 1, Engine.decOut(
+            expr(s"SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER ($w)")
+              - expr("CAST(o_totalprice AS DECIMAL(38,10))")))
+            .as("sum_excl"))
       }),
+
+    // PG ordered-set aggregates (WITHIN GROUP): percentile_disc via
+    // Spark's native WITHIN GROUP support; mode() derived as count +
+    // row_number with a MIN-value tie-break on both engines (PG leaves
+    // the tie implementation-dependent; the derivation pins it so the
+    // result is engine-independent). Two shuffles on the group key, both
+    // with partial aggregation.
+    GQ("q51_ordered_set_aggs",
+      Some("""WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+                FROM orders GROUP BY 1, 2),
+          m AS (SELECT o_orderpriority, o_orderstatus AS mode_status FROM (
+                  SELECT o_orderpriority, o_orderstatus,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY cnt DESC, o_orderstatus) AS rn
+                  FROM c) WHERE rn = 1),
+          p AS (SELECT o_orderpriority,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                    AS median_price
+                FROM orders GROUP BY 1)
+        SELECT m.o_orderpriority, mode_status, median_price
+        FROM m JOIN p USING (o_orderpriority)"""),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val counts = o.groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("cnt"))
+        val mode = counts.withColumn("rn", row_number().over(
+            Window.partitionBy("o_orderpriority")
+              .orderBy(col("cnt").desc, col("o_orderstatus"))))
+          .filter(col("rn") === 1)
+          .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"))
+        val med = o.groupBy("o_orderpriority")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("median_price"))
+        mode.join(med, "o_orderpriority")
+      }),
+
+    // PG pattern grammar parity: ILIKE (case-insensitive LIKE) and
+    // LIKE ... ESCAPE — both in the reference's PG dialect, both
+    // codegen'd predicates in one scan pass (no shuffle). The ESCAPE
+    // case matches a literal underscore through the '!' escape.
+    GQ("q52_pattern_ops",
+      Some("""SELECT o_orderkey,
+          (o_orderpriority ILIKE '%urgent%') AS is_urgent_i,
+          ((o_orderstatus || '_' || o_orderpriority) LIKE 'O!_1%' ESCAPE '!')
+            AS open_urgent_esc
+        FROM orders"""),
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("o_orderpriority ILIKE '%urgent%'").as("is_urgent_i"),
+        expr("concat(o_orderstatus, '_', o_orderpriority) LIKE 'O!_1%' ESCAPE '!'")
+          .as("open_urgent_esc"))),
 
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
