@@ -609,6 +609,34 @@ object Relational {
         mode.join(med, "o_orderpriority")
       }),
 
+    // PG window-frame grammar parity: GROUPS mode (frame bounds count
+    // peer GROUPS, not rows). Neither Spark nor DuckDB implements
+    // GROUPS; the compilation is the semantic definition itself:
+    // dense_rank assigns each peer group an integer, and a value-RANGE
+    // frame of +-n over that integer is exactly GROUPS n PRECEDING/
+    // FOLLOWING. Same text runs on both engines (the d05/q44 scheme:
+    // the oracle is the definition). Cost: two window passes over ONE
+    // shuffle+sort on (partition, order) — dense_rank and the RANGE
+    // aggregate share the same ordering.
+    GQ("q53_groups_frame", {
+      val q = """WITH g AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+            DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS dr
+          FROM orders)
+        SELECT o_orderkey, o_orderstatus,
+          CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY dr
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_adjacent_days
+        FROM g"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d,
+        """WITH g AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+            DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS dr
+          FROM orders)
+        SELECT o_orderkey, o_orderstatus,
+          CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY dr
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_adjacent_days
+        FROM g""")),
+
     // PG pattern grammar parity: ILIKE (case-insensitive LIKE) and
     // LIKE ... ESCAPE — both in the reference's PG dialect, both
     // codegen'd predicates in one scan pass (no shuffle). The ESCAPE

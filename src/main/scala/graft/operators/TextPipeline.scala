@@ -597,6 +597,43 @@ object TextPipeline {
         col("doc_id"),
         lower(trim(regexp_replace(
           regexp_replace(col("text"), "[\\x00-\\x1f]", " "), " +", " ")))
-          .as("norm_text")))
+          .as("norm_text"))),
+
+    // per-source document cap ("at most N docs per domain") — the
+    // standard anti-overrepresentation step in corpus mixing. Selection
+    // order is a content-stable hash (the t05 discipline), so the kept
+    // set is independent of partitioning and re-runs. Scale shape: a
+    // single ROW_NUMBER per source would sort EVERY source's documents
+    // in one task (the s01 scale-killer); instead phase 1 caps each of
+    // 256 hash-sliced buckets per source (any source's global top-N has
+    // at most N members in any bucket, so bucket-local top-N loses
+    // nothing), leaving <= 256*N bounded rows per source for the exact
+    // phase-2 cap. Both phases are one window over one shuffle; task
+    // memory is bounded by N regardless of source skew.
+    GQ("t21_per_source_cap",
+      Some("""WITH h AS (SELECT doc_id, source,
+                md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+          l1 AS (SELECT doc_id, source, hk FROM (
+                  SELECT doc_id, source, hk,
+                    ROW_NUMBER() OVER (PARTITION BY source, substring(hk, 1, 2)
+                      ORDER BY hk, doc_id) AS rn1
+                  FROM h) WHERE rn1 <= 10)
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+          FROM l1) WHERE rn <= 10"""),
+      (s, d) => {
+        val n = 10
+        val h = docs(s, d).select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast(StringType)).as("hk"))
+        val l1 = h.withColumn("rn1", row_number().over(
+            Window.partitionBy(col("source"), substring(col("hk"), 1, 2))
+              .orderBy(col("hk"), col("doc_id"))))
+          .filter(col("rn1") <= n)
+        l1.withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))))
+          .filter(col("rn") <= n)
+          .select("doc_id", "source")
+      })
   )
 }
