@@ -165,4 +165,27 @@ class DedupSpec extends AnyFunSuite {
     // prefix -> kept; doc 2 untouched
     assert(out.toSeq == Seq(2L, 3L))
   }
+
+  test("property: hammingNeighborPairs == brute force on random signatures") {
+    // random 64-bit signatures with planted near-neighbors; checked at
+    // several radii so chunk widths of 64/(r+1) bits — including the
+    // uneven-split boundaries — are all exercised
+    val rnd = new scala.util.Random(1234)
+    val base = Seq.fill(60)(rnd.nextLong())
+    val sigs: Seq[(Long, Long)] = (base ++ base.take(20).map { s =>
+      // plant a neighbor: flip 1-8 random bits
+      (0 until 1 + rnd.nextInt(8)).foldLeft(s)((x, _) => x ^ (1L << rnd.nextInt(64)))
+    }).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = sigs.toDF("id", "sig")
+    for (radius <- Seq(0, 3, 6, 10)) {
+      val got = Dedup.hammingNeighborPairs(df, radius)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= radius
+      } yield (ia, ib)).toSet
+      assert(got == want, s"radius=$radius missing=${(want -- got).take(5)} " +
+        s"extra=${(got -- want).take(5)}")
+    }
+  }
 }
