@@ -634,6 +634,49 @@ object TextPipeline {
             Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))))
           .filter(col("rn") <= n)
           .select("doc_id", "source")
+      }),
+
+    // bigram LM quality score — t13's unigram filter upgraded with
+    // sequence structure: P(w2|w1) add-one smoothed over the corpus-
+    // trained bigram/unigram tables, scored as per-doc mean log-prob
+    // (word-salad documents score low even when every word is common).
+    // Same scale shape as t13/t17/t18: vocabulary-bounded count tables
+    // join back to the token stream (AQE broadcasts them while they
+    // fit, token-keyed shuffle beyond), the vocab size is a broadcast
+    // one-row scalar, and the model trains in the same plan — no
+    // driver-side state.
+    GQ("t22_bigram_lm",
+      Some(s"""WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+          bg AS (SELECT doc_id, t[g.i] AS w1, t[g.i] || ' ' || t[g.i+1] AS bigram
+                 FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+          w1s AS (SELECT unnest(t) AS token FROM tok),
+          uni AS (SELECT token, COUNT(*) AS c1 FROM w1s GROUP BY token),
+          bc AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+          v AS (SELECT COUNT(*) AS nv FROM uni)
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+          round(AVG(ln((CAST(c2 AS DOUBLE) + 1) / (c1 + nv))), 4) AS avg_logprob
+        FROM bg JOIN bc USING (bigram) JOIN uni ON bg.w1 = uni.token CROSS JOIN v
+        GROUP BY doc_id"""),
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
+        val bg = tok.filter(size(col("t")) >= 2).select(col("doc_id"),
+            explode(zip_with(
+              slice(col("t"), lit(1), size(col("t")) - 1),
+              slice(col("t"), lit(2), size(col("t")) - 1),
+              (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bigram"))))
+              .as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+        val uni = tok.select(explode(col("t")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c1"))
+        val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+        val v = uni.agg(count(lit(1)).as("nv"))
+        bg.join(bc, "bigram").join(uni, col("w1") === col("token"))
+          .crossJoin(broadcast(v))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
+            round(avg(log(
+              (col("c2").cast(DoubleType) + 1) / (col("c1") + col("nv")))), 4)
+              .as("avg_logprob"))
       })
   )
 }
