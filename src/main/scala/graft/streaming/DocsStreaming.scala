@@ -87,6 +87,35 @@ object DocsStreaming {
       .toDF("source", "doc_id", "n_tokens", "bin")
   }
 
+  /** Streaming twin of the t21 per-source cap: admit at most `n`
+    * documents per source over the life of the stream, the admitted
+    * count carried across micro-batches as keyed state (ONE long per
+    * source — state is bounded by source cardinality, no timeout
+    * needed). Admission is arrival order refined to doc_id order within
+    * each micro-batch: Append-mode output cannot be retracted, so the
+    * batch op's corpus-wide content-hash ranking is unreachable in a
+    * stream — same admitted COUNT, arrival-dependent admitted SET (the
+    * documented batch/stream divergence, like packSequences ordering).
+    */
+  def capPerSource(newDocs: DataFrame, n: Long): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    newDocs.select(
+        col("source").cast(StringType).as("source"),
+        col("doc_id").cast(LongType).as("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val admitted = state.getOption.getOrElse(0L)
+        val room = math.max(0L, n - admitted).toInt
+        val keep = rows.toSeq.sortBy(_._2).take(room)
+        state.update(admitted + keep.size)
+        keep.iterator
+      }
+      .toDF("source", "doc_id")
+  }
+
   /** Streaming twin of `operators.Cluster.semanticDedup`'s corpus-guard
     * stage: drop incoming embedding rows that are semantic near-dups
     * (cosine > `tau`) of a kept corpus row in the SAME centroid cell.

@@ -142,4 +142,31 @@ class DocsStreamingSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(survivors == Seq(2L, 4L))
   }
+
+  test("streaming per-source cap admits at most n docs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[(Long, String)]
+    val out = DocsStreaming.capPerSource(
+      in.toDF().toDF("doc_id", "source"), n = 3)
+    val q = out.writeStream.format("memory")
+      .queryName("cap_out").outputMode(OutputMode.Append).start()
+
+    // batch 1: 2 from srcA (room for both), 1 from srcB
+    in.addData((10L, "srcA"), (11L, "srcA"), (20L, "srcB"))
+    q.processAllAvailable()
+    // batch 2: 3 more from srcA -> only ONE admitted (state = 2),
+    // and doc_id order within the batch picks 12 over 13/14
+    in.addData((14L, "srcA"), (12L, "srcA"), (13L, "srcA"), (21L, "srcB"))
+    q.processAllAvailable()
+    // batch 3: srcA full; srcB still has room
+    in.addData((15L, "srcA"), (22L, "srcB"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("cap_out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 11L, 12L, 20L, 21L, 22L))
+  }
 }
