@@ -637,6 +637,35 @@ object Relational {
             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_adjacent_days
         FROM g""")),
 
+    // group-wise winsorization: clamp a measure to its group's exact
+    // [p05, p95] band — the standard outlier treatment before training-
+    // statistics aggregation. The band values are DATA values
+    // (percentile_disc), so the clamp is engine-exact with no rounding
+    // contract. Scale: one exact-percentile aggregation over the group
+    // key (groups are few -> the band table broadcasts back over the
+    // scan); at extreme group cardinalities the dial is approx_
+    // percentile for the band, leaving the clamp itself unchanged.
+    GQ("q54_winsorize",
+      Some("""WITH b AS (SELECT l_returnflag,
+            percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+            percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               least(greatest(l_extendedprice, lo), hi) AS price_w,
+               (l_extendedprice < lo OR l_extendedprice > hi) AS clipped
+        FROM lineitem JOIN b USING (l_returnflag)"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val bands = li.groupBy("l_returnflag").agg(
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)").as("lo"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("hi"))
+        li.join(broadcast(bands), "l_returnflag").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("price_w"),
+          (col("l_extendedprice") < col("lo") || col("l_extendedprice") > col("hi"))
+            .as("clipped"))
+      }),
+
     // PG pattern grammar parity: ILIKE (case-insensitive LIKE) and
     // LIKE ... ESCAPE — both in the reference's PG dialect, both
     // codegen'd predicates in one scan pass (no shuffle). The ESCAPE

@@ -677,6 +677,51 @@ object TextPipeline {
             round(avg(log(
               (col("c2").cast(DoubleType) + 1) / (col("c1") + col("nv")))), 4)
               .as("avg_logprob"))
+      }),
+
+    // temperature-based mixture resampling (the multilingual balancing
+    // op): per-language keep rates ∝ (share)^alpha with alpha = 0.5 —
+    // rare languages upsample relative to the head, capped at keeping
+    // everything. alpha = 0.5 is deliberately sqrt: IEEE sqrt is
+    // correctly rounded (bit-identical across engines) where pow(x,
+    // 0.5) through libm need not be. The rate table derives entirely
+    // from integer counts + exact-decimal normalization, rounds to 6dp,
+    // and the keep decision reuses t15's content-hash fraction — so the
+    // kept SET is deterministic and partitioning-independent. Scale:
+    // two tiny aggregations (lang cardinality) broadcast back over one
+    // corpus scan.
+    GQ("t23_temperature_mix",
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+          t AS (SELECT SUM(c) AS t FROM c),
+          w AS (SELECT lang, c, round(sqrt(CAST(c AS DOUBLE) / t), 6) AS w, t
+                FROM c CROSS JOIN t),
+          z AS (SELECT CAST(CAST(SUM(CAST(w AS DECIMAL(38,10)))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS z FROM w),
+          r AS (SELECT lang, round(least(1.0, (0.5 * t * w) / (z * c)), 6)
+                  AS rate FROM w CROSS JOIN z)
+        SELECT d.lang, d.doc_id, r.rate FROM (
+          SELECT lang, doc_id,
+                 CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT)
+                   / 16777216.0 AS u
+          FROM documents) d
+        JOIN r USING (lang) WHERE d.u < r.rate"""),
+      (s, d) => {
+        val counts = docs(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
+        val tot = counts.agg(sum("c").as("t"))
+        val w = counts.crossJoin(broadcast(tot)).select(
+          col("lang"), col("c"), col("t"),
+          round(sqrt(col("c").cast(DoubleType) / col("t")), 6).as("w"))
+        val z = w.agg(Engine.dsum(col("w")).as("z"))
+        val rates = w.crossJoin(broadcast(z)).select(col("lang"),
+          round(least(lit(1.0),
+            (lit(0.5) * col("t") * col("w")) / (col("z") * col("c"))), 6)
+            .as("rate"))
+        val u = conv(substring(md5(col("text").cast(BinaryType)), 1, 6), 16, 10)
+          .cast(LongType).cast(DoubleType) / 16777216.0
+        docs(s, d).select(col("lang"), col("doc_id"), u.as("u"))
+          .join(broadcast(rates), "lang")
+          .filter(col("u") < col("rate"))
+          .select("lang", "doc_id", "rate")
       })
   )
 }

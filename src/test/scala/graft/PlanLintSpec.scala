@@ -33,7 +33,8 @@ class PlanLintSpec extends AnyFunSuite {
   private val allowNestedLoop =
     Set("d06_embedding_neardup", "s01_ann_bruteforce", "s06_range_search",
       "t13_lm_quality", "t16_bm25", "t17_tfidf_keywords", "t18_dsir_weights",
-      "t22_bigram_lm") // t22: broadcast side is the ONE-row vocab count
+      "t22_bigram_lm", // t22: broadcast side is the ONE-row vocab count
+      "t23_temperature_mix") // t23: ONE-row total + normalizer scalars
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
