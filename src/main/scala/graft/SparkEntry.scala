@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Cluster.defs ++
       operators.Graph.defs ++
       operators.TextPipeline.defs ++
+      operators.Bpe.defs ++
       operators.Packing.defs ++
       operators.Events.defs ++
       multimodal.Blob.defs

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Engine, GQ}
+import graft.functions.TextFunctions.tokens
+
+/** Distributed BPE merge training (Sennrich et al. 2016): learn the
+  * byte-pair-encoding merge table from the corpus — the tokenizer-
+  * construction step of every LLM data pipeline.
+  *
+  * Scale shape: after ONE corpus pass builds the (word, count) table,
+  * every iteration runs over WORD TYPES weighted by count — the
+  * vocabulary-bounded working set the published algorithm defines, so
+  * per-merge cost is independent of corpus size (a 100 TB corpus and a
+  * 100 GB corpus with the same vocabulary train at the same speed after
+  * the initial count). Per iteration: one pair-count aggregation (one
+  * shuffle on the symbol pair), one 1-row argmax to the driver (the
+  * merge table IS model state, like k-means centroids), and one HOF
+  * fold that applies the merge left-to-right inside a single projection
+  * — no row explosion, no join. The symbol table is localCheckpoint'd
+  * each round (lineage cut, previous round's blocks released).
+  *
+  * Determinism: ties on pair count break lexicographically, so the
+  * learned merge sequence is unique for a given corpus.
+  */
+object Bpe {
+
+  /** (left, right) adjacent-symbol pairs of `s`, weighted upstream. */
+  private def pairsOf(s: Column): Column =
+    zip_with(
+      slice(s, lit(1), size(s) - 1),
+      slice(s, lit(2), size(s) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Apply merge (l, r) -> l+r left-to-right over a symbol array: a
+    * fold that glues the current symbol onto the accumulator's last
+    * element when they form the pair. After a glue the NEW last symbol
+    * is the merged token, which no longer equals `l` as a unit — the
+    * fold is exactly the standard greedy non-overlapping application
+    * ("aaa" under (a,a) -> ["aa","a"], not ["aa","aa"]). */
+  private def applyMerge(s: Column, l: String, r: String): Column = {
+    val glued = lit(l + r)
+    aggregate(s, typedLit(Seq.empty[String]), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(glued)))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Learn `numMerges` merges; returns (rank, left, right, pair_count)
+    * — rank 1 is the first (highest-count) merge. */
+  def trainMerges(documents: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = documents
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var syms = words
+      .select(col("wc"), split(col("w"), "").as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (rank <- 1 to numMerges if !done) {
+      val best = syms.filter(size(col("s")) >= 2)
+        .select(col("wc"), explode(pairsOf(col("s"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, c))
+        val next = syms
+          .select(col("wc"), applyMerge(col("s"), l, r).as("s"))
+          .localCheckpoint()
+        Engine.releaseCheckpoint(syms)
+        syms = next
+      }
+    }
+    Engine.releaseCheckpoint(syms)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Tokenize `textCol` with an already-learned merge sequence: the
+    * same fold applied per merge in rank order — inference is pure
+    * projection (no shuffle, no state), the shape that runs over the
+    * full corpus at 100 TB. */
+  def applyMerges(documents: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val syms = merges.foldLeft(
+      split(col(textCol), "").as("s") : Column) { case (acc, (l, r)) =>
+      applyMerge(acc, l, r)
+    }
+    documents.withColumn("bpe_tokens", syms)
+  }
+
+  val defs: Seq[GQ] = Seq(
+    // rows-only gate: the merge table depends on the fold/tokenizer
+    // internals; BpeSpec pins the classic toy-corpus merges, greedy
+    // left-to-right semantics, and determinism.
+    GQ("t24_bpe_merges", None,
+      (s, d) => trainMerges(Engine.table(s, d, "documents"), "text", 8))
+  )
+}
