@@ -637,6 +637,63 @@ object Relational {
             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_adjacent_days
         FROM g""")),
 
+    // statistical + boolean aggregates (PG surface: stddev_samp /
+    // var_samp / corr / covar_samp, bool_and / bool_or). The numeric
+    // four are computed from EXACT decimal moments (Σx, Σx², Σxy via
+    // Engine.dsum) and then one identical double expression tree on
+    // both engines — the builtins would NOT hash-match (Spark and
+    // DuckDB use different stable-merge accumulations that differ in
+    // low-order bits). Moments are also the right 100 TB shape: plain
+    // partial-aggregatable sums, one shuffle, no second pass.
+    GQ("q55_stat_aggs", {
+      def m(e: String) = osum(e)
+      Some(s"""WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+            ${m("l_extendedprice")} AS sx,
+            ${m("l_extendedprice * l_extendedprice")} AS sxx,
+            ${m("l_quantity")} AS sq,
+            ${m("l_quantity * l_quantity")} AS sqq,
+            ${m("l_discount")} AS sd,
+            ${m("l_extendedprice * l_quantity")} AS sxq,
+            ${m("l_extendedprice * l_discount")} AS sxd,
+            bool_and(l_quantity > 0) AS all_pos,
+            bool_or(l_discount > 0.09) AS any_big_disc
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+          round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price,
+          round((sqq - sq * sq / n) / (n - 1), 4) AS var_qty,
+          round((n * sxq - sx * sq) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * sqq - sq * sq)), 6)
+            AS corr_price_qty,
+          round((sxd - sx * sd / n) / (n - 1), 4) AS covar_price_disc,
+          all_pos, any_big_disc
+        FROM g""")
+    },
+      (s, d) => {
+        val g = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("sxx"),
+          dsum(col("l_quantity")).as("sq"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sqq"),
+          dsum(col("l_discount")).as("sd"),
+          dsum(col("l_extendedprice") * col("l_quantity")).as("sxq"),
+          dsum(col("l_extendedprice") * col("l_discount")).as("sxd"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.09)").as("any_big_disc"))
+        g.select(col("l_returnflag"), col("n"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)), 4).as("stddev_price"),
+          round((col("sqq") - col("sq") * col("sq") / col("n"))
+            / (col("n") - 1), 4).as("var_qty"),
+          round((col("n") * col("sxq") - col("sx") * col("sq")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("sqq") - col("sq") * col("sq"))), 6)
+            .as("corr_price_qty"),
+          round((col("sxd") - col("sx") * col("sd") / col("n"))
+            / (col("n") - 1), 4).as("covar_price_disc"),
+          col("all_pos"), col("any_big_disc"))
+      }),
+
     // group-wise winsorization: clamp a measure to its group's exact
     // [p05, p95] band — the standard outlier treatment before training-
     // statistics aggregation. The band values are DATA values
