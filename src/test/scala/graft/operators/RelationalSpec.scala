@@ -82,4 +82,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
+
+  test("q55: moment-based stats are one partial+final aggregation") {
+    val p = plan("q55_stat_aggs")
+    // all eight moments + booleans accumulate in a single map-side
+    // combine -> one shuffle on the group key; a builtin-stats plan or
+    // a second pass would add exchanges
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q50: EXCLUDE-frame compilation stays one window pass") {
+    val p = plan("q50_frame_exclude")
+    assert("Window".r.findAllIn(p).size <= 1, p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("t21: per-source cap is exactly the two phase shuffles") {
+    val p = plan("t21_per_source_cap")
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
