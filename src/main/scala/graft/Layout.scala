@@ -46,6 +46,13 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Persist an IVF-PQ index (`VectorSearch.encodeIvfPq` rows)
+    * partitioned by cell id: probed cells become parquet partition
+    * pruning in `VectorSearch.ivfPqTopKIndexed` — the encode-once /
+    * search-many ANN serving layout. */
+  def writeIvfIndex(indexRows: DataFrame, table: String): Unit =
+    writePartitioned(indexRows, table, Seq("cid"))
+
   /** Derived date partition column for event-shaped data. */
   def withEventDate(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("event_date", to_date(col(tsCol)))

@@ -143,10 +143,18 @@ object VectorSearch {
     * Codebooks are a deterministic hash-ordered corpus sample (same
     * scheme as [[ivfTopK]]'s centroids): subspace j's codeword c is
     * sample vector c sliced to dims [j*subDim, (j+1)*subDim). */
-  def ivfPqTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 3, m: Int = 8, codebookSize: Int = 32,
-      rerank: Int = 50, dim: Int = 64): DataFrame = {
+  /** The IVF-PQ model: coarse centroids + per-subspace codebooks — a
+    * deterministic hash-ordered corpus sample, so indexing and search
+    * sessions derive the SAME model from the same corpus. kBytes-sized;
+    * on a deployment it persists alongside the index table. */
+  final case class PqModel(
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int, rerank: Int)
+
+  def pqModel(corpus: DataFrame, cells: Int = 16, m: Int = 8,
+      codebookSize: Int = 32, dim: Int = 64,
+      nprobe: Int = 3, rerank: Int = 50): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val subDim = dim / m
     val picked = corpus.select(col("vec_id"), col("embedding"))
@@ -154,25 +162,36 @@ object VectorSearch {
       .limit(math.max(cells, codebookSize)).collect()
     val sampleVecs: Array[Array[Double]] = picked.sortBy(_.getLong(0)).map(r =>
       r.getSeq[Number](1).map(_.doubleValue).toArray)
-    val centroids = sampleVecs.take(cells)
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      sampleVecs.take(codebookSize).map(v => v.slice(j * subDim, (j + 1) * subDim))
-    }
+    PqModel(
+      sampleVecs.take(cells),
+      Array.tabulate(m) { j =>
+        sampleVecs.take(codebookSize).map(v => v.slice(j * subDim, (j + 1) * subDim))
+      },
+      nprobe, rerank)
+  }
 
-    // index side: one codegen'd pass computes cell id + PQ codes; the
-    // full embedding is dropped before any join
-    val c = corpus
-      .withColumn("cid", GF.nearestCells(col("embedding"), centroids, 1)(0))
-      .withColumn("codes", GF.pqEncode(col("embedding"), books))
-      .select("vec_id", "cid", "codes")
-    // query side: nprobe probed cells + the per-query ADC lookup table
-    val q = queries
-      .withColumn("cid", explode(GF.nearestCells(col("qv"), centroids, nprobe)))
-      .withColumn("adc", GF.pqAdcTable(col("qv"), books))
+  /** Index rows (vec_id, cid, codes): one codegen'd pass, the full
+    * embedding dropped. Persist with `Layout.writeIvfIndex` (partitioned
+    * by cid) so probed cells become parquet partition pruning. */
+  def encodeIvfPq(corpus: DataFrame, model: PqModel): DataFrame = corpus
+    .withColumn("cid", GF.nearestCells(col("embedding"), model.centroids, 1)(0))
+    .withColumn("codes", GF.pqEncode(col("embedding"), model.books))
+    .select("vec_id", "cid", "codes")
+
+  /** Probed query side: nprobe cells + the per-query ADC lookup table. */
+  private def probedQueries(queries: DataFrame, model: PqModel): DataFrame =
+    queries
+      .withColumn("cid", explode(GF.nearestCells(col("qv"), model.centroids, model.nprobe)))
+      .withColumn("adc", GF.pqAdcTable(col("qv"), model.books))
       .select("qid", "cid", "adc")
+
+  /** ADC-score candidates from an encoded index (inline or persisted),
+    * shortlist with the bounded heap, rerank exactly from true vectors. */
+  private def pqSearch(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, q: DataFrame, k: Int, rerank: Int): DataFrame = {
     // each corpus row has exactly ONE cid, so a (qid, nid) pair cannot
     // repeat across probes — no dedup needed before the heap
-    val cand = c.join(broadcast(q), Seq("cid"))
+    val cand = index.join(broadcast(q), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
@@ -183,6 +202,30 @@ object VectorSearch {
       .join(broadcast(queries.select(col("qid"), col("qv"))), Seq("qid"))
       .select(col("qid"), col("nid"), sim6(col("qv"), col("embedding")).as("sim"))
     topKPerQid(exact, k)
+  }
+
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 3, m: Int = 8, codebookSize: Int = 32,
+      rerank: Int = 50, dim: Int = 64): DataFrame = {
+    val model = pqModel(corpus, cells, m, codebookSize, dim, nprobe, rerank)
+    pqSearch(encodeIvfPq(corpus, model), corpus, queries,
+      probedQueries(queries, model), k, rerank)
+  }
+
+  /** IVF-PQ over a PERSISTED index table (written by
+    * `Layout.writeIvfIndex`, partitioned by cid): the probed cell set is
+    * tiny and driver-known (|Q| x nprobe ids), so it becomes a literal
+    * IN filter the scan turns into PartitionFilters — at 100 TB the
+    * query touches nprobe/cells of the index files and never scans the
+    * corpus except for the Q x rerank shortlist fetch. This is the
+    * serving shape: encode once (`encodeIvfPq` + Layout), search many. */
+  def ivfPqTopKIndexed(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, model: PqModel, k: Int): DataFrame = {
+    val q = probedQueries(queries, model)
+    val probed = q.select("cid").distinct().collect().map(_.getInt(0)).sorted
+    pqSearch(index.filter(col("cid").isin(probed.toIndexedSeq: _*)),
+      corpus, queries, q, k, model.rerank)
   }
 
   /** Mutual k-NN graph over the WHOLE corpus — the neighborhood-graph

@@ -110,4 +110,28 @@ class LayoutSpec extends AnyFunSuite {
     // essentially the whole domain in every file
     assert(meanSpan("grid_lin", "y") > 200.0)
   }
+
+  test("IVF-PQ index table: probed-cell partition pruning + inline parity") {
+    import graft.operators.VectorSearch
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val model = VectorSearch.pqModel(e)
+    Layout.writeIvfIndex(VectorSearch.encodeIvfPq(e, model), "ivf_idx")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = VectorSearch.ivfPqTopKIndexed(
+      spark.table("ivf_idx"), e, q, model, k = 10)
+    // the probed cells must reach the index scan as PartitionFilters —
+    // the property that makes the persisted layout touch nprobe/cells
+    // of the files instead of the whole index
+    val plan = got.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("ivf_idx") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(l => l.contains("cid IN") || l.contains("cid#")),
+      s"no pruned index scan in:\n$plan")
+    // same model + same codes -> identical results to the inline path
+    val inline = VectorSearch.ivfPqTopK(e, q, k = 10)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    assert(canon(got).toSeq == canon(inline).toSeq)
+  }
 }
