@@ -53,6 +53,18 @@ object Layout {
   def writeIvfIndex(indexRows: DataFrame, table: String): Unit =
     writePartitioned(indexRows, table, Seq("cid"))
 
+  /** Incremental index maintenance: append newly-arrived vectors,
+    * encoded with the SAME PqModel the index was built with (the model
+    * is a deterministic function of the original corpus sample, so it
+    * must not be re-derived from the grown corpus — re-deriving would
+    * silently re-cell existing entries). New files land only in the
+    * partitions the new rows hash to; existing files are untouched. */
+  def appendIvfIndex(indexRows: DataFrame, table: String): Unit =
+    indexRows.write.mode(SaveMode.Append)
+      .partitionBy("cid")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Derived date partition column for event-shaped data. */
   def withEventDate(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("event_date", to_date(col(tsCol)))

@@ -113,6 +113,19 @@ class LayoutSpec extends AnyFunSuite {
 
   test("IVF-PQ index table: probed-cell partition pruning + inline parity") {
     import graft.operators.VectorSearch
+    // a previous JVM's warehouse dir can survive while the catalog entry
+    // does not — Overwrite then refuses the orphan location; start clean
+    def fresh(table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      if (loc.exists) rm(loc)
+    }
+    fresh("ivf_idx"); fresh("ivf_idx_inc")
     val e = Engine.table(spark, TestSpark.sf, "embeddings")
     val model = VectorSearch.pqModel(e)
     Layout.writeIvfIndex(VectorSearch.encodeIvfPq(e, model), "ivf_idx")
@@ -133,5 +146,15 @@ class LayoutSpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
     assert(canon(got).toSeq == canon(inline).toSeq)
+
+    // incremental maintenance: an index built on half the corpus and
+    // appended with the other half (encoded with the SAME model) must
+    // answer identically to the index built at once
+    val (h1, h2) = (e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+    Layout.writeIvfIndex(VectorSearch.encodeIvfPq(h1, model), "ivf_idx_inc")
+    Layout.appendIvfIndex(VectorSearch.encodeIvfPq(h2, model), "ivf_idx_inc")
+    val inc = VectorSearch.ivfPqTopKIndexed(
+      spark.table("ivf_idx_inc"), e, q, model, k = 10)
+    assert(canon(inc).toSeq == canon(got).toSeq)
   }
 }
