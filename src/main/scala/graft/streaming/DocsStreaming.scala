@@ -141,6 +141,24 @@ object DocsStreaming {
       "left_anti")
   }
 
+  /** Continuous ANN index maintenance: embedding rows arriving on a
+    * stream are encoded with the FIXED PqModel the index was built with
+    * (graft.Layout.appendIvfIndex discipline — re-deriving the model
+    * from the grown corpus would re-cell existing entries) and appended
+    * to the cid-partitioned index table per micro-batch. Encode is a
+    * stateless projection, so foreachBatch append IS the exact
+    * streaming semantics; each batch touches only the partitions its
+    * rows hash to. Searches (`VectorSearch.ivfPqTopKIndexed`) see every
+    * row committed so far.
+    */
+  def ivfIndexIngestQuery(newVecs: DataFrame,
+      model: graft.operators.VectorSearch.PqModel,
+      table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.Layout.appendIvfIndex(
+        graft.operators.VectorSearch.encodeIvfPq(batch, model), table)
+    }.start()
+
   /** Streaming twin of `operators.Dedup.decontaminate`: drop incoming
     * documents that share any k-word shingle with a static eval set.
     * `evalGrams` = the eval set's (h1, h2) shingle-hash table (built once

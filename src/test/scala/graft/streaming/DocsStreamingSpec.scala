@@ -169,4 +169,42 @@ class DocsStreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(10L, 11L, 12L, 20L, 21L, 22L))
   }
+
+  test("streaming IVF ingest: searches see all committed batches") {
+    import spark.implicits._
+    import graft.operators.VectorSearch
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Engine.table(spark, TestSpark.sf, "embeddings")
+    val model = VectorSearch.pqModel(e)
+    val table = "ivf_stream_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists) rm(loc)
+
+    // feed the whole embeddings table through the stream in two batches
+    val rows = e.select("vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = DocsStreaming.ivfIndexIngestQuery(
+      in.toDF().toDF("vec_id", "embedding"), model, table)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val streamed = VectorSearch.ivfPqTopKIndexed(
+      spark.table(table), e, queries, model, k = 10)
+    val inline = VectorSearch.ivfPqTopK(e, queries, k = 10)
+    assert(canon(streamed) == canon(inline),
+      "stream-built index diverged from the batch-built answer")
+  }
 }
