@@ -65,6 +65,40 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Persist an LSH index (`VectorSearch.encodeLsh` rows) partitioned
+    * by the combined bucket code: probed buckets become partition
+    * pruning in `VectorSearch.lshTopKIndexed`. */
+  def writeLshIndex(indexRows: DataFrame, table: String): Unit =
+    writePartitioned(indexRows, table, Seq("pcode"))
+
+  /** Pre-aggregated distinct-count sketch table: one row per fine-grain
+    * group carrying a mergeable HLL sketch per tracked column (plus the
+    * exact row count). The OLAP cube-maintenance pattern at 100 TB:
+    * the corpus is scanned ONCE at write time; any coarser rollup later
+    * is a merge over the tiny sketch table — and because
+    * union-of-sketches IS the sketch-of-union, rolled-up estimates are
+    * IDENTICAL to what a direct scan would estimate (asserted in
+    * LayoutSpec), not a second approximation. */
+  def writeSketchTable(df: DataFrame, table: String,
+      groupCols: Seq[String], sketchCols: Seq[String]): Unit = {
+    val aggs = sketchCols.map(c =>
+      expr(s"hll_sketch_agg($c)").as(s"hll_$c")) :+ count(lit(1)).as("n_rows")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Roll a sketch table up to a coarser grain: merge sketches with
+    * hll_union_agg, emit estimates + summed exact counts. */
+  def rollupSketches(sketchTable: DataFrame, groupCols: Seq[String],
+      sketchCols: Seq[String]): DataFrame = {
+    val aggs = sketchCols.map(c =>
+      expr(s"hll_sketch_estimate(hll_union_agg(hll_$c))").as(s"approx_$c")) :+
+      sum(col("n_rows")).as("n_rows")
+    sketchTable.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Derived date partition column for event-shaped data. */
   def withEventDate(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("event_date", to_date(col(tsCol)))

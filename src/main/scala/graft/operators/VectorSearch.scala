@@ -92,6 +92,45 @@ object VectorSearch {
     topKPerQid(pairs, k)
   }
 
+  /** LSH index rows for the persisted serving layout: the bucket-
+    * exploded corpus, one row per (table, vector) with the combined
+    * partition code pcode = tbl * 2^planes + bucket (a single partition
+    * column so probed buckets prune as one IN filter). The `tables`-fold
+    * row duplication is THE storage cost of multi-table LSH — the
+    * published trade: recall compounds across tables, storage scales
+    * with them. Unlike the PQ index this one carries the embedding
+    * (LSH scores candidates with the true cosine, no codes). */
+  def encodeLsh(corpus: DataFrame, planes: Int = 4, tables: Int = 8,
+      dim: Int = 64): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("embedding"),
+        (col("tbl") * (1 << planes) + col("bucket")).as("pcode"))
+
+  /** ANN top-k over a PERSISTED LSH index (`Layout.writeLshIndex`,
+    * partitioned by pcode): the query set's probed buckets are driver-
+    * known (|Q| x tables codes), so the scan prunes to those partitions
+    * — at 100 TB a query touches |probed|/(tables x 2^planes) of the
+    * index files. Candidate semantics are identical to [[lshTopK]]
+    * (pcode is a bijection of (tbl, bucket)). */
+  def lshTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val q = queries.select(col("qid"), col("qv"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("qv"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
+      .select(col("qid"), col("qv"),
+        (col("tbl") * (1 << planes) + col("bucket")).as("pcode"))
+    val probed = q.select("pcode").distinct().collect().map(_.getInt(0)).sorted
+    val pairs = index.filter(col("pcode").isin(probed.toIndexedSeq: _*))
+      .join(broadcast(q), Seq("pcode"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        sim6(col("qv"), col("embedding")).as("sim"))
+      .dropDuplicates("qid", "nid")
+    topKPerQid(pairs, k)
+  }
+
   /** IVF-flavored ANN: a FIXED-size coarse codebook (`cells` centroids,
     * a parameter — k-means-style, NOT a function of corpus size), corpus
     * rows assigned to their nearest cell by a one-pass native argmin

@@ -157,4 +157,58 @@ class LayoutSpec extends AnyFunSuite {
       spark.table("ivf_idx_inc"), e, q, model, k = 10)
     assert(canon(inc).toSeq == canon(got).toSeq)
   }
+
+  test("LSH index table: probed-bucket pruning + inline parity") {
+    import graft.operators.VectorSearch
+    spark.sql("DROP TABLE IF EXISTS lsh_idx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "lsh_idx")
+    if (loc.exists) rm(loc)
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    Layout.writeLshIndex(VectorSearch.encodeLsh(e), "lsh_idx")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = VectorSearch.lshTopKIndexed(spark.table("lsh_idx"), q, k = 10)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("lsh_idx") && l.contains("PartitionFilters") &&
+        (l.contains("pcode IN") || l.contains("pcode#"))),
+      s"no pruned LSH index scan in:\n$plan")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val inline = VectorSearch.lshTopK(e, q, k = 10)
+    assert(canon(got) == canon(inline))
+  }
+
+  test("sketch table: rollup estimates == direct-scan estimates") {
+    spark.sql("DROP TABLE IF EXISTS li_sketch")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "li_sketch")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (loc.exists) rm(loc)
+    val li = Engine.table(spark, TestSpark.sf, "lineitem")
+    // fine grain: (returnflag, linestatus); sketches over two id columns
+    Layout.writeSketchTable(li, "li_sketch",
+      Seq("l_returnflag", "l_linestatus"), Seq("l_partkey", "l_suppkey"))
+    // roll up to returnflag only — touches ONLY the sketch table
+    val rolled = Layout.rollupSketches(spark.table("li_sketch"),
+      Seq("l_returnflag"), Seq("l_partkey", "l_suppkey"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // union-of-sketches == sketch-of-union: estimates must be IDENTICAL
+    // to a direct scan's, and n_rows exactly right
+    val direct = li.groupBy("l_returnflag").agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("p"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey))").as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rolled == direct, s"rolled=$rolled direct=$direct")
+  }
 }
