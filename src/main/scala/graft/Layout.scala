@@ -99,6 +99,45 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact-statistics companion to the sketch table: per fine-grain
+    * group, the exact decimal moments (n, Σx, Σx²) of each tracked
+    * column. Moments ADD — a coarser rollup sums the decimal columns
+    * (exact, order-independent), so rolled-up mean/variance/stddev are
+    * EXACTLY what a direct scan computes, with no approximation at
+    * either level. This is how per-day stats tables serve per-month
+    * questions at 100 TB without rescanning the lake. */
+  def writeMomentsTable(df: DataFrame, table: String,
+      groupCols: Seq[String], momentCols: Seq[String]): Unit = {
+    val aggs = momentCols.flatMap(c => Seq(
+      sum(col(c).cast(Engine.DEC)).as(s"s_$c"),
+      sum((col(c) * col(c)).cast(Engine.DEC)).as(s"ss_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Roll a moments table to a coarser grain and emit mean / var_samp /
+    * stddev_samp per tracked column — the q55 moment formulas over the
+    * SUMMED (still exact) moments. */
+  def rollupMoments(momentsTable: DataFrame, groupCols: Seq[String],
+      momentCols: Seq[String]): DataFrame = {
+    val summed = momentsTable.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n"),
+        momentCols.flatMap(c => Seq(
+          sum(col(s"s_$c")).as(s"s_$c"),
+          sum(col(s"ss_$c")).as(s"ss_$c"))): _*)
+    val outCols = groupCols.map(col) ++ Seq(col("n")) ++ momentCols.flatMap { c =>
+      val sx = col(s"s_$c").cast("double")
+      val sxx = col(s"ss_$c").cast("double")
+      val vr = (sxx - sx * sx / col("n")) / (col("n") - 1)
+      Seq(round(sx / col("n"), 6).as(s"mean_$c"),
+        round(vr, 4).as(s"var_$c"),
+        round(sqrt(vr), 4).as(s"stddev_$c"))
+    }
+    summed.select(outCols: _*)
+  }
+
   /** Derived date partition column for event-shaped data. */
   def withEventDate(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("event_date", to_date(col(tsCol)))

@@ -184,6 +184,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(canon(got) == canon(inline))
   }
 
+  test("moments table: rolled-up stats == direct-scan stats exactly") {
+    spark.sql("DROP TABLE IF EXISTS li_moments")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "li_moments")
+    if (loc.exists) rm(loc)
+    val li = Engine.table(spark, TestSpark.sf, "lineitem")
+    Layout.writeMomentsTable(li, "li_moments",
+      Seq("l_returnflag", "l_linestatus"), Seq("l_extendedprice"))
+    val rolled = Layout.rollupMoments(spark.table("li_moments"),
+      Seq("l_returnflag"), Seq("l_extendedprice"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // the same formulas over moments computed in ONE scan: decimal sums
+    // add associatively, so two-level aggregation is bit-identical
+    val direct = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(Engine.DEC)).as("sx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(Engine.DEC)).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6),
+        round((col("sxx").cast("double") - col("sx").cast("double")
+          * col("sx").cast("double") / col("n")) / (col("n") - 1), 4),
+        round(sqrt((col("sxx").cast("double") - col("sx").cast("double")
+          * col("sx").cast("double") / col("n")) / (col("n") - 1)), 4))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rolled == direct, s"rolled=$rolled direct=$direct")
+  }
+
   test("sketch table: rollup estimates == direct-scan estimates") {
     spark.sql("DROP TABLE IF EXISTS li_sketch")
     val loc = new java.io.File(
