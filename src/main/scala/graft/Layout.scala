@@ -88,6 +88,33 @@ object Layout {
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
 
+  /** Delta-append newly-arrived rows' sketches: a batch aggregates to
+    * its own sketch rows and appends; the query-time rollup merges
+    * per-batch rows exactly like per-grain rows (sketch union is
+    * associative and commutative), so incremental maintenance needs no
+    * read-modify-write of existing rows. */
+  def appendSketchTable(df: DataFrame, table: String,
+      groupCols: Seq[String], sketchCols: Seq[String]): Unit = {
+    val aggs = sketchCols.map(c =>
+      expr(s"hll_sketch_agg($c)").as(s"hll_$c")) :+ count(lit(1)).as("n_rows")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+  }
+
+  /** Delta-append moments rows (exact decimal sums add associatively —
+    * same incremental discipline as [[appendSketchTable]]). */
+  def appendMomentsTable(df: DataFrame, table: String,
+      groupCols: Seq[String], momentCols: Seq[String]): Unit = {
+    val aggs = momentCols.flatMap(c => Seq(
+      sum(col(c).cast(Engine.DEC)).as(s"s_$c"),
+      sum((col(c) * col(c)).cast(Engine.DEC)).as(s"ss_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+  }
+
   /** Roll a sketch table up to a coarser grain: merge sketches with
     * hll_union_agg, emit estimates + summed exact counts. */
   def rollupSketches(sketchTable: DataFrame, groupCols: Seq[String],

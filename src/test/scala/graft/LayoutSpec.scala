@@ -214,6 +214,23 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(rolled == direct, s"rolled=$rolled direct=$direct")
+
+    // incremental maintenance: the same table built as two delta
+    // appends (disjoint halves) must roll up identically — decimal
+    // moments add associatively across delta rows
+    spark.sql("DROP TABLE IF EXISTS li_moments_inc")
+    val loc2 = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "li_moments_inc")
+    if (loc2.exists) rm(loc2)
+    Layout.appendMomentsTable(li.filter(col("l_orderkey") % 2 === 0),
+      "li_moments_inc", Seq("l_returnflag", "l_linestatus"), Seq("l_extendedprice"))
+    Layout.appendMomentsTable(li.filter(col("l_orderkey") % 2 === 1),
+      "li_moments_inc", Seq("l_returnflag", "l_linestatus"), Seq("l_extendedprice"))
+    val inc = Layout.rollupMoments(spark.table("li_moments_inc"),
+      Seq("l_returnflag"), Seq("l_extendedprice"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(inc == direct, s"inc=$inc direct=$direct")
   }
 
   test("sketch table: rollup estimates == direct-scan estimates") {
@@ -242,5 +259,21 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rolled == direct, s"rolled=$rolled direct=$direct")
+
+    // delta-append maintenance: two disjoint-half appends roll up to
+    // the same estimates (sketch union is associative/commutative)
+    spark.sql("DROP TABLE IF EXISTS li_sketch_inc")
+    val loc2 = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "li_sketch_inc")
+    if (loc2.exists) rm(loc2)
+    Layout.appendSketchTable(li.filter(col("l_orderkey") % 2 === 0),
+      "li_sketch_inc", Seq("l_returnflag", "l_linestatus"), Seq("l_partkey", "l_suppkey"))
+    Layout.appendSketchTable(li.filter(col("l_orderkey") % 2 === 1),
+      "li_sketch_inc", Seq("l_returnflag", "l_linestatus"), Seq("l_partkey", "l_suppkey"))
+    val inc = Layout.rollupSketches(spark.table("li_sketch_inc"),
+      Seq("l_returnflag"), Seq("l_partkey", "l_suppkey"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(inc == direct, s"inc=$inc direct=$direct")
   }
 }
