@@ -744,10 +744,16 @@ case class PqAdcSum(left: Expression, right: Expression)
   * [[TopKPairsAgg]]. Keeps the k best by (sim desc, nid asc); the root of
   * the binary heap is the WORST kept element so an incoming better pair
   * evicts in O(log k). */
-final class TopKHeap(val k: Int) {
+final class TopKHeap(val k: Int, val distinct: Boolean = false) {
   val nids = new Array[Long](math.max(k, 1))
   val sims = new Array[Double](math.max(k, 1))
   var size = 0
+
+  private def contains(nid: Long): Boolean = {
+    var i = 0
+    while (i < size) { if (nids(i) == nid) return true; i += 1 }
+    false
+  }
 
   // heap order: parent no better than children (root = worst kept)
   private def worseThan(si: Double, ni: Long, sj: Double, nj: Long): Boolean =
@@ -778,6 +784,11 @@ final class TopKHeap(val k: Int) {
   }
 
   def insert(nid: Long, sim: Double): Unit = {
+    // distinct mode: a duplicate nid is ALWAYS an identical (nid, sim)
+    // pair in this engine (sim is a deterministic function of the pair),
+    // so skipping it is exact — this is what lets LSH candidate streams
+    // feed the heap WITHOUT a prior dropDuplicates shuffle
+    if (distinct && contains(nid)) return
     if (size < k) {
       nids(size) = nid; sims(size) = sim; size += 1; siftUp(size - 1)
     } else if (k > 0 && worseThan(sims(0), nids(0), sim, nid)) {
@@ -806,6 +817,7 @@ final class TopKHeap(val k: Int) {
   * where a window row_number() <= k would sort all N in ONE task.
   */
 case class TopKPairsAgg(nid: Expression, sim: Expression, k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends aggregate.TypedImperativeAggregate[TopKHeap] {
   override def children: Seq[Expression] = Seq(nid, sim)
@@ -814,7 +826,7 @@ case class TopKPairsAgg(nid: Expression, sim: Expression, k: Int,
     StructField("nid", LongType, nullable = false),
     StructField("sim", DoubleType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k, distinct)
   override def update(b: TopKHeap, input: org.apache.spark.sql.catalyst.InternalRow): TopKHeap = {
     val n = nid.eval(input)
     val s = sim.eval(input)
@@ -835,7 +847,7 @@ case class TopKPairsAgg(nid: Expression, sim: Expression, k: Int,
   override def deserialize(bytes: Array[Byte]): TopKHeap = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
     val n = buf.getInt
-    val h = new TopKHeap(k)
+    val h = new TopKHeap(k, distinct)
     var i = 0
     while (i < n) { h.insert(buf.getLong, buf.getDouble); i += 1 }
     h
@@ -1203,6 +1215,15 @@ object GraftFunctions {
     val shim = org.apache.spark.sql.GraftShim
     shim.column(TopKPairsAgg(shim.expression(nid), shim.expression(sim), k)
       .toAggregateExpression())
+  }
+
+  /** [[topKPairs]] with in-heap dedup by nid — for candidate streams
+    * whose duplicates are exact (nid, sim) repeats (multi-table LSH):
+    * saves the dropDuplicates shuffle of the full candidate set. */
+  def topKPairsDistinct(nid: Column, sim: Column, k: Int): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(TopKPairsAgg(shim.expression(nid), shim.expression(sim), k,
+      distinct = true).toAggregateExpression())
   }
 
   def bloomContains(spark: SparkSession, c: Column,

@@ -37,11 +37,19 @@ object VectorSearch {
     * every query's full candidate list in one task (the round-3 verdict's
     * named scale-killer).
     */
-  private def topKPerQid(pairs: DataFrame, k: Int): DataFrame =
+  private def topKPerQid(pairs: DataFrame, k: Int,
+      distinct: Boolean = false): DataFrame = {
+    // distinct=true: in-heap dedup by nid (exact when duplicates are
+    // identical (nid, sim) repeats — the multi-table LSH case), saving
+    // the dropDuplicates shuffle of the full candidate set
+    val agg =
+      if (distinct) GF.topKPairsDistinct(col("nid").cast(LongType), col("sim"), k)
+      else GF.topKPairs(col("nid").cast(LongType), col("sim"), k)
     pairs.groupBy("qid")
-      .agg(GF.topKPairs(col("nid").cast(LongType), col("sim"), k).as("topk"))
+      .agg(agg.as("topk"))
       .select(col("qid"), explode(col("topk")).as("p"))
       .select(col("qid"), col("p.nid").as("nid"), col("p.sim").as("sim"))
+  }
 
   /** Exact top-k neighbors for each query vector (brute force). */
   def bruteForceTopK(
@@ -69,8 +77,8 @@ object VectorSearch {
   /** Approximate top-k with the standard multi-table scheme: `tables`
     * independent hyperplane sets; a candidate qualifies if it shares ANY
     * table's bucket with the query (union of tables -> recall compounds:
-    * P(miss) = (1-p)^tables). One shuffle on (table, bucket); candidate
-    * pairs deduped before the (more expensive) cosine ranking. */
+    * P(miss) = (1-p)^tables). One shuffle on (table, bucket); cross-
+    * table duplicates dedup inside the bounded heap. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
@@ -80,16 +88,14 @@ object VectorSearch {
           lshBucket(col(v), planes, dim, t)): _*)).as(Seq("tbl", "bucket")): _*)
     val c = withBuckets(corpus, "embedding")
     val q = withBuckets(queries, "qv")
-    // compute the (codegen'd, cheap) cosine BEFORE deduplicating: the
-    // dedup then shuffles only (qid, nid, sim) triples instead of rows
-    // carrying both embedding arrays — sim is deterministic per pair, so
-    // dedup-after is equivalent
+    // duplicates across tables are exact (qid, nid, sim) repeats (sim is
+    // deterministic per pair) — the distinct heap dedups them in-place,
+    // so the full candidate set is never shuffled for a dropDuplicates
     val pairs = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         sim6(col("qv"), col("embedding")).as("sim"))
-      .dropDuplicates("qid", "nid")
-    topKPerQid(pairs, k)
+    topKPerQid(pairs, k, distinct = true)
   }
 
   /** LSH index rows for the persisted serving layout: the bucket-
@@ -127,8 +133,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         sim6(col("qv"), col("embedding")).as("sim"))
-      .dropDuplicates("qid", "nid")
-    topKPerQid(pairs, k)
+    topKPerQid(pairs, k, distinct = true)
   }
 
   /** IVF-flavored ANN: a FIXED-size coarse codebook (`cells` centroids,
@@ -296,14 +301,16 @@ object VectorSearch {
     val pairs = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
-      .dropDuplicates("id_a", "id_b")
     val directed = pairs.select(explode(array(
         struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
         struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
       .select(col("e.qid"), col("e.nid"), col("e.sim"))
-    val topk = topKPerQid(directed, k)
-    // a directed (qid, nid) survives at most once (candidates deduped),
-    // so canonical count == 2 <=> both endpoints kept each other
+    // cross-table duplicate pairs are identical (qid, nid, sim) repeats;
+    // the distinct heap dedups in-place, so the candidate set is never
+    // shuffled for a dropDuplicates pass
+    val topk = topKPerQid(directed, k, distinct = true)
+    // a directed (qid, nid) survives at most once (the heap is distinct
+    // by nid), so canonical count == 2 <=> both endpoints kept each other
     topk.select(least(col("qid"), col("nid")).as("id_a"),
         greatest(col("qid"), col("nid")).as("id_b"), col("sim"))
       .groupBy("id_a", "id_b")

@@ -122,4 +122,26 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("must divide"))
   }
+
+  test("distinct top-k heap == dropDuplicates + plain heap on dup streams") {
+    // the multi-table LSH stream shape: every duplicate is an exact
+    // (nid, sim) repeat; duplicates must neither crowd out distinct
+    // neighbors nor appear twice in the result
+    val rnd = new scala.util.Random(7)
+    val rows = (for {
+      qid <- 0 until 20; nid <- 0 until 30
+      copies = 1 + rnd.nextInt(3) // 1-3 exact repeats
+      sim = math.rint(rnd.nextDouble() * 1e6) / 1e6
+      c <- 0 until copies
+    } yield (qid.toLong, nid.toLong, sim)).toDF("qid", "nid", "sim")
+      .repartition(7) // duplicates spread across partitions
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1).map(p =>
+        (p.getLong(0), p.getDouble(1))))).sortBy(_._1).toSeq
+    val viaDistinct = rows.groupBy("qid")
+      .agg(GF.topKPairsDistinct(col("nid"), col("sim"), 5).as("topk"))
+    val viaDedup = rows.dropDuplicates("qid", "nid").groupBy("qid")
+      .agg(GF.topKPairs(col("nid"), col("sim"), 5).as("topk"))
+    assert(canon(viaDistinct) == canon(viaDedup))
+  }
 }
