@@ -31,4 +31,23 @@ class TextPipelineSpec extends AnyFunSuite {
       .filter(!col("text").contains(col("token"))).count()
     assert(stray == 0, s"$stray keywords not present in their source doc")
   }
+
+  test("t21 two-phase cap == the naive single-window cap") {
+    // the oracle shares t21's two-phase derivation, so a decomposition
+    // flaw would pass the gate on both engines — pin the equivalence to
+    // the semantic definition (one global ROW_NUMBER per source) here
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Engine.table(spark, TestSpark.sf, "documents")
+    val twoPhase = SparkEntry.queries("t21_per_source_cap")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twoPhase == naive,
+      s"missing=${(naive -- twoPhase).take(5)} extra=${(twoPhase -- naive).take(5)}")
+  }
 }
