@@ -102,4 +102,23 @@ class RelationalSpec extends AnyFunSuite {
     val p = plan("t21_per_source_cap")
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("q53 compilation matches hand-computed GROUPS frame semantics") {
+    // both engines run the SAME dense_rank + RANGE text, so the gate
+    // cannot catch a wrong compilation — pin it to the definition here.
+    // values [1,1,2,4,4,7]: peer groups {1,1} {2} {4,4} {7}; GROUPS
+    // BETWEEN 1 PRECEDING AND 1 FOLLOWING counts adjacent-group rows
+    import spark.implicits._
+    val df = Seq(1, 1, 2, 4, 4, 7).toDF("v")
+    df.createOrReplaceTempView("groups_probe")
+    val got = spark.sql(
+      """WITH g AS (SELECT v, DENSE_RANK() OVER (ORDER BY v) AS dr
+           FROM groups_probe)
+         SELECT v, COUNT(*) OVER (ORDER BY dr
+           RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n
+         FROM g""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1, 3L), (1, 3L), (2, 5L), (4, 4L), (4, 4L), (7, 3L)),
+      s"got $got")
+  }
 }
