@@ -88,6 +88,29 @@ object Events {
     * The sum aggregates in exact decimal — RANGE frames may be evaluated
     * with re-association (segment trees), where a double sum would be
     * order-sensitive — and emits via the decOut double conversion. */
+  /** Trailing-24h z-score stage over an hourly (event_type, hr, n) rate
+    * table — shared by the batch entry (e14) and the streaming monitor
+    * (EventsStreaming.hourlyRatesQuery feeds a rollup table; scoring
+    * here runs over |types| x |hours| rows, corpus-size-independent).
+    * Exact integer window sums keep the double z engine-portable. */
+  def anomalyScores(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-24, -1)
+    val x = hourly
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ssq", sum(col("n") * col("n")).over(w))
+      .withColumn("c", count(lit(1)).over(w))
+      .filter(col("c") >= 12)
+      .withColumn("m", col("s").cast(DoubleType) / col("c"))
+      .withColumn("v",
+        (col("ssq").cast(DoubleType)
+          - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("c"))
+          / (col("c") - 1))
+    x.withColumn("z", round((col("n") - col("m")) / sqrt(col("v")), 6))
+      .filter(col("v") > 0 && abs(col("z")) > 2)
+      .select("event_type", "hr", "n", "z")
+  }
+
   private def rollingHourSql: String = """SELECT event_id, user_id, ts,
           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
             PARTITION BY user_id ORDER BY ts
@@ -322,25 +345,8 @@ object Events {
                 FROM x WHERE c >= 12)
         SELECT event_type, hr, n, round((n - m) / sqrt(v), 6) AS z
         FROM z WHERE v > 0 AND abs(round((n - m) / sqrt(v), 6)) > 2"""),
-      (s, d) => {
-        val hourly = ev(s, d)
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-          .agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy("event_type").orderBy("hr")
-          .rowsBetween(-24, -1)
-        val x = hourly
-          .withColumn("s", sum(col("n")).over(w))
-          .withColumn("ssq", sum(col("n") * col("n")).over(w))
-          .withColumn("c", count(lit(1)).over(w))
-          .filter(col("c") >= 12)
-          .withColumn("m", col("s").cast(DoubleType) / col("c"))
-          .withColumn("v",
-            (col("ssq").cast(DoubleType)
-              - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("c"))
-              / (col("c") - 1))
-        x.withColumn("z", round((col("n") - col("m")) / sqrt(col("v")), 6))
-          .filter(col("v") > 0 && abs(col("z")) > 2)
-          .select("event_type", "hr", "n", "z")
-      })
+      (s, d) => anomalyScores(ev(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))))
   )
 }

@@ -43,6 +43,25 @@ object EventsStreaming {
       .select(col("window.start").as("hr"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Continuous rate-anomaly monitoring, ingestion stage: watermarked
+    * hourly counts appended to a rollup table as each (type, hour)
+    * window FINALIZES (append mode emits every window exactly once, so
+    * the rollup needs no read-modify-write). Scoring is
+    * `Events.anomalyScores` over the rollup — |types| x |hours| rows,
+    * independent of event volume; the corpus-sized stream is touched
+    * only by this one windowed aggregation. */
+  def hourlyRatesQuery(events: DataFrame, table: String,
+      watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("hr"), col("n"))
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(table)
+      }.start()
+
   /** Streaming dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")

@@ -116,4 +116,48 @@ class EventsStreamingSpec extends AnyFunSuite {
       span <= r.getInt(3).toLong * 30L * 60 * 1000
     })
   }
+
+  test("streaming hourly-rate rollup scores anomalies like the batch path") {
+    spark.sql("DROP TABLE IF EXISTS rates_rollup")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "rates_rollup")
+    if (loc.exists) rm(loc)
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+    val q = EventsStreaming.hourlyRatesQuery(stream, "rates_rollup")
+    q.processAllAvailable(); q.stop()
+
+    val rollup = spark.table("rates_rollup").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val batchHourly = Engine.table(spark, TestSpark.sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val batchMap = batchHourly.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    // every finalized window carries the exact batch count; only the
+    // un-finalized tail (inside the 2h watermark of the max event time)
+    // may be absent
+    assert(rollup.nonEmpty)
+    assert(rollup.forall { case (k, v) => batchMap(k) == v },
+      "a finalized hourly count diverged from the batch count")
+    val maxHr = batchMap.keys.map(_._2.getTime).max
+    val missing = batchMap.keys.filterNot(rollup.contains)
+    assert(missing.forall(_._2.getTime >= maxHr - 3L * 3600 * 1000),
+      s"non-tail hours missing from the rollup: ${missing.take(3)}")
+
+    // scoring over the rollup == scoring the batch hourly table
+    // restricted to the same finalized horizon
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2.getTime)).toSeq
+    val zStream = canon(Events.anomalyScores(spark.table("rates_rollup")))
+    // restrict the batch side via semi join on the rollup keys
+    val rollupKeys = spark.table("rates_rollup").select("event_type", "hr")
+    val zBatchRestricted = canon(Events.anomalyScores(
+      batchHourly.join(rollupKeys, Seq("event_type", "hr"), "left_semi")))
+    assert(zStream == zBatchRestricted)
+  }
 }
