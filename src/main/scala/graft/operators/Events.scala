@@ -54,6 +54,12 @@ object Events {
     * no per-user event collection. */
   def funnelSteps(events: DataFrame, windowHours: Int = 24): DataFrame = {
     val win = expr(s"INTERVAL $windowHours HOURS")
+    // plan-audit note: the three per-step aggregations shuffle DISJOINT
+    // event subsets (view/click/purchase filters), so total shuffled
+    // volume across the chain is ~one pass over the funnel events plus
+    // the user list — an explicit shared repartition would not help
+    // (Catalyst pushes each branch's filter below it, and pushed
+    // filters reaching the parquet scan matter more)
     val t1 = events.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
     val t2 = events.filter(col("event_type") === "click")
