@@ -62,6 +62,37 @@ object Copy {
   def toJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC interchange (Spark-bundled columnar format; same vectorized
+    * reader discipline as parquet — predicate pushdown, column pruning,
+    * split-parallel scan). */
+  def fromOrc(spark: SparkSession, path: String): DataFrame = {
+    Engine.prepare(spark)
+    spark.read.orc(path)
+  }
+
+  def toOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Raw text-shard ingest — the entry path for an unprocessed crawl
+    * dump (one document per LINE across a directory of shards, the
+    * common jsonl-less corpus interchange). Document identity must be
+    * reproducible under re-partitioning and re-runs, so the id is a
+    * CONTENT hash (xxhash64 of the line), not
+    * monotonically_increasing_id (partition-layout-dependent) — the
+    * same discipline as the t05 sampler. Duplicate lines collapse to
+    * one row per (id, text); COUNT is preserved in n_copies for
+    * dedup-aware downstreams. Split-parallel: text sources split by
+    * line ranges exactly like the reference's `(parallel n)` workers. */
+  def fromTextShards(spark: SparkSession, path: String): DataFrame = {
+    Engine.prepare(spark)
+    import org.apache.spark.sql.functions._
+    spark.read.textFile(path).toDF("text")
+      .filter(length(trim(col("text"))) > 0)
+      .groupBy(xxhash64(col("text")).as("doc_id"), col("text"))
+      .agg(count(lit(1)).as("n_copies"))
+      .select("doc_id", "text", "n_copies")
+  }
+
   /** COPY ... FROM ... into a managed table (the full reference path:
     * ingest + publish to catalog). */
   def intoTable(spark: SparkSession, path: String, schema: StructType,
