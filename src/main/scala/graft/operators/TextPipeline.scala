@@ -306,7 +306,8 @@ object TextPipeline {
         freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
         tot AS (SELECT SUM(c) AS t FROM freq)
         SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
-               round(AVG(ln(CAST(c AS DOUBLE) / t)), 4) AS avg_logprob
+               round(${GQ.osum("round(ln(CAST(c AS DOUBLE) / t), 6)")}
+                 / COUNT(*), 4) AS avg_logprob
         FROM tok JOIN freq USING (token) CROSS JOIN tot
         GROUP BY doc_id"""),
       (s, d) => {
@@ -316,8 +317,11 @@ object TextPipeline {
         val tot = freq.agg(sum("c").as("t"))
         tok.join(freq, "token").crossJoin(broadcast(tot))
           .groupBy("doc_id")
+          // order-independent mean (see t18): pre-round each log-prob
+          // to 6dp, decimal-exact sum, one division, 4dp emission
           .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
-            round(avg(log(col("c").cast(DoubleType) / col("t"))), 4)
+            round(Engine.dsum(round(log(col("c").cast(DoubleType) / col("t")), 6))
+              / count(lit(1)), 4)
               .as("avg_logprob"))
       }),
 
@@ -524,6 +528,14 @@ object TextPipeline {
     // LMs are DataFrames joined distributively on token (vocab-bounded
     // -> broadcast; degrades to one token-keyed shuffle), one agg on
     // doc_id; no driver-side model state.
+    // Determinism (r7 fix): a plain AVG(double) sums in partition order
+    // (Spark partial agg) vs sequential order (DuckDB); double addition
+    // is non-associative, and at 500 docs a mean landed on a 4dp
+    // rounding boundary -> hash mismatch. The g01 cure: round each
+    // per-token log-ratio to 6dp FIRST (the per-term doubles are
+    // bit-identical across engines), sum exactly in DECIMAL (order-
+    // independent), one double division by the count, then round 4dp —
+    // same text both engines. t22 below carries the identical shape.
     GQ("t18_dsir_weights",
       Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($oracleTokens) AS token FROM documents),
         raw AS (SELECT token, COUNT(*) AS cr FROM tok GROUP BY 1),
@@ -532,8 +544,8 @@ object TextPipeline {
                       (SELECT COUNT(*) FROM raw) AS b,
                       (SELECT SUM(ct) FROM tgt) AS tt)
         SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
-               round(AVG(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + b))
-                       - ln(CAST(cr + 1 AS DOUBLE) / (tr + b))), 4) AS dsir_weight
+               round(${GQ.osum("round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + b)) " +
+                 "- ln(CAST(cr + 1 AS DOUBLE) / (tr + b)), 6)")} / COUNT(*), 4) AS dsir_weight
         FROM tok JOIN raw USING (token) LEFT JOIN tgt USING (token) CROSS JOIN st
         GROUP BY doc_id"""),
       (s, d) => {
@@ -549,9 +561,10 @@ object TextPipeline {
           .crossJoin(broadcast(st))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
-            round(avg(
+            round(Engine.dsum(round(
               log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) / (col("tt") + col("b")))
-                - log((col("cr") + 1).cast(DoubleType) / (col("tr") + col("b")))), 4)
+                - log((col("cr") + 1).cast(DoubleType) / (col("tr") + col("b"))), 6))
+              / count(lit(1)), 4)
               .as("dsir_weight"))
       }),
 
@@ -654,7 +667,8 @@ object TextPipeline {
           bc AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
           v AS (SELECT COUNT(*) AS nv FROM uni)
         SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
-          round(AVG(ln((CAST(c2 AS DOUBLE) + 1) / (c1 + nv))), 4) AS avg_logprob
+          round(${GQ.osum("round(ln((CAST(c2 AS DOUBLE) + 1) / (c1 + nv)), 6)")}
+            / COUNT(*), 4) AS avg_logprob
         FROM bg JOIN bc USING (bigram) JOIN uni ON bg.w1 = uni.token CROSS JOIN v
         GROUP BY doc_id"""),
       (s, d) => {
@@ -674,8 +688,11 @@ object TextPipeline {
           .crossJoin(broadcast(v))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
-            round(avg(log(
-              (col("c2").cast(DoubleType) + 1) / (col("c1") + col("nv")))), 4)
+            // same order-independent mean as t18: AVG(double) is the
+            // summation-order hazard that broke t18's hash in r7
+            round(Engine.dsum(round(log(
+              (col("c2").cast(DoubleType) + 1) / (col("c1") + col("nv"))), 6))
+              / count(lit(1)), 4)
               .as("avg_logprob"))
       }),
 
