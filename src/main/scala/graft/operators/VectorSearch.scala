@@ -272,6 +272,42 @@ object VectorSearch {
       corpus, queries, q, k, model.rerank)
   }
 
+  /** Capped LSH bucket self-join pair generator — the shared candidate
+    * stage of [[cosineNearDupPairsLsh]] and [[mutualKnnGraph]]. Multi-
+    * table hyperplane buckets, ONE shuffle on (tbl, bucket), in-bucket
+    * pairing from a collect_list capped at `maxBucket` (the d02/d03
+    * skew guard: ONE degenerate bucket — zero vectors, a hub cluster,
+    * any skewed hyperplane cell — otherwise produces a quadratic pair
+    * explosion inside a single join task, and AQE skew-split cannot fix
+    * row MULTIPLICATION). Buckets above the cap are DROPPED: the recall
+    * trade is explicit — pairs co-located only in over-full buckets are
+    * lost (multi-table hashing usually resurfaces them elsewhere), in
+    * exchange for hard bounds: per-task state <= maxBucket ids, pair
+    * volume <= buckets x maxBucket^2/2. Pairs dedup while still narrow
+    * (id, id) — a pair surfacing from many tables shuffles once, not
+    * `tables` times — then the embeddings join back for the exact
+    * cosine (the d02 "join back afterward" shape; this also stops
+    * shuffling the 256-byte embedding through the bucket join x tables
+    * x 2 sides, the dominant shuffle cost of the uncapped form). */
+  private def lshPairSims(e: DataFrame, planes: Int, tables: Int,
+      dim: Int, maxBucket: Int): DataFrame = {
+    val withB = e.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
+    val buckets = withB.groupBy("tbl", "bucket")
+      .agg(collect_list(col("vec_id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
+  }
+
   /** Mutual k-NN graph over the WHOLE corpus — the neighborhood-graph
     * primitive behind graph-based curation (an edge survives only if
     * each endpoint ranks the other in its own top-k, which prunes the
@@ -279,38 +315,30 @@ object VectorSearch {
     *
     * Scale shape: corpus-vs-corpus kNN must NOT broadcast anything
     * ([[lshTopK]] broadcasts its query set — correct for |Q| << N, a
-    * scale-killer here). Candidates come from the multi-table LSH
-    * bucket SELF-join (one shuffle on (tbl, bucket), in-bucket pairing
-    * bounded by bucket size; `planes` is the volume dial — in-bucket
-    * pairs shrink ~2x per extra plane, per-table recall drops
-    * p_plane^planes, compensated by `tables`). The ONE pair scan feeds
-    * both directions of the bounded-heap per-qid top-k via a generator
-    * (a union of two references to the pair plan would execute the LSH
-    * join twice — the d05 lesson), and mutuality is a canonical-pair
-    * count==2 aggregation, not a self-join that would re-execute the
-    * top-k subtree. Emits (id_a < id_b, sim) once per mutual edge. */
+    * scale-killer here). Candidates come from the capped multi-table
+    * LSH bucket self-join ([[lshPairSims]]; `planes` is the volume
+    * dial — in-bucket pairs shrink ~2x per extra plane, per-table
+    * recall drops p_plane^planes, compensated by `tables`; `maxBucket`
+    * bounds any single bucket's quadratic blowup). The ONE pair scan
+    * feeds both directions of the bounded-heap per-qid top-k via a
+    * generator (a union of two references to the pair plan would
+    * execute the LSH join twice — the d05 lesson), and mutuality is a
+    * canonical-pair count==2 aggregation, not a self-join that would
+    * re-execute the top-k subtree. Emits (id_a < id_b, sim) once per
+    * mutual edge. */
   def mutualKnnGraph(e: DataFrame, k: Int,
-      planes: Int = 5, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val withB = e.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
-    val a = withB.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = withB.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("vb"))
-    val pairs = a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
+      planes: Int = 5, tables: Int = 8, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = lshPairSims(e, planes, tables, dim, maxBucket)
     val directed = pairs.select(explode(array(
         struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
         struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
       .select(col("e.qid"), col("e.nid"), col("e.sim"))
-    // cross-table duplicate pairs are identical (qid, nid, sim) repeats;
-    // the distinct heap dedups in-place, so the candidate set is never
-    // shuffled for a dropDuplicates pass
-    val topk = topKPerQid(directed, k, distinct = true)
-    // a directed (qid, nid) survives at most once (the heap is distinct
-    // by nid), so canonical count == 2 <=> both endpoints kept each other
+    // candidate pairs are already distinct (deduped narrow inside
+    // lshPairSims), so the plain heap suffices — no in-heap nid scan
+    val topk = topKPerQid(directed, k)
+    // a directed (qid, nid) enters the heap at most once, so canonical
+    // count == 2 <=> both endpoints kept each other
     topk.select(least(col("qid"), col("nid")).as("id_a"),
         greatest(col("qid"), col("nid")).as("id_b"), col("sim"))
       .groupBy("id_a", "id_b")
@@ -349,30 +377,20 @@ object VectorSearch {
   private val oracleCosine =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
-  /** Scale path for near-dup detection: multi-table LSH candidates then
-    * exact cosine — replaces the quadratic all-pairs with one shuffle on
-    * (table, bucket) + bounded in-bucket pairing. `planes` sets bucket
-    * granularity (2^planes buckets/table): more planes = smaller buckets
-    * but lower per-table recall (p_plane^planes); compensate with more
-    * tables. At threshold 0.3 (weakly-correlated vectors) p_plane ~ 0.6,
-    * so planes must stay low for usable recall. */
+  /** Scale path for near-dup detection: capped multi-table LSH
+    * candidates ([[lshPairSims]]) then exact cosine — replaces the
+    * quadratic all-pairs with one shuffle on (table, bucket) + capped
+    * in-bucket pairing. `planes` sets bucket granularity (2^planes
+    * buckets/table): more planes = smaller buckets but lower per-table
+    * recall (p_plane^planes); compensate with more tables. At
+    * threshold 0.3 (weakly-correlated vectors) p_plane ~ 0.6, so
+    * planes must stay low for usable recall. `maxBucket` drops
+    * degenerate buckets (see lshPairSims for the recall trade). */
   def cosineNearDupPairsLsh(e: DataFrame, threshold: Double,
-      planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val withB = e.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
-    val a = withB.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = withB.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("vb"))
-    // cosine + threshold BEFORE the pair dedup: the in-bucket candidate
-    // explosion stays inside its join stage (never shuffled), and the
-    // distinct handles only surviving (id_a, id_b, sim) triples
-    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
+      planes: Int = 4, tables: Int = 8, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame =
+    lshPairSims(e, planes, tables, dim, maxBucket)
       .filter(col("sim") > threshold)
-      .dropDuplicates("id_a", "id_b")
-  }
 
   val defs: Seq[GQ] = Seq(
 

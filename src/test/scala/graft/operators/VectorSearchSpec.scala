@@ -135,6 +135,38 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(buckets(0) != buckets(1))
   }
 
+  test("LSH near-dup pairs recall a large fraction of the exact pair set") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val exact = VectorSearch.cosineNearDupPairs(e, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorSearch.cosineNearDupPairsLsh(e, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must emit only true above-threshold pairs")
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    // 8 tables x 4 planes at tau 0.3 (p_plane ~ 0.6): the d07 regime;
+    // regression guard for the maxBucket cap — a cap that silently
+    // dropped healthy buckets would crater this
+    assert(recall >= 0.5, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  }
+
+  test("degenerate corpus (all-identical embeddings): bucket cap bounds the self-join") {
+    import spark.implicits._
+    // every vector identical -> ONE bucket per table holds the whole
+    // corpus; uncapped this is the quadratic scale-killer (N^2 pairs in
+    // one task). With the cap the bucket is dropped and both operators
+    // complete with zero candidate pairs.
+    val vec = Array.fill(64)(0.5f)
+    val e = (0L until 500L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val capped = VectorSearch.cosineNearDupPairsLsh(e, 0.3, maxBucket = 100)
+    assert(capped.count() == 0, "over-cap buckets must be dropped, not exploded")
+    val graph = VectorSearch.mutualKnnGraph(e, 5, maxBucket = 100)
+    assert(graph.count() == 0)
+    // sanity: with the cap above the corpus size the same degenerate
+    // bucket yields the full pair set (the cap, not the pairing, gated)
+    val open = VectorSearch.cosineNearDupPairsLsh(e, 0.3, maxBucket = 500)
+    assert(open.count() == 500L * 499L / 2)
+  }
+
   test("mutual kNN graph: canonical edges, mutual wrt candidates, useful recall") {
     val e = Engine.table(spark, TestSpark.sf, "embeddings")
     val got = VectorSearch.mutualKnnGraph(e, 5).collect()
