@@ -31,17 +31,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // keep stdout/stderr free of WARN noise
     Engine.prepare(spark)
+    // Per-query Spark JOB counts ride along in BENCH_DETAIL.json: job
+    // counts are a host-noise-immune regression signal (seconds drift
+    // 30-40% across reboots on this shared host; a plan that suddenly
+    // runs more jobs changed for real). Counted via listener; job-start
+    // events are queued asynchronously, so read the counter only after
+    // it has been stable for 100ms (a blocking count() has already
+    // submitted every one of its jobs by the time it returns).
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    })
+    def settledJobCount(): Int = {
+      var prev = -1; var cur = jobCounter.get(); var waited = 0
+      while (cur != prev && waited < 2000) {
+        prev = cur; Thread.sleep(100); waited += 100; cur = jobCounter.get()
+      }
+      cur
+    }
     // BASELINE.md methodology: warm numbers = 2nd run in the session
     // (first run pays one-time codegen/JIT/planning, not per-query cost).
     // A failing query must NOT bench as a fast success: it records an
-    // error marker instead of a timing (Right=seconds, Left=error).
-    val results: Seq[(String, Either[String, Double])] =
+    // error marker instead of a timing (Right=(seconds, jobs), Left=error).
+    val results: Seq[(String, Either[String, (Double, Int)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
+        val j0 = settledJobCount()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          name -> Right((System.nanoTime() - t0) / 1e9)
+          val secs = (System.nanoTime() - t0) / 1e9
+          name -> Right((secs, settledJobCount() - j0))
         } catch { case e: Throwable =>
           name -> Left(e.getClass.getSimpleName)
         }
@@ -59,9 +80,9 @@ object Bench {
     // Failures surface as -1 in the numeric stdout map (keeps the consumer's
     // parse trivially numeric) and as "err:<Exception>" in the detail file.
     val qs = results.map { case (k, v) =>
-      "\"" + shortKeys(k) + "\":" + f3(v.getOrElse(-1.0))
+      "\"" + shortKeys(k) + "\":" + f3(v.map(_._1).getOrElse(-1.0))
     }.mkString("{", ",", "}")
-    val ok = results.collect { case (_, Right(t)) => t }
+    val ok = results.collect { case (_, Right((t, _))) => t }
     val errs = results.collect { case (k, Left(_)) => k }
     val total = ok.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
@@ -69,11 +90,17 @@ object Bench {
     val out = if (line.length <= 1800) line
       else s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"$errField}"""
     // Full-name per-query detail goes to a FILE (no length constraint) for
-    // BASELINE.md bookkeeping and human inspection.
-    val detail = results.map {
-      case (k, Right(t)) => "\"" + k + "\":" + f3(t)
+    // BASELINE.md bookkeeping and human inspection; "jobs" holds the
+    // per-query job counts (the noise-immune companion to the seconds).
+    val secsMap = results.map {
+      case (k, Right((t, _))) => "\"" + k + "\":" + f3(t)
       case (k, Left(e)) => "\"" + k + "\":\"err:" + e + "\""
-    }.mkString("{\"total\":" + f3(total) + ",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    }.mkString("{", ",", "}")
+    val jobsMap = results.collect {
+      case (k, Right((_, j))) => "\"" + k + "\":" + j
+    }.mkString("{", ",", "}")
+    val detail = "{\"total\":" + f3(total) + ",\"sf\":\"" + sfDir +
+      "\",\"queries\":" + secsMap + ",\"jobs\":" + jobsMap + "}"
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
