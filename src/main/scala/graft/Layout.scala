@@ -71,6 +71,43 @@ object Layout {
   def writeLshIndex(indexRows: DataFrame, table: String): Unit =
     writePartitioned(indexRows, table, Seq("pcode"))
 
+  /** Idempotent micro-batch append for STREAM-maintained tables: each
+    * batch's rows land under partitions (partCols..., batch_id=N) via
+    * DYNAMIC partition overwrite, so a replayed micro-batch (crash
+    * between the parquet write and the checkpoint commit) REPLACES its
+    * own partitions instead of duplicating rows — the exactly-once
+    * recipe for an append-only parquet sink (Structured Streaming
+    * re-runs a batch with the same batchId and the same checkpointed
+    * offsets, so the replacement is byte-equivalent). Reads are
+    * unchanged: filters on the leading partition columns still prune
+    * (batch_id is a trailing partition level), batch_id rides along as
+    * an extra column. The table is OWNED by its stream — created on
+    * the first batch with the batch_id partition; don't mix with
+    * batch-built tables (writeIvfIndex layouts have no batch_id). */
+  def idempotentBatchAppend(rows: DataFrame, table: String,
+      batchId: Long, partCols: Seq[String]): Unit = {
+    val spark = rows.sparkSession
+    val withId = rows.withColumn("batch_id", lit(batchId))
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(mode)
+    spark.conf.set(mode, "dynamic")
+    try {
+      if (spark.catalog.tableExists(table)) {
+        // insertInto is position-based: align to the table's column order
+        val cols = spark.table(table).columns.toIndexedSeq
+        withId.select(cols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).insertInto(table)
+      } else {
+        withId.write.mode(SaveMode.Overwrite)
+          .partitionBy((partCols :+ "batch_id"): _*)
+          .format("parquet").saveAsTable(table)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(mode, v)
+      case None => spark.conf.unset(mode)
+    }
+  }
+
   /** Pre-aggregated distinct-count sketch table: one row per fine-grain
     * group carrying a mergeable HLL sketch per tracked column (plus the
     * exact row count). The OLAP cube-maintenance pattern at 100 TB:

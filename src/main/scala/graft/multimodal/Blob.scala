@@ -153,16 +153,20 @@ object Blob {
         val media = Engine.table(s, d, "documents").select(
           col("doc_id").as("media_id"),
           col("text").cast(BinaryType).as("payload"))
-        val frames = frameBlobs(media)
-          .select((col("media_id") * 4 + col("frame_no")).as("media_id"),
+        // frame ids pack as media_id * MaxFrames + frame_no; the factor
+        // MUST be the same maxFrames frameBlobs runs with, or frame ids
+        // collide across media and the pairs are silently wrong
+        val frames = frameBlobs(media, maxFrames = MaxFrames)
+          .select((col("media_id") * MaxFrames + col("frame_no")).as("media_id"),
             col("frame").as("payload"))
         val pairs = graft.operators.Dedup.hammingNeighborPairs(
           perceptualHash(s, frames), maxHamming = 4)
-        // frame id = media*4 + frame_no; id_a < id_b => media_a <= media_b,
-        // so after dropping same-media pairs the pair is already canonical
+        // frame id = media*MaxFrames + frame_no; id_a < id_b =>
+        // media_a <= media_b, so after dropping same-media pairs the
+        // pair is already canonical
         pairs
-          .select(floor(col("id_a") / 4).cast(LongType).as("media_a"),
-            floor(col("id_b") / 4).cast(LongType).as("media_b"),
+          .select(floor(col("id_a") / MaxFrames).cast(LongType).as("media_a"),
+            floor(col("id_b") / MaxFrames).cast(LongType).as("media_b"),
             col("hamming"))
           .filter(col("media_a") =!= col("media_b"))
           .groupBy("media_a", "media_b")
@@ -171,13 +175,19 @@ object Blob {
       })
   )
 
+  /** Default per-payload frame cap, shared by the samplers and m04's
+    * frame-id packing (media_id * MaxFrames + frame_no) — a packing
+    * factor diverging from the sampler's cap would collide frame ids
+    * across media. */
+  val MaxFrames: Int = 4
+
   /** Frame sampling over (media_id, payload): one `frameLen`-byte window
     * every `stride` bytes, capped at `maxFrames` frames per payload; an
     * empty payload yields exactly one empty frame on both sides (without
     * the greatest() clamp, Spark's sequence(0, -1) would step BACKWARD
     * to [0, -1] while the oracle's range() emits none). */
   def frameSample(media: DataFrame, stride: Int = 1024, frameLen: Int = 256,
-      maxFrames: Int = 4): DataFrame =
+      maxFrames: Int = MaxFrames): DataFrame =
     frameBlobs(media, stride, frameLen, maxFrames)
       .select(col("media_id"), col("frame_no"),
         octet_length(col("frame")).cast(IntegerType).as("f_bytes"),
@@ -187,7 +197,7 @@ object Blob {
     * frame_no, frame bytes) — the input granularity for frame-level
     * fingerprinting (m04). */
   def frameBlobs(media: DataFrame, stride: Int = 1024, frameLen: Int = 256,
-      maxFrames: Int = 4): DataFrame =
+      maxFrames: Int = MaxFrames): DataFrame =
     media.select(col("media_id"), col("payload"),
         explode(sequence(lit(0),
           greatest(least(floor((octet_length(col("payload")) - 1) / stride),

@@ -90,10 +90,6 @@ object Events {
       .select("user_id", "event_type", "event_id", "ts")
   }
 
-  /** e11's single source of truth: identical text runs on both engines.
-    * The sum aggregates in exact decimal — RANGE frames may be evaluated
-    * with re-association (segment trees), where a double sum would be
-    * order-sensitive — and emits via the decOut double conversion. */
   /** Trailing-24h z-score stage over an hourly (event_type, hr, n) rate
     * table — shared by the batch entry (e14) and the streaming monitor
     * (EventsStreaming.hourlyRatesQuery feeds a rollup table; scoring
@@ -117,6 +113,10 @@ object Events {
       .select("event_type", "hr", "n", "z")
   }
 
+  /** e11's single source of truth: identical text runs on both engines.
+    * The sum aggregates in exact decimal — RANGE frames may be evaluated
+    * with re-association (segment trees), where a double sum would be
+    * order-sensitive — and emits via the decOut double conversion. */
   private def rollingHourSql: String = """SELECT event_id, user_id, ts,
           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
             PARTITION BY user_id ORDER BY ts

@@ -108,8 +108,22 @@ object DocsStreaming {
       .flatMapGroupsWithState[Long, (String, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
         val admitted = state.getOption.getOrElse(0L)
-        val room = math.max(0L, n - admitted).toInt
-        val keep = rows.toSeq.sortBy(_._2).take(room)
+        val room = math.min(math.max(0L, n - admitted), Int.MaxValue.toLong).toInt
+        // bounded selection: a sortBy over the whole (source, batch)
+        // group is unbounded task memory under hot-source skew (the
+        // exact scale-killer the batch t21 two-phase cap avoids).
+        // Instead keep the `room` smallest doc_ids in a size-bounded
+        // max-heap over the iterator — task memory O(min(n, batch)),
+        // same admitted set as the full sort.
+        val keep = if (room == 0) Seq.empty[(String, Long)] else {
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[(String, Long)](Ordering.by(_._2))
+          rows.foreach { r =>
+            if (heap.size < room) heap.enqueue(r)
+            else if (r._2 < heap.head._2) { heap.dequeue(); heap.enqueue(r) }
+          }
+          heap.dequeueAll.reverse // ascending doc_id, like the sort
+        }
         state.update(admitted + keep.size)
         keep.iterator
       }
@@ -146,18 +160,31 @@ object DocsStreaming {
     * (graft.Layout.appendIvfIndex discipline — re-deriving the model
     * from the grown corpus would re-cell existing entries) and appended
     * to the cid-partitioned index table per micro-batch. Encode is a
-    * stateless projection, so foreachBatch append IS the exact
-    * streaming semantics; each batch touches only the partitions its
-    * rows hash to. Searches (`VectorSearch.ivfPqTopKIndexed`) see every
-    * row committed so far.
-    */
+    * stateless projection, so a per-batch append IS the exact streaming
+    * semantics; each batch touches only the partitions its rows hash
+    * to. Searches (`VectorSearch.ivfPqTopKIndexed`) see every row
+    * committed so far.
+    *
+    * Durability: writes go through `Layout.idempotentBatchAppend`
+    * ((cid, batch_id) dynamic partition overwrite), so a replayed
+    * micro-batch after failure/restart REPLACES its own rows instead of
+    * appending duplicates — duplicate index rows would violate
+    * pqSearch's "one cid per corpus row" invariant and let the same
+    * neighbor occupy several top-k slots. Pass `checkpointLocation` in
+    * production so restarts resume from committed offsets; the
+    * idempotent write keeps even at-least-once replays exact. */
   def ivfIndexIngestQuery(newVecs: DataFrame,
       model: graft.operators.VectorSearch.PqModel,
-      table: String): org.apache.spark.sql.streaming.StreamingQuery =
-    newVecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.Layout.appendIvfIndex(
-        graft.operators.VectorSearch.encodeIvfPq(batch, model), table)
-    }.start()
+      table: String,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = newVecs.writeStream
+    checkpointLocation.fold(w)(l => w.option("checkpointLocation", l))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.Layout.idempotentBatchAppend(
+          graft.operators.VectorSearch.encodeIvfPq(batch, model),
+          table, batchId, Seq("cid"))
+      }.start()
+  }
 
   /** Streaming twin of `operators.Dedup.decontaminate`: drop incoming
     * documents that share any k-word shingle with a static eval set.

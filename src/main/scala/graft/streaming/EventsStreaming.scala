@@ -49,18 +49,27 @@ object EventsStreaming {
     * the rollup needs no read-modify-write). Scoring is
     * `Events.anomalyScores` over the rollup — |types| x |hours| rows,
     * independent of event volume; the corpus-sized stream is touched
-    * only by this one windowed aggregation. */
+    * only by this one windowed aggregation.
+    *
+    * Durability: the rollup write is `Layout.idempotentBatchAppend`
+    * (batch_id dynamic partition overwrite) — a replayed micro-batch
+    * after failure/restart replaces its own rows, so duplicate
+    * (event_type, hr) rows can never skew anomalyScores' window stats.
+    * Pass `checkpointLocation` in production so restarts resume from
+    * committed offsets. */
   def hourlyRatesQuery(events: DataFrame, table: String,
-      watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery =
-    events.withWatermark("ts", watermark)
+      watermark: String = "2 hours",
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("w.start").as("hr"), col("n"))
       .writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .format("parquet").saveAsTable(table)
+    checkpointLocation.fold(w)(l => w.option("checkpointLocation", l))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        graft.Layout.idempotentBatchAppend(b, table, batchId, Seq.empty)
       }.start()
+  }
 
   /** Streaming dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -276,4 +276,28 @@ class LayoutSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(inc == direct, s"inc=$inc direct=$direct")
   }
+
+  test("idempotentBatchAppend: a replayed micro-batch replaces, never duplicates") {
+    import spark.implicits._
+    freshTable("idem_tbl")
+    val b0 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")
+    val b1 = Seq((3L, "a", 30L)).toDF("id", "k", "v")
+    Layout.idempotentBatchAppend(b0, "idem_tbl", 0L, Seq("k"))
+    Layout.idempotentBatchAppend(b1, "idem_tbl", 1L, Seq("k"))
+    val before = spark.table("idem_tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // crash-replay: the SAME batch (same batchId, same rows) lands again
+    Layout.idempotentBatchAppend(b1, "idem_tbl", 1L, Seq("k"))
+    val after = spark.table("idem_tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after == before, "replay must replace its own partitions")
+    assert(after.map(_._1) == Seq(1L, 2L, 3L))
+    // a genuinely new batch still appends
+    Layout.idempotentBatchAppend(
+      Seq((4L, "b", 40L)).toDF("id", "k", "v"), "idem_tbl", 2L, Seq("k"))
+    assert(spark.table("idem_tbl").count() == 4)
+    // the helper must not leak its dynamic-overwrite conf into the session
+    assert(spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static") != "dynamic")
+  }
 }
