@@ -21,9 +21,10 @@ object Errors {
   final val UndefinedTable = "42P01"
   final val FeatureNotSupported = "0A000"
   final val InternalError = "XX000"
-  /** PG's lock_not_available — the NOWAIT divergence's code (the
-    * reference waits instead of failing, so it never raises this;
-    * PostgreSQL uses 55P03 for a lock that cannot be granted now). */
+  /** PG's lock_not_available. The reference's lmgr waits indefinitely
+    * on a conflict (lmgr.rs:277-373) and so never raises this; this
+    * port waits a bounded window (LockManager.waitTimeoutMs) and then
+    * fails with PostgreSQL's lock_timeout code. */
   final val LockNotAvailable = "55P03"
 }
 

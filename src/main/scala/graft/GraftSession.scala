@@ -372,23 +372,48 @@ object GraftSession {
     private val held =
       scala.collection.mutable.Map[String, scala.collection.mutable.Map[Long, Int]]()
 
+    /** How long a conflicting acquire WAITS before failing with 55P03.
+      * The reference's lmgr blocks indefinitely until the conflicting
+      * holder releases (lmgr.rs:277-373: the conflict check is wired
+      * into acquire/release bookkeeping and the waiter re-checks on
+      * every release); an analytics session that can wait forever on a
+      * driver lock is an operability hazard, so this port bounds the
+      * wait — within the window the behavior is the reference's
+      * (blocked until release), past it PostgreSQL's lock_timeout
+      * semantics apply (SQLSTATE 55P03 lock_not_available). Process-
+      * wide and settable (tests shrink it; a deadlocked pair of
+      * sessions resolves as two 55P03s at the deadline rather than a
+      * PG-style deadlock-detector abort — the documented divergence). */
+    @volatile var waitTimeoutMs: Long = 5000L
+
     def acquire(sid: Long, table: String, mode: String): Unit = synchronized {
       val m = modeIndex(mode)
+      val deadline = System.nanoTime() + waitTimeoutMs * 1000000L
+      // the condition-variable loop: sleep on the manager's monitor,
+      // re-check the conflict mask every time any session releases
+      while ({
+        val others = held.getOrElse(table, scala.collection.mutable.Map.empty)
+          .iterator.collect { case (s, g) if s != sid => g }.foldLeft(0)(_ | _)
+        (conflictMask(m) & others) != 0
+      }) {
+        val remainMs = (deadline - System.nanoTime()) / 1000000L
+        if (remainMs <= 0)
+          throw new GraftStateError(Errors.LockNotAvailable,
+            s"could not obtain $mode lock on relation \"$table\": " +
+              "timeout waiting for conflicting locks to be released")
+        wait(remainMs)
+      }
       val grants = held.getOrElseUpdate(table, scala.collection.mutable.Map())
-      val others = grants.iterator.collect { case (s, g) if s != sid => g }
-        .foldLeft(0)(_ | _)
-      if ((conflictMask(m) & others) != 0)
-        throw new IllegalStateException(
-          s"could not obtain $mode lock on relation \"$table\": " +
-            "conflicting lock held by another session")
       grants(sid) = grants.getOrElse(sid, 0) | bit(m)
     }
 
     /** Drop every grant of one session (COMMIT/ABORT path —
-      * lmgr.rs release-on-xact-end). */
+      * lmgr.rs release-on-xact-end) and wake every waiter so blocked
+      * acquires re-check their conflict masks. */
     def releaseAll(sid: Long): Unit = synchronized {
       held.values.foreach(_.remove(sid))
       held.filterInPlace((_, g) => g.nonEmpty)
+      notifyAll()
     }
   }
 }

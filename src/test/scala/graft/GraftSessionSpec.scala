@@ -83,6 +83,11 @@ class GraftSessionSpec extends AnyFunSuite {
   test("cross-session lock conflicts follow the lmgr matrix (lmgr.rs:105-160)") {
     val a = new GraftSession(spark, Some(TestSpark.sf))
     val b = new GraftSession(spark, Some(TestSpark.sf))
+    // conflicts in this test are PERMANENT (the holder never releases
+    // while the waiter asks) — shrink the bounded wait so each refused
+    // acquire fails fast instead of sleeping out the full default
+    val prevTimeout = GraftSession.LockManager.waitTimeoutMs
+    GraftSession.LockManager.waitTimeoutMs = 200L
     a.execute("BEGIN"); b.execute("BEGIN")
     try {
       // SHARE + SHARE: self-compatible — both sessions may hold it
@@ -102,7 +107,10 @@ class GraftSessionSpec extends AnyFunSuite {
       intercept[IllegalStateException](
         b.execute("LOCK TABLE region IN ACCESS SHARE MODE"))
       b.execute("ROLLBACK"); b.execute("BEGIN")
-    } finally { a.execute("COMMIT") }
+    } finally {
+      a.execute("COMMIT")
+      GraftSession.LockManager.waitTimeoutMs = prevTimeout
+    }
     // released on COMMIT: b can now take the previously conflicting lock
     b.execute("LOCK TABLE region IN EXCLUSIVE MODE")
     b.execute("ABORT")
@@ -111,6 +119,48 @@ class GraftSessionSpec extends AnyFunSuite {
     c.execute("BEGIN")
     c.execute("LOCK TABLE region IN ACCESS EXCLUSIVE MODE")
     c.execute("COMMIT")
+  }
+
+  test("conflicting LOCK waits for release; bounded wait times out as 55P03 (lmgr.rs:277-373)") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val a = new GraftSession(spark, Some(TestSpark.sf))
+    val b = new GraftSession(spark, Some(TestSpark.sf))
+    val prevTimeout = GraftSession.LockManager.waitTimeoutMs
+    try {
+      // 1) the reference semantics: B's conflicting acquire BLOCKS
+      //    until A commits, then succeeds (lmgr waiters re-check on
+      //    every release)
+      GraftSession.LockManager.waitTimeoutMs = 60000L
+      a.execute("BEGIN"); b.execute("BEGIN")
+      a.execute("LOCK TABLE nation IN EXCLUSIVE MODE")
+      // SHARE conflicts with EXCLUSIVE (ACCESS SHARE would not — the
+      // matrix lets plain reads pass an EXCLUSIVE holder)
+      val blocked = Future(b.execute("LOCK TABLE nation IN SHARE MODE"))
+      Thread.sleep(300)
+      assert(!blocked.isCompleted, "B must block while A holds the conflict")
+      a.execute("COMMIT")
+      Await.result(blocked, 10.seconds)
+      assert(b.locks.contains(("nation", "SHARE")))
+      b.execute("COMMIT")
+
+      // 2) the bounded-wait divergence: holder never releases -> the
+      //    waiter fails with PG's lock_timeout SQLSTATE and its block
+      //    aborts like any failed statement
+      GraftSession.LockManager.waitTimeoutMs = 250L
+      a.execute("BEGIN"); b.execute("BEGIN")
+      a.execute("LOCK TABLE region IN ACCESS EXCLUSIVE MODE")
+      val e = intercept[GraftStateError](
+        b.execute("LOCK TABLE region IN ACCESS SHARE MODE"))
+      assert(e.sqlstate == Errors.LockNotAvailable)
+      assert(b.transactionState == "failed_transaction")
+      b.execute("ROLLBACK")
+    } finally {
+      GraftSession.LockManager.waitTimeoutMs = prevTimeout
+      try a.execute("ABORT") catch { case _: Throwable => }
+      try b.execute("ABORT") catch { case _: Throwable => }
+    }
   }
 
   test("search_path resolves unqualified relations in namespace order (namespace.rs:29-70)") {
