@@ -112,6 +112,8 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     """(?is)^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(.*?)\s*;?\s*$""".r
   private val reCopyTo: Regex =
     """(?is)^\s*COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(.*?)\s*;?\s*$""".r
+  private val reCopyFromStdin: Regex =
+    """(?is)^\s*COPY\s+([\w.]+)\s+FROM\s+STDIN\s*(.*?)\s*;?\s*$""".r
 
   /** The exec_simple_query analogue. */
   def execute(sql: String): DataFrame = {
@@ -142,6 +144,12 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
       case reCreateTable(name, cols, opts) => createTable(name, cols, Option(opts))
       case reCopyFrom(table, path, opts) => copyFrom(table, path, opts)
       case reCopyTo(table, path, opts) => copyTo(table, path, opts)
+      case reCopyFromStdin(_, _) =>
+        // STDIN needs a data channel the plain session API does not
+        // have; the wire front-end intercepts this shape BEFORE execute
+        // and drives the copy-in sub-protocol (copyInTarget/copyInRows)
+        throw new GraftArgError(Errors.FeatureNotSupported,
+          "COPY FROM STDIN is only available through the wire protocol's copy-in channel")
       case _ =>
         // the optimizable path: Catalyst parse/analyze/optimize/execute
         spark.sql(trimmed)
@@ -328,6 +336,37 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     Copy.from(spark, path, schema, copyOpts(opts))
       .write.mode("append").insertInto(rel)
     tag(s"COPY")
+  }
+
+  /** Wire front-end hook: if `query` is `COPY t FROM STDIN [opts]`,
+    * resolve the target and parse the options (the same copy.rs option
+    * grammar as the file path) so the server can drive the copy-in
+    * sub-protocol (CopyInResponse/CopyData/CopyDone — the DestRemote
+    * result-streaming analogue in the ingest direction). None for every
+    * other statement. */
+  def copyInTarget(query: String): Option[(String, StructType, Copy.Options)] =
+    query match {
+      case reCopyFromStdin(table, opts) =>
+        val rel = resolveRelation(table)
+        Some((rel, spark.table(rel).schema, copyOpts(opts)))
+      case _ => None
+    }
+
+  /** Complete a wire copy-in: parse the accumulated CopyData payload
+    * with the engine's COPY dialect (delimiter/null/header options — the
+    * same parse as the file path, via an in-memory Dataset[String]) and
+    * append to the table. Returns the ingested row count for the
+    * `COPY n` CommandComplete tag. The payload arrived through one
+    * socket, so it is driver-local by construction; file-path COPY
+    * remains the bulk route (distributed scan, `(parallel n)`). */
+  def copyInRows(rel: String, schema: StructType, opts: Copy.Options,
+      payload: String): Long = {
+    import spark.implicits._
+    val lines = payload.split("\n", -1).toIndexedSeq
+      .filter(l => l.nonEmpty && l != "\\.") // v3 ends with CopyDone; tolerate a trailing \.
+    val ds = spark.createDataset(lines)
+    Copy.fromLines(ds, schema, opts).write.mode("append").insertInto(rel)
+    lines.size.toLong
   }
 
   private def copyTo(table: String, path: String, opts: String): DataFrame = {

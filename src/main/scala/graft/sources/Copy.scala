@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 import graft.Engine
@@ -36,6 +36,24 @@ object Copy {
       .schema(schema)
       .csv(path)
     opts.parallel.map(df.repartition(_)).getOrElse(df)
+  }
+
+  /** The copy-in (STDIN) variant of [[from]]: the identical typed CSV
+    * parse over an already-received Dataset of lines instead of a file
+    * scan — the wire server feeds this from accumulated CopyData
+    * payloads (the reference grammar itself takes file paths only,
+    * sql.lalrpop:560-572; STDIN is the protocol-side extension its
+    * DestRemote layer implies). */
+  def fromLines(lines: Dataset[String], schema: StructType,
+      opts: Options = Options()): DataFrame = {
+    val spark = lines.sparkSession
+    Engine.prepare(spark)
+    spark.read
+      .option("delimiter", opts.delimiter)
+      .option("nullValue", opts.nullValue)
+      .option("header", opts.header.toString)
+      .schema(schema)
+      .csv(lines)
   }
 
   /** COPY ... TO 'file' (declared-only in the reference; implemented

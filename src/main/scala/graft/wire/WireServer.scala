@@ -203,8 +203,13 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
             // job group so a CancelRequest can interrupt it mid-flight
             spark.sparkContext.setJobGroup(jobGroupOf(sid),
               s"wire session $sid", interruptOnCancel = true)
-            val df = sess.execute(query)
-            writeResult(out, df)
+            sess.copyInTarget(query) match {
+              case Some((rel, schema, opts)) =>
+                handleCopyIn(in, out, sess, rel, schema, opts)
+              case None =>
+                val df = sess.execute(query)
+                writeResult(out, df)
+            }
           } catch {
             case e: Exception =>
               // a lazy (execution-time) failure must abort a transaction
@@ -214,6 +219,49 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
                 Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
           } finally spark.sparkContext.clearJobGroup()
         }
+      }
+    }
+  }
+
+  /** Copy-in sub-protocol for `COPY t FROM STDIN`: CopyInResponse ('G',
+    * overall format 0 = text + per-column format 0) -> accumulate
+    * CopyData ('d') payloads -> CopyDone ('c') parses and appends via
+    * the session's COPY machinery and answers CommandComplete `COPY n`;
+    * CopyFail ('f') aborts with the client's message (PG's
+    * query_canceled code, 57014). Any other message during copy-in is a
+    * protocol violation (08P01). The reference parses only file-path
+    * COPY (sql.lalrpop:560-572) but its DestRemote streams results over
+    * this same protocol layer; this is the matching ingest direction. */
+  private def handleCopyIn(in: DataInputStream, out: DataOutputStream,
+      sess: GraftSession, rel: String,
+      schema: StructType, opts: graft.sources.Copy.Options): Unit = {
+    val ncols = schema.length
+    send(out, 'G', (Array(0.toByte) +: i16(ncols) +:
+      Array.fill(ncols)(i16(0))).reduce(_ ++ _))
+    out.flush()
+    val buf = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val tag = in.read()
+      if (tag == -1) throw new EOFException("client left during copy-in")
+      val body = readBody(in)
+      tag match {
+        case 'd' => buf.write(body)
+        case 'c' =>
+          val n = sess.copyInRows(rel, schema, opts,
+            new String(buf.toByteArray, UTF_8))
+          send(out, 'C', cstr(s"COPY $n"))
+          done = true
+        case 'f' =>
+          val (reason, _) = readCstr(body, 0)
+          sess.onStatementError()
+          sendError(out, "57014", s"COPY from stdin failed: $reason")
+          done = true
+        case other =>
+          sess.onStatementError()
+          sendError(out, "08P01",
+            s"unexpected message type ${other.toChar} during COPY FROM STDIN")
+          done = true
       }
     }
   }

@@ -64,6 +64,19 @@ class WireServerSpec extends AnyFunSuite {
       out.writeByte('X'); out.writeInt(4); out.flush(); sock.close()
     }
 
+    def copyData(chunk: String): Unit = {
+      val b = chunk.getBytes(UTF_8)
+      out.writeByte('d'); out.writeInt(4 + b.length); out.write(b); out.flush()
+    }
+
+    def copyDone(): Unit = { out.writeByte('c'); out.writeInt(4); out.flush() }
+
+    def copyFail(reason: String): Unit = {
+      val b = reason.getBytes(UTF_8)
+      out.writeByte('f'); out.writeInt(4 + b.length + 1)
+      out.write(b); out.write(0); out.flush()
+    }
+
     /** Text values of all DataRow messages in `msgs`. */
     def dataRows(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[String]] =
       msgs.collect { case ('D', b) =>
@@ -226,6 +239,60 @@ class WireServerSpec extends AnyFunSuite {
       assert(c.dataRows(c.drain()._1) == Seq(Seq("1")))
       c.terminate()
     } finally srv.close()
+  }
+
+  test("COPY FROM STDIN round-trips rows through the copy-in sub-protocol") {
+    spark.sql("DROP TABLE IF EXISTS wire_copy_t")
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+      c.query("CREATE TABLE wire_copy_t (id int, name varchar(16))")
+      c.drain()
+
+      c.query("COPY wire_copy_t FROM STDIN")
+      // CopyInResponse: format 0 (text), 2 columns, per-column format 0
+      val (g, gb) = c.read()
+      assert(g == 'G')
+      assert(gb(0) == 0 && (((gb(1) & 0xff) << 8) | (gb(2) & 0xff)) == 2)
+      // rows split across CopyData messages mid-line: the server must
+      // accumulate bytes, not parse per message
+      c.copyData("1,al")
+      c.copyData("pha\n2,beta\n")
+      c.copyData("3,gamma\n")
+      c.copyDone()
+      val (msgs, _) = c.drain()
+      assert(msgs.exists { case (t, b) => t == 'C' && c.cstrAt(b, 0) == "COPY 3" },
+        s"got: ${msgs.map(m => m._1 + ":" + c.cstrAt(m._2, 0))}")
+
+      c.query("SELECT id, name FROM wire_copy_t ORDER BY id")
+      val (rows, _) = c.drain()
+      assert(c.dataRows(rows) ==
+        Seq(Seq("1", "alpha"), Seq("2", "beta"), Seq("3", "gamma")))
+
+      // CopyFail aborts the copy with the client's reason (57014) and
+      // leaves the table untouched; the session keeps serving
+      c.query("COPY wire_copy_t FROM STDIN")
+      assert(c.read()._1 == 'G')
+      c.copyData("9,never\n")
+      c.copyFail("client changed its mind")
+      val (failMsgs, _) = c.drain()
+      assert(c.errFields(failMsgs)('C') == "57014")
+      c.query("SELECT COUNT(*) AS n FROM wire_copy_t")
+      assert(c.dataRows(c.drain()._1) == Seq(Seq("3")))
+
+      // options flow through the same copy.rs grammar as file COPY
+      c.query("COPY wire_copy_t FROM STDIN USING DELIMITERS '|'")
+      assert(c.read()._1 == 'G')
+      c.copyData("4|delta\n")
+      c.copyDone()
+      val (optMsgs, _) = c.drain()
+      assert(optMsgs.exists { case (t, b) => t == 'C' && c.cstrAt(b, 0) == "COPY 1" })
+      c.terminate()
+    } finally {
+      srv.close()
+      spark.sql("DROP TABLE IF EXISTS wire_copy_t")
+    }
   }
 
   test("real table query flows through the engine and renders text rows") {
