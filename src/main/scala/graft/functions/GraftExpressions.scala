@@ -687,6 +687,60 @@ object PqKernels {
 }
 
 /** graft_pq_encode(vec) -> array<int>: per-subspace codeword ids. */
+/** graft_bpe_encode(text) -> array<string>: tokenize under an ENTIRE
+  * learned BPE merge table in one native expression. Semantics are
+  * EXACTLY the composition of `Bpe.applyMerge` folds in rank order —
+  * each merge is one greedy leftmost non-overlapping left-to-right
+  * pass — property-pinned against the fold form in BpeSpec. The fold
+  * composition builds one nested aggregate-HOF layer PER merge, so at
+  * a real vocabulary (32k merges) the expression tree and its codegen
+  * explode; here the table is a single plan-literal reference and the
+  * passes run in a tight loop. A symbol-presence set skips merges whose
+  * sides cannot occur (typical cost O(len x applicable merges), not
+  * O(len x 32k)). */
+case class BpeEncode(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // Java split("") (limit 0, trailing empties dropped) matches what
+    // Spark's split(col, "") yields — limit -1 would add a trailing ""
+    var syms: Array[String] = s.split("")
+    val present = new java.util.HashSet[String]()
+    var i = 0
+    while (i < syms.length) { present.add(syms(i)); i += 1 }
+    var mi = 0
+    while (mi < merges.length && syms.length >= 2) {
+      val l = merges(mi)._1
+      val r = merges(mi)._2
+      // merged-away symbols stay in `present` (false positives only
+      // cost a scan; a false NEGATIVE would skip a real merge)
+      if (present.contains(l) && present.contains(r)) {
+        val out = new Array[String](syms.length)
+        var rd = 0
+        var w = 0
+        var glued = false
+        while (rd < syms.length) {
+          if (rd + 1 < syms.length && syms(rd) == l && syms(rd + 1) == r) {
+            out(w) = l + r; rd += 2; glued = true
+          } else { out(w) = syms(rd); rd += 1 }
+          w += 1
+        }
+        if (glued) {
+          syms = java.util.Arrays.copyOf(out, w)
+          present.add(l + r)
+        }
+      }
+      mi += 1
+    }
+    new GenericArrayData(syms.map(x =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x): Any))
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+  override def prettyName: String = "graft_bpe_encode"
+}
+
 case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -1188,6 +1242,14 @@ object GraftFunctions {
   def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
     val shim = org.apache.spark.sql.GraftShim
     shim.column(NearestCells(shim.expression(v), centroids, n))
+  }
+
+  /** BPE tokenization under a learned merge table — the whole table in
+    * one native pass (see [[BpeEncode]]); semantics equal the per-merge
+    * fold composition. */
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(BpeEncode(shim.expression(c), merges.toArray))
   }
 
   /** PQ codeword ids of `v` under driver-built per-subspace codebooks. */

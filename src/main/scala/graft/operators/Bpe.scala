@@ -86,11 +86,24 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
-  /** Tokenize `textCol` with an already-learned merge sequence: the
-    * same fold applied per merge in rank order — inference is pure
-    * projection (no shuffle, no state), the shape that runs over the
-    * full corpus at 100 TB. */
+  /** Tokenize `textCol` with an already-learned merge sequence:
+    * inference is pure projection (no shuffle, no state), the shape
+    * that runs over the full corpus at 100 TB. The whole merge table
+    * applies in ONE native expression (graft_bpe_encode) — composing
+    * the training fold per merge builds a nested HOF tree that explodes
+    * in size/codegen at a real 32k-merge vocabulary; the native kernel
+    * carries the table as a single plan literal. Semantics are pinned
+    * equal to the fold composition ([[applyMergesFold]]) in BpeSpec. */
   def applyMerges(documents: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    documents.withColumn("bpe_tokens",
+      graft.functions.GraftFunctions.bpeEncode(col(textCol), merges))
+
+  /** The reference fold form of [[applyMerges]] — one aggregate HOF per
+    * merge, exactly [[applyMerge]] composed in rank order. Kept as the
+    * semantic oracle for the native kernel (BpeSpec parity at 256
+    * merges); usable directly only at toy merge counts. */
+  def applyMergesFold(documents: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val syms = merges.foldLeft(
       split(col(textCol), "").as("s") : Column) { case (acc, (l, r)) =>

@@ -43,6 +43,52 @@ class BpeSpec extends AnyFunSuite {
     assert(a.map(_.getInt(0)) == (1 to a.size).toSeq)
   }
 
+  test("native kernel == fold composition at 256 merges (property parity)") {
+    // Deterministic 256-entry merge table over a 5-letter alphabet:
+    // char-char pairs seed chains whose merged tokens feed later merges
+    // (ab, abc, abcd, ...), so passes genuinely cascade; plus pairs that
+    // never occur (skip path) and pairs over already-merged tokens.
+    val alpha = "abcde"
+    val charPairs = for (l <- alpha; r <- alpha) yield (l.toString, r.toString)
+    val chains = Seq.tabulate(100) { i =>
+      val base = alpha((i % 5)).toString
+      val grown = (0 to (i % 4)).map(j => alpha((i + j) % 5)).mkString
+      (grown, base) // e.g. ("ab","a"), ("bcd","b") — longer left sides
+    }
+    val merged = Seq.tabulate(131)(i =>
+      (alpha(i % 5).toString + alpha((i + 1) % 5), alpha((i + 2) % 5).toString))
+    val merges = (charPairs.toSeq ++ chains ++ merged).take(256)
+    assert(merges.size == 256)
+    // strings that stress the edges: empty, single char, long repeats,
+    // alternations, and pseudo-random mixes (fixed seed)
+    val rnd = new scala.util.Random(42)
+    val texts = Seq("", "a", "aaaaaaaaaaaaaaaa", "ababababab", "edcba",
+      "abcdeabcdeabcde") ++
+      Seq.tabulate(40)(_ => (0 until rnd.nextInt(30))
+        .map(_ => alpha(rnd.nextInt(5))).mkString)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = Bpe.applyMerges(docs, "text", merges)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().sortBy(_._1)
+    // the fold form is EXACTLY the ceiling being tested: at 256 nested
+    // HOF layers the analyzer's default 100 resolution iterations are
+    // not even enough to resolve the tree — crank them for the oracle
+    // run only (the native kernel needs no such accommodation)
+    val prevIters = spark.conf.getOption("spark.sql.analyzer.maxIterations")
+    spark.conf.set("spark.sql.analyzer.maxIterations", "2000")
+    val fold =
+      try Bpe.applyMergesFold(docs, "text", merges)
+        .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().sortBy(_._1)
+      finally prevIters match {
+        case Some(v) => spark.conf.set("spark.sql.analyzer.maxIterations", v)
+        case None => spark.conf.unset("spark.sql.analyzer.maxIterations")
+      }
+    assert(native.toSeq == fold.toSeq)
+    // round trip: tokens concatenate back to the input
+    native.foreach { case (i, toks) =>
+      assert(toks.mkString("") == texts(i.toInt)) }
+  }
+
   test("applying the learned merges shrinks the symbol stream") {
     val docs = Seq.tabulate(30)(i =>
       (i.toLong, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
