@@ -62,6 +62,69 @@ class ClusterSpec extends AnyFunSuite {
     assert(cids.subsetOf((0 until 10).toSet) && cids.size > 1)
   }
 
+  test("kmeans centroid VALUES equal an exact in-memory Lloyd's reference") {
+    import spark.implicits._
+    // two well-separated 4-dim blobs; every coordinate is a multiple of
+    // 0.25 (binary-exact AND shortest-decimal-exact), so the
+    // cast-to-DECIMAL(38,12) in the distributed update and the
+    // BigDecimal reference see identical exact values — the comparison
+    // below is == on doubles, no tolerance
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Array(10.0, 0.0, 1.0, 0.0)
+                 else Array(0.0, 10.0, 0.0, 1.0)
+      (i, base.zipWithIndex.map { case (b, d) =>
+        b + 0.25 * ((i * 7 + d) % 5) }.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (asg, cents) = Cluster.kmeans(df, "embedding", k = 2, iters = 3, dim = 4)
+
+    // the seed CHOICE reuses the engine's hash ordering (murmur3 is not
+    // hand-computable); the pinned property is the Lloyd's arithmetic:
+    // cosine argmin assignment (ties -> lower cid) + decimal-exact mean
+    val seedIds = df.select(col("vec_id"))
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(2).collect().map(_.getLong(0)).sorted
+    val byId = vecs.toMap
+    var ref: Array[Array[Double]] = seedIds.map(id => byId(id).toArray)
+    def cos(a: Array[Double], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nc = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * c(i); na += a(i) * a(i); nc += c(i) * c(i); i += 1
+      }
+      if (na == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nc))
+    }
+    def refAssign(cents: Array[Array[Double]]): Seq[(Long, Int)] =
+      vecs.map { case (id, v) =>
+        val arr = v.toArray
+        var best = 0; var bestSim = Double.NegativeInfinity; var j = 0
+        while (j < cents.length) { // strict > == lower-index tie break
+          val s = cos(arr, cents(j))
+          if (s > bestSim) { bestSim = s; best = j }
+          j += 1
+        }
+        (id, best)
+      }
+    for (_ <- 1 to 3) {
+      val assign = refAssign(ref)
+      ref = ref.indices.map { cid =>
+        val members = assign.collect { case (id, c) if c == cid => byId(id) }
+        if (members.isEmpty) ref(cid)
+        else Array.tabulate(4) { d =>
+          val sx = members.map(m => java.math.BigDecimal.valueOf(m(d))
+              .setScale(12, java.math.RoundingMode.HALF_UP))
+            .reduce(_.add(_)) // the DECIMAL(38,12) exact sum
+          sx.doubleValue / members.size // one double division, like kmeans
+        }
+      }.toArray
+    }
+    assert(cents.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq,
+      s"centroids diverged:\n got ${cents.map(_.toSeq).mkString("; ")}\n ref ${ref.map(_.toSeq).mkString("; ")}")
+    // final assignments agree with the reference argmin over ref centroids
+    val gotAsg = asg.select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    refAssign(ref).foreach { case (id, cid) =>
+      assert(gotAsg(id) == cid, s"vec $id assigned ${gotAsg(id)}, ref $cid") }
+  }
+
   test("kmeans centroid update reduces mean cosine distance to centroids") {
     def meanSim(iters: Int): Double = {
       val (asg, cents) = Cluster.kmeans(emb, "embedding", k = 10, iters = iters)
