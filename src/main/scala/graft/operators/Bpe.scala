@@ -117,6 +117,27 @@ object Bpe {
     // internals; BpeSpec pins the classic toy-corpus merges, greedy
     // left-to-right semantics, and determinism.
     GQ("t24_bpe_merges", None,
-      (s, d) => trainMerges(Engine.table(s, d, "documents"), "text", 8))
+      (s, d) => trainMerges(Engine.table(s, d, "documents"), "text", 8)),
+
+    // The full tokenizer flow — train the merge table, then tokenize
+    // the WHOLE corpus with it (the per-doc token count every data
+    // budget is priced in). Inference is the one-pass native kernel
+    // (graft_bpe_encode): pure projection over one corpus scan, no
+    // shuffle — the 100 TB shape; the merge table rides in the plan.
+    // Rows-only gate (training is Spark-seeded); BpeSpec pins kernel
+    // semantics == the fold oracle, and compression_ratio > 1 is
+    // asserted by construction (merges only ever glue).
+    GQ("t26_bpe_tokenize", None,
+      (s, d) => {
+        val corpus = Engine.table(s, d, "documents")
+        val merges = trainMerges(corpus, "text", 8).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        applyMerges(corpus, "text", merges)
+          .select(col("doc_id"),
+            size(col("bpe_tokens")).cast(IntegerType).as("n_bpe_tokens"),
+            round(length(col("text")).cast(DoubleType)
+              / greatest(size(col("bpe_tokens")), lit(1)), 6)
+              .as("chars_per_token"))
+      })
   )
 }

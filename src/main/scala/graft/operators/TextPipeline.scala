@@ -739,6 +739,54 @@ object TextPipeline {
           .join(broadcast(rates), "lang")
           .filter(col("u") < col("rate"))
           .select("lang", "doc_id", "rate")
+      }),
+
+    // contamination FRACTION — d09's binary decontamination upgraded to
+    // the score a curation pipeline actually thresholds on: what share
+    // of a training doc's distinct 8-grams appear anywhere in the eval
+    // set (Brown et al. 2020 App. C measure contamination as n-gram
+    // overlap, not membership). Scale shape: the eval side collapses to
+    // a DISTINCT gram set (eval suites are tiny -> broadcast semi join;
+    // a giant eval set degrades to one gram-keyed shuffle), the train
+    // side is one scan -> explode -> semi join -> doc_id agg with
+    // map-side combine; the per-doc gram set is bounded by doc length.
+    // Exact textual grams (d04's shingle construction), so the oracle
+    // is full SQL — no hash scheme in the semantics.
+    GQ("t25_contamination_frac",
+      Some(s"""WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8 THEN
+              list_transform(range(1, len(t) - 6), i -> t[i] || ' ' || t[i+1] || ' ' ||
+                t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                t[i+6] || ' ' || t[i+7])
+            ELSE [] END) AS sh FROM tok WHERE doc_id % 50 <> 0),
+          ev AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 8 THEN
+              list_transform(range(1, len(t) - 6), i -> t[i] || ' ' || t[i+1] || ' ' ||
+                t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                t[i+6] || ' ' || t[i+7])
+            ELSE [] END) AS g FROM tok WHERE doc_id % 50 = 0),
+          exg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          hits AS (SELECT doc_id, COUNT(*) AS hits
+                   FROM exg JOIN ev USING (g) GROUP BY 1)
+        SELECT s.doc_id, CAST(len(s.sh) AS INT) AS n_grams,
+               round(CAST(COALESCE(h.hits, 0) AS DOUBLE)
+                 / greatest(len(s.sh), 1), 6) AS contamination
+        FROM sh s LEFT JOIN hits h USING (doc_id)"""),
+      (s, d) => {
+        val k = 8
+        val tr = docs(s, d).filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"),
+            array_distinct(shingles(tokens(col("text")), k)).as("sh"))
+        val ev = docs(s, d).filter(col("doc_id") % 50 === 0)
+          .select(explode(array_distinct(shingles(tokens(col("text")), k))).as("g"))
+          .distinct()
+        val hits = tr.select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(ev, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        tr.select(col("doc_id"), size(col("sh")).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams").cast(IntegerType).as("n_grams"),
+            round(coalesce(col("hits"), lit(0L)).cast(DoubleType)
+              / greatest(col("n_grams"), lit(1)), 6).as("contamination"))
       })
   )
 }
