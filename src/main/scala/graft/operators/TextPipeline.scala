@@ -787,6 +787,62 @@ object TextPipeline {
           .select(col("doc_id"), col("n_grams").cast(IntegerType).as("n_grams"),
             round(coalesce(col("hits"), lit(0L)).cast(DoubleType)
               / greatest(col("n_grams"), lit(1)), 6).as("contamination"))
+      }),
+
+    // repeated-substring SPANS — the character-level duplicated-content
+    // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
+    // instead of suffix-arrayed: 32-char windows at stride 16, a window
+    // text occurring at >1 (doc, pos) marks its span duplicated;
+    // adjacent/overlapping hit windows merge per doc via gaps-and-
+    // islands). Distinct from t14 (LINE-level dedup): this catches
+    // boilerplate that crosses line boundaries or rides inside longer
+    // lines. Scale shape: the window explode is ~|text|/stride rows per
+    // doc (narrow: 32-char gram + two ints), ONE shuffle on the gram
+    // for the duplicate filter, and the island merge windows are
+    // bounded by doc_len/stride rows per doc — never a corpus-wide
+    // sort. Exact textual semantics -> full SQL oracle.
+    GQ("t27_repeated_spans",
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 32),
+          w AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                  substring(text, CAST(i AS INT), 32) AS g
+                FROM base, LATERAL (SELECT unnest(range(1, length(text) - 30, 16)) AS i)),
+          hits AS (SELECT doc_id, pos FROM w
+                   WHERE g IN (SELECT g FROM w GROUP BY g HAVING COUNT(*) > 1)),
+          flags AS (SELECT doc_id, pos,
+                     CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                       -100000) > 32 THEN 1 ELSE 0 END AS f FROM hits),
+          isl AS (SELECT doc_id, pos,
+                   SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island FROM flags)
+        SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + 31 AS INT) AS span_end,
+               CAST(MAX(pos) + 32 - MIN(pos) AS INT) AS span_len
+        FROM isl GROUP BY doc_id, island"""),
+      (s, d) => {
+        val L = 32
+        val stride = 16
+        val base = docs(s, d).filter(length(col("text")) >= L)
+        val w = base
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), length(col("text")) - (L - 1), lit(stride)))
+              .as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr(s"substring(text, pos, $L)").as("g"))
+        val dup = w.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        val hits = w.join(dup.select("g"), Seq("g"), "left_semi")
+        val byPos = Window.partitionBy("doc_id").orderBy("pos")
+        val flags = hits.withColumn("f",
+          when(col("pos") - coalesce(lag(col("pos"), 1).over(byPos),
+            lit(-100000)) > L, 1).otherwise(0))
+        flags
+          .withColumn("island",
+            sum(col("f")).over(byPos.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy("doc_id", "island")
+          .agg(min(col("pos")).cast(IntegerType).as("span_start"),
+            (max(col("pos")) + (L - 1)).cast(IntegerType).as("span_end"),
+            (max(col("pos")) + L - min(col("pos"))).cast(IntegerType).as("span_len"))
+          .select("doc_id", "span_start", "span_end", "span_len")
       })
   )
 }
