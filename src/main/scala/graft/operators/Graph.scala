@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{Engine, GQ}
 
@@ -81,6 +82,63 @@ object Graph {
     out
   }
 
+  /** Fixed-iteration score/label propagation — the label-spreading
+    * curation primitive (Zhu & Ghahramani 2002 family): a per-node seed
+    * score (a quality rating, a trust label, a classifier output on a
+    * labeled subset) diffuses over the similarity graph so unlabeled /
+    * noisily-labeled members of a near-dup or kNN neighborhood inherit
+    * their neighbors' consensus.
+    * s_{t+1}(v) = (2*s_t(v) + 8*floor(sum_{u->v} s_t(u) / deg(v))) div 10;
+    * isolated nodes keep their seed exactly.
+    *
+    * Arithmetic is FIXED-POINT: `seeds` carries integer micro-units
+    * (`micros`, score x 1e6) and every step is integer sum + floor
+    * division — no floating round() anywhere. This is deliberate: the
+    * float formulation (mean of 6dp scores, alpha-blend, round 6)
+    * lands EXACTLY on 7th-digit halfway points whenever a degree-2
+    * node's neighbor sum has an odd 6th digit, and engines disagree on
+    * halfway ties (Spark HALF_UP on the shortest repr vs DuckDB's
+    * binary rounding — observed 0.483333 vs 0.483334 on this very
+    * graph). Integer floor-div has no ties to disagree on, under ANY
+    * partitioning. The floor-div-via-double here is exact while
+    * |sum| < 2^52 and quotients sit >= 1/maxDeg from integers — both
+    * hold by construction (micros <= 1e6, integer numerators).
+    *
+    * Same 100 TB iteration shape as [[pageRank]]: adjacency+degree
+    * materialized once, two shuffles per round (neighbor scores keyed
+    * by dst; the score left-join), score table one row per node,
+    * lineage cut per round. Emits (id, score DOUBLE) via the exact
+    * micros/1e6 conversion. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy("dst").agg(count(lit(1)).as("deg"))
+    val adj = e.join(deg, "dst")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    Engine.releaseCheckpoint(e)
+    var scores = seeds.select(col("id"), col("micros").cast(LongType).as("micros"))
+    for (_ <- 1 to iters) {
+      val means = adj.join(scores, col("src") === col("id"))
+        .groupBy(col("dst"), col("deg"))
+        .agg(sum(col("micros")).as("sm"))
+        .select(col("dst"),
+          floor(col("sm").cast(DoubleType) / col("deg")).cast(LongType).as("m"))
+      val next = scores.join(means, col("id") === col("dst"), "left")
+        .select(col("id"),
+          floor((lit(2L) * col("micros")
+            + lit(8L) * coalesce(col("m"), col("micros"))).cast(DoubleType) / 10)
+            .cast(LongType).as("micros"))
+        .localCheckpoint()
+      Engine.releaseCheckpoint(scores)
+      scores = next
+    }
+    val out = scores.select(col("id"),
+      (col("micros").cast(DoubleType) / 1e6).as("score"))
+    Engine.releaseCheckpoint(adj)
+    out
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Engine.table(s, d, "documents")
 
@@ -119,6 +177,48 @@ object Graph {
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         pageRank(edges, dd.select(col("doc_id").as("id")), iters = 3)
+      }),
+
+    // Label propagation over the same near-dup graph, 2 iterations,
+    // seeded with a deterministic fixed-point score ((doc_id % 11) x
+    // 100000 micro-units — a stand-in for a quality rating on a
+    // labeled subset). Oracle = the unrolled CTE chain with the
+    // identical integer floor-div arithmetic, so the iterative
+    // diffusion hash-matches across engines with no float rounding in
+    // the loop at all (see labelPropagation's determinism note).
+    GQ("g02_label_prop", {
+      def step(prev: String, cur: String): String =
+        s"""m$cur AS (SELECT e.dst AS id,
+                CAST(floor(CAST(SUM(s.micros) AS DOUBLE) / d.deg) AS BIGINT) AS m
+              FROM edges e JOIN deg d ON e.dst = d.dst
+              JOIN s$prev s ON s.id = e.src GROUP BY e.dst, d.deg),
+            s$cur AS (SELECT s.id,
+                CAST(floor(CAST(2 * s.micros + 8 * COALESCE(m.m, s.micros)
+                  AS DOUBLE) / 10) AS BIGINT) AS micros
+              FROM s$prev s LEFT JOIN m$cur m USING (id))"""
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        deg AS (SELECT dst, COUNT(*) AS deg FROM edges GROUP BY dst),
+        s0 AS (SELECT doc_id AS id,
+                 CAST((doc_id % 11) * 100000 AS BIGINT) AS micros
+               FROM documents WHERE doc_id < 300),
+        ${step("0", "1")}, ${step("1", "2")}
+        SELECT id, CAST(micros AS DOUBLE) / 1000000 AS score FROM s2""")
+    },
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val seeds = dd.select(col("doc_id").as("id"),
+          ((col("doc_id") % 11) * 100000L).as("micros"))
+        labelPropagation(edges, seeds, iters = 2)
       })
   )
 }

@@ -49,4 +49,27 @@ class GraphSpec extends AnyFunSuite {
       .agg(sum("rank")).head.getDouble(0)
     assert(math.abs(r - 5.0) < 1e-3, s"total rank $r, expected ~5")
   }
+
+  test("labelPropagation: fixed-point diffusion, isolated seeds, determinism") {
+    // path graph 0-1-2 with seeds 0.0, 1.0, 0.0 (in micros), plus
+    // isolated node 3 seeded 0.7
+    val p = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq((0L, 0L), (1L, 1000000L), (2L, 0L), (3L, 700000L))
+      .toDF("id", "micros")
+    val got = Graph.labelPropagation(p, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand-rolled fixed point: iter1: m(0)=m(2)=1e6, m(1)=(0+0)/2=0
+    //   s(0)=s(2)=(2*0+8*1e6)/10=800000; s(1)=(2*1e6+8*0)/10=200000
+    // iter2: m(0)=m(2)=200000, m(1)=(800000+800000)/2=800000
+    //   s(0)=s(2)=(2*800000+8*200000)/10=320000
+    //   s(1)=(2*200000+8*800000)/10=680000
+    assert(got(0L) === 0.32 && got(2L) === 0.32 && got(1L) === 0.68,
+      s"got $got")
+    // the isolated node's score is EXACTLY its seed after any rounds
+    assert(got(3L) === 0.7)
+    // partitioning-independent: integer arithmetic has no order ties
+    val got7 = Graph.labelPropagation(p.repartition(7), seeds.repartition(5),
+      iters = 2).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got7 === got)
+  }
 }
