@@ -36,18 +36,23 @@ object Graph {
     * rank_0 = 1; rank_{i+1}(v) = (1-d) + d * sum_{u->v} rank_i(u)/deg(u)
     * (the unnormalized formulation: ranks sum to ~|V|, avoiding a 1/N
     * division whose rounding the oracle would have to reproduce).
+    * Damping is fixed at 0.8 (the 4/5 in the update).
     *
-    * Damping defaults to 0.8, not the textbook 0.85, for a cross-engine
-    * determinism reason: the per-round sum `s` is decimal-exact at 6dp,
-    * so d * s has an exact 7-digit decimal value whose 7th digit is
-    * (6th-digit x 8) mod 10 — always EVEN for d = 0.8. The per-round
-    * round(x, 6) therefore never sees a halfway point (margin >= 1e-7,
-    * nine orders above double ulp), and engines that disagree on
-    * halfway ties (Spark HALF_UP vs DuckDB's float rounding) still
-    * produce identical ranks. With d = 0.85 the 7th digit can be 5 and
-    * ties DO occur (observed: 0.5930625 -> 0.593063 vs 0.593062). */
-  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
-      damping: Double = 0.8): DataFrame = {
+    * Arithmetic is FIXED-POINT (rank in integer micro-units, `div`
+    * floor division for both the per-edge rank/deg and the damping
+    * 4s/5) — the [[labelPropagation]] determinism discipline. The
+    * earlier float formulation rounded each rank/deg quotient to 6dp,
+    * which is a TRUE 7th-digit halfway case whenever an odd-6th-digit
+    * rank meets a degree-2 node: Spark rounds the shortest decimal
+    * repr ("0.xxxxxx5" -> HALF_UP up) while DuckDB rounds the binary
+    * value (x*1e6 lands a hair below .5 -> down), so the engines split
+    * ~half of such ties (observed with damping 0.85: 0.5930625 ->
+    * 0.593063 vs 0.593062; the same class as g02's observed
+    * 0.483333/0.483334 split). Integer floor division has no ties to
+    * disagree on, under ANY partitioning or engine. Emission is the
+    * exact micros/1e6 double conversion (exact while rank micros stay
+    * below 2^52 — ranks are O(|V|) only for a star hub). */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     // materialize adjacency + out-degree once; every iteration re-reads
     // this LogicalRDD instead of re-running the (possibly expensive)
     // edge-producing plan
@@ -60,24 +65,20 @@ object Graph {
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
     Engine.releaseCheckpoint(e)
-    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+    var ranks = nodes.select(col("id"), lit(1000000L).as("micros"))
     for (_ <- 1 to iters) {
-      // contribution pass: rank/deg is one IEEE double division per
-      // edge (deterministic); the shuffle on dst carries (dst, c) only.
-      // Each contribution is rounded to 6dp BEFORE the decimal sum so
-      // the DECIMAL(38,10) aggregate has zero digits beyond scale 6 —
-      // its scale-6 emission is then exact in any engine regardless of
-      // downcast tie policy (Spark rounds HALF_UP, DuckDB truncates;
-      // with raw quotients they disagree on half the values).
+      // contribution pass: one integer floor division per edge; the
+      // shuffle on dst carries (dst, c) longs only
       val contribs = adj.join(ranks, col("src") === col("id"))
-        .select(col("dst"), round(col("rank") / col("deg"), 6).as("c"))
-      val sums = contribs.groupBy("dst").agg(Engine.dsum(col("c")).as("s"))
+        .select(col("dst"), expr("micros div deg").as("c"))
+      val sums = contribs.groupBy("dst").agg(sum(col("c")).as("s"))
       ranks = nodes.join(sums, col("id") === col("dst"), "left")
         .select(col("id"),
-          round(lit(1.0 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)), 6)
-            .as("rank"))
+          (lit(200000L) + expr("(4 * coalesce(s, 0L)) div 5")).as("micros"))
     }
-    val out = ranks.localCheckpoint()
+    val out = ranks
+      .select(col("id"), (col("micros").cast(DoubleType) / 1e6).as("rank"))
+      .localCheckpoint()
     Engine.releaseCheckpoint(adj)
     out
   }
@@ -145,16 +146,17 @@ object Graph {
   val defs: Seq[GQ] = Seq(
     // PageRank over the d04/d05 bounded near-dup graph, 3 iterations.
     // The oracle unrolls the iteration as a CTE chain with the SAME
-    // decimal-exact contribution sums — both engines compute identical
-    // 6dp ranks, so this hash-matches despite being an iterative
-    // floating-point algorithm.
+    // integer floor-div arithmetic — both engines compute identical
+    // micro-unit ranks with no float rounding in the loop at all, so
+    // this hash-matches despite being an iterative algorithm (see
+    // pageRank's determinism note for why fixed point, not 6dp floats).
     GQ("g01_pagerank", {
       def step(prev: String, cur: String): String =
-        s"""c$cur AS (SELECT e.dst, round(r.rank / d.deg, 6) AS c
+        s"""c$cur AS (SELECT e.dst, r.micros // d.deg AS c
               FROM edges e JOIN deg d ON e.src = d.src
               JOIN r$prev r ON r.id = e.src),
             r$cur AS (SELECT n.id,
-                round(0.2 + 0.8 * COALESCE(${GQ.osum("c")}, 0.0), 6) AS rank
+                200000 + (4 * COALESCE(SUM(c), 0)) // 5 AS micros
               FROM nodes n LEFT JOIN c$cur ON n.id = c$cur.dst
               GROUP BY n.id)"""
       Some(s"""WITH ${Dedup.ngramPairCtes},
@@ -166,9 +168,9 @@ object Graph {
                   UNION ALL SELECT id_b, id_a FROM p),
         nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+        r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS micros FROM nodes),
         ${step("0", "1")}, ${step("1", "2")}, ${step("2", "3")}
-        SELECT id, rank FROM r3""")
+        SELECT id, CAST(micros AS DOUBLE) / 1000000 AS rank FROM r3""")
     },
       (s, d) => {
         val dd = docs(s, d).filter(col("doc_id") < 300)
