@@ -515,6 +515,61 @@ object Dedup {
         nearDupClusters(pairs, dd.select(col("doc_id").as("id")))
       }),
 
+    // Quality-based cluster survivorship — d05's survivor rule upgraded
+    // to what a curation pipeline actually does: within each near-dup
+    // cluster keep the BEST member (here: highest alpha ratio, the t02
+    // quality axis; doc_id breaks exact-duplicate ties), not the lowest
+    // id. Scale shape: d05's connected components dominate; the added
+    // cost is one broadcast-or-shuffle join of the (id, cluster) table
+    // with a scan-derived quality column and one window whose partition
+    // cardinality is bounded by cluster size (near-dup clusters are
+    // small by construction; a mega-cluster is a dedup-threshold
+    // problem upstream, not a survivor-pick problem).
+    GQ("d11_quality_survivor",
+      Some(s"""WITH RECURSIVE $ngramPairCtes,
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        cc AS (
+          SELECT doc_id AS id, doc_id AS lbl FROM documents WHERE doc_id < 300
+          UNION
+          SELECT e.dst, c.lbl FROM cc c JOIN edges e ON c.id = e.src),
+        cl AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
+        al AS (SELECT doc_id AS id,
+                 round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   AS DOUBLE) / length(text), 6) AS alpha_ratio
+               FROM documents WHERE doc_id < 300),
+        rk AS (SELECT cl.cluster, cl.id, al.alpha_ratio,
+                 ROW_NUMBER() OVER (PARTITION BY cl.cluster
+                   ORDER BY al.alpha_ratio DESC, cl.id) AS rn
+               FROM cl JOIN al USING (id)),
+        cn AS (SELECT cluster, COUNT(*) AS n_members FROM cl GROUP BY cluster)
+        SELECT r.cluster, r.id AS survivor_id, cn.n_members,
+               r.alpha_ratio AS best_alpha
+        FROM rk r JOIN cn USING (cluster) WHERE r.rn = 1"""),
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        val clusters = nearDupClusters(pairs, dd.select(col("doc_id").as("id")))
+          .select("id", "cluster")
+        val alpha = dd.select(col("doc_id").as("id"),
+          round(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast(DoubleType) / length(col("text")), 6).as("alpha_ratio"))
+        val counts = clusters.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("alpha_ratio").desc, col("id"))
+        clusters.join(alpha, "id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(counts, "cluster")
+          .select(col("cluster"), col("id").as("survivor_id"),
+            col("n_members"), col("alpha_ratio").as("best_alpha"))
+      }),
+
     // bloom pre-filtered exact membership dedup: result is EXACT (the
     // bloom only prunes the anti join's input), so the oracle is the
     // plain NOT IN — the probabilistic structure must be invisible in
