@@ -71,6 +71,32 @@ object EventsStreaming {
       }.start()
   }
 
+  /** Continuous sketch-cube maintenance — the streaming side of
+    * `Layout.writeSketchTable`'s 100 TB discipline: each micro-batch
+    * aggregates to its own per-group HLL sketch rows (one sketch per
+    * tracked column + the exact row count) and lands idempotently in
+    * the sketch table; any coarser question at query time is
+    * `Layout.rollupSketches` over the tiny table, and because
+    * union-of-sketches IS the sketch-of-union, the rolled-up estimates
+    * equal what a direct scan of everything streamed so far would
+    * estimate. Replay safety matters doubly here: a duplicated batch
+    * would not just double n_rows, it would bias every merged
+    * estimate — hence `idempotentBatchAppend`, not a plain append. */
+  def sketchRollupQuery(events: DataFrame, table: String,
+      groupCols: Seq[String], sketchCols: Seq[String],
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = events.writeStream
+    checkpointLocation.fold(w)(l => w.option("checkpointLocation", l))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val aggs = sketchCols.map(c =>
+          expr(s"hll_sketch_agg($c)").as(s"hll_$c")) :+
+          count(lit(1)).as("n_rows")
+        graft.Layout.idempotentBatchAppend(
+          b.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*),
+          table, batchId, Seq.empty)
+      }.start()
+  }
+
   /** Streaming dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")

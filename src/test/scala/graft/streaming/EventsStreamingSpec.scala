@@ -160,4 +160,32 @@ class EventsStreamingSpec extends AnyFunSuite {
       batchHourly.join(rollupKeys, Seq("event_type", "hr"), "left_semi")))
     assert(zStream == zBatchRestricted)
   }
+
+  test("streaming sketch-cube maintenance: rollup estimates == direct scan") {
+    spark.sql("DROP TABLE IF EXISTS ev_sketch_stream")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "ev_sketch_stream")
+    if (loc.exists) rm(loc)
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+    val q = EventsStreaming.sketchRollupQuery(stream, "ev_sketch_stream",
+      Seq("event_type"), Seq("user_id"))
+    q.processAllAvailable(); q.stop()
+
+    // union-of-sketches == sketch-of-union: the streamed table, merged
+    // at query time, estimates exactly what one direct scan estimates
+    val rolled = graft.Layout.rollupSketches(spark.table("ev_sketch_stream"),
+        Seq("event_type"), Seq("user_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Engine.table(spark, TestSpark.sf, "events")
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("u"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rolled == direct, s"rolled=$rolled direct=$direct")
+  }
 }
