@@ -202,6 +202,58 @@ object Layout {
     summed.select(outCols: _*)
   }
 
+  /** Mergeable quantile-sketch table (KLL, double-valued columns) —
+    * the third leg of the pre-aggregation discipline next to the HLL
+    * distinct table and the exact moments table: one row per fine-
+    * grain group carrying a KLL sketch per tracked column plus the
+    * exact count. Rollups MERGE sketches (kll_merge_agg) instead of
+    * rescanning, so per-day sketch rows answer per-month p50/p99
+    * questions over 100 TB from a tiny table. Unlike HLL union (exact
+    * sketch-of-union) and moments (exact sums), KLL compaction is
+    * randomized — a merged estimate is not bit-identical to a direct
+    * sketch; what survives the merge is the published RANK-ERROR bound
+    * (~1.65% at the default k), which is what LayoutSpec asserts
+    * against exact quantiles. */
+  def writeQuantileTable(df: DataFrame, table: String,
+      groupCols: Seq[String], quantCols: Seq[String]): Unit = {
+    val aggs = quantCols.map(c =>
+      expr(s"kll_sketch_agg_double(CAST($c AS DOUBLE))").as(s"kll_$c")) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Delta-append quantile sketches (KLL merge is associative and
+    * commutative up to its randomized compaction — per-batch rows roll
+    * up exactly like per-grain rows, within the rank-error bound). */
+  def appendQuantileTable(df: DataFrame, table: String,
+      groupCols: Seq[String], quantCols: Seq[String]): Unit = {
+    val aggs = quantCols.map(c =>
+      expr(s"kll_sketch_agg_double(CAST($c AS DOUBLE))").as(s"kll_$c")) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+  }
+
+  /** Roll a quantile-sketch table up to a coarser grain: merge each
+    * column's sketches, emit the requested quantile estimates + the
+    * exact summed counts. */
+  def rollupQuantiles(sketchTable: DataFrame, groupCols: Seq[String],
+      quantCols: Seq[String], qs: Seq[Double]): DataFrame = {
+    val merged = sketchTable.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        quantCols.map(c =>
+          expr(s"kll_merge_agg_double(kll_$c)").as(s"m_$c")): _*)
+    val outCols = groupCols.map(col) ++ Seq(col("n_rows")) ++
+      quantCols.flatMap { c =>
+        qs.map(q =>
+          expr(s"kll_sketch_get_quantile_double(m_$c, $q)").as(s"p${(q * 100).toInt}_$c"))
+      }
+    merged.select(outCols: _*)
+  }
+
   /** Derived date partition column for event-shaped data. */
   def withEventDate(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("event_date", to_date(col(tsCol)))

@@ -277,6 +277,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(inc == direct, s"inc=$inc direct=$direct")
   }
 
+  test("quantile-sketch table: rolled-up estimates hit exact quantiles within rank error") {
+    freshTable("ev_quant")
+    val ev = Engine.table(spark, TestSpark.sf, "events")
+    // fine grain (event_type, date); incremental: two disjoint halves
+    val dated = Layout.withEventDate(ev, "ts")
+    Layout.writeQuantileTable(dated.filter(col("event_id") % 2 === 0),
+      "ev_quant", Seq("event_type", "event_date"), Seq("value"))
+    Layout.appendQuantileTable(dated.filter(col("event_id") % 2 === 1),
+      "ev_quant", Seq("event_type", "event_date"), Seq("value"))
+    // coarser question: per-type p50/p95 from merged sketches
+    val rolled = Layout.rollupQuantiles(spark.table("ev_quant"),
+        Seq("event_type"), Seq("value"), Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // exact per-type values for rank checking
+    val byType = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).sorted }
+    for ((t, vals) <- byType) {
+      val (n, p50, p95) = rolled(t)
+      assert(n == vals.length, s"$t count") // counts are exact, not sketched
+      def rankOf(v: Double): Double = {
+        val le = vals.count(_ <= v); le.toDouble / vals.length
+      }
+      // KLL default k: ~1.65% rank error; allow 3% head room
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.03, s"$t p50=$p50 rank=${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.03, s"$t p95=$p95 rank=${rankOf(p95)}")
+    }
+  }
+
   test("idempotentBatchAppend: a replayed micro-batch replaces, never duplicates") {
     import spark.implicits._
     freshTable("idem_tbl")
