@@ -97,6 +97,28 @@ object EventsStreaming {
       }.start()
   }
 
+  /** Continuous QUANTILE-sketch maintenance — the KLL companion to
+    * [[sketchRollupQuery]] (Layout.writeQuantileTable's streaming
+    * half): per micro-batch, one KLL sketch per tracked column per
+    * group plus the exact count, landed idempotently;
+    * `Layout.rollupQuantiles` merges at query time. The rank-error
+    * bound survives the per-batch split exactly like the per-grain
+    * split (KLL merge associativity). */
+  def quantileRollupQuery(events: DataFrame, table: String,
+      groupCols: Seq[String], quantCols: Seq[String],
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = events.writeStream
+    checkpointLocation.fold(w)(l => w.option("checkpointLocation", l))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val aggs = quantCols.map(c =>
+          expr(s"kll_sketch_agg_double(CAST($c AS DOUBLE))").as(s"kll_$c")) :+
+          count(lit(1)).as("n_rows")
+        graft.Layout.idempotentBatchAppend(
+          b.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*),
+          table, batchId, Seq.empty)
+      }.start()
+  }
+
   /** Streaming dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")

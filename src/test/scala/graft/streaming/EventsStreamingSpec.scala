@@ -188,4 +188,36 @@ class EventsStreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rolled == direct, s"rolled=$rolled direct=$direct")
   }
+
+  test("streaming quantile-sketch maintenance: merged p50/p95 within rank error") {
+    spark.sql("DROP TABLE IF EXISTS ev_quant_stream")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "ev_quant_stream")
+    if (loc.exists) rm(loc)
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+    val q = EventsStreaming.quantileRollupQuery(stream, "ev_quant_stream",
+      Seq("event_type"), Seq("value"))
+    q.processAllAvailable(); q.stop()
+
+    val rolled = graft.Layout.rollupQuantiles(spark.table("ev_quant_stream"),
+        Seq("event_type"), Seq("value"), Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byType = Engine.table(spark, TestSpark.sf, "events")
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).sorted }
+    for ((t, vals) <- byType) {
+      val (n, p50, p95) = rolled(t)
+      assert(n == vals.length, s"$t count")
+      def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.03, s"$t p50=$p50 rank=${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.03, s"$t p95=$p95 rank=${rankOf(p95)}")
+    }
+  }
 }
