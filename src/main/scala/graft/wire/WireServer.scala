@@ -292,7 +292,7 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
   private def writeResult(out: DataOutputStream, df: DataFrame): Unit = {
     val schema = df.schema
     if (schema.length == 1 && schema.head.name == "command_status") {
-      val tagValue = df.head.getString(0)
+      val tagValue = df.head().getString(0)
       send(out, 'C', cstr(tagValue))
       return
     }
