@@ -172,6 +172,21 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   def executeWith(sql: String, params: Map[String, Any]): DataFrame =
     spark.sql(sql, params)
 
+  /** True when [[execute]] would dispatch `sql` to a utility handler
+    * (BEGIN/COMMIT/SET/SHOW/LOCK/CREATE/COPY/empty) rather than
+    * Catalyst. The wire front-end's Describe uses this to answer
+    * NoData without running the statement — utility handlers execute
+    * EAGERLY, so probing their schema would perform the action. */
+  def isUtility(sql: String): Boolean = {
+    val t = sql.trim
+    t.isEmpty || t == ";" ||
+      reBegin.matches(t) || reCommit.matches(t) || reAbort.matches(t) ||
+      reSet.matches(t) || reShow.matches(t) || reLock.matches(t) ||
+      reCreateType.matches(t) || reCreateTable.matches(t) ||
+      reCopyFrom.matches(t) || reCopyTo.matches(t) ||
+      reCopyFromStdin.matches(t)
+  }
+
   private def setGuc(name: String, value: String): DataFrame = {
     if (!localGucs.contains(name))
       throw new GraftArgError(Errors.UndefinedObject,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.{Catalog, GraftSession}
+import graft.{Catalog, Errors, GraftArgError, GraftSession}
 
 /** PostgreSQL v3 wire-protocol front-end over [[GraftSession]] — the
   * reference's remote entry point re-expressed for the Spark engine
@@ -184,19 +184,72 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
     case _ => 'I'
   }
 
+  /** `$n` positional markers -> Spark named parameters `:pn`, skipping
+    * single-quoted literal spans. */
+  private def translateParams(q: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; sb.append(c); i += 1 }
+      else if (!inQuote && c == '$' && i + 1 < q.length && q.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < q.length && q.charAt(j).isDigit) j += 1
+        // NB: sb.append(q, i+1, j) auto-tuples into append(Any) — scala
+        // StringBuilder has no (CharSequence, from, to) overload
+        sb.append(":p").append(q.substring(i + 1, j))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Text-format bind value -> typed Scala value by declared oid; oid 0
+    * (unspecified) binds as text and relies on ANSI coercion. */
+  private def typedParam(text: String, oid: Int): Any = oid match {
+    case 21 | 23 => text.trim.toInt // int2, int4
+    case 20 => text.trim.toLong // int8
+    case 700 | 701 => text.trim.toDouble // float4/8
+    case 16 => Set("t", "true", "on", "1", "yes")(text.trim.toLowerCase) // bool
+    case _ => text // text/varchar/unspecified
+  }
+
+  private def i16At(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+  private def i32At(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
   private def queryLoop(in: DataInputStream, out: DataOutputStream,
       sess: GraftSession, sid: Int): Unit = {
     var alive = true
+    // extended-protocol state: prepared statements (query text + declared
+    // param oids) and bound portals (query text + typed param values)
+    val stmts = scala.collection.mutable.Map[String, (String, Seq[Int])]()
+    val portals = scala.collection.mutable.Map[String, (String, Seq[Any])]()
+    var sendReady = true // ReadyForQuery after startup, Query, and Sync ONLY
+    var skipTilSync = false // extended error recovery (protocol rule)
+
+    def portalDf(query: String, params: Seq[Any]): DataFrame =
+      if (params.isEmpty) sess.execute(query)
+      else sess.executeWith(translateParams(query),
+        params.zipWithIndex.map { case (v, i) => s"p${i + 1}" -> v }.toMap)
+
     while (alive && running) {
-      send(out, 'Z', Array(txStatus(sess)))
-      out.flush()
+      if (sendReady) {
+        send(out, 'Z', Array(txStatus(sess)))
+        out.flush()
+        sendReady = false
+      }
       val msgType = in.read()
       if (msgType == -1 || msgType == 'X') { alive = false }
       else {
         val body = readBody(in)
-        if (msgType != 'Q') {
-          sendError(out, "08P01", s"unexpected message type ${msgType.toChar}")
-        } else {
+        if (skipTilSync) {
+          // after an extended-mode error, discard until Sync (protocol)
+          if (msgType == 'S') { skipTilSync = false; sendReady = true }
+        } else if (msgType == 'Q') {
           val (query, _) = readCstr(body, 0)
           try {
             // every Spark job of this statement runs under the session's
@@ -218,6 +271,101 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
               sendError(out, sqlStateOf(e),
                 Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
           } finally spark.sparkContext.clearJobGroup()
+          sendReady = true
+        } else try {
+          msgType match {
+            case 'P' => // Parse: name, query, int16 n, n x int32 param oids
+              val (name, p1) = readCstr(body, 0)
+              val (query, p2) = readCstr(body, p1)
+              val n = i16At(body, p2)
+              val oids = (0 until n).map(k => i32At(body, p2 + 2 + 4 * k))
+              stmts(name) = (query, oids)
+              send(out, '1') // ParseComplete
+            case 'B' => // Bind: portal, stmt, fmts, params, result fmts
+              val (portal, p1) = readCstr(body, 0)
+              val (stmt, p2) = readCstr(body, p1)
+              val (query, oids) = stmts.getOrElse(stmt,
+                throw new GraftArgError("26000", // invalid_sql_statement_name
+                  s"prepared statement \"$stmt\" does not exist"))
+              val nFmt = i16At(body, p2)
+              val fmts = (0 until nFmt).map(k => i16At(body, p2 + 2 + 2 * k))
+              if (fmts.exists(_ != 0))
+                throw new GraftArgError(Errors.FeatureNotSupported,
+                  "only text-format (0) bind parameters are supported")
+              var pos = p2 + 2 + 2 * nFmt
+              val nParams = i16At(body, pos); pos += 2
+              val params = (0 until nParams).map { k =>
+                val len = i32At(body, pos); pos += 4
+                if (len == -1) null
+                else {
+                  val s = new String(body, pos, len, UTF_8); pos += len
+                  typedParam(s, oids.lift(k).getOrElse(0))
+                }
+              }
+              portals(portal) = (query, params)
+              send(out, '2') // BindComplete
+            case 'D' => // Describe: 'S' statement | 'P' portal
+              val kind = body(0).toChar
+              val (name, _) = readCstr(body, 1)
+              val (query, params) = kind match {
+                case 'S' =>
+                  val (q, oids) = stmts.getOrElse(name,
+                    throw new GraftArgError("26000",
+                      s"prepared statement \"$name\" does not exist"))
+                  // ParameterDescription: declared oids (0 = unspecified)
+                  send(out, 't',
+                    (i16(oids.length) +: oids.map(i32)).reduce(_ ++ _))
+                  (q, oids.map(_ => null: Any)) // schema probe binds nulls
+                case _ =>
+                  portals.getOrElse(name,
+                    throw new GraftArgError("34000", // invalid_cursor_name
+                      s"portal \"$name\" does not exist"))
+              }
+              // utility statements execute eagerly — never probe them
+              val schemaOpt =
+                if (sess.isUtility(query)) None
+                else scala.util.Try(
+                  sess.executeWith(translateParams(query),
+                    params.zipWithIndex.map { case (v, i) =>
+                      s"p${i + 1}" -> v }.toMap).schema).toOption
+              schemaOpt match {
+                case Some(s) if s.nonEmpty => sendRowDescription(out, s.fields)
+                case _ => send(out, 'n') // NoData
+              }
+            case 'E' => // Execute: portal, int32 maxRows (0 = all; the
+              // suspend/resume cursor protocol is not implemented —
+              // results always run to CommandComplete)
+              val (portal, _) = readCstr(body, 0)
+              val (query, params) = portals.getOrElse(portal,
+                throw new GraftArgError("34000",
+                  s"portal \"$portal\" does not exist"))
+              try {
+                spark.sparkContext.setJobGroup(jobGroupOf(sid),
+                  s"wire session $sid", interruptOnCancel = true)
+                // Execute sends DataRows WITHOUT RowDescription (that
+                // is Describe's job, per protocol)
+                writeResult(out, portalDf(query, params), withRowDesc = false)
+              } finally spark.sparkContext.clearJobGroup()
+            case 'C' => // Close statement/portal: always succeeds
+              val kind = body(0).toChar
+              val (name, _) = readCstr(body, 1)
+              if (kind == 'S') stmts.remove(name) else portals.remove(name)
+              send(out, '3') // CloseComplete
+            case 'H' => out.flush() // Flush
+            case 'S' => sendReady = true // Sync
+            case other =>
+              sendError(out, "08P01",
+                s"unexpected message type ${other.toChar}")
+              sendReady = true
+          }
+          out.flush()
+        } catch {
+          case e: Exception =>
+            sess.onStatementError()
+            sendError(out, sqlStateOf(e),
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+            out.flush()
+            skipTilSync = true // extended-mode error recovery
         }
       }
     }
@@ -286,23 +434,29 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
       Array(0.toByte))
   }
 
+  /** RowDescription: name, table oid 0, attnum 0, type oid, typlen,
+    * typmod -1, format 0 (text). */
+  private def sendRowDescription(out: DataOutputStream,
+      fields: Array[StructField]): Unit =
+    send(out, 'T', (i16(fields.length) +: fields.map { f =>
+      cstr(f.name) ++ i32(0) ++ i16(0) ++ i32(Catalog.typeOid(f.dataType)) ++
+        i16(Catalog.typeLen(f.dataType)) ++ i32(-1) ++ i16(0)
+    }).reduce(_ ++ _))
+
   /** Utility tags (GraftSession's single command_status column) become a
     * bare CommandComplete; everything else streams RowDescription +
-    * DataRows in text format + "SELECT n". */
-  private def writeResult(out: DataOutputStream, df: DataFrame): Unit = {
+    * DataRows in text format + "SELECT n". Extended-protocol Execute
+    * passes withRowDesc = false (Describe already announced it). */
+  private def writeResult(out: DataOutputStream, df: DataFrame,
+      withRowDesc: Boolean = true): Unit = {
     val schema = df.schema
     if (schema.length == 1 && schema.head.name == "command_status") {
       val tagValue = df.head().getString(0)
       send(out, 'C', cstr(tagValue))
       return
     }
-    // RowDescription: name, table oid 0, attnum 0, type oid, typlen,
-    // typmod -1, format 0 (text)
     val fields = schema.fields
-    send(out, 'T', (i16(fields.length) +: fields.map { f =>
-      cstr(f.name) ++ i32(0) ++ i16(0) ++ i32(Catalog.typeOid(f.dataType)) ++
-        i16(Catalog.typeLen(f.dataType)) ++ i32(-1) ++ i16(0)
-    }).reduce(_ ++ _))
+    if (withRowDesc) sendRowDescription(out, fields)
     // text rendering via the engine's PG output conventions
     // (PgFunctions.pgBoolOut / \x-hex bytea; everything else casts)
     val rendered = df.select(fields.map { f =>

@@ -77,6 +77,41 @@ class WireServerSpec extends AnyFunSuite {
       out.write(b); out.write(0); out.flush()
     }
 
+    // ---- extended protocol ----
+    private def msg(tag: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tag); out.writeInt(4 + body.length); out.write(body)
+    }
+    private def cstrB(s: String): Array[Byte] = {
+      val b = s.getBytes(UTF_8)
+      java.util.Arrays.copyOf(b, b.length + 1)
+    }
+    private def i16B(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def i32B(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+    def parse(stmt: String, query: String, oids: Seq[Int] = Nil): Unit =
+      msg('P', cstrB(stmt) ++ cstrB(query) ++ i16B(oids.length) ++
+        (if (oids.isEmpty) Array.empty[Byte] else oids.map(i32B).reduce(_ ++ _)))
+
+    def bind(portal: String, stmt: String, params: Seq[String]): Unit = {
+      val pv = params.map { p =>
+        if (p == null) i32B(-1)
+        else { val b = p.getBytes(UTF_8); i32B(b.length) ++ b }
+      }
+      msg('B', cstrB(portal) ++ cstrB(stmt) ++ i16B(0) ++ i16B(params.length) ++
+        (if (pv.isEmpty) Array.empty[Byte] else pv.reduce(_ ++ _)) ++ i16B(0))
+    }
+
+    def describe(kind: Char, name: String): Unit =
+      msg('D', Array(kind.toByte) ++ cstrB(name))
+    def executePortal(portal: String, maxRows: Int = 0): Unit =
+      msg('E', cstrB(portal) ++ i32B(maxRows))
+    def closeStmt(kind: Char, name: String): Unit =
+      msg('C', Array(kind.toByte) ++ cstrB(name))
+    def sync(): Unit = { msg('S', Array.empty); out.flush() }
+    def flushMsg(): Unit = { msg('H', Array.empty); out.flush() }
+
     /** Text values of all DataRow messages in `msgs`. */
     def dataRows(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[String]] =
       msgs.collect { case ('D', b) =>
@@ -293,6 +328,66 @@ class WireServerSpec extends AnyFunSuite {
       srv.close()
       spark.sql("DROP TABLE IF EXISTS wire_copy_t")
     }
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute round-trips with parameters") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+
+      // named prepared statement with an int8 parameter
+      c.parse("s1", "SELECT n_name FROM nation WHERE n_nationkey = $1", Seq(20))
+      c.bind("p1", "s1", Seq("3"))
+      c.describe('P', "p1")
+      c.executePortal("p1")
+      c.sync()
+      val (msgs, st) = c.drain()
+      assert(msgs.map(_._1).containsSlice(Seq('1', '2', 'T', 'D', 'C')),
+        s"tags: ${msgs.map(_._1)} err: ${c.errFields(msgs)}")
+      assert(c.cstrAt(msgs.find(_._1 == 'T').get._2, 2) == "n_name")
+      assert(c.dataRows(msgs) == Seq(Seq("NATION_3")))
+      assert(st == 'I')
+
+      // re-bind the SAME prepared statement with a different value
+      c.bind("p2", "s1", Seq("1"))
+      c.executePortal("p2")
+      c.sync()
+      val (msgs2, _) = c.drain()
+      assert(c.dataRows(msgs2) == Seq(Seq("NATION_1")))
+
+      // Describe the STATEMENT: ParameterDescription then RowDescription
+      c.describe('S', "s1")
+      c.sync()
+      val (dMsgs, _) = c.drain()
+      val pd = dMsgs.find(_._1 == 't').get._2
+      assert((((pd(0) & 0xff) << 8) | (pd(1) & 0xff)) == 1) // one param
+      assert(dMsgs.exists(_._1 == 'T'))
+
+      // unnamed statement + portal, no params
+      c.parse("", "SELECT COUNT(*) AS n FROM region")
+      c.bind("", "", Nil)
+      c.executePortal("")
+      c.sync()
+      val (uMsgs, _) = c.drain()
+      assert(c.dataRows(uMsgs) == Seq(Seq("5")))
+
+      // Close the named statement; further Bind on it errors (26000)
+      // and error recovery skips until Sync
+      c.closeStmt('S', "s1")
+      c.bind("p3", "s1", Seq("2"))
+      c.executePortal("p3") // must be skipped after the Bind error
+      c.sync()
+      val (eMsgs, _) = c.drain()
+      assert(eMsgs.map(_._1).contains('3')) // CloseComplete
+      assert(c.errFields(eMsgs)('C') == "26000")
+      assert(!eMsgs.exists(_._1 == 'D'), "Execute after error must be skipped")
+
+      // the session still serves simple queries afterwards
+      c.query("SELECT 7 AS x")
+      assert(c.dataRows(c.drain()._1) == Seq(Seq("7")))
+      c.terminate()
+    } finally srv.close()
   }
 
   test("real table query flows through the engine and renders text rows") {
