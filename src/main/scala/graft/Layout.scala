@@ -303,6 +303,34 @@ object Layout {
     publish(spark, staging, table)
   }
 
+  /** Compact a stream-maintained (partCols..., batch_id) table (the
+    * [[idempotentBatchAppend]] layout): fold every batch partition into
+    * a single batch_id = -1 "compacted epoch", fixing continuous
+    * ingest's one-partition-per-micro-batch small-files problem while
+    * keeping the table append-compatible — future batches land
+    * normally next to the epoch, and leading-column pruning is
+    * unchanged. MUST only run once the stream's checkpoint has
+    * committed every batch present: a replay of a compacted batch
+    * would re-add rows the epoch already holds (the standard contract
+    * for any external rewrite of a streaming sink's table). Crash-safe
+    * via the same staging + publish-intent protocol as [[compact]]. */
+  def compactBatchTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, partCols: Seq[String], targetFiles: Int = 1): Unit = {
+    val staging = s"${table}__compacted"
+    if (spark.catalog.tableExists(staging)) {
+      if (hasPublishIntent(spark, staging))
+        publish(spark, staging, table)
+      else
+        spark.sql(s"DROP TABLE $staging")
+    }
+    spark.table(table).withColumn("batch_id", lit(-1L))
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy((partCols :+ "batch_id"): _*)
+      .format("parquet").saveAsTable(staging)
+    publish(spark, staging, table)
+  }
+
   /** Marker recorded in the metastore BEFORE the destructive overwrite
     * begins; cleared only by dropping staging after it completes. */
   private val PublishIntentProp = "graft.publish_intent"

@@ -330,4 +330,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.conf.get(
       "spark.sql.sources.partitionOverwriteMode", "static") != "dynamic")
   }
+
+  test("compactBatchTable folds batch partitions into one epoch, appends continue") {
+    import spark.implicits._
+    freshTable("idem_cmp"); freshTable("idem_cmp__compacted")
+    for (b <- 0L until 4L)
+      Layout.idempotentBatchAppend(
+        Seq((b * 10, "a", b), (b * 10 + 1, "b", b)).toDF("id", "k", "v"),
+        "idem_cmp", b, Seq("k"))
+    def partDirs(): Int = {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "idem_cmp")
+      loc.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+        .count(_.getName.startsWith("batch_id="))
+    }
+    val before = spark.table("idem_cmp").select("id").collect().map(_.getLong(0)).sorted
+    assert(partDirs() == 8) // 2 k-partitions x 4 batch partitions
+    Layout.compactBatchTable(spark, "idem_cmp", Seq("k"))
+    assert(partDirs() == 2, "one epoch partition per k after compaction")
+    val after = spark.table("idem_cmp").select("id").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == before.toSeq, "compaction must not change rows")
+    // the stream keeps appending after compaction; replay of the NEW
+    // batch still replaces its own partition only
+    Layout.idempotentBatchAppend(
+      Seq((100L, "a", 9L)).toDF("id", "k", "v"), "idem_cmp", 4L, Seq("k"))
+    Layout.idempotentBatchAppend(
+      Seq((100L, "a", 9L)).toDF("id", "k", "v"), "idem_cmp", 4L, Seq("k"))
+    assert(spark.table("idem_cmp").count() == before.length + 1)
+  }
 }
