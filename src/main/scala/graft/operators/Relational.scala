@@ -194,17 +194,26 @@ object Relational {
       }),
 
     // ---- window: running aggregate (decimal-exact frames) --------------
+    // ORDER BY totality: the synthetic lineitem does NOT have unique
+    // (l_orderkey, l_linenumber) — at sf0.1 one group even ties on the
+    // full (suppkey, shipdate, orderkey, linenumber) key, making the
+    // ROWS-frame running sum tie-ORDER-dependent (observed: the DuckDB
+    // oracle itself flipped 7728/7731 across runs with parallel scan
+    // order). l_quantity as the final key makes the output MULTISET
+    // deterministic: rows still tied are fully identical in every
+    // output column and contribute equal increments, so any tie order
+    // yields the same rows.
     GQ("q10_running_qty_by_supplier",
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
                OVER (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DECIMAL(38,6)) AS DOUBLE) AS run_qty
         FROM lineitem"""),
       (s, d) => {
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "lineitem").select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
