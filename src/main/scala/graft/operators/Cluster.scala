@@ -131,6 +131,52 @@ object Cluster {
   private def ocos(a: String, b: String): String =
     oracleCos.format(a, b, a, a, b, b)
 
+  /** Nearest-centroid (Rocchio) classification over a labeled embedding
+    * corpus: train per-class mean vectors, then assign every vector to
+    * its most-cosine-similar class centroid; returns the confusion
+    * matrix (label, pred, cnt).
+    *
+    * Training is exact integer fixed-point (the g01/g02 lesson applied
+    * to means): each component contributes floor(x * 1e6) — an IEEE
+    * multiply + floor on the exact float->double widening, so
+    * bit-deterministic — the BIGINT sums are exact, and the single
+    * double division sum/(n*1e6) is correctly rounded and identical
+    * across engines. No round() anywhere in the training path, so no
+    * halfway-tie hazard feeds the downstream argmax.
+    *
+    * 100 TB shape: training is one exchange keyed on (label, pos) whose
+    * map-side combine emits <= |classes| x dim rows per task; the model
+    * (|classes| x dim doubles) lives on the driver and ships inside the
+    * plan, so classification is a single codegen'd scan — no join, no
+    * row explosion, no second shuffle beyond the tiny confusion
+    * aggregate. |classes| is a property of the label vocabulary, never
+    * of corpus size. */
+  def centroidClassifier(e: DataFrame): DataFrame = {
+    val rows = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(floor(col("x").cast(DoubleType) * 1e6).cast(LongType))
+        .cast(DoubleType) / (count(lit(1)).cast(DoubleType) * 1e6)).as("m"))
+      .collect()
+    val cents: Seq[(Int, Seq[Double])] = rows.toIndexedSeq
+      .groupBy(_.getInt(0))
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      .toSeq.sortBy(_._1)
+    val sims = array(cents.map { case (_, c) =>
+      sim6(col("embedding"), typedLit(c))
+    }: _*)
+    // argmax by rounded cosine; array_position finds the FIRST max, so
+    // ties resolve to the lowest class label (mirrored in the oracle's
+    // ORDER BY sim DESC, clabel)
+    val pred = element_at(typedLit(cents.map(_._1)),
+      array_position(sims, array_max(sims)).cast(IntegerType))
+    e.select(col("label"), pred.as("pred"))
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   val defs: Seq[GQ] = Seq(
 
     GQ("d10_semantic_dedup",
@@ -148,6 +194,25 @@ object Cluster {
         SELECT vec_id, cid FROM asg
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""),
       (s, d) => semanticDedup(emb(s, d))),
+
+    // Full SQL oracle: the fixed-point centroid means and the rounded-
+    // cosine argmax are both engine-exact (see centroidClassifier doc).
+    GQ("c02_centroid_classifier",
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        px AS (SELECT label, g.pos AS pos, g.x AS x
+               FROM e, LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos) g),
+        cent AS (SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+            SELECT label, pos,
+                   CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
+                     / (COUNT(*) * 1e6) AS m
+            FROM px GROUP BY label, pos) GROUP BY label),
+        asg AS (SELECT vec_id, label, clabel AS pred,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                         round(${ocos("v", "c")}, 6) DESC, clabel) AS rn
+                FROM e CROSS JOIN cent)
+        SELECT label, pred, COUNT(*) AS cnt FROM asg WHERE rn = 1
+        GROUP BY label, pred"""),
+      (s, d) => centroidClassifier(emb(s, d))),
 
     // Lloyd's is seeded from Spark's hash ordering (not reproducible in
     // DuckDB SQL) -> rows-only gate; convergence/purity/determinism are

@@ -141,6 +141,40 @@ class ClusterSpec extends AnyFunSuite {
     assert(after3 >= after1 - 1e-9, s"iter3 $after3 < iter1 $after1")
   }
 
+  test("centroidClassifier equals an exact in-memory reference") {
+    val got = Cluster.centroidClassifier(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rows = emb.select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Number](1).map(_.doubleValue).toArray))
+    // reference centroids with the SAME fixed-point arithmetic: exact
+    // long micro-sums, one double division
+    val cents = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, rs) =>
+      val dim = rs.head._2.length
+      val sums = Array.ofDim[Long](dim)
+      rs.foreach { case (_, v) =>
+        var i = 0
+        while (i < dim) { sums(i) += math.floor(v(i) * 1e6).toLong; i += 1 }
+      }
+      l -> Array.tabulate(dim)(i => sums(i).toDouble / (rs.length.toDouble * 1e6))
+    }
+    def cos6(a: Array[Double], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nc = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * c(i); na += a(i) * a(i); nc += c(i) * c(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nc)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.map { case (l, v) =>
+      // first max == lowest class label on ties (cents sorted by label)
+      val pred = cents.map { case (cl, c) => (cl, cos6(v, c)) }
+        .reduceLeft((a, b) => if (b._2 > a._2) b else a)._1
+      (l, pred)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expected)
+    assert(got.values.sum == rows.length) // every vector classified once
+  }
+
   test("cluster operator plans stay scale-safe (no BNLJ, no cartesian)") {
     for (gq <- Cluster.defs) {
       val p = gq.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
