@@ -40,6 +40,34 @@ object TextPipeline {
 
   val oracleTokens = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** BM25 relevance of every matching document against a fixed term set
+    * (Robertson/Sparck Jones with the Lucene idf variant, k1=1.2
+    * b=0.75) — the t16 scorer, factored so retrieval compositions
+    * (e.g. the s07 hybrid fusion) reuse the exact same arithmetic. See
+    * t16 for the dataflow/scale story: postings for non-query terms
+    * never leave the scan; df/N/avgdl are tiny broadcast aggregates. */
+  def bm25Scores(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    val base = documents.select(col("doc_id"), tokens(col("text")).as("tok"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      avg(size(col("tok"))).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), size(col("tok")).as("dl"),
+        explode(col("tok")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("term_score")), 4).as("bm25"))
+  }
+
   val defs: Seq[GQ] = Seq(
 
     GQ("t01_language_id", {
@@ -455,30 +483,9 @@ object TextPipeline {
           GROUP BY doc_id)
         ORDER BY bm25 DESC, doc_id LIMIT 20""")
     },
-      (s, d) => {
-        val terms = Seq("scan", "hash", "merge")
-        val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("tok"))
-        val stats = base.agg(count(lit(1)).as("n"),
-          avg(size(col("tok"))).as("avgdl"))
-        val tf = base
-          .select(col("doc_id"), size(col("tok")).as("dl"),
-            explode(col("tok")).as("token"))
-          .filter(col("token").isin(terms: _*))
-          .groupBy("doc_id", "token")
-          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(df_), "token")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-              * col("tf") * 2.2
-              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              .as("term_score"))
-          .groupBy("doc_id")
-          .agg(round(sum(col("term_score")), 4).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
-      }),
+      (s, d) => bm25Scores(docs(s, d), Seq("scan", "hash", "merge"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)),
 
     // Per-document keyword extraction: top-3 terms by TF-IDF. The df
     // (document frequency) side is vocabulary-bounded — broadcast here;

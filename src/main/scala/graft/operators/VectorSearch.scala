@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -392,6 +393,36 @@ object VectorSearch {
     lshPairSims(e, planes, tables, dim, maxBucket)
       .filter(col("sim") > threshold)
 
+  /** Hybrid lexical+vector retrieval fused with reciprocal-rank fusion
+    * (Cormack et al. 2009): rank the BM25 top-`k` and the cosine top-`k`
+    * independently, then score each candidate 1/(60+r_lex) + 1/(60+r_vec)
+    * and keep the fused top 10. Ranks come from bounded top-k lists, so
+    * the fusion itself is a k-row full-outer join — constant work at any
+    * corpus size; all corpus-scale effort lives in the two arms (BM25's
+    * term-filtered tf aggregate, the ANN heap), and the vector arm swaps
+    * for a persisted-index path (s02/s03/s04) unchanged, since fusion
+    * only consumes (doc_id, rank). The two windows each order <= k rows.
+    * RRF arithmetic is two integer-denominator double divisions summed
+    * in fixed order — bit-identical across engines. */
+  def hybridRrfTopK(documents: DataFrame, corpus: DataFrame,
+      terms: Seq[String], qid: Long, k: Int = 20): DataFrame = {
+    val lexTop = TextPipeline.bm25Scores(documents, terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("rl"))
+    val q = corpus.filter(col("vec_id") === qid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val vecTop = bruteForceTopK(corpus, q, k)
+      .select(col("nid").as("doc_id"), col("sim"))
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))).as("rv"))
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+
   val defs: Seq[GQ] = Seq(
 
     GQ("d07_embedding_neardup_lsh", None, // approximate recall of d06's set
@@ -461,6 +492,40 @@ object VectorSearch {
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         rangeSearch(e, q, 0.25)
-      })
+      }),
+
+    // Hybrid retrieval: both arms are deterministic total-order top-20
+    // lists and the RRF arithmetic is engine-exact -> full SQL oracle
+    // (lexical arm = the t16 BM25 text verbatim; vector arm = the s01
+    // brute-force text for query vec 0).
+    GQ("s07_hybrid_rrf", {
+      val terms = Seq("scan", "hash", "merge").map(t => s"'$t'").mkString(", ")
+      Some(s"""WITH dl AS (SELECT doc_id, len(${TextPipeline.oracleTokens}) AS dl FROM documents),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest(${TextPipeline.oracleTokens}) AS token FROM documents)
+               WHERE token IN ($terms) GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        bm AS (SELECT doc_id,
+                      round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1)
+                        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+               FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+               GROUP BY doc_id),
+        lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+                FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        vc AS (SELECT b.vec_id AS doc_id, round($oracleCosine, 6) AS sim
+               FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0),
+        vec AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rv
+                FROM (SELECT doc_id, sim FROM vc ORDER BY sim DESC, doc_id LIMIT 20))
+        SELECT doc_id, rrf FROM (
+          SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                 round(COALESCE(CAST(1 AS DOUBLE) / (60 + lex.rl), 0)
+                     + COALESCE(CAST(1 AS DOUBLE) / (60 + vec.rv), 0), 6) AS rrf
+          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 10""")
+    },
+      (s, d) => hybridRrfTopK(Engine.table(s, d, "documents"), emb(s, d),
+        Seq("scan", "hash", "merge"), qid = 0L))
   )
 }

@@ -34,7 +34,10 @@ class PlanLintSpec extends AnyFunSuite {
     Set("d06_embedding_neardup", "s01_ann_bruteforce", "s06_range_search",
       "t13_lm_quality", "t16_bm25", "t17_tfidf_keywords", "t18_dsir_weights",
       "t22_bigram_lm", // t22: broadcast side is the ONE-row vocab count
-      "t23_temperature_mix") // t23: ONE-row total + normalizer scalars
+      "t23_temperature_mix", // t23: ONE-row total + normalizer scalars
+      // s07: inherits s01's broadcast-query-set arm (ONE query row) and
+      // t16's one-row-stats arm; the fusion join itself is k-vs-k rows
+      "s07_hybrid_rrf")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
