@@ -850,6 +850,89 @@ object TextPipeline {
             (max(col("pos")) + (L - 1)).cast(IntegerType).as("span_end"),
             (max(col("pos")) + L - min(col("pos"))).cast(IntegerType).as("span_len"))
           .select("doc_id", "span_start", "span_end", "span_len")
+      }),
+
+    // Multinomial Naive Bayes trained in-plan (the fastText-style
+    // quality/language classifier shape, closed-form instead of SGD):
+    // class-conditional token counts with add-one smoothing, doc scored
+    // as prior + sum(tf * log-likelihood), argmax over classes. Every
+    // log term is pre-rounded to 6dp and aggregated through DECIMAL, so
+    // the class scores are EXACT rationals — the argmax cannot diverge
+    // across engines (the t18 lesson, applied from day one here).
+    // Output is the (lang, pred, cnt) confusion matrix.
+    //
+    // 100 TB shape: the model is two vocab-bounded tables (class-token
+    // counts, |classes|-row constants) joined distributively — no
+    // driver state; the class expansion multiplies the per-doc tf table
+    // by |classes| (a task parameter, ~dozens at most) before one
+    // groupBy(doc_id, clang) with map-side combine; the final argmax
+    // window partitions by doc_id over exactly |classes| rows. Train
+    // and score run in the same plan, like t13/t22.
+    GQ("t28_nb_lang_classifier",
+      Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($oracleTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        ct AS (SELECT lang AS clang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        tot AS (SELECT clang, SUM(c) AS tot FROM ct GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+        nd AS (SELECT lang AS clang, COUNT(*) AS nd FROM documents GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        classes AS (SELECT clang,
+                      CAST(round(ln(CAST(nd AS DOUBLE) / n), 6) AS DECIMAL(38,10)) AS prior,
+                      tot, v
+                    FROM nd CROSS JOIN n JOIN tot USING (clang) CROSS JOIN vocab),
+        ds AS (SELECT f.doc_id, k.clang,
+                      SUM(f.tf * CAST(round(ln((COALESCE(ct.c, 0) + 1)
+                        / CAST(k.tot + k.v AS DOUBLE)), 6) AS DECIMAL(38,10))) AS s
+               FROM tf f CROSS JOIN classes k
+               LEFT JOIN ct ON ct.clang = k.clang AND ct.token = f.token
+               GROUP BY 1, 2),
+        sc AS (SELECT d.doc_id, d.lang, k.clang,
+                      k.prior + COALESCE(ds.s, 0) AS score
+               FROM documents d CROSS JOIN classes k
+               LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.clang = k.clang),
+        pick AS (SELECT doc_id, lang, clang AS pred,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, clang) AS rn
+                 FROM sc)
+        SELECT lang, pred, COUNT(*) AS cnt FROM pick WHERE rn = 1
+        GROUP BY lang, pred"""),
+      (s, d) => {
+        val DEC = DecimalType(38, 10)
+        val base = docs(s, d)
+        val tok = base.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val ct = tok.groupBy(col("lang").as("clang"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val tot = ct.groupBy("clang").agg(sum("c").as("tot"))
+        val vocab = tok.agg(count_distinct(col("token")).as("v"))
+        val nDocs = base.agg(count(lit(1)).as("n"))
+        val classes = base.groupBy(col("lang").as("clang"))
+          .agg(count(lit(1)).as("nd"))
+          .crossJoin(broadcast(nDocs))
+          .join(tot, "clang")
+          .crossJoin(broadcast(vocab))
+          .select(col("clang"),
+            round(log(col("nd").cast(DoubleType) / col("n")), 6).cast(DEC)
+              .as("prior"),
+            col("tot"), col("v"))
+        val ds = tf.crossJoin(broadcast(classes))
+          .join(ct, Seq("clang", "token"), "left")
+          .groupBy("doc_id", "clang")
+          .agg(sum(col("tf") * round(log(
+            (coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
+              / (col("tot") + col("v")).cast(DoubleType)), 6).cast(DEC))
+            .as("s"))
+        val sc = base.select(col("doc_id"), col("lang"))
+          .crossJoin(broadcast(classes.select("clang", "prior")))
+          .join(ds, Seq("doc_id", "clang"), "left")
+          .select(col("doc_id"), col("lang"), col("clang"),
+            (col("prior") + coalesce(col("s"), lit(0))).as("score"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("clang"))
+        sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("lang"), col("clang").as("pred"))
+          .agg(count(lit(1)).as("cnt"))
       })
   )
 }

@@ -37,7 +37,11 @@ class PlanLintSpec extends AnyFunSuite {
       "t23_temperature_mix", // t23: ONE-row total + normalizer scalars
       // s07: inherits s01's broadcast-query-set arm (ONE query row) and
       // t16's one-row-stats arm; the fusion join itself is k-vs-k rows
-      "s07_hybrid_rrf")
+      "s07_hybrid_rrf",
+      // t28: broadcast sides are the |classes|-row model-constant table
+      // and one-row corpus scalars — class count is a label-vocabulary
+      // property, never corpus size
+      "t28_nb_lang_classifier")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
