@@ -353,6 +353,44 @@ object Events {
         FROM z WHERE v > 0 AND abs(round((n - m) / sqrt(v), 6)) > 2"""),
       (s, d) => anomalyScores(ev(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n"))))
+        .agg(count(lit(1)).as("n")))),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence (the session-path-mining primitive): src -> next event
+    // type via lead() on the (ts, event_id)-total order, then counts
+    // and per-src transition probabilities. Probabilities are exact
+    // integer micro-units (cnt*1e6 div tot — both engines' floor
+    // division on exact BIGINTs), so no float round sits in the output
+    // (the g01/g02 fixed-point rule; a plain round(cnt/tot, 6) is the
+    // textbook halfway-tie hazard).
+    //
+    // 100 TB shape: one shuffle keys on user_id for the lead() window
+    // (per-task memory bounded by a single user's history); the
+    // (src, dst) count aggregate partial-aggregates to at most
+    // |event_types|^2 rows — the matrix is vocabulary-sized, never
+    // corpus-sized.
+    GQ("e15_event_transitions",
+      Some("""WITH seq AS (SELECT user_id, event_type AS src,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS dst
+               FROM events),
+          c AS (SELECT src, dst, COUNT(*) AS cnt FROM seq
+                WHERE dst IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT src, SUM(cnt) AS tot FROM c GROUP BY 1)
+        SELECT src, dst, cnt,
+               CAST(cnt * 1000000 // tot AS DOUBLE) / 1e6 AS prob
+        FROM c JOIN t USING (src)"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seq = ev(s, d).select(col("user_id"),
+          col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        val c = seq.filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        val t = c.groupBy("src").agg(sum("cnt").as("tot"))
+        c.join(broadcast(t), "src")
+          .select(col("src"), col("dst"), col("cnt"),
+            (expr("(cnt * 1000000) div tot").cast(DoubleType) / 1e6).as("prob"))
+      })
   )
 }
