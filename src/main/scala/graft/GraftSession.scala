@@ -114,6 +114,8 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     """(?is)^\s*COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(.*?)\s*;?\s*$""".r
   private val reCopyFromStdin: Regex =
     """(?is)^\s*COPY\s+([\w.]+)\s+FROM\s+STDIN\s*(.*?)\s*;?\s*$""".r
+  private val reCopyToStdout: Regex =
+    """(?is)^\s*COPY\s+([\w.]+)\s+TO\s+STDOUT\s*(.*?)\s*;?\s*$""".r
 
   /** The exec_simple_query analogue. */
   def execute(sql: String): DataFrame = {
@@ -150,6 +152,10 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
         // and drives the copy-in sub-protocol (copyInTarget/copyInRows)
         throw new GraftArgError(Errors.FeatureNotSupported,
           "COPY FROM STDIN is only available through the wire protocol's copy-in channel")
+      case reCopyToStdout(_, _) =>
+        // symmetric: STDOUT needs the wire data channel (copy-out)
+        throw new GraftArgError(Errors.FeatureNotSupported,
+          "COPY TO STDOUT is only available through the wire protocol's copy-out channel")
       case _ =>
         // the optimizable path: Catalyst parse/analyze/optimize/execute
         spark.sql(trimmed)
@@ -387,6 +393,33 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private def copyTo(table: String, path: String, opts: String): DataFrame = {
     Copy.to(spark.table(resolveRelation(table)), path, copyOpts(opts))
     tag("COPY")
+  }
+
+  /** Wire front-end hook, copy-out direction: if `query` is
+    * `COPY t TO STDOUT [opts]`, resolve the source and parse the
+    * options so the server can drive the copy-out sub-protocol
+    * (CopyOutResponse/CopyData/CopyDone — the DestRemote streaming
+    * direction). None for every other statement. */
+  def copyOutSource(query: String): Option[(String, StructType, Copy.Options)] =
+    query match {
+      case reCopyToStdout(table, opts) =>
+        val rel = resolveRelation(table)
+        Some((rel, spark.table(rel).schema, copyOpts(opts)))
+      case _ => None
+    }
+
+  /** Stream a relation as COPY text lines for a wire copy-out.
+    * toLocalIterator keeps one partition resident on the driver at a
+    * time — the socket, not driver memory, is the bottleneck by
+    * construction (file-path COPY TO remains the bulk route). */
+  def copyOutLines(rel: String, opts: Copy.Options): Iterator[String] = {
+    val df = spark.table(rel)
+    val it = {
+      import scala.jdk.CollectionConverters._
+      Copy.toLines(df, opts).toLocalIterator().asScala
+    }
+    if (opts.header) Iterator(df.columns.mkString(opts.delimiter)) ++ it
+    else it
   }
 }
 

@@ -65,6 +65,22 @@ object Copy {
       .option("header", opts.header.toString)
       .csv(path)
 
+  /** Format rows as COPY text lines — the copy-out direction of
+    * [[fromLines]], used by the wire server's `COPY t TO STDOUT`
+    * sub-protocol. One CSV-dialect line per row via the codegen'd
+    * to_csv expression (same delimiter/null options as file COPY, so a
+    * line round-trips through [[fromLines]] unchanged). Header
+    * emission is the caller's concern (one prepended line), not the
+    * formatter's — the Dataset stays a pure per-row map. */
+  def toLines(df: DataFrame, opts: Options = Options()): Dataset[String] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, struct, to_csv}
+    import scala.jdk.CollectionConverters._
+    df.select(to_csv(struct(df.columns.toIndexedSeq.map(col): _*),
+      Map("delimiter" -> opts.delimiter,
+        "nullValue" -> opts.nullValue).asJava).as("line")).as[String]
+  }
+
   /** JSONL (one JSON object per line) ingest — the interchange format of
     * training-data pipelines. Same split-parallel reader; pass a schema
     * to skip inference (mandatory at scale: inference scans the data

@@ -259,9 +259,13 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
             sess.copyInTarget(query) match {
               case Some((rel, schema, opts)) =>
                 handleCopyIn(in, out, sess, rel, schema, opts)
-              case None =>
-                val df = sess.execute(query)
-                writeResult(out, df)
+              case None => sess.copyOutSource(query) match {
+                case Some((rel, schema, opts)) =>
+                  handleCopyOut(out, sess, rel, schema, opts)
+                case None =>
+                  val df = sess.execute(query)
+                  writeResult(out, df)
+              }
             }
           } catch {
             case e: Exception =>
@@ -412,6 +416,30 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
           done = true
       }
     }
+  }
+
+  /** Copy-out sub-protocol for `COPY t TO STDOUT`: CopyOutResponse
+    * ('H', overall format 0 = text + per-column format 0), one CopyData
+    * ('d') per line, CopyDone ('c'), then CommandComplete `COPY n` —
+    * the symmetric direction of [[handleCopyIn]] and the closest
+    * analogue of the reference's DestRemote result streaming. The line
+    * dialect is file COPY's (Copy.toLines), so a dumped stream re-loads
+    * through the copy-in channel unchanged. Rows arrive through
+    * toLocalIterator, one partition resident at a time. */
+  private def handleCopyOut(out: DataOutputStream, sess: GraftSession,
+      rel: String, schema: StructType,
+      opts: graft.sources.Copy.Options): Unit = {
+    val ncols = schema.length
+    send(out, 'H', (Array(0.toByte) +: i16(ncols) +:
+      Array.fill(ncols)(i16(0))).reduce(_ ++ _))
+    var n = 0L
+    sess.copyOutLines(rel, opts).foreach { line =>
+      send(out, 'd', (line + "\n").getBytes(UTF_8))
+      n += 1
+    }
+    send(out, 'c')
+    send(out, 'C', cstr(s"COPY ${n - (if (opts.header) 1 else 0)}"))
+    out.flush()
   }
 
   /** SQLSTATE for ErrorResponse field 'C' (errcodes.rs scheme): session

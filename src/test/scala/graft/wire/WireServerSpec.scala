@@ -330,6 +330,54 @@ class WireServerSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY TO STDOUT streams the table back through the copy-out sub-protocol") {
+    spark.sql("DROP TABLE IF EXISTS wire_copyout_t")
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+      c.query("CREATE TABLE wire_copyout_t (id int, name varchar(16))")
+      c.drain()
+      c.query("COPY wire_copyout_t FROM STDIN")
+      assert(c.read()._1 == 'G')
+      c.copyData("1,alpha\n2,beta\n3,gamma\n")
+      c.copyDone(); c.drain()
+
+      // copy-out: CopyOutResponse header, CopyData lines, CopyDone,
+      // CommandComplete COPY n
+      c.query("COPY wire_copyout_t TO STDOUT")
+      val (h, hb) = c.read()
+      assert(h == 'H')
+      assert(hb(0) == 0 && (((hb(1) & 0xff) << 8) | (hb(2) & 0xff)) == 2)
+      val (msgs, _) = c.drain()
+      val lines = msgs.collect { case ('d', b) => new String(b, UTF_8) }
+        .mkString.split("\n").toSeq.sorted
+      assert(lines == Seq("1,alpha", "2,beta", "3,gamma"))
+      assert(msgs.exists(_._1 == 'c'))
+      assert(msgs.exists { case (t, b) => t == 'C' && c.cstrAt(b, 0) == "COPY 3" })
+
+      // the dumped dialect re-loads through the copy-in channel:
+      // delimiter option flows through the same copy.rs grammar
+      c.query("COPY wire_copyout_t TO STDOUT USING DELIMITERS '|'")
+      assert(c.read()._1 == 'H')
+      val (pmsgs, _) = c.drain()
+      val plines = pmsgs.collect { case ('d', b) => new String(b, UTF_8) }
+        .mkString.split("\n").toSeq.sorted
+      assert(plines == Seq("1|alpha", "2|beta", "3|gamma"))
+
+      // a missing relation errors without wedging the session
+      c.query("COPY wire_copyout_missing TO STDOUT")
+      val (errMsgs, _) = c.drain()
+      assert(c.errFields(errMsgs).contains('C'))
+      c.query("SELECT 1 AS one")
+      assert(c.dataRows(c.drain()._1) == Seq(Seq("1")))
+      c.terminate()
+    } finally {
+      srv.close()
+      spark.sql("DROP TABLE IF EXISTS wire_copyout_t")
+    }
+  }
+
   test("extended protocol: Parse/Bind/Describe/Execute round-trips with parameters") {
     val srv = new WireServer(spark, Some(TestSpark.sf)).start()
     try {
