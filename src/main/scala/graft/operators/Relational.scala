@@ -748,6 +748,40 @@ object Relational {
         expr("concat(o_orderstatus, '_', o_orderpriority) LIKE 'O!_1%' ESCAPE '!'")
           .as("open_urgent_esc"))),
 
+    // FETCH FIRST n ROWS WITH TIES (the PG limit variant DuckDB lacks
+    // as syntax — the oracle uses the equivalent rank() <= n form, the
+    // exact definition in the SQL standard). Scale path: NO global-order
+    // window (that is one task sorting the corpus). Instead the n-th
+    // sort value arrives via TakeOrderedAndProject (n rows to the
+    // driver, n a query constant) and the result is one filtered scan —
+    // at 100 TB that is a top-n reduction + a pushdown-friendly
+    // predicate, not a total sort.
+    GQ("q56_fetch_with_ties",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+                 RANK() OVER (ORDER BY l_quantity DESC) AS rnk
+          FROM lineitem) WHERE rnk <= 10"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val kth = li.select(col("l_quantity"))
+          .orderBy(col("l_quantity").desc).limit(10)
+          .collect().last.getDouble(0)
+        li.filter(col("l_quantity") >= kth)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      }),
+
+    // LIMIT/OFFSET pagination over a TOTAL order (OFFSET without one is
+    // nondeterministic by definition). Spark plans a single
+    // TakeOrderedAndProject of offset+limit rows — driver work is the
+    // page position times page size, the standard deep-pagination cost.
+    GQ("q57_limit_offset",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40"""),
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(40).limit(20)),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {
