@@ -178,6 +178,42 @@ object EventsStreaming {
       }
   }
 
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  final case class TransOut(user_id: Long, src: String, dst: String)
+
+  /** Streaming twin of the batch e15 transition extraction: keyed state
+    * holds only each user's LAST event; a micro-batch sorts its per-user
+    * slice by (ts, event_id) — bounded by one user's per-trigger volume,
+    * the sessionized() discipline — emits one (src, dst) pair per
+    * consecutive event, and bridges across micro-batch boundaries
+    * through the stored last event. State is ONE fixed-size row per
+    * observed user. Counts/probabilities aggregate downstream exactly as
+    * in batch. Divergence contract (cf. capPerSource): emitted pairs
+    * equal the batch (ts, event_id) total order only when per-user
+    * arrival respects event time across triggers; a late event arriving
+    * after a newer one has been bridged would have changed the adjacency
+    * in batch — Append output cannot retract the already-emitted pair. */
+  def transitions(spark: SparkSession, events: DataFrame): Dataset[TransOut] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val types = state.getOption.map(_.lastType).toSeq ++
+              sorted.map(_.event_type)
+            val last = sorted.last
+            state.update(TransState(last.ts.getTime, last.event_id,
+              last.event_type))
+            types.sliding(2).collect { case Seq(a, b) => TransOut(uid, a, b) }
+          }
+      }
+  }
+
   /** Stream-stream join: each purchase joined to page views of the same
     * user within the preceding hour. Both sides carry watermarks so the
     * join state store is bounded (views retained only inside the time

@@ -84,6 +84,51 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(resumed == batch) // full totals: no loss, no double count
   }
 
+  test("streaming transitions bridge micro-batches and match the batch extraction") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.expressions.Window
+    val srcDir = Files.createTempDirectory("graft_trans_src").toString
+    val ckpt = Files.createTempDirectory("graft_trans_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_trans_out").toString
+    val all = Engine.table(spark, TestSpark.sf, "events")
+    // split by TIME so per-user arrival across the two triggers respects
+    // event order (the transitions() divergence contract)
+    val Array(tMin, tMax) = all
+      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = new java.sql.Timestamp((tMin + tMax) / 2 * 1000L)
+    all.filter(col("ts") < lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      // append-mode memory sinks cannot recover a checkpoint; a file
+      // sink can, and accumulates both runs' output in one place
+      val stream = spark.readStream
+        .schema(EventsStreaming.eventsSchema).parquet(srcDir)
+      val q = EventsStreaming.transitions(spark, stream).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    all.filter(col("ts") >= lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    run()
+    def multiset(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id", "src", "dst").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val streamed = multiset(spark.read.parquet(outDir))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val batch = multiset(all.select(col("user_id"),
+        col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull))
+    assert(streamed == batch) // includes the pairs that span the cut:
+    // only the carried last-event state can produce those
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream join matches its batch twin within the time window") {
     val stream = spark.readStream
       .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
