@@ -140,6 +140,57 @@ object Graph {
     out
   }
 
+  /** Per-node triangle counts over an undirected graph — the local
+    * clustering signal on a near-dup/kNN graph (a document inside a
+    * dense triangle cluster is mutually-corroborated duplicate
+    * material; a high-degree node with NO triangles is hub-like
+    * boilerplate touching many unrelated docs).
+    *
+    * `pairs` is the canonical (id_a < id_b) undirected edge list;
+    * `nodes` is (id). Every edge is re-oriented low -> high in the
+    * (degree, id) TOTAL order and each triangle is enumerated exactly
+    * once as the oriented chain u->v, v->w, u->w. The orientation is
+    * the textbook skew bound (Schank/Wagner): every out-neighborhood is
+    * O(sqrt |E|), so the wedge join's per-key fan-out is bounded even
+    * at a celebrity node — a plain id-orientation would put a hub's
+    * whole neighborhood in one join key. The triangle SET is
+    * orientation-independent (any total order enumerates each triangle
+    * exactly once), which is what lets the SQL oracle use plain id
+    * order while this side uses degree order.
+    *
+    * 100 TB shape: two self-join shuffles over the (bounded, capped
+    * upstream) pair graph plus one count exchange; no iteration, no
+    * driver state. */
+  def triangleCounts(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint() // referenced 5x below; run its plan once
+    val deg = p.select(col("id_a").as("id"))
+      .unionAll(p.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("id_a") < col("id_b"))
+    val e = p
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+      .select(when(aFirst, col("id_a")).otherwise(col("id_b")).as("u"),
+        when(aFirst, col("id_b")).otherwise(col("id_a")).as("v"))
+      .localCheckpoint()
+    Engine.releaseCheckpoint(p)
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a2"), col("v").as("c2"))
+    val tri = e1.join(e2, "b")
+      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+      .select("a", "b", "c")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val out = nodes.join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint()
+    Engine.releaseCheckpoint(e)
+    out
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Engine.table(s, d, "documents")
 
@@ -221,6 +272,34 @@ object Graph {
         val seeds = dd.select(col("doc_id").as("id"),
           ((col("doc_id") % 11) * 100000L).as("micros"))
         labelPropagation(edges, seeds, iters = 2)
+      }),
+
+    // Triangle counts over the same near-dup graph. The oracle
+    // enumerates each triangle once via plain id order (u<v<w chain);
+    // the Spark side uses degree order for the skew bound — identical
+    // triangle sets (see triangleCounts doc).
+    GQ("g03_triangle_count",
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        tri AS (SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+                FROM p p1 JOIN p p2 ON p1.id_b = p2.id_a
+                JOIN p p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+        m AS (SELECT id, COUNT(*) AS triangles FROM (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b AS id FROM tri
+                UNION ALL SELECT c AS id FROM tri)
+              GROUP BY id)
+        SELECT n.doc_id AS id, COALESCE(m.triangles, 0) AS triangles
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) n
+        LEFT JOIN m ON m.id = n.doc_id"""),
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        triangleCounts(pairs, dd.select(col("doc_id").as("id")))
       })
   )
 }

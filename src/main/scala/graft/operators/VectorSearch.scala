@@ -526,6 +526,36 @@ object VectorSearch {
         ORDER BY rrf DESC, doc_id LIMIT 10""")
     },
       (s, d) => hybridRrfTopK(Engine.table(s, d, "documents"), emb(s, d),
-        Seq("scan", "hash", "merge"), qid = 0L))
+        Seq("scan", "hash", "merge"), qid = 0L)),
+
+    // Filtered (predicated) ANN — the serving pattern "top-k neighbors
+    // AMONG rows matching a metadata predicate" (here: the query's own
+    // label class). The predicate is an EQUI-join key, so candidate
+    // generation is a broadcast hash join (no nested loop): the filter
+    // prunes before the distance kernel ever runs. At 100 TB with the
+    // corpus partitioned/bucketed on the filter column this becomes
+    // partition pruning, and it composes with the persisted IVF index
+    // (cell pruning AND label pruning are both PartitionFilters).
+    // Exact within the filtered set -> full SQL oracle.
+    GQ("s08_ann_filtered",
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pr AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round($oracleCosine, 6) AS sim
+               FROM e a JOIN e b ON a.vec_id % 100 = 0
+                 AND b.label = a.label AND b.vec_id <> a.vec_id)
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM pr) WHERE rn <= 5"""),
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val pairs = e.join(broadcast(q),
+            col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            sim6(col("qv"), col("embedding")).as("sim"))
+        topKPerQid(pairs, 5)
+      })
   )
 }

@@ -72,4 +72,29 @@ class GraphSpec extends AnyFunSuite {
       iters = 2).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got7 === got)
   }
+
+  test("triangleCounts: hand-counted toy graph, orientation-independent") {
+    // K4 on {0,1,2,3} (4 triangles, every node in 3) + a pendant edge
+    // 3-4 (no triangle) + isolated node 5
+    val k4 = for {
+      a <- 0L to 3L; b <- (a + 1) to 3L
+    } yield (a, b)
+    val pairs = (k4 :+ (3L, 4L)).toDF("id_a", "id_b")
+    val nodes = (0L to 5L).toDF("id")
+    val got = Graph.triangleCounts(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 0L, 5L -> 0L))
+    // the degree orientation enumerates the same triangle set as a
+    // brute-force reference on an irregular graph (star + one chord:
+    // only {0,1,2} closes)
+    val star = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L)))
+      .toDF("id_a", "id_b")
+    val got2 = Graph.triangleCounts(star, (0L to 4L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+    // partitioning-independent
+    val got7 = Graph.triangleCounts(pairs.repartition(7), nodes.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got7 == got)
+  }
 }
