@@ -568,34 +568,23 @@ object TextPipeline {
         FROM tok JOIN raw USING (token) LEFT JOIN tgt USING (token) CROSS JOIN st
         GROUP BY doc_id"""),
       (s, d) => {
-        // ONE tokenize pass (the t28 materialize-once discipline — the
-        // unmaterialized form re-tokenized the corpus five times): both
-        // LMs (raw, target), their smoothing constants, and the scoring
-        // join derive from one materialized postings table. Weighted
-        // decimal sum == per-occurrence sum exactly (see t13).
-        val tf = docs(s, d).select(col("doc_id"), col("lang"),
-            explode(tokens(col("text"))).as("token"))
-          .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
-        val raw = tf.groupBy("token").agg(sum("tf").as("cr"))
-        val tgt = tf.filter(col("lang") === "en")
-          .groupBy("token").agg(sum("tf").as("ct"))
+        val tok = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("token"))
+        val raw = tok.groupBy("token").agg(count(lit(1)).as("cr"))
+        val tgt = tok.filter(col("lang") === "en")
+          .groupBy("token").agg(count(lit(1)).as("ct"))
         val st = raw.agg(sum("cr").as("tr"), count(lit(1)).as("b"))
           .crossJoin(tgt.agg(sum("ct").as("tt")))
-        val out = tf.join(broadcast(raw), "token")
+        tok.join(broadcast(raw), "token")
           .join(broadcast(tgt), Seq("token"), "left")
           .crossJoin(broadcast(st))
           .groupBy("doc_id")
-          .agg(sum(col("tf")).cast(IntegerType).as("n_tokens"),
-            round(Engine.decOut(sum(col("tf").cast(Engine.DEC) * round(
+          .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+            round(Engine.dsum(round(
               log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) / (col("tt") + col("b")))
-                - log((col("cr") + 1).cast(DoubleType) / (col("tr") + col("b"))), 6)
-              .cast(Engine.DEC)))
-              / sum(col("tf")), 4)
+                - log((col("cr") + 1).cast(DoubleType) / (col("tr") + col("b"))), 6))
+              / count(lit(1)), 4)
               .as("dsir_weight"))
-          .localCheckpoint()
-        Engine.releaseCheckpoint(tf)
-        out
       }),
 
     // Character-entropy quality signal — the classic gibberish/boiler-
