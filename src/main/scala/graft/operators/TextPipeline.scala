@@ -339,30 +339,18 @@ object TextPipeline {
         FROM tok JOIN freq USING (token) CROSS JOIN tot
         GROUP BY doc_id"""),
       (s, d) => {
-        // ONE tokenize pass (the t28 materialize-once discipline): the
-        // (doc, token, tf) postings table materializes once; the
-        // unigram model (freq, tot) and the scoring join both derive
-        // from it as cheap re-aggregations. The weighted decimal sum
-        // tf x round(ln p, 6) equals the per-occurrence sum exactly
-        // (scale-6 decimals), so the emission — and the oracle — are
-        // unchanged, order-independent like t18.
-        val tf = docs(s, d)
+        val tok = docs(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
-        val freq = tf.groupBy("token").agg(sum("tf").as("c"))
+        val freq = tok.groupBy("token").agg(count(lit(1)).as("c"))
         val tot = freq.agg(sum("c").as("t"))
-        val out = tf.join(freq, "token").crossJoin(broadcast(tot))
+        tok.join(freq, "token").crossJoin(broadcast(tot))
           .groupBy("doc_id")
-          .agg(sum(col("tf")).cast(IntegerType).as("n_tokens"),
-            round(Engine.decOut(sum(col("tf").cast(Engine.DEC)
-              * round(log(col("c").cast(DoubleType) / col("t")), 6)
-                .cast(Engine.DEC)))
-              / sum(col("tf")), 4)
+          // order-independent mean (see t18): pre-round each log-prob
+          // to 6dp, decimal-exact sum, one division, 4dp emission
+          .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+            round(Engine.dsum(round(log(col("c").cast(DoubleType) / col("t")), 6))
+              / count(lit(1)), 4)
               .as("avg_logprob"))
-          .localCheckpoint()
-        Engine.releaseCheckpoint(tf)
-        out
       }),
 
     // Span-level cross-document dedup (the C4 line-dedup / Lee et al.
@@ -692,41 +680,27 @@ object TextPipeline {
         GROUP BY doc_id"""),
       (s, d) => {
         val tok = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
-        // TWO tokenize passes — the train+score minimum: the per-doc
-        // bigram counts and the unigram counts (the model needs every
-        // token, not just bigram heads) each materialize once; bigram
-        // model counts, the vocabulary size, and the scoring join all
-        // derive from them (the t28 materialize-once discipline — the
-        // unmaterialized form re-tokenized the corpus four times). The
-        // weighted decimal sum is exactly the per-occurrence sum (see
-        // t13); order-independent like t18.
-        val bgf = tok.filter(size(col("t")) >= 2).select(col("doc_id"),
+        val bg = tok.filter(size(col("t")) >= 2).select(col("doc_id"),
             explode(zip_with(
               slice(col("t"), lit(1), size(col("t")) - 1),
               slice(col("t"), lit(2), size(col("t")) - 1),
               (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bigram"))))
               .as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
-          .groupBy("doc_id", "w1", "bigram").agg(count(lit(1)).as("tfb"))
-          .localCheckpoint()
         val uni = tok.select(explode(col("t")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("c1"))
-          .localCheckpoint()
-        val bc = bgf.groupBy("bigram").agg(sum("tfb").as("c2"))
+        val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
         val v = uni.agg(count(lit(1)).as("nv"))
-        val out = bgf.join(bc, "bigram").join(uni, col("w1") === col("token"))
+        bg.join(bc, "bigram").join(uni, col("w1") === col("token"))
           .crossJoin(broadcast(v))
           .groupBy("doc_id")
-          .agg(sum(col("tfb")).cast(IntegerType).as("n_bigrams"),
-            round(Engine.decOut(sum(col("tfb").cast(Engine.DEC)
-              * round(log((col("c2").cast(DoubleType) + 1)
-                  / (col("c1") + col("nv"))), 6).cast(Engine.DEC)))
-              / sum(col("tfb")), 4)
+          .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
+            // same order-independent mean as t18: AVG(double) is the
+            // summation-order hazard that broke t18's hash in r7
+            round(Engine.dsum(round(log(
+              (col("c2").cast(DoubleType) + 1) / (col("c1") + col("nv"))), 6))
+              / count(lit(1)), 4)
               .as("avg_logprob"))
-          .localCheckpoint()
-        Engine.releaseCheckpoint(bgf)
-        Engine.releaseCheckpoint(uni)
-        out
       }),
 
     // temperature-based mixture resampling (the multilingual balancing
