@@ -899,24 +899,13 @@ object TextPipeline {
       (s, d) => {
         val DEC = DecimalType(38, 10)
         val base = docs(s, d)
-        // ONE tokenize pass: the (doc, token) postings table — smaller
-        // than the raw token stream — materializes once
-        // (localCheckpoint) and every model statistic (class counts,
-        // totals, vocabulary) derives from it as a cheap re-aggregation.
-        // Without the materialization each statistic is an independent
-        // subplan and the optimizer specializes them beyond
-        // ReuseExchange's reach — the measured plan re-scanned and
-        // re-tokenized the corpus SIX times (the d05 materialize-once
-        // lesson: iterative or multi-consumer reads of a derived table
-        // need an explicit cut, not hoped-for plan dedup).
-        val tf = base.select(col("doc_id"), col("lang"),
-            explode(tokens(col("text"))).as("token"))
-          .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
-        val ct = tf.groupBy(col("lang").as("clang"), col("token"))
-          .agg(sum("tf").as("c"))
+        val tok = base.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val ct = tok.groupBy(col("lang").as("clang"), col("token"))
+          .agg(count(lit(1)).as("c"))
         val tot = ct.groupBy("clang").agg(sum("c").as("tot"))
-        val vocab = tf.agg(count_distinct(col("token")).as("v"))
+        val vocab = tok.agg(count_distinct(col("token")).as("v"))
         val nDocs = base.agg(count(lit(1)).as("n"))
         val classes = base.groupBy(col("lang").as("clang"))
           .agg(count(lit(1)).as("nd"))
@@ -941,13 +930,9 @@ object TextPipeline {
             (col("prior") + coalesce(col("s"), lit(0))).as("score"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("clang"))
-        val out = sc.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .groupBy(col("lang"), col("clang").as("pred"))
           .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // |classes|^2 rows; lets tf's blocks release
-        Engine.releaseCheckpoint(tf)
-        out
       })
   )
 }
