@@ -868,6 +868,16 @@ object TextPipeline {
     // groupBy(doc_id, clang) with map-side combine; the final argmax
     // window partitions by doc_id over exactly |classes| rows. Train
     // and score run in the same plan, like t13/t22.
+    //
+    // The statistics subplans re-tokenize the corpus rather than share
+    // a materialized postings table — a MEASURED choice, not an
+    // oversight: at sf0.1 the recompute form benches 1.8 s vs 2.3 s
+    // for a localCheckpoint'd postings table and worse for cache()
+    // (tools A/B, round 8; same ordering for t13/t18/t22). Scans of
+    // this shape are cheap relative to materialization overhead;
+    // d05-style materialize-once pays off for ITERATIVE consumers or
+    // expensive upstream joins, not for flat re-scans. At true corpus
+    // scale the dial is one line (.localCheckpoint() on the tf table).
     GQ("t28_nb_lang_classifier",
       Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($oracleTokens) AS token FROM documents),
         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
