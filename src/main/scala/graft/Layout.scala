@@ -405,4 +405,55 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
+
+  // ---- persisted classifier models (train once, score any slice
+  // later — the serving-index story applied to MODELS): the t28 NB
+  // model and the c02 centroid model land as tiny catalog tables
+  // (vocab-bounded / |classes| x dim), and the scoring halves run the
+  // exact same arithmetic against the loaded tables, so persisted-model
+  // predictions equal in-plan predictions EXACTLY (LayoutSpec). A
+  // 100 TB pipeline never re-trains per scoring slice: nightly
+  // training refreshes the tables; every downstream filter job reads
+  // them as broadcast-sized joins.
+
+  /** Train the multinomial-NB model on `docs` and persist it as
+    * `<table>_tokens` (clang, token, c) + `<table>_classes`
+    * (clang, prior, tot, v). */
+  def writeNbModel(docs: DataFrame, table: String): Unit = {
+    val (ct, classes) = graft.operators.TextPipeline.nbTrain(docs)
+    ct.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_tokens")
+    classes.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_classes")
+  }
+
+  /** Score `docs` with a persisted NB model: (doc_id, lang, pred). */
+  def nbClassify(docs: DataFrame, table: String): DataFrame = {
+    val spark = docs.sparkSession
+    graft.operators.TextPipeline.nbScore(docs,
+      spark.table(s"${table}_tokens"), spark.table(s"${table}_classes"))
+  }
+
+  /** Train the c02 centroid model on `e` and persist it as a
+    * (label, pos, m) table. */
+  def writeCentroidModel(e: DataFrame, table: String): Unit = {
+    import e.sparkSession.implicits._
+    graft.operators.Cluster.trainCentroids(e)
+      .flatMap { case (l, c) => c.zipWithIndex.map { case (m, p) => (l, p, m) } }
+      .toDF("label", "pos", "m")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Classify `e` against a persisted centroid model: the model table
+    * collects to |classes| x dim driver doubles (its full size) and the
+    * scan-only scoring half runs unchanged. */
+  def centroidClassify(e: DataFrame, table: String): DataFrame = {
+    val cents = e.sparkSession.table(table).collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      .toSeq.sortBy(_._1)
+    graft.operators.Cluster.classifyByCentroids(e, cents)
+  }
 }

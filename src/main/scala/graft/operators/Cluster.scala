@@ -151,19 +151,33 @@ object Cluster {
     * row explosion, no second shuffle beyond the tiny confusion
     * aggregate. |classes| is a property of the label vocabulary, never
     * of corpus size. */
-  def centroidClassifier(e: DataFrame): DataFrame = {
+  def centroidClassifier(e: DataFrame): DataFrame =
+    classifyByCentroids(e, trainCentroids(e))
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The c02 training half: per-class fixed-point mean vectors, sorted
+    * by label. Factored so Layout can persist the model as a (label,
+    * pos, m) table and re-load it for later scoring. */
+  def trainCentroids(e: DataFrame): Seq[(Int, Seq[Double])] = {
     val rows = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg((sum(floor(col("x").cast(DoubleType) * 1e6).cast(LongType))
         .cast(DoubleType) / (count(lit(1)).cast(DoubleType) * 1e6)).as("m"))
       .collect()
-    val cents: Seq[(Int, Seq[Double])] = rows.toIndexedSeq
+    rows.toIndexedSeq
       .groupBy(_.getInt(0))
       .map { case (l, rs) =>
         l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
       }
       .toSeq.sortBy(_._1)
+  }
+
+  /** The c02 scoring half against trained (or persisted) centroids: one
+    * codegen'd scan, no join. Returns (vec_id, label, pred). */
+  def classifyByCentroids(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val sims = array(cents.map { case (_, c) =>
       sim6(col("embedding"), typedLit(c))
     }: _*)
@@ -172,9 +186,7 @@ object Cluster {
     // ORDER BY sim DESC, clabel)
     val pred = element_at(typedLit(cents.map(_._1)),
       array_position(sims, array_max(sims)).cast(IntegerType))
-    e.select(col("label"), pred.as("pred"))
-      .groupBy("label", "pred")
-      .agg(count(lit(1)).as("cnt"))
+    e.select(col("vec_id"), col("label"), pred.as("pred"))
   }
 
   val defs: Seq[GQ] = Seq(

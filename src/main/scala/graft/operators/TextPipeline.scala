@@ -907,42 +907,66 @@ object TextPipeline {
         SELECT lang, pred, COUNT(*) AS cnt FROM pick WHERE rn = 1
         GROUP BY lang, pred"""),
       (s, d) => {
-        val DEC = DecimalType(38, 10)
         val base = docs(s, d)
-        val tok = base.select(col("doc_id"), col("lang"),
-          explode(tokens(col("text"))).as("token"))
-        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val ct = tok.groupBy(col("lang").as("clang"), col("token"))
-          .agg(count(lit(1)).as("c"))
-        val tot = ct.groupBy("clang").agg(sum("c").as("tot"))
-        val vocab = tok.agg(count_distinct(col("token")).as("v"))
-        val nDocs = base.agg(count(lit(1)).as("n"))
-        val classes = base.groupBy(col("lang").as("clang"))
-          .agg(count(lit(1)).as("nd"))
-          .crossJoin(broadcast(nDocs))
-          .join(tot, "clang")
-          .crossJoin(broadcast(vocab))
-          .select(col("clang"),
-            round(log(col("nd").cast(DoubleType) / col("n")), 6).cast(DEC)
-              .as("prior"),
-            col("tot"), col("v"))
-        val ds = tf.crossJoin(broadcast(classes))
-          .join(ct, Seq("clang", "token"), "left")
-          .groupBy("doc_id", "clang")
-          .agg(sum(col("tf") * round(log(
-            (coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
-              / (col("tot") + col("v")).cast(DoubleType)), 6).cast(DEC))
-            .as("s"))
-        val sc = base.select(col("doc_id"), col("lang"))
-          .crossJoin(broadcast(classes.select("clang", "prior")))
-          .join(ds, Seq("doc_id", "clang"), "left")
-          .select(col("doc_id"), col("lang"), col("clang"),
-            (col("prior") + coalesce(col("s"), lit(0))).as("score"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("clang"))
-        sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .groupBy(col("lang"), col("clang").as("pred"))
+        val (ct, classes) = nbTrain(base)
+        nbScore(base, ct, classes)
+          .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("cnt"))
       })
   )
+
+  /** Multinomial-NB training over (doc_id, lang, text): returns the t28
+    * model as two DataFrames — classTokens (clang, token, c) and
+    * classes (clang, prior DECIMAL, tot, v) — factored so Layout can
+    * persist them as catalog tables (train once, score any slice
+    * later; the serving-index story applied to models). */
+  def nbTrain(base: DataFrame): (DataFrame, DataFrame) = {
+    val DEC = DecimalType(38, 10)
+    val tok = base.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("token"))
+    val ct = tok.groupBy(col("lang").as("clang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val tot = ct.groupBy("clang").agg(sum("c").as("tot"))
+    val vocab = tok.agg(count_distinct(col("token")).as("v"))
+    val nDocs = base.agg(count(lit(1)).as("n"))
+    val classes = base.groupBy(col("lang").as("clang"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(nDocs))
+      .join(tot, "clang")
+      .crossJoin(broadcast(vocab))
+      .select(col("clang"),
+        round(log(col("nd").cast(DoubleType) / col("n")), 6).cast(DEC)
+          .as("prior"),
+        col("tot"), col("v"))
+    (ct, classes)
+  }
+
+  /** NB scoring against an in-plan or persisted model: per-doc argmax
+    * class with the DECIMAL-exact scores of t28. A document's score
+    * depends only on the model and the document itself, so scoring a
+    * slice with a full-corpus model gives exactly the full run's
+    * predictions restricted to that slice (pinned in LayoutSpec).
+    * Returns (doc_id, lang, pred). */
+  def nbScore(base: DataFrame, ct: DataFrame, classes: DataFrame): DataFrame = {
+    val DEC = DecimalType(38, 10)
+    val tf = base.select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val ds = tf.crossJoin(broadcast(classes))
+      .join(ct, Seq("clang", "token"), "left")
+      .groupBy("doc_id", "clang")
+      .agg(sum(col("tf") * round(log(
+        (coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
+          / (col("tot") + col("v")).cast(DoubleType)), 6).cast(DEC))
+        .as("s"))
+    val sc = base.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(classes.select("clang", "prior")))
+      .join(ds, Seq("doc_id", "clang"), "left")
+      .select(col("doc_id"), col("lang"), col("clang"),
+        (col("prior") + coalesce(col("s"), lit(0))).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("clang"))
+    sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("clang").as("pred"))
+  }
 }

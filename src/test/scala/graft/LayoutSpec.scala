@@ -358,4 +358,40 @@ class LayoutSpec extends AnyFunSuite {
       Seq((100L, "a", 9L)).toDF("id", "k", "v"), "idem_cmp", 4L, Seq("k"))
     assert(spark.table("idem_cmp").count() == before.length + 1)
   }
+
+  test("persisted NB model: loaded-model scores == in-plan scores, on any slice") {
+    freshTable("nbm_tokens"); freshTable("nbm_classes")
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+    Layout.writeNbModel(docs, "nbm")
+    def preds(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // full corpus: persisted == in-plan
+    val (ct, classes) = graft.operators.TextPipeline.nbTrain(docs)
+    val inPlan = preds(graft.operators.TextPipeline.nbScore(docs, ct, classes))
+    val loaded = preds(Layout.nbClassify(docs, "nbm"))
+    assert(loaded == inPlan && loaded.nonEmpty)
+    // a SLICE scored with the full-corpus model gives exactly the full
+    // run's predictions restricted to the slice — train once, score any
+    // downstream batch (the serving contract)
+    val slice = docs.filter(col("doc_id") < 100)
+    val slicePreds = preds(Layout.nbClassify(slice, "nbm"))
+    assert(slicePreds == inPlan.view.filterKeys(_ < 100).toMap)
+  }
+
+  test("persisted centroid model: loaded-model classification == in-plan (c02)") {
+    freshTable("centm")
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    Layout.writeCentroidModel(e, "centm")
+    val inPlan = graft.operators.Cluster
+      .classifyByCentroids(e, graft.operators.Cluster.trainCentroids(e))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val loaded = Layout.centroidClassify(e, "centm")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(loaded == inPlan && loaded.nonEmpty)
+    // slice with the full model == full predictions restricted
+    val slice = e.filter(col("vec_id") % 7 === 0)
+    val slicePreds = Layout.centroidClassify(slice, "centm")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(slicePreds == inPlan.view.filterKeys(_ % 7 == 0).toMap)
+  }
 }
