@@ -191,6 +191,43 @@ object Graph {
     out
   }
 
+  /** Bounded-round k-core peeling — the dense-subgraph curation signal
+    * (a near-dup cluster that survives 2-core peeling is mutually-
+    * corroborated template/boilerplate material; pendant chains peel
+    * away). Each round drops every node with current degree < k and
+    * the edges touching it; `rounds` is FIXED (the g01/g02 oracle
+    * discipline — an unrolled CTE cannot express run-to-fixpoint), and
+    * in practice peeling converges within graph-diameter rounds.
+    * Returns every node with its degree inside the surviving subgraph
+    * (0 = peeled). All arithmetic is integer counting — nothing to
+    * round, nothing to diverge.
+    *
+    * `edges` is the directed both-ways edge list of an undirected
+    * graph. 100 TB shape: per round, one degree aggregation + two semi
+    * joins on the shrinking edge table, materialized per round with the
+    * previous round's blocks released (the iterative-consumer case
+    * where checkpointing IS the right call — each round's table feeds
+    * two joins and the next round). */
+  def kCorePeel(edges: DataFrame, nodes: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var e = edges.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("src").as("id"))
+      val next = e.join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+        .select("src", "dst").localCheckpoint()
+      Engine.releaseCheckpoint(e)
+      e = next
+    }
+    val deg = e.groupBy("src").agg(count(lit(1)).as("core_deg"))
+    val out = nodes.join(deg, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .localCheckpoint()
+    Engine.releaseCheckpoint(e)
+    out
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Engine.table(s, d, "documents")
 
@@ -300,6 +337,37 @@ object Graph {
         val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
           .select("id_a", "id_b")
         triangleCounts(pairs, dd.select(col("doc_id").as("id")))
+      }),
+
+    // 2-core peeling, 3 rounds, over the same near-dup graph. Pure
+    // integer counting -> the unrolled-CTE oracle matches exactly.
+    GQ("g04_kcore_peel", {
+      def round(prev: String, cur: String): String =
+        s"""a$cur AS (SELECT src AS id FROM e$prev
+              GROUP BY src HAVING COUNT(*) >= 2),
+            e$cur AS (SELECT e.src, e.dst FROM e$prev e
+              JOIN a$cur x ON e.src = x.id
+              JOIN a$cur y ON e.dst = y.id)"""
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        e0 AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+        ${round("0", "1")}, ${round("1", "2")}, ${round("2", "3")}
+        SELECT n.doc_id AS id, COALESCE(d.dg, 0) AS core_deg
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) n
+        LEFT JOIN (SELECT src, COUNT(*) AS dg FROM e3 GROUP BY src) d
+          ON n.doc_id = d.src""")
+    },
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        kCorePeel(edges, dd.select(col("doc_id").as("id")), k = 2, rounds = 3)
       })
   )
 }

@@ -97,4 +97,19 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got7 == got)
   }
+
+  test("kCorePeel: chain peels away, clique survives, rounds converge") {
+    // triangle {0,1,2} + pendant chain 2-3-4: round 1 drops 4 (deg 1),
+    // round 2 drops 3 (its degree fell to 1), triangle stays 2-core
+    val p = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("id")
+    val got = Graph.kCorePeel(edges, nodes, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
+    // already-converged: an extra round changes nothing
+    val got4 = Graph.kCorePeel(edges, nodes, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got4 == got)
+  }
 }
