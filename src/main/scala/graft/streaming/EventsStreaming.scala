@@ -214,6 +214,26 @@ object EventsStreaming {
       }
   }
 
+  /** Continuous transition-matrix maintenance — the durable side of
+    * [[transitions]] (the e15 twin): each micro-batch's bridged
+    * (src, dst) pairs aggregate to counts and land idempotently in a
+    * rollup table; the matrix at query time is SUM(cnt) per (src, dst)
+    * — counts ADD, so per-batch rows roll up exactly like per-grain
+    * rows, and a replayed batch replaces its own rows instead of
+    * double-counting transitions (the sketchRollupQuery discipline). */
+  def transitionRollupQuery(spark: SparkSession, events: DataFrame,
+      table: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = transitions(spark, events).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+    checkpointLocation.fold(w)(l => w.option("checkpointLocation", l))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        graft.Layout.idempotentBatchAppend(
+          b.groupBy("src", "dst").agg(count(lit(1)).as("cnt")),
+          table, batchId, Seq.empty)
+      }.start()
+  }
+
   /** Stream-stream join: each purchase joined to page views of the same
     * user within the preceding hour. Both sides carry watermarks so the
     * join state store is bounded (views retained only inside the time

@@ -129,6 +129,27 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming transition rollup: durable matrix == the batch extraction") {
+    import org.apache.spark.sql.expressions.Window
+    spark.sql("DROP TABLE IF EXISTS trans_rollup")
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+    val q = EventsStreaming.transitionRollupQuery(spark, stream, "trans_rollup")
+    q.processAllAvailable(); q.stop()
+    val rolled = spark.table("trans_rollup")
+      .groupBy("src", "dst").agg(sum("cnt").as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val all = Engine.table(spark, TestSpark.sf, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val batch = all.select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rolled == batch && rolled.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS trans_rollup")
+  }
+
   test("stream-stream join matches its batch twin within the time window") {
     val stream = spark.readStream
       .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
