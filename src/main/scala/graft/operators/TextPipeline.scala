@@ -912,6 +912,43 @@ object TextPipeline {
         nbScore(base, ct, classes)
           .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("cnt"))
+      }),
+
+    // Out-of-vocabulary rate against an in-plan trained top-K
+    // vocabulary — the standard tokenizer-coverage / garbage filter
+    // (a doc whose tokens mostly miss the corpus vocabulary is noise,
+    // OCR junk, or the wrong language). The vocabulary is a
+    // TakeOrdered of K rows with a total order (count desc, token) —
+    // driver/broadcast-bounded by the PARAMETER K, never corpus size;
+    // scoring is one scan + a broadcast left join + a per-doc
+    // aggregate with map-side combine. The rate is exact integer
+    // micro-units (floor div) — no float rounding (g01/g02 rule).
+    GQ("t29_oov_rate",
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($oracleTokens) AS token FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tok
+              GROUP BY token ORDER BY c DESC, token LIMIT 1000))
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS INT)
+                 AS oov_cnt,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS DOUBLE) / 1e6 AS oov_rate
+        FROM tok LEFT JOIN v ON tok.token = v.token
+        GROUP BY doc_id"""),
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("token")).limit(1000)
+          .select(col("token"), lit(1).as("iv"))
+        tok.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("oov_cnt"))
+          .select(col("doc_id"),
+            col("n_tokens").cast(IntegerType).as("n_tokens"),
+            col("oov_cnt").cast(IntegerType).as("oov_cnt"),
+            (expr("(oov_cnt * 1000000) div n_tokens").cast(DoubleType) / 1e6)
+              .as("oov_rate"))
       })
   )
 
