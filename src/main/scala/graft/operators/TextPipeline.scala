@@ -949,6 +949,53 @@ object TextPipeline {
             col("oov_cnt").cast(IntegerType).as("oov_cnt"),
             (expr("(oov_cnt * 1000000) div n_tokens").cast(DoubleType) / 1e6)
               .as("oov_rate"))
+      }),
+
+    // Corpus report card — the per-(source, lang) health rollup a
+    // curation team runs nightly: document counts, exact mean length,
+    // exact mean whitespace-token count, and how many documents sit in
+    // an exact-dup fingerprint group. Pure composition of existing
+    // signals (t03 tokens, t04 fingerprint) into ONE scan + the
+    // fingerprint aggregate + a broadcast semi join of the (small)
+    // dup-group set; means are integer micro-units (floor div) so the
+    // report is engine-exact. The output is |sources| x |langs| rows —
+    // dashboard-sized at any corpus scale.
+    GQ("t30_corpus_report", {
+      val fp = """md5(trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"""
+      Some(s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                 AS wt,
+               $fp AS fp
+             FROM documents),
+        dupg AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) > 1)
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) * 1000000 // COUNT(*) AS DOUBLE) / 1e6
+                 AS avg_chars,
+               CAST(SUM(wt) * 1000000 // COUNT(*) AS DOUBLE) / 1e6
+                 AS avg_ws_tokens,
+               CAST(SUM(CASE WHEN dupg.fp IS NULL THEN 0 ELSE 1 END) AS INT)
+                 AS dup_docs
+        FROM d LEFT JOIN dupg ON d.fp = dupg.fp
+        GROUP BY source, lang""")
+    },
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("source"),
+          col("lang"), col("n_chars"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast(LongType).as("wt"),
+          fingerprint(col("text")).as("fp"))
+        val dupg = base.groupBy("fp").agg(count(lit(1)).as("nfp"))
+          .filter(col("nfp") > 1).select(col("fp"), lit(1).as("dup"))
+        base.join(broadcast(dupg), Seq("fp"), "left")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            (expr("(sum(n_chars) * 1000000) div count(1)").cast(DoubleType)
+              / 1e6).as("avg_chars"),
+            (expr("(sum(wt) * 1000000) div count(1)").cast(DoubleType)
+              / 1e6).as("avg_ws_tokens"),
+            sum(when(col("dup").isNull, 0).otherwise(1)).cast(IntegerType)
+              .as("dup_docs"))
       })
   )
 
