@@ -355,6 +355,59 @@ object Events {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).as("n")))),
 
+    // Funnel summary — the deliverable on top of e12's per-user steps:
+    // users reached per stage and the stage-over-stage conversion rate
+    // in exact integer micro-units (floor div, zero-guarded — no float
+    // rounding). One extra single-row aggregate over e12's output,
+    // exploded to the 3-row report.
+    GQ("e16_funnel_rates",
+      Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                 JOIN t1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts > t1.t1
+                   AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+          t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                 JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+                   AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+          base AS (SELECT u.user_id,
+                 CASE WHEN t3.t3 IS NOT NULL THEN 3
+                      WHEN t2.t2 IS NOT NULL THEN 2
+                      WHEN t1.t1 IS NOT NULL THEN 1
+                      ELSE 0 END AS s
+               FROM (SELECT DISTINCT user_id FROM events) u
+               LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+               LEFT JOIN t3 USING (user_id)),
+          agg AS (SELECT COUNT(*) AS n0,
+                 CAST(SUM(CASE WHEN s >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(SUM(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+               FROM base)
+        SELECT step, reached,
+               CASE WHEN prev = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(reached * 1000000 // prev AS DOUBLE) / 1e6
+               END AS conv_rate
+        FROM (SELECT 1 AS step, n1 AS reached, n0 AS prev FROM agg
+              UNION ALL SELECT 2, n2, n1 FROM agg
+              UNION ALL SELECT 3, n3, n2 FROM agg)"""),
+      (s, d) => {
+        val a = funnelSteps(ev(s, d)).agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("funnel_step") >= 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("funnel_step") >= 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("funnel_step") >= 3, 1L).otherwise(0L)).as("n3"))
+        a.select(explode(array(
+            struct(lit(1).as("step"), col("n1").as("reached"), col("n0").as("prev")),
+            struct(lit(2).as("step"), col("n2").as("reached"), col("n1").as("prev")),
+            struct(lit(3).as("step"), col("n3").as("reached"), col("n2").as("prev"))))
+            .as("r"))
+          .select(col("r.step").as("step"), col("r.reached").as("reached"),
+            when(col("r.prev") === 0, lit(0.0))
+              .otherwise(expr("(r.reached * 1000000) div r.prev")
+                .cast(DoubleType) / 1e6).as("conv_rate"))
+      }),
+
     // First-order Markov transition matrix over each user's event
     // sequence (the session-path-mining primitive): src -> next event
     // type via lead() on the (ts, event_id)-total order, then counts

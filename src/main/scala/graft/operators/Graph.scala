@@ -228,6 +228,33 @@ object Graph {
     out
   }
 
+  /** Bounded-round multi-source BFS: minimum hop distance from any
+    * seed node, exploring `rounds` hops (r-hop reachability — the
+    * "neighborhood of a known-bad/known-good set" curation query:
+    * everything within 2 hops of a spam cluster, everything reachable
+    * from a trusted seed set). Pure integer min-distance propagation —
+    * nothing to round. Fixed rounds keep the unrolled-CTE oracle exact
+    * (the g01/g02/g04 discipline); unreached nodes are absent from the
+    * output.
+    *
+    * 100 TB shape: per round, one frontier-edge join (keyed on src) +
+    * one min-aggregate, both over the distance table (<= |V| rows, one
+    * row per reached node), materialized per round with the previous
+    * round's blocks released. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    var dist = seeds.select(col("id"), lit(0).as("dist")).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val next = dist.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), lit(r).as("dist"))
+        .unionByName(dist)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      Engine.releaseCheckpoint(dist)
+      dist = next
+    }
+    dist
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Engine.table(s, d, "documents")
 
@@ -368,6 +395,37 @@ object Graph {
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         kCorePeel(edges, dd.select(col("doc_id").as("id")), k = 2, rounds = 3)
+      }),
+
+    // 3-hop multi-source BFS from the doc_id % 50 seed set over the
+    // same near-dup graph: integer min-distance, unrolled-CTE oracle.
+    GQ("g05_bfs_hops", {
+      def round(prev: String, cur: String, r: Int): String =
+        s"""b$cur AS (SELECT id, MIN(dist) AS dist FROM (
+              SELECT e.dst AS id, $r AS dist FROM edges e
+              JOIN b$prev b ON e.src = b.id
+              UNION ALL SELECT id, dist FROM b$prev) GROUP BY id)"""
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        b0 AS (SELECT doc_id AS id, 0 AS dist FROM documents
+               WHERE doc_id < 300 AND doc_id % 50 = 0),
+        ${round("0", "1", 1)}, ${round("1", "2", 2)}, ${round("2", "3", 3)}
+        SELECT id, dist FROM b3""")
+    },
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val seeds = dd.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("id"))
+        bfsHops(edges, seeds, rounds = 3)
       })
   )
 }

@@ -112,4 +112,19 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got4 == got)
   }
+
+  test("bfsHops: min hop distances from a multi-seed frontier") {
+    // path 0-1-2-3-4-5 with seeds {0, 5}: distances fold in from both
+    // ends; node 6 is disconnected and must be absent
+    val p = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 5L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 0))
+    // bounded rounds: with 1 round only the 1-hop frontier is reached
+    val got1 = Graph.bfsHops(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got1 == Map(0L -> 0, 1L -> 1, 4L -> 1, 5L -> 0))
+  }
 }
