@@ -84,6 +84,44 @@ object Packing {
         SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
                CAST(bin AS INT) AS bin
         FROM pack"""),
-      (s, d) => packSequences(docs(s, d), 256L))
+      (s, d) => packSequences(docs(s, d), 256L)),
+
+    // Packing efficiency report — the observability rollup on top of
+    // p01 (what fraction of each shard's token budget the packer
+    // actually fills; low fill = fragmentation from oversized or
+    // awkwardly-sized documents). Per-source aggregate of the packed
+    // table; fill rate in exact integer micro-units (floor div) against
+    // bins x budget. Shard-count rows out at any corpus scale.
+    GQ("p02_packing_report",
+      Some("""WITH RECURSIVE tok AS (
+          SELECT source, doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents),
+        pack AS (
+          SELECT source, doc_id, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+          FROM tok WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+                 CASE WHEN p.fill + t.n_tokens <= 256 THEN p.bin ELSE p.bin + 1 END,
+                 CASE WHEN p.fill + t.n_tokens <= 256 THEN p.fill + t.n_tokens ELSE t.n_tokens END
+          FROM pack p JOIN tok t ON t.source = p.source AND t.rn = p.rn + 1)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT bin) AS INT) AS n_bins,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_tokens) * 1000000 // (COUNT(DISTINCT bin) * 256)
+                 AS DOUBLE) / 1e6 AS fill_rate
+        FROM pack GROUP BY source"""),
+      (s, d) => packSequences(docs(s, d), 256L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("bin")).cast(IntegerType).as("n_bins"),
+          sum(col("n_tokens").cast(LongType)).as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("n_bins"),
+          col("total_tokens"),
+          (expr("(total_tokens * 1000000) div (n_bins * 256)")
+            .cast(DoubleType) / 1e6).as("fill_rate")))
   )
 }

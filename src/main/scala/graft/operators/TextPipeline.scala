@@ -996,6 +996,53 @@ object TextPipeline {
               / 1e6).as("avg_ws_tokens"),
             sum(when(col("dup").isNull, 0).otherwise(1)).cast(IntegerType)
               .as("dup_docs"))
+      }),
+
+    // Vocabulary Zipf-slope diagnostic: OLS slope of ln(freq) on
+    // ln(rank) over the top-100 vocabulary — natural corpora sit near
+    // -1; a flat slope flags template spam, a cliff flags truncation.
+    // Every point is an exact MILLI-unit integer (floor of an
+    // IEEE-identical ln x 1e3), so all OLS sums and products stay
+    // below 2^53: the two final int->double conversions are exact and
+    // the single division is IEEE-identical — no decimal downcast, no
+    // halfway ties. The vocabulary is a total-order TakeOrdered of
+    // 100 rows; the OLS reduction is over those 100 points — the whole
+    // statistic costs one vocab aggregation at any corpus scale.
+    GQ("t31_zipf_slope",
+      Some(s"""WITH tok AS (SELECT unnest($oracleTokens) AS token FROM documents),
+        vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+                  ORDER BY c DESC, token LIMIT 100),
+        pts AS (SELECT
+            CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token)
+              AS DOUBLE)) * 1000) AS BIGINT) AS x,
+            CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y
+          FROM vocab),
+        a AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts)
+        SELECT CAST(n AS INT) AS n_terms,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+        FROM a"""),
+      (s, d) => {
+        val vocab = docs(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("token")).limit(100)
+        val pts = vocab.select(
+          floor(log(row_number().over(
+            Window.orderBy(col("c").desc, col("token"))).cast(DoubleType))
+            * 1000).cast(LongType).as("x"),
+          floor(log(col("c").cast(DoubleType)) * 1000).cast(LongType).as("y"))
+        pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n").cast(IntegerType).as("n_terms"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)
+              / (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast(DoubleType), 6).as("slope"))
       })
   )
 
