@@ -515,6 +515,42 @@ object Dedup {
         nearDupClusters(pairs, dd.select(col("doc_id").as("id")))
       }),
 
+    // Dedup audit rollup: the cluster-size histogram of d05's
+    // components — how much of the corpus sits in size-1 (unique),
+    // size-2, size-k near-dup clusters. THE number a curation team
+    // reads after a dedup run (mass in big clusters = template farms;
+    // all-singletons = threshold too tight). One aggregation over
+    // d05's (id, cluster) table, then a histogram over the (tiny)
+    // cluster-size table — output rows bounded by max cluster size.
+    GQ("d12_cluster_sizes",
+      Some(s"""WITH RECURSIVE $ngramPairCtes,
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        cc AS (
+          SELECT doc_id AS id, doc_id AS lbl FROM documents WHERE doc_id < 300
+          UNION
+          SELECT e.dst, c.lbl FROM cc c JOIN edges e ON c.id = e.src),
+        cl AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
+        szs AS (SELECT cluster, COUNT(*) AS csize FROM cl GROUP BY cluster)
+        SELECT CAST(csize AS INT) AS cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(SUM(csize) AS BIGINT) AS n_docs
+        FROM szs GROUP BY csize"""),
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        nearDupClusters(pairs, dd.select(col("doc_id").as("id")))
+          .groupBy("cluster").agg(count(lit(1)).as("csize"))
+          .groupBy(col("csize").cast(IntegerType).as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("csize")).as("n_docs"))
+      }),
+
     // Quality-based cluster survivorship — d05's survivor rule upgraded
     // to what a curation pipeline actually does: within each near-dup
     // cluster keep the BEST member (here: highest alpha ratio, the t02
