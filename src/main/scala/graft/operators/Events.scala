@@ -355,6 +355,39 @@ object Events {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).as("n")))),
 
+    // Per-type inter-event gap percentiles — the activity-cadence
+    // profile (how often does a user view vs purchase): gaps between a
+    // user's consecutive events of each type, exact interpolated
+    // p50/p95 per type (the q28 percentile contract). The lag() window
+    // keys on (user_id, event_type) — bounded per-task by one user's
+    // stream, never a global per-type sort; the percentile aggregate
+    // reduces per type. Gap micros are exact integers < 2^53, so the
+    // interpolation inputs are bit-identical; emission rounds 6dp.
+    GQ("e17_interevent_gaps",
+      Some("""WITH g AS (SELECT event_type,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_us
+               FROM events)
+        SELECT event_type, COUNT(gap_us) AS n_gaps,
+               round(quantile_cont(gap_us / 1000000.0, 0.5), 6) AS p50_s,
+               round(quantile_cont(gap_us / 1000000.0, 0.95), 6) AS p95_s
+        FROM g WHERE gap_us IS NOT NULL GROUP BY event_type"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val g = ev(s, d).select(col("event_type"),
+          (unix_micros(col("ts"))
+            - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        g.filter(col("gap_us").isNotNull)
+          .select(col("event_type"),
+            (col("gap_us").cast(DoubleType) / 1000000.0).as("gap_s"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            round(expr("percentile(gap_s, 0.5)"), 6).as("p50_s"),
+            round(expr("percentile(gap_s, 0.95)"), 6).as("p95_s"))
+      }),
+
     // Funnel summary — the deliverable on top of e12's per-user steps:
     // users reached per stage and the stage-over-stage conversion rate
     // in exact integer micro-units (floor div, zero-guarded — no float
