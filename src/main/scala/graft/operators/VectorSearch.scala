@@ -556,6 +556,50 @@ object VectorSearch {
           .select(col("qid"), col("vec_id").as("nid"),
             sim6(col("qv"), col("embedding")).as("sim"))
         topKPerQid(pairs, 5)
+      }),
+
+    // k-NN majority-vote classification — the third classifier shape
+    // next to c02 (parametric centroid) and t28 (probabilistic NB):
+    // predict each query vector's label as the majority label of its 5
+    // exact nearest neighbors; vote ties break to the smaller label,
+    // neighbor ties to the (sim desc, nid) total order. The neighbor
+    // arm is s01's bounded-heap brute force (at scale: any ANN arm,
+    // since voting consumes only (qid, neighbor label)); votes and the
+    // argmax are integer counting over k rows per query. Exact -> full
+    // SQL oracle.
+    GQ("s09_knn_classifier",
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pr AS (SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid,
+                      b.label AS nlabel, round($oracleCosine, 6) AS sim
+               FROM e a JOIN e b ON a.vec_id % 20 = 0 AND b.vec_id <> a.vec_id),
+        top5 AS (SELECT qid, qlabel, nlabel FROM (
+          SELECT qid, qlabel, nlabel,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM pr) WHERE rn <= 5),
+        votes AS (SELECT qid, qlabel, nlabel, COUNT(*) AS c
+                  FROM top5 GROUP BY qid, qlabel, nlabel)
+        SELECT qid, qlabel AS label, nlabel AS pred FROM (
+          SELECT qid, qlabel, nlabel,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rn
+          FROM votes) WHERE rn = 1"""),
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            sim6(col("qv"), col("embedding")).as("sim"))
+        val top5 = topKPerQid(pairs, 5)
+          .join(e.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+            "nid")
+        val votes = top5.groupBy("qid", "nlabel")
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nlabel"))
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
+          .select(col("qid"), col("qlabel").as("label"),
+            col("nlabel").as("pred"))
       })
   )
 }

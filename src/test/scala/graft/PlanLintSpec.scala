@@ -41,7 +41,11 @@ class PlanLintSpec extends AnyFunSuite {
       // t28: broadcast sides are the |classes|-row model-constant table
       // and one-row corpus scalars — class count is a label-vocabulary
       // property, never corpus size
-      "t28_nb_lang_classifier")
+      "t28_nb_lang_classifier",
+      // s09: the neighbor arm is s01's broadcast-query-set brute force
+      // (|Q| << corpus, linear corpus cost); at scale it swaps for any
+      // ANN arm since voting consumes only (qid, neighbor label)
+      "s09_knn_classifier")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
