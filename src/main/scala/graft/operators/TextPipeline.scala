@@ -1043,6 +1043,104 @@ object TextPipeline {
               .cast(DoubleType)
               / (col("n") * col("sxx") - col("sx") * col("sx"))
                 .cast(DoubleType), 6).as("slope"))
+      }),
+
+    // NB confidence margin — the active-learning / quality-triage
+    // signal on top of t28: per doc, the top class and its DECIMAL-
+    // exact score gap to the runner-up (small margin = ambiguous
+    // document worth routing to review). Scores are 6dp-exact
+    // decimals, so the margin emits through the decOut contract with
+    // no engine divergence; the two-row-per-doc pick rides the same
+    // bounded |classes|-row window as t28.
+    GQ("t32_nb_margin",
+      Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($oracleTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        ct AS (SELECT lang AS clang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        tot AS (SELECT clang, SUM(c) AS tot FROM ct GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+        nd AS (SELECT lang AS clang, COUNT(*) AS nd FROM documents GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        classes AS (SELECT clang,
+                      CAST(round(ln(CAST(nd AS DOUBLE) / n), 6) AS DECIMAL(38,10)) AS prior,
+                      tot, v
+                    FROM nd CROSS JOIN n JOIN tot USING (clang) CROSS JOIN vocab),
+        ds AS (SELECT f.doc_id, k.clang,
+                      SUM(f.tf * CAST(round(ln((COALESCE(ct.c, 0) + 1)
+                        / CAST(k.tot + k.v AS DOUBLE)), 6) AS DECIMAL(38,10))) AS s
+               FROM tf f CROSS JOIN classes k
+               LEFT JOIN ct ON ct.clang = k.clang AND ct.token = f.token
+               GROUP BY 1, 2),
+        sc AS (SELECT d.doc_id, k.clang,
+                      k.prior + COALESCE(ds.s, 0) AS score,
+                      ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                        ORDER BY k.prior + COALESCE(ds.s, 0) DESC, k.clang) AS rn
+               FROM documents d CROSS JOIN classes k
+               LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.clang = k.clang)
+        SELECT p1.doc_id, p1.clang AS pred,
+               CAST(CAST(p1.score - p2.score AS DECIMAL(38,6)) AS DOUBLE)
+                 AS margin
+        FROM sc p1 JOIN sc p2
+          ON p1.doc_id = p2.doc_id AND p1.rn = 1 AND p2.rn = 2"""),
+      (s, d) => {
+        val base = docs(s, d)
+        val (ct, classes) = nbTrain(base)
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("clang"))
+        val ranked = nbClassScores(base, ct, classes)
+          .withColumn("rn", row_number().over(w))
+        val top = ranked.filter(col("rn") === 1)
+          .select(col("doc_id"), col("clang").as("pred"),
+            col("score").as("s1"))
+        val second = ranked.filter(col("rn") === 2)
+          .select(col("doc_id"), col("score").as("s2"))
+        top.join(second, "doc_id")
+          .select(col("doc_id"), col("pred"),
+            Engine.decOut(col("s1") - col("s2")).as("margin"))
+      }),
+
+    // Train/validation split drift — the distribution-shift audit for
+    // a deterministic content-hash split (the t05 criterion): per
+    // source, each half's token-mass share and the absolute share
+    // drift, all in exact integer micro-units (a large drift on any
+    // source means the split is not exchangeable for that slice). One
+    // scan + a |sources|-row aggregate + one-row totals — audit-sized
+    // output at any corpus scale.
+    GQ("t33_split_drift",
+      Some("""WITH t AS (SELECT source,
+                 substring(md5(text), 1, 2) < '80' AS ina,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS BIGINT) AS n
+               FROM documents),
+        agg AS (SELECT source,
+                 CAST(SUM(CASE WHEN ina THEN n ELSE 0 END) AS BIGINT) AS ta,
+                 CAST(SUM(CASE WHEN NOT ina THEN n ELSE 0 END) AS BIGINT) AS tb
+               FROM t GROUP BY source),
+        tot AS (SELECT CAST(SUM(ta) AS BIGINT) AS qa,
+                       CAST(SUM(tb) AS BIGINT) AS qb FROM agg)
+        SELECT source, ta, tb,
+               CAST(ta * 1000000 // qa AS DOUBLE) / 1e6 AS share_a,
+               CAST(tb * 1000000 // qb AS DOUBLE) / 1e6 AS share_b,
+               CAST(abs(ta * 1000000 // qa - tb * 1000000 // qb) AS DOUBLE)
+                 / 1e6 AS drift
+        FROM agg CROSS JOIN tot"""),
+      (s, d) => {
+        val t = docs(s, d).select(col("source"),
+          (substring(md5(col("text").cast(BinaryType)), 1, 2) < "80")
+            .as("ina"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast(LongType).as("n"))
+        val agg = t.groupBy("source").agg(
+          sum(when(col("ina"), col("n")).otherwise(0L)).as("ta"),
+          sum(when(!col("ina"), col("n")).otherwise(0L)).as("tb"))
+        val tot = agg.agg(sum("ta").as("qa"), sum("tb").as("qb"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("source"), col("ta"), col("tb"),
+            (expr("(ta * 1000000) div qa").cast(DoubleType) / 1e6)
+              .as("share_a"),
+            (expr("(tb * 1000000) div qb").cast(DoubleType) / 1e6)
+              .as("share_b"),
+            (abs(expr("(ta * 1000000) div qa - (tb * 1000000) div qb"))
+              .cast(DoubleType) / 1e6).as("drift"))
       })
   )
 
@@ -1072,13 +1170,12 @@ object TextPipeline {
     (ct, classes)
   }
 
-  /** NB scoring against an in-plan or persisted model: per-doc argmax
-    * class with the DECIMAL-exact scores of t28. A document's score
-    * depends only on the model and the document itself, so scoring a
-    * slice with a full-corpus model gives exactly the full run's
-    * predictions restricted to that slice (pinned in LayoutSpec).
-    * Returns (doc_id, lang, pred). */
-  def nbScore(base: DataFrame, ct: DataFrame, classes: DataFrame): DataFrame = {
+  /** The full NB score table against an in-plan or persisted model:
+    * one DECIMAL-exact class score per (doc, class). Split from
+    * [[nbScore]] so margin/confidence consumers (t32) see all classes,
+    * not just the argmax. */
+  def nbClassScores(base: DataFrame, ct: DataFrame,
+      classes: DataFrame): DataFrame = {
     val DEC = DecimalType(38, 10)
     val tf = base.select(col("doc_id"),
         explode(tokens(col("text"))).as("token"))
@@ -1090,11 +1187,21 @@ object TextPipeline {
         (coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
           / (col("tot") + col("v")).cast(DoubleType)), 6).cast(DEC))
         .as("s"))
-    val sc = base.select(col("doc_id"), col("lang"))
+    base.select(col("doc_id"), col("lang"))
       .crossJoin(broadcast(classes.select("clang", "prior")))
       .join(ds, Seq("doc_id", "clang"), "left")
       .select(col("doc_id"), col("lang"), col("clang"),
         (col("prior") + coalesce(col("s"), lit(0))).as("score"))
+  }
+
+  /** NB scoring against an in-plan or persisted model: per-doc argmax
+    * class with the DECIMAL-exact scores of t28. A document's score
+    * depends only on the model and the document itself, so scoring a
+    * slice with a full-corpus model gives exactly the full run's
+    * predictions restricted to that slice (pinned in LayoutSpec).
+    * Returns (doc_id, lang, pred). */
+  def nbScore(base: DataFrame, ct: DataFrame, classes: DataFrame): DataFrame = {
+    val sc = nbClassScores(base, ct, classes)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("clang"))
     sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -45,7 +45,12 @@ class PlanLintSpec extends AnyFunSuite {
       // s09: the neighbor arm is s01's broadcast-query-set brute force
       // (|Q| << corpus, linear corpus cost); at scale it swaps for any
       // ANN arm since voting consumes only (qid, neighbor label)
-      "s09_knn_classifier")
+      "s09_knn_classifier",
+      // t32: t28's scoring plan (same |classes|-row + one-row
+      // broadcasts) consumed twice for the top-2 pick
+      "t32_nb_margin",
+      // t33: the broadcast side is the ONE-row split-total aggregate
+      "t33_split_drift")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
