@@ -355,6 +355,31 @@ object Events {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).as("n")))),
 
+    // Hour-of-day seasonality profile — the ops-dashboard rollup: per
+    // (event_type, hour-of-day), event count and its exact micro-unit
+    // share of the type's total (when does each activity peak). One
+    // scan + a 24 x |types| aggregate; shares divide exact integers.
+    GQ("e18_hourly_profile",
+      Some("""WITH h AS (SELECT event_type,
+                 CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+                 COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+              FROM h GROUP BY 1)
+        SELECT event_type, hod, n,
+               CAST(n * 1000000 // tot AS DOUBLE) / 1e6 AS share
+        FROM h JOIN t USING (event_type)"""),
+      (s, d) => {
+        val h = ev(s, d).groupBy(col("event_type"),
+            hour(col("ts")).cast(IntegerType).as("hod"))
+          .agg(count(lit(1)).as("n"))
+        val t = h.groupBy("event_type").agg(sum("n").as("tot"))
+        h.join(broadcast(t), "event_type")
+          .select(col("event_type"), col("hod"), col("n"),
+            (expr("(n * 1000000) div tot").cast(DoubleType) / 1e6)
+              .as("share"))
+      }),
+
     // Per-type inter-event gap percentiles — the activity-cadence
     // profile (how often does a user view vs purchase): gaps between a
     // user's consecutive events of each type, exact interpolated

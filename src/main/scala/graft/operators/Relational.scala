@@ -782,6 +782,43 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
         .offset(40).limit(20)),
 
+    // The NOT IN null trap — the classic 3VL footgun pinned as a
+    // semantic contract: `x NOT IN (subquery containing NULL)` is
+    // never TRUE (it is NULL for non-members), while NOT EXISTS gives
+    // the intuitive answer. Both forms in one query over the same
+    // probe set (order priorities vs a subquery that includes a NULL)
+    // — identical text both engines, so any null-semantics regression
+    // in either compilation path hash-fails immediately.
+    GQ("q58_not_in_null_trap", {
+      val q = """WITH probe AS (
+          SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 1000),
+        vals AS (SELECT '1-URGENT' AS p UNION ALL SELECT '3-MEDIUM'
+                 UNION ALL SELECT CAST(NULL AS VARCHAR(16)))
+        SELECT
+          (SELECT COUNT(*) FROM probe
+           WHERE o_orderpriority NOT IN (SELECT p FROM vals)) AS not_in_with_null,
+          (SELECT COUNT(*) FROM probe WHERE NOT EXISTS (
+             SELECT 1 FROM vals WHERE vals.p = probe.o_orderpriority))
+            AS not_exists,
+          (SELECT COUNT(*) FROM probe
+           WHERE o_orderpriority NOT IN
+             (SELECT p FROM vals WHERE p IS NOT NULL)) AS not_in_clean"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, """WITH probe AS (
+          SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 1000),
+        vals AS (SELECT '1-URGENT' AS p UNION ALL SELECT '3-MEDIUM'
+                 UNION ALL SELECT CAST(NULL AS VARCHAR(16)))
+        SELECT
+          (SELECT COUNT(*) FROM probe
+           WHERE o_orderpriority NOT IN (SELECT p FROM vals)) AS not_in_with_null,
+          (SELECT COUNT(*) FROM probe WHERE NOT EXISTS (
+             SELECT 1 FROM vals WHERE vals.p = probe.o_orderpriority))
+            AS not_exists,
+          (SELECT COUNT(*) FROM probe
+           WHERE o_orderpriority NOT IN
+             (SELECT p FROM vals WHERE p IS NOT NULL)) AS not_in_clean""")),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {
