@@ -502,6 +502,57 @@ object Events {
         c.join(broadcast(t), "src")
           .select(col("src"), col("dst"), col("cnt"),
             (expr("(cnt * 1000000) div tot").cast(DoubleType) / 1e6).as("prob"))
+      }),
+
+    // Seasonality-adjusted anomaly — e14's complement: e14 scores an
+    // hour against its trailing 24 observed hours (level shifts), this
+    // scores it against the SAME hour-of-day across all days (a spike
+    // at 3am is anomalous even if yesterday 3pm was bigger). Baseline
+    // mean/variance per (type, hour-of-day) derive from EXACT integer
+    // sums (the e14 contract: n, n*n aggregated as integers; the one
+    // double expression is written identically on both engines; sqrt is
+    // correctly rounded — memory: pow is not). Scale: the hourly
+    // rollup is the only event-scan shuffle; the 24 x |types| baseline
+    // broadcasts back over the tiny rollup.
+    GQ("e19_seasonal_anomaly",
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                 COUNT(*) AS n FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, CAST(EXTRACT(hour FROM hr) AS INT) AS hod,
+                  CAST(SUM(n) AS BIGINT) AS s,
+                  CAST(SUM(n * n) AS BIGINT) AS ssq,
+                  COUNT(*) AS c
+                FROM h GROUP BY 1, 2),
+          z AS (SELECT h.event_type, h.hr, h.n,
+                  (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / c)
+                    / (c - 1) AS v,
+                  CAST(s AS DOUBLE) / c AS m
+                FROM h JOIN b ON h.event_type = b.event_type
+                  AND CAST(EXTRACT(hour FROM h.hr) AS INT) = b.hod
+                WHERE c >= 10)
+        SELECT event_type, hr, n, round((n - m) / sqrt(v), 6) AS z
+        FROM z WHERE v > 0 AND abs(round((n - m) / sqrt(v), 6)) > 2"""),
+      (s, d) => {
+        val h = ev(s, d).groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val b = h.groupBy(col("event_type").as("b_type"),
+            hour(col("hr")).cast(IntegerType).as("hod"))
+          .agg(sum("n").cast(LongType).as("s"),
+            sum(col("n") * col("n")).cast(LongType).as("ssq"),
+            count(lit(1)).as("c"))
+          .filter(col("c") >= 10)
+        val j = h.join(broadcast(b),
+            h("event_type") === col("b_type") &&
+              hour(col("hr")).cast(IntegerType) === col("hod"))
+          .select(h("event_type"), col("hr"), col("n"),
+            ((col("ssq").cast(DoubleType)
+              - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("c"))
+              / (col("c") - 1)).as("v"),
+            (col("s").cast(DoubleType) / col("c")).as("m"))
+        j.filter(col("v") > 0)
+          .select(col("event_type"), col("hr"), col("n"),
+            round((col("n") - col("m")) / sqrt(col("v")), 6).as("z"))
+          .filter(abs(col("z")) > 2)
       })
   )
 }

@@ -732,6 +732,55 @@ object Relational {
             .as("clipped"))
       }),
 
+    // Robust outlier detection: per-brand median-absolute-deviation
+    // (q54's complement — winsorize clamps to percentile bands, MAD
+    // *counts* the heavy tail robustly). Everything stays engine-exact
+    // WITHOUT a rounding contract: prices become integer cents, the
+    // exact interpolated median of integers is k/2 (exact in double),
+    // deviations are k/2 steps, their median is k/4, and the outlier
+    // predicate dev > 3*mad compares exact doubles. Scale: the
+    // lineitem-part join shuffles on partkey (or broadcasts part); the
+    // 25-row band tables broadcast back over the scan — the q54 shape.
+    GQ("q59_mad_outliers",
+      Some("""WITH j AS (SELECT p_brand,
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+          m AS (SELECT p_brand, quantile_cont(pc, 0.5) AS med
+                FROM j GROUP BY 1),
+          dv AS (SELECT j.p_brand, pc, med, abs(pc - med) AS dev
+                 FROM j JOIN m USING (p_brand)),
+          a AS (SELECT p_brand, med, quantile_cont(dev, 0.5) AS mad
+                FROM dv GROUP BY 1, 2)
+        SELECT dv.p_brand, COUNT(*) AS n, a.med AS med_cents,
+               a.mad AS mad_cents,
+               CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_out
+        FROM dv JOIN a ON dv.p_brand = a.p_brand
+        GROUP BY 1, 3, 4"""),
+      (s, d) => {
+        val j = t(s, d, "lineitem")
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            // the price column is stored DOUBLE: x*100 is integral-cents
+            // +/- eps, and bare double->long casts DIVERGE cross-engine
+            // (Spark truncates, DuckDB rounds) — round(.,0) first is
+            // unambiguous because a true .5 tie cannot occur
+            round(col("l_extendedprice") * 100, 0).cast(LongType).as("pc"))
+        val m = j.groupBy("p_brand").agg(expr("percentile(pc, 0.5)").as("med"))
+        val dv = j.join(broadcast(m), "p_brand")
+          .select(col("p_brand"), col("pc"), col("med"),
+            abs(col("pc") - col("med")).as("dev"))
+        val a = dv.groupBy("p_brand", "med")
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        dv.join(broadcast(a.select(col("p_brand"), col("mad"))), "p_brand")
+          .groupBy(col("p_brand"), col("med"), col("mad"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+              .as("n_out"))
+          .select(col("p_brand"), col("n"), col("med").as("med_cents"),
+            col("mad").as("mad_cents"), col("n_out"))
+      }),
+
     // PG pattern grammar parity: ILIKE (case-insensitive LIKE) and
     // LIKE ... ESCAPE — both in the reference's PG dialect, both
     // codegen'd predicates in one scan pass (no shuffle). The ESCAPE
