@@ -122,6 +122,42 @@ object Packing {
         .select(col("source"), col("n_docs"), col("n_bins"),
           col("total_tokens"),
           (expr("(total_tokens * 1000000) div (n_bins * 256)")
-            .cast(DoubleType) / 1e6).as("fill_rate")))
+            .cast(DoubleType) / 1e6).as("fill_rate"))),
+
+    // Curriculum ordering — easy-to-hard training order: every document
+    // gets a GLOBAL position in the (n_tokens, doc_id) total order,
+    // WITHOUT a global sort. Two-phase rank (the t21 discipline): a
+    // tiny per-token-count histogram yields cumulative offsets (its
+    // single-partition running-sum window is over at most max-doc-length
+    // rows — driver-size, not data-size), broadcast back; within each
+    // token-count the row_number window partitions on n_tokens. Result
+    // is pinned identical to the oracle's row_number() OVER (ORDER BY
+    // n_tokens, doc_id) — a plan a 1000-executor cluster runs without
+    // ever funneling the corpus through one task.
+    GQ("p03_curriculum_order",
+      Some("""WITH tok AS (SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_tokens
+               FROM documents)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+                 AS pos
+        FROM tok"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = docs(s, d).select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast(LongType).as("n_tokens"))
+        val hist = c.groupBy("n_tokens").agg(count(lit(1)).as("n"))
+        val offs = hist.withColumn("offset",
+          coalesce(sum("n").over(Window.orderBy("n_tokens")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        c.join(broadcast(offs.select(col("n_tokens"), col("offset"))),
+            "n_tokens")
+          .select(col("doc_id"),
+            col("n_tokens").cast(IntegerType).as("n_tokens"),
+            (row_number().over(Window.partitionBy("n_tokens")
+              .orderBy("doc_id")).cast(LongType) + col("offset")).as("pos"))
+      })
   )
 }

@@ -796,6 +796,47 @@ object TextPipeline {
               / greatest(col("n_grams"), lit(1)), 6).as("contamination"))
       }),
 
+    // n-gram NOVELTY — the inverse of t25's contamination: the share of
+    // a document's distinct 8-grams that appear in NO other document
+    // (df = 1 across the corpus). High novelty = unique content worth
+    // keeping; near-zero = boilerplate already covered elsewhere — the
+    // doc-level complement of the span-level t14/t27 detectors. Scale:
+    // one shuffle keyed on the gram for the df count (at 100 TB the
+    // gram key becomes the d09 128-bit hash — 16-byte shuffle keys,
+    // same result since only equality is used; exact strings kept here
+    // for oracle parity), then a semi-join of the singleton grams back
+    // to the per-doc gram list. Gram keys are near-unique so the
+    // df shuffle has no skew by construction.
+    GQ("t34_ngram_novelty",
+      Some(s"""WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8 THEN
+              list_transform(range(1, len(t) - 6), i -> t[i] || ' ' || t[i+1] || ' ' ||
+                t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                t[i+6] || ' ' || t[i+7])
+            ELSE [] END) AS sh FROM tok),
+          exg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          df AS (SELECT g, COUNT(*) AS df FROM exg GROUP BY 1),
+          u AS (SELECT doc_id, COUNT(*) AS n_unique FROM exg
+                JOIN df USING (g) WHERE df = 1 GROUP BY 1)
+        SELECT s.doc_id, CAST(len(s.sh) AS INT) AS n_grams,
+               round(CAST(COALESCE(u.n_unique, 0) AS DOUBLE)
+                 / greatest(len(s.sh), 1), 6) AS novelty
+        FROM sh s LEFT JOIN u USING (doc_id)"""),
+      (s, d) => {
+        val sh = docs(s, d).select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), 8)).as("sh"))
+        val exg = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val singletons = exg.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") === 1).select("g")
+        val u = exg.join(singletons, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
+        sh.select(col("doc_id"), size(col("sh")).as("n_grams"))
+          .join(u, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams").cast(IntegerType).as("n_grams"),
+            round(coalesce(col("n_unique"), lit(0L)).cast(DoubleType)
+              / greatest(col("n_grams"), lit(1)), 6).as("novelty"))
+      }),
+
     // repeated-substring SPANS — the character-level duplicated-content
     // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
     // instead of suffix-arrayed: 32-char windows at stride 16, a window
