@@ -553,6 +553,41 @@ object Events {
           .select(col("event_type"), col("hr"), col("n"),
             round((col("n") - col("m")) / sqrt(col("v")), 6).as("z"))
           .filter(abs(col("z")) > 2)
+      }),
+
+    // Rolling 7-day active users + DAU/WAU stickiness — the product
+    // health metric. An exact trailing-window COUNT DISTINCT needs no
+    // range join (which would plan as a BroadcastNestedLoopJoin): each
+    // (day, user) activity row is EXPLODED to the 7 target days it
+    // makes the user active in, and WAU is a plain distinct count per
+    // target day — an equi-shuffle a 1000-executor cluster runs at any
+    // scale, 7x the (day, user) volume by construction (the window
+    // length, not the data, is the multiplier). Stickiness divides
+    // exact integers in micro-units. The oracle states the same
+    // semantics as the naive range join.
+    GQ("e20_dau_wau",
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                 FROM events),
+          dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+          wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+                  FROM (SELECT DISTINCT day FROM du) d
+                  JOIN du u ON u.day <= d.day AND u.day >= d.day - 6
+                  GROUP BY 1)
+        SELECT day, dau, wau,
+               CAST(dau * 1000000 // wau AS DOUBLE) / 1e6 AS stickiness
+        FROM dau JOIN wau USING (day)"""),
+      (s, d) => {
+        val du = ev(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+            col("user_id"))
+          .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            (expr("(dau * 1000000) div wau").cast(DoubleType) / 1e6)
+              .as("stickiness"))
       })
   )
 }

@@ -781,6 +781,27 @@ object Relational {
             col("mad").as("mad_cents"), col("n_out"))
       }),
 
+    // Equi-width histogram (PG width_bucket semantics, written as the
+    // explicit formula because DuckDB has no width_bucket and engine-
+    // internal implementations may differ by an ulp: one division by
+    // the bucket width + floor, identical text both sides, under/
+    // overflow buckets 0 and n+1). Bucket counts plus the exact decimal
+    // mass per bucket (dsum/osum contract). One scan, one 22-row
+    // aggregate — the profiling query that sizes every later range
+    // partition at 100 TB.
+    GQ("q60_price_histogram",
+      Some(s"""SELECT CASE WHEN o_totalprice < 0 THEN 0
+               WHEN o_totalprice >= 600000 THEN 21
+               ELSE CAST(floor(o_totalprice / 30000) AS INT) + 1 END AS bucket,
+               COUNT(*) AS n, ${osum("o_totalprice")} AS mass
+        FROM orders GROUP BY 1"""),
+      (s, d) => t(s, d, "orders")
+        .groupBy(expr("""CASE WHEN o_totalprice < 0 THEN 0
+               WHEN o_totalprice >= 600000 THEN 21
+               ELSE CAST(floor(o_totalprice / 30000) AS INT) + 1 END""")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("mass"))),
+
     // PG pattern grammar parity: ILIKE (case-insensitive LIKE) and
     // LIKE ... ESCAPE — both in the reference's PG dialect, both
     // codegen'd predicates in one scan pass (no shuffle). The ESCAPE
