@@ -639,6 +639,44 @@ object Dedup {
         docs(s, d).filter(col("doc_id") % 50 =!= 0),
         docs(s, d).filter(col("doc_id") % 50 === 0))
         .select("doc_id", "lang", "source"))
+  ) ++ Seq(
+
+    // Cross-source duplication matrix — which source pairs share
+    // content (licensing leak detection, crawl-overlap audit). NO
+    // pair self-join: per-(hash, source) multiplicities are counted
+    // first, then the pair count for (s1, s2) is the product c1*c2
+    // (C(c,2) on the diagonal) — per-hash fan-out is bounded by the
+    // number of sources, so a million-copy boilerplate hash costs one
+    // row per source it appears in, not a quadratic pair explosion
+    // (the d01 groupBy discipline extended to the pair matrix).
+    GQ("d13_cross_source_dups",
+      Some("""WITH hs AS (SELECT source, md5(text) AS h FROM documents),
+          cs AS (SELECT h, source, COUNT(*) AS c FROM hs GROUP BY 1, 2),
+          x AS (SELECT a.h AS h, a.source AS s1, b.source AS s2,
+                  a.c * b.c AS np
+                FROM cs a JOIN cs b ON a.h = b.h AND a.source < b.source
+                UNION ALL
+                SELECT h, source, source, (c * (c - 1)) // 2
+                FROM cs WHERE c > 1)
+        SELECT s1, s2, CAST(COUNT(*) AS INT) AS n_groups,
+               CAST(SUM(np) AS BIGINT) AS n_pairs
+        FROM x GROUP BY 1, 2"""),
+      (s, d) => {
+        val cs = docs(s, d)
+          .groupBy(md5(col("text").cast(BinaryType)).as("h"), col("source"))
+          .agg(count(lit(1)).as("c"))
+        val cross = cs.as("a").join(cs.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .select(col("a.h").as("h"), col("a.source").as("s1"),
+            col("b.source").as("s2"), (col("a.c") * col("b.c")).as("np"))
+        val diag = cs.filter(col("c") > 1)
+          .select(col("h"), col("source").as("s1"), col("source").as("s2"),
+            expr("(c * (c - 1)) div 2").as("np"))
+        cross.unionByName(diag)
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).cast(IntegerType).as("n_groups"),
+            sum("np").cast(LongType).as("n_pairs"))
+      })
   )
 
   /** Shared DuckDB CTE chain producing the bounded n-gram candidate set

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.{Engine, GQ}
 
@@ -426,6 +426,72 @@ object Graph {
         val seeds = dd.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("id"))
         bfsHops(edges, seeds, rounds = 3)
+      }),
+
+    // Adamic-Adar link prediction over the same near-dup graph:
+    // candidate pairs at distance 2 (sharing >= 1 neighbor, not
+    // adjacent), scored by sum_b 1/ln(deg(b)) — rare shared neighbors
+    // count more (Adamic & Adar 2003). The curation read: a
+    // high-scoring non-edge is a near-dup the pair generator likely
+    // MISSED. Per-contribution doubles are pre-rounded to 6dp and
+    // summed in DECIMAL (the t18/g01 order-independence discipline);
+    // 1/ln(deg) is irrational so a 7th-digit halfway tie cannot occur.
+    GQ("g06_adamic_adar",
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        dg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+        w AS (SELECT x.src AS a, dg.deg AS deg, y.dst AS c
+              FROM e x JOIN dg ON x.dst = dg.id AND dg.deg <= 64
+              JOIN e y ON y.src = dg.id
+              WHERE x.src < y.dst),
+        nw AS (SELECT a, deg, c FROM w WHERE NOT EXISTS
+               (SELECT 1 FROM p WHERE p.id_a = w.a AND p.id_b = w.c))
+        SELECT a, c, CAST(COUNT(*) AS INT) AS n_common,
+               ${GQ.osum("round(1.0 / ln(deg), 6)")} AS aa_score
+        FROM nw GROUP BY a, c"""),
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        adamicAdar(pairs, maxMidDegree = 64)
       })
   )
+
+  /** Adamic-Adar scores for every non-adjacent pair sharing a common
+    * neighbor. `pairs` is the canonical undirected edge list
+    * (id_a < id_b). The wedge join through a middle node b generates
+    * deg(b)^2 candidates — the quadratic dial — so middle nodes above
+    * `maxMidDegree` are excluded (a hub everyone touches predicts
+    * nothing anyway: its 1/ln(deg) contribution vanishes while its
+    * wedge count explodes; the d02/d07 maxBucket discipline applied to
+    * graphs). One wedge shuffle keyed on b, one anti join against the
+    * edge set, one (a, c) aggregate. */
+  def adamicAdar(pairs: DataFrame, maxMidDegree: Int): DataFrame = {
+    val p = pairs.localCheckpoint() // referenced 4x below; run its plan once
+    val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val mid = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxMidDegree)
+      .select(col("src").as("b"), col("deg"))
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(mid, "b")
+      .join(e.select(col("src").as("b2"), col("dst").as("c")),
+        col("b") === col("b2"))
+      .filter(col("a") < col("c"))
+    val nonAdj = wedges.join(
+      p.select(col("id_a").as("a"), col("id_b").as("c")),
+      Seq("a", "c"), "left_anti")
+    val out = nonAdj.groupBy("a", "c")
+      .agg(count(lit(1)).cast(IntegerType).as("n_common"),
+        Engine.dsum(round(lit(1.0) / log(col("deg").cast(DoubleType)), 6))
+          .as("aa_score"))
+      .localCheckpoint()
+    Engine.releaseCheckpoint(p)
+    out
+  }
 }

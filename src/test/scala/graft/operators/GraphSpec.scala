@@ -127,4 +127,28 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got1 == Map(0L -> 0, 1L -> 1, 4L -> 1, 5L -> 0))
   }
+
+  test("adamicAdar: hand-scored wedges, adjacency excluded, hub capped") {
+    // path 0-1-2 plus 2-3: wedges (0,2) via 1? no — 0-1-2 ARE the
+    // edges; candidates are the distance-2 pairs (0,2)? (0,2) is NOT
+    // an edge here: edges 0-1, 1-2, 2-3. Non-adjacent wedge pairs:
+    // (0,2) via 1 [deg(1)=2], (1,3) via 2 [deg(2)=2].
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Graph.adamicAdar(pairs, maxMidDegree = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    val c = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map((0L, 2L) -> (1, c), (1L, 3L) -> (1, c)), s"got $got")
+    // adjacent pairs never appear: triangle {0,1,2} has wedges between
+    // every pair but all three are edges -> empty result
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
+    assert(Graph.adamicAdar(tri, 64).count() === 0L)
+    // the hub cap drops wedges through high-degree middles: star
+    // center 0 with leaves 1..4 -> all C(4,2) leaf pairs via hub 0;
+    // cap 3 < deg(0)=4 removes them all
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("id_a", "id_b")
+    assert(Graph.adamicAdar(star, 64).count() === 6L)
+    assert(Graph.adamicAdar(star, 3).count() === 0L)
+  }
 }
