@@ -600,6 +600,55 @@ object VectorSearch {
           .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
           .select(col("qid"), col("qlabel").as("label"),
             col("nlabel").as("pred"))
+      }),
+
+    // Embedding-space label purity — the representation-quality audit:
+    // for EVERY vector, the fraction of its 5 exact nearest neighbors
+    // sharing its label, averaged per label in exact micro-units
+    // (matches are integers; 5*n is the denominator — floor div, no
+    // floats until emission). A label whose neighborhoods are impure
+    // is either mislabeled data or an embedding model that cannot
+    // separate it — both curation signals. The all-pairs arm is the
+    // d06 declared-quadratic oracle twin (the scale path swaps in any
+    // ANN arm, since purity consumes only (qid, neighbor label) —
+    // s01's bounded heap keeps the reduction partial-aggregated here).
+    GQ("s10_label_purity",
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pr AS (SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid,
+                      b.label AS nlabel, round($oracleCosine, 6) AS sim
+               FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        top5 AS (SELECT qid, qlabel, nlabel FROM (
+          SELECT qid, qlabel, nlabel,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM pr) WHERE rn <= 5),
+        m AS (SELECT qid, qlabel,
+                CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+                  AS matches
+              FROM top5 GROUP BY 1, 2)
+        SELECT qlabel AS label, COUNT(*) AS n_vecs,
+               CAST(SUM(matches) * 1000000 // (5 * COUNT(*)) AS DOUBLE) / 1e6
+                 AS mean_purity
+        FROM m GROUP BY 1"""),
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val pairs = e.join(q, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            sim6(col("qv"), col("embedding")).as("sim"))
+        val lbl = e.select(col("vec_id"), col("label"))
+        val m = topKPerQid(pairs, 5)
+          .join(lbl.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+            "nid")
+          .join(lbl.select(col("vec_id").as("qid"), col("label").as("qlabel")),
+            "qid")
+          .groupBy("qid", "qlabel")
+          .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+            .as("matches"))
+        m.groupBy(col("qlabel").as("label"))
+          .agg(count(lit(1)).as("n_vecs"), sum("matches").as("sm"))
+          .select(col("label"), col("n_vecs"),
+            (expr("(sm * 1000000) div (5 * n_vecs)").cast(DoubleType) / 1e6)
+              .as("mean_purity"))
       })
   )
 }

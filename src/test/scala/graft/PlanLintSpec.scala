@@ -50,7 +50,11 @@ class PlanLintSpec extends AnyFunSuite {
       // broadcasts) consumed twice for the top-2 pick
       "t32_nb_margin",
       // t33: the broadcast side is the ONE-row split-total aggregate
-      "t33_split_drift")
+      "t33_split_drift",
+      // s10: d06's declared-quadratic all-pairs twin (exact purity
+      // audit); the scale path substitutes an ANN arm — purity
+      // consumes only (qid, neighbor label) pairs
+      "s10_label_purity")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
