@@ -588,6 +588,55 @@ object Events {
           .select(col("day"), col("dau"), col("wau"),
             (expr("(dau * 1000000) div wau").cast(DoubleType) / 1e6)
               .as("stickiness"))
+      }),
+
+    // Session-shape profile — the engagement rollup on top of e02:
+    // sessions bucketed by event count, with exact interpolated
+    // duration percentiles (the e17 contract: duration micros are
+    // exact integers, the /1e6 division and round(...,6) are written
+    // identically on both engines) and mean events in exact micro-
+    // units. The percentile aggregate reduces 4 buckets — after the
+    // e02 session rollup nothing here scales with raw event volume.
+    GQ("e21_session_stats",
+      Some(s"""WITH x AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, CAST(SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM x),
+        sessions AS (SELECT user_id, sess, COUNT(*) AS n_events,
+                epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+              FROM y GROUP BY 1, 2)
+        SELECT CASE WHEN n_events = 1 THEN 'single'
+                    WHEN n_events = 2 THEN 'double'
+                    ELSE 'multi' END AS bucket,
+               COUNT(*) AS n_sessions,
+               round(quantile_cont(dur_us / 1000000.0, 0.5), 6) AS p50_dur_s,
+               round(quantile_cont(dur_us / 1000000.0, 0.95), 6) AS p95_dur_s,
+               CAST(SUM(n_events) * 1000000 // COUNT(*) AS DOUBLE) / 1e6
+                 AS mean_events
+        FROM sessions GROUP BY 1"""),
+      (s, d) => {
+        val sess = sessionize(ev(s, d)).select(col("n_events"),
+          ((unix_micros(col("t_end")) - unix_micros(col("t_start")))
+            .cast(DoubleType) / 1000000.0).as("dur_s"))
+        sess.select(
+            when(col("n_events") === 1, "single")
+              .when(col("n_events") === 2, "double")
+              .otherwise("multi").as("bucket"),
+            col("dur_s"), col("n_events"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_sessions"),
+            round(expr("percentile(dur_s, 0.5)"), 6).as("p50_dur_s"),
+            round(expr("percentile(dur_s, 0.95)"), 6).as("p95_dur_s"),
+            sum("n_events").as("se"))
+          .select(col("bucket"), col("n_sessions"), col("p50_dur_s"),
+            col("p95_dur_s"),
+            (expr("(se * 1000000) div n_sessions").cast(DoubleType) / 1e6)
+              .as("mean_events"))
       })
   )
 }
