@@ -113,6 +113,33 @@ object Events {
       .select("event_type", "hr", "n", "z")
   }
 
+  /** Hour-of-day seasonality z (the e19 stage) over the same hourly
+    * (event_type, hr, n) rate table [[anomalyScores]] consumes — so the
+    * streaming monitor (EventsStreaming.hourlyRatesQuery's rollup)
+    * feeds BOTH detectors from one table. Baseline moments are exact
+    * integer sums per (type, hour-of-day); same double contract as
+    * anomalyScores. */
+  def seasonalScores(hourly: DataFrame): DataFrame = {
+    val b = hourly.groupBy(col("event_type").as("b_type"),
+        hour(col("hr")).cast(IntegerType).as("hod"))
+      .agg(sum("n").cast(LongType).as("s"),
+        sum(col("n") * col("n")).cast(LongType).as("ssq"),
+        count(lit(1)).as("c"))
+      .filter(col("c") >= 10)
+    val j = hourly.join(broadcast(b),
+        hourly("event_type") === col("b_type") &&
+          hour(hourly("hr")).cast(IntegerType) === col("hod"))
+      .select(hourly("event_type"), hourly("hr"), hourly("n"),
+        ((col("ssq").cast(DoubleType)
+          - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("c"))
+          / (col("c") - 1)).as("v"),
+        (col("s").cast(DoubleType) / col("c")).as("m"))
+    j.filter(col("v") > 0)
+      .select(col("event_type"), col("hr"), col("n"),
+        round((col("n") - col("m")) / sqrt(col("v")), 6).as("z"))
+      .filter(abs(col("z")) > 2)
+  }
+
   /** e11's single source of truth: identical text runs on both engines.
     * The sum aggregates in exact decimal — RANGE frames may be evaluated
     * with re-association (segment trees), where a double sum would be
@@ -531,29 +558,9 @@ object Events {
                 WHERE c >= 10)
         SELECT event_type, hr, n, round((n - m) / sqrt(v), 6) AS z
         FROM z WHERE v > 0 AND abs(round((n - m) / sqrt(v), 6)) > 2"""),
-      (s, d) => {
-        val h = ev(s, d).groupBy(col("event_type"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .agg(count(lit(1)).as("n"))
-        val b = h.groupBy(col("event_type").as("b_type"),
-            hour(col("hr")).cast(IntegerType).as("hod"))
-          .agg(sum("n").cast(LongType).as("s"),
-            sum(col("n") * col("n")).cast(LongType).as("ssq"),
-            count(lit(1)).as("c"))
-          .filter(col("c") >= 10)
-        val j = h.join(broadcast(b),
-            h("event_type") === col("b_type") &&
-              hour(col("hr")).cast(IntegerType) === col("hod"))
-          .select(h("event_type"), col("hr"), col("n"),
-            ((col("ssq").cast(DoubleType)
-              - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("c"))
-              / (col("c") - 1)).as("v"),
-            (col("s").cast(DoubleType) / col("c")).as("m"))
-        j.filter(col("v") > 0)
-          .select(col("event_type"), col("hr"), col("n"),
-            round((col("n") - col("m")) / sqrt(col("v")), 6).as("z"))
-          .filter(abs(col("z")) > 2)
-      }),
+      (s, d) => seasonalScores(ev(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n")))),
 
     // Rolling 7-day active users + DAU/WAU stickiness — the product
     // health metric. An exact trailing-window COUNT DISTINCT needs no

@@ -225,6 +225,16 @@ class EventsStreamingSpec extends AnyFunSuite {
     val zBatchRestricted = canon(Events.anomalyScores(
       batchHourly.join(rollupKeys, Seq("event_type", "hr"), "left_semi")))
     assert(zStream == zBatchRestricted)
+
+    // the SAME rollup feeds the seasonal (hour-of-day baseline)
+    // detector: streaming-maintained scores == batch e19 on the same
+    // finalized horizon
+    val sStream = canon(Events.seasonalScores(spark.table("rates_rollup")))
+    val sBatchRestricted = canon(Events.seasonalScores(
+      batchHourly.join(rollupKeys, Seq("event_type", "hr"), "left_semi")))
+    assert(sStream == sBatchRestricted)
+    assert(sStream.nonEmpty || zStream.nonEmpty,
+      "both detectors empty on the staged stream — test data too flat")
   }
 
   test("streaming sketch-cube maintenance: rollup estimates == direct scan") {
