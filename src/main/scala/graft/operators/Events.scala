@@ -644,6 +644,47 @@ object Events {
             col("p95_dur_s"),
             (expr("(se * 1000000) div n_sessions").cast(DoubleType) / 1e6)
               .as("mean_events"))
+      }),
+
+    // Event-type co-occurrence lift — which activities the same users
+    // do (basket analysis on behavior): for each type pair,
+    // lift = P(a,b) / (P(a)P(b)) over users, in exact integer
+    // micro-units (floor div). The user self-join fans out at most
+    // |types|^2 rows per user — a constant, never a skew risk. The
+    // n_both*n_users*1e6 numerator stays under 2^63 while
+    // users < ~3e6; beyond that the division moves into DECIMAL(38)
+    // with the same floor semantics.
+    GQ("e22_type_cooccurrence",
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+          na AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+          pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                   COUNT(*) AS n_both
+                 FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+        SELECT ta, tb, n_both,
+               CAST(n_both * n_users * 1000000 // (x.n * y.n) AS DOUBLE) / 1e6
+                 AS lift
+        FROM pr JOIN na x ON ta = x.event_type
+        JOIN na y ON tb = y.event_type CROSS JOIN nu"""),
+      (s, d) => {
+        val ut = ev(s, d).select(col("user_id"), col("event_type")).distinct()
+        val nu = ut.agg(count_distinct(col("user_id")).as("n_users"))
+        val na = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val pr = ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_both"))
+        pr.join(broadcast(na.select(col("event_type").as("ta"),
+            col("n").as("na_n"))), "ta")
+          .join(broadcast(na.select(col("event_type").as("tb"),
+            col("n").as("nb_n"))), "tb")
+          .crossJoin(broadcast(nu))
+          .select(col("ta"), col("tb"), col("n_both"),
+            (expr("(n_both * n_users * 1000000) div (na_n * nb_n)")
+              .cast(DoubleType) / 1e6).as("lift"))
       })
   )
 }

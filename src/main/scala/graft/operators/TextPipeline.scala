@@ -837,6 +837,57 @@ object TextPipeline {
               / greatest(col("n_grams"), lit(1)), 6).as("novelty"))
       }),
 
+    // Length-vs-lexical-diversity correlation — the curation-bias
+    // diagnostic ("do longer documents just repeat more?"): per
+    // language, Pearson corr between n_chars and the distinct-word
+    // ratio in integer MICRO-UNITS. All five moments are pure-integer
+    // sums (the ratio is floor-divided to micros first — a raw a/b
+    // double fed through the decimal-sum cast was observed to split
+    // engines by an ulp, and round(a/b, 6) can land on true halfway
+    // ties since a/b is rational); the only float math is the final
+    // corr expression over exact integers < 2^53, identical text both
+    // sides, emitted via tie-free floor. |langs| rows; one scan + one
+    // tiny aggregate.
+    GQ("t36_length_diversity_corr",
+      Some(s"""WITH tok AS (SELECT lang, n_chars, $oracleTokens AS t FROM documents),
+          v AS (SELECT lang, n_chars AS x,
+                  len(list_distinct(t)) * 1000000 // greatest(len(t), 1) AS y
+                FROM tok),
+          g AS (SELECT lang, COUNT(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM v GROUP BY 1)
+        SELECT lang, n,
+               CAST(floor((CAST(n * sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+                 (sqrt(CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                 * 1000000) AS DOUBLE) / 1e6 AS corr_len_diversity
+        FROM g"""),
+      (s, d) => {
+        val tok = tokens(col("text"))
+        val v = docs(s, d).select(col("lang"),
+            col("n_chars").as("x"),
+            (size(array_distinct(tok)).cast(LongType) * 1000000L).as("dnum"),
+            greatest(size(tok), lit(1)).cast(LongType).as("dden"))
+          .select(col("lang"), col("x"), expr("dnum div dden").as("y"))
+        val g = v.groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("x").cast(LongType).as("sx"),
+          sum(col("x") * col("x")).cast(LongType).as("sxx"),
+          sum("y").cast(LongType).as("sy"),
+          sum(col("y") * col("y")).cast(LongType).as("syy"),
+          sum(col("x") * col("y")).cast(LongType).as("sxy"))
+        g.select(col("lang"), col("n"),
+          (floor(((col("n") * col("sxy")).cast(DoubleType)
+              - col("sx").cast(DoubleType) * col("sy")) /
+            (sqrt((col("n") * col("sxx")).cast(DoubleType)
+              - col("sx").cast(DoubleType) * col("sx"))
+              * sqrt((col("n") * col("syy")).cast(DoubleType)
+                - col("sy").cast(DoubleType) * col("sy")))
+            * 1000000).cast(DoubleType) / 1e6)
+            .as("corr_len_diversity"))
+      }),
+
     // repeated-substring SPANS — the character-level duplicated-content
     // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
     // instead of suffix-arrayed: 32-char windows at stride 16, a window

@@ -54,7 +54,9 @@ class PlanLintSpec extends AnyFunSuite {
       // s10: d06's declared-quadratic all-pairs twin (exact purity
       // audit); the scale path substitutes an ANN arm — purity
       // consumes only (qid, neighbor label) pairs
-      "s10_label_purity")
+      "s10_label_purity",
+      // e22: the broadcast side is the ONE-row user-count aggregate
+      "e22_type_cooccurrence")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
