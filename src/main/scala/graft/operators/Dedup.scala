@@ -676,8 +676,52 @@ object Dedup {
           .groupBy("s1", "s2")
           .agg(count(lit(1)).cast(IntegerType).as("n_groups"),
             sum("np").cast(LongType).as("n_pairs"))
-      })
+      }),
+
+    // Subset-duplicate detection on the d04 candidate set: containment
+    // |A∩B| / min(|A|,|B|) rather than Jaccard — a quote or excerpt
+    // wholly inside a longer doc scores 1.0 here while its Jaccard is
+    // a miss. Pure-integer micro-unit score (see ngramContainmentPairs).
+    GQ("d14_containment_pairs",
+      Some(s"""WITH $ngramPairCtes
+        SELECT id_a, id_b,
+               CAST((ic * 1000000) // least(sa.sz, sb.sz) AS DOUBLE) / 1e6
+                 AS containment
+        FROM it
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE (ic * 1000000) // least(sa.sz, sb.sz) >= 100000"""),
+      (s, d) => ngramContainmentPairs(
+        docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3, 100000L))
   )
+
+  /** Asymmetric containment pairs — the subset-duplicate detector
+    * Jaccard structurally misses: a short doc fully contained in a long
+    * one has jaccard |A|/|B| (arbitrarily small) but containment
+    * |A∩B|/min(|A|,|B|) = 1. Same bounded-candidate dataflow as
+    * [[ngramJaccardPairs]]; the score is a pure-integer micro-unit
+    * floor division (no rational round() ties). */
+  def ngramContainmentPairs(
+      documents: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      minContainMicros: Long): DataFrame = {
+    val ex = documents
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
+      .select(col("id"), array_distinct(shingles(col("tok"), shingleK)).as("sh"))
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ic"),
+        any_value(col("a.sz")).as("sz_a"), any_value(col("b.sz")).as("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("(ic * 1000000) div least(sz_a, sz_b)").as("contain_micros"))
+      .filter(col("contain_micros") >= minContainMicros)
+      .select(col("id_a"), col("id_b"),
+        (col("contain_micros").cast(DoubleType) / 1e6).as("containment"))
+  }
 
   /** Shared DuckDB CTE chain producing the bounded n-gram candidate set
     * (d04's oracle twin of ngramJaccardPairs on doc_id < 300).

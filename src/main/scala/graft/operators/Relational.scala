@@ -802,6 +802,38 @@ object Relational {
           .as("bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("mass"))),
 
+    // Customer reorder cadence — the e17 gap-percentile contract on the
+    // relational side: days between a customer's consecutive orders,
+    // profiled per market segment with exact interpolated percentiles
+    // (gap days are exact integers; round 6 on emission). The lag
+    // window partitions per customer — bounded task input — and the
+    // percentile aggregate reduces to |segments| rows.
+    GQ("q61_reorder_gaps",
+      Some("""WITH g AS (SELECT c_mktsegment,
+                 datediff('day', lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap_d
+               FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT c_mktsegment, COUNT(gap_d) AS n_gaps,
+               round(quantile_cont(CAST(gap_d AS DOUBLE), 0.5), 6) AS p50_days,
+               round(quantile_cont(CAST(gap_d AS DOUBLE), 0.9), 6) AS p90_days
+        FROM g WHERE gap_d IS NOT NULL GROUP BY 1"""),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val g = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"),
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+              .as("gap_d"))
+        g.filter(col("gap_d").isNotNull)
+          .select(col("c_mktsegment"), col("gap_d").cast(DoubleType).as("gd"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_gaps"),
+            round(expr("percentile(gd, 0.5)"), 6).as("p50_days"),
+            round(expr("percentile(gd, 0.9)"), 6).as("p90_days"))
+      }),
+
     // PG pattern grammar parity: ILIKE (case-insensitive LIKE) and
     // LIKE ... ESCAPE — both in the reference's PG dialect, both
     // codegen'd predicates in one scan pass (no shuffle). The ESCAPE
