@@ -141,6 +141,37 @@ object Relational {
         .groupBy("r_name", "n_name")
         .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))),
 
+    // ---- TPC-H Q7 shape: 6-way join, nation joined TWICE under
+    // different roles (supplier vs customer side), cross-border filter.
+    // Both nation arms broadcast; the fact-side lineage shuffles once
+    // per fact-fact equi key and the 25x24x|years| result is tiny. ----
+    GQ("q62_trade_matrix",
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               ${osum(orevenue)} AS revenue, COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3"""),
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(IntegerType).as("l_year"))
+        .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))),
+
     // ---- pushdown-heavy single-table filter + global agg (Q6 shape) ----
     GQ("q06_revenue_delta",
       Some(s"""SELECT ${osum("l_extendedprice * l_discount")} AS promo_revenue,

@@ -888,6 +888,45 @@ object TextPipeline {
             .as("corr_len_diversity"))
       }),
 
+    // Term burstiness — variance-to-mean ratio of per-document counts
+    // for the 20 highest-df terms (Church & Gale: content words burst,
+    // function words are Poisson-ish, VMR ~ 1). Zero-docs enter the
+    // moments through the corpus size N (s and ssq only need occurring
+    // docs). All moments are exact integer sums; the one double VMR
+    // expression is identical text both sides, floor-emitted
+    // (micro-units) — no rational round ties. The per-(term, doc)
+    // count shuffle is the t10/t11 vocabulary discipline; top-20 by
+    // (df desc, term) is a deterministic 20-row TakeOrdered.
+    GQ("t37_term_burstiness",
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($oracleTokens) AS term FROM documents),
+          cnt AS (SELECT term, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+          top AS (SELECT term, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS s,
+                    CAST(SUM(c * c) AS BIGINT) AS ssq
+                  FROM cnt GROUP BY 1 ORDER BY df DESC, term LIMIT 20),
+          nd AS (SELECT COUNT(*) AS nn FROM documents)
+        SELECT term, df, s AS tf,
+               CAST(floor(((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / nn)
+                 / (nn - 1)) / (CAST(s AS DOUBLE) / nn) * 1000000)
+                 AS DOUBLE) / 1e6 AS vmr
+        FROM top CROSS JOIN nd"""),
+      (s, d) => {
+        val cnt = docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+        val top = cnt.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("c").cast(LongType).as("s"),
+            sum(col("c") * col("c")).cast(LongType).as("ssq"))
+          .orderBy(col("df").desc, col("term")).limit(20)
+        val nd = docs(s, d).agg(count(lit(1)).as("nn"))
+        top.crossJoin(broadcast(nd))
+          .select(col("term"), col("df"), col("s").as("tf"),
+            (floor(((col("ssq").cast(DoubleType)
+                - col("s").cast(DoubleType) * col("s") / col("nn"))
+              / (col("nn") - 1))
+              / (col("s").cast(DoubleType) / col("nn")) * 1000000)
+              .cast(DoubleType) / 1e6).as("vmr"))
+      }),
+
     // repeated-substring SPANS — the character-level duplicated-content
     // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
     // instead of suffix-arrayed: 32-char windows at stride 16, a window

@@ -56,7 +56,9 @@ class PlanLintSpec extends AnyFunSuite {
       // consumes only (qid, neighbor label) pairs
       "s10_label_purity",
       // e22: the broadcast side is the ONE-row user-count aggregate
-      "e22_type_cooccurrence")
+      "e22_type_cooccurrence",
+      // t37: the broadcast side is the ONE-row corpus-size aggregate
+      "t37_term_burstiness")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
