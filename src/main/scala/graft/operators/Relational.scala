@@ -865,6 +865,31 @@ object Relational {
             round(expr("percentile(gd, 0.9)"), 6).as("p90_days"))
       }),
 
+    // Customer acquisition curve — new customers per first-order month
+    // and the cumulative total: the growth chart every analytics engine
+    // must produce. Two exact integer aggregations (per-customer MIN,
+    // per-month count); the running sum's single-partition window is
+    // over the |months| rollup — driver-size, the p03 justification.
+    GQ("q63_acquisition_curve",
+      Some("""WITH f AS (SELECT o_custkey,
+                 MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS m
+               FROM orders GROUP BY 1),
+          c AS (SELECT m, COUNT(*) AS new_customers FROM f GROUP BY 1)
+        SELECT m AS month, new_customers,
+               CAST(SUM(new_customers) OVER (ORDER BY m
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+        FROM c"""),
+      (s, d) => {
+        val f = t(s, d, "orders").groupBy("o_custkey")
+          .agg(min(date_trunc("month", col("o_orderdate")).cast(DateType))
+            .as("m"))
+        val c = f.groupBy("m").agg(count(lit(1)).as("new_customers"))
+        c.select(col("m").as("month"), col("new_customers"),
+          sum("new_customers").over(Window.orderBy("m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(LongType).as("cum_customers"))
+      }),
+
     // PG pattern grammar parity: ILIKE (case-insensitive LIKE) and
     // LIKE ... ESCAPE — both in the reference's PG dialect, both
     // codegen'd predicates in one scan pass (no shuffle). The ESCAPE

@@ -40,6 +40,21 @@ object TextPipeline {
 
   val oracleTokens = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Oracle twin of TextFunctions.langScore over a `tok` list column. */
+  private def oracleLangScore(l: String): String = {
+    val in = langMarkers(l).map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(tok, t -> list_contains([$in], t)))"
+  }
+
+  /** Oracle twin of TextFunctions.langGuess (shared by t01 and t38). */
+  private def oracleLangGuess: String = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val best = s"greatest(${langs.map(oracleLangScore).mkString(", ")})"
+    langs.foldRight("'und'") { (l, acc) =>
+      s"CASE WHEN ${oracleLangScore(l)} = $best AND $best > 0 THEN '$l' ELSE $acc END"
+    }
+  }
+
   /** BM25 relevance of every matching document against a fixed term set
     * (Robertson/Sparck Jones with the Lucene idf variant, k1=1.2
     * b=0.75) — the t16 scorer, factored so retrieval compositions
@@ -71,18 +86,9 @@ object TextPipeline {
   val defs: Seq[GQ] = Seq(
 
     GQ("t01_language_id", {
-      val langs = Seq("en", "de", "fr", "es", "zh")
-      def score(l: String): String = {
-        val in = langMarkers(l).map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(tok, t -> list_contains([$in], t)))"
-      }
-      val best = s"greatest(${langs.map(score).mkString(", ")})"
-      val guess = langs.foldRight("'und'") { (l, acc) =>
-        s"CASE WHEN ${score(l)} = $best AND $best > 0 THEN '$l' ELSE $acc END"
-      }
-      Some(s"""SELECT doc_id, $guess AS lang_guess,
-          CAST(${score("en")} AS INT) AS score_en,
-          CAST(${score("de")} AS INT) AS score_de
+      Some(s"""SELECT doc_id, $oracleLangGuess AS lang_guess,
+          CAST(${oracleLangScore("en")} AS INT) AS score_en,
+          CAST(${oracleLangScore("de")} AS INT) AS score_de
         FROM (SELECT doc_id, $oracleTokens AS tok FROM documents)""")
     },
       (s, d) => docs(s, d)
@@ -925,6 +931,29 @@ object TextPipeline {
               / (col("nn") - 1))
               / (col("s").cast(DoubleType) / col("nn")) * 1000000)
               .cast(DoubleType) / 1e6).as("vmr"))
+      }),
+
+    // Language-ID confusion matrix — the classifier-audit rollup over
+    // t01's heuristic vs the labeled lang column: count + per-label
+    // recall share (exact micro-units) for every (actual, predicted)
+    // cell. The marker-based guess is t01's exact expression on both
+    // sides; the matrix aggregate is |langs|^2 rows.
+    GQ("t38_langid_confusion",
+      Some(s"""WITH g AS (SELECT lang, $oracleLangGuess AS pred
+                 FROM (SELECT lang, $oracleTokens AS tok FROM documents)),
+          c AS (SELECT lang, pred, COUNT(*) AS n FROM g GROUP BY 1, 2),
+          t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT lang, pred, n,
+               CAST(n * 1000000 // tot AS DOUBLE) / 1e6 AS share
+        FROM c JOIN t USING (lang)"""),
+      (s, d) => {
+        val g = docs(s, d)
+          .select(col("lang"), langGuess(tokens(col("text"))).as("pred"))
+        val c = g.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        val t = c.groupBy("lang").agg(sum("n").cast(LongType).as("tot"))
+        c.join(broadcast(t), "lang")
+          .select(col("lang"), col("pred"), col("n"),
+            (expr("(n * 1000000) div tot").cast(DoubleType) / 1e6).as("share"))
       }),
 
     // repeated-substring SPANS — the character-level duplicated-content
