@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-count budgets for headline queries: every entry pins the
+  * EXACT number of shuffle exchanges (hash/range/single-partition) in
+  * the compiled physical plan. A refactor that silently adds a shuffle
+  * — the single most expensive regression class at 100 TB — fails here
+  * before any bench run notices (and unlike bench seconds, plan shape
+  * is host-noise-immune; see the BENCH_DETAIL job-count rationale).
+  * Budgets are equalities, not ceilings: LOSING a shuffle is also a
+  * semantic change worth a deliberate budget edit.
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val shuffleRe =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+
+  /** (query -> exact shuffle-exchange count in the initial plan).
+    * Chosen to cover each dataflow family: scans (0), single-agg (1),
+    * broadcast-star joins (1 — dimension arms must broadcast, only the
+    * fact agg shuffles), two-phase ops (2-3), and the widest composed
+    * pipelines (4-5). */
+  private val budgets = Map(
+    "t03_token_count" -> 0,        // pure scan+project: any shuffle is a bug
+    "q01_pricing_summary" -> 1,    // one agg on the scan
+    "q03_top_orders" -> 1,         // join broadcasts; agg+topk reuse one shuffle
+    "q05_nation_revenue" -> 1,     // 5-way star: all dims broadcast
+    "q62_trade_matrix" -> 1,       // 6-way, nation twice: still one fact shuffle
+    "d01_dedup_exact" -> 1,        // one shuffle on the content hash
+    "e01_hourly_event_stats" -> 1, // windowed rollup
+    "e02_sessionize" -> 1,         // one user-key sort shuffle feeds lag+sum+agg
+    "t10_vocab_topk" -> 1,         // token count; top-k is TakeOrdered, no extra
+    "s01_ann_bruteforce" -> 1,     // broadcast queries; heap partial-agg shuffle
+    "d09_decontaminate" -> 2,      // gram build + anti join
+    "t21_per_source_cap" -> 2,     // the documented two-phase cap
+    "t34_ngram_novelty" -> 2,      // gram df + per-doc rollup
+    "p03_curriculum_order" -> 3,   // histogram + offsets window + in-bucket rank
+    "d13_cross_source_dups" -> 4,  // (hash,source) counts + pair product + matrix
+    "e20_dau_wau" -> 5)            // day-user distinct, dau, wau explode, join
+
+  test("headline plans keep their exact shuffle budgets") {
+    val diffs = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+      val got = shuffleRe.findAllIn(df.queryExecution.executedPlan.toString).length
+      if (got != want) Some(s"$name: $got shuffles (budget $want)") else None
+    }
+    assert(diffs.isEmpty, s"shuffle budgets violated:\n  ${diffs.mkString("\n  ")}")
+  }
+}
