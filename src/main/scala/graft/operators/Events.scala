@@ -685,6 +685,45 @@ object Events {
           .select(col("ta"), col("tb"), col("n_both"),
             (expr("(n_both * n_users * 1000000) div (na_n * nb_n)")
               .cast(DoubleType) / 1e6).as("lift"))
+      }),
+
+    // Activity concentration — how much of the event stream the top 1%
+    // of users generate (the bot/whale audit every usage pipeline
+    // needs). The p99 threshold is a DATA value (percentile_disc, the
+    // q54 contract — no interpolation, no rounding), membership is an
+    // integer comparison, and the share divides exact integers. Rank-
+    // free by design: "users at or above the p99 count" needs no
+    // global sort, just one per-user rollup + one broadcast scalar.
+    GQ("e24_user_concentration",
+      Some("""WITH uc AS (SELECT user_id, COUNT(*) AS c FROM events
+                 GROUP BY 1),
+          th AS (SELECT percentile_disc(0.99) WITHIN GROUP (ORDER BY c)
+                   AS p99c,
+                 COUNT(*) AS n_users, CAST(SUM(c) AS BIGINT) AS n_events
+                 FROM uc)
+        SELECT n_users, n_events, p99c,
+               CAST(COUNT(*) AS BIGINT) AS top_users,
+               CAST(SUM(c) AS BIGINT) AS top_events,
+               CAST(SUM(c) * 1000000 // n_events AS DOUBLE) / 1e6
+                 AS top_share
+        FROM uc CROSS JOIN th WHERE c >= p99c
+        GROUP BY n_users, n_events, p99c"""),
+      (s, d) => {
+        val uc = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+        val th = uc.agg(
+          // the disc percentile IS a data value (a long count); Spark's
+          // aggregate emits double, DuckDB's stays BIGINT — cast back
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+            .cast(LongType).as("p99c"),
+          count(lit(1)).as("n_users"), sum("c").cast(LongType).as("n_events"))
+        uc.crossJoin(broadcast(th)).filter(col("c") >= col("p99c"))
+          .groupBy("n_users", "n_events", "p99c")
+          .agg(count(lit(1)).as("top_users"),
+            sum("c").cast(LongType).as("top_events"))
+          .select(col("n_users"), col("n_events"), col("p99c"),
+            col("top_users"), col("top_events"),
+            (expr("(top_events * 1000000) div n_events").cast(DoubleType)
+              / 1e6).as("top_share"))
       })
   )
 }

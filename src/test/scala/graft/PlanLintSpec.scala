@@ -58,7 +58,9 @@ class PlanLintSpec extends AnyFunSuite {
       // e22: the broadcast side is the ONE-row user-count aggregate
       "e22_type_cooccurrence",
       // t37: the broadcast side is the ONE-row corpus-size aggregate
-      "t37_term_burstiness")
+      "t37_term_burstiness",
+      // e24: the broadcast side is the ONE-row threshold aggregate
+      "e24_user_concentration")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
