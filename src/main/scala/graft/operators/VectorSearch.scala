@@ -649,6 +649,45 @@ object VectorSearch {
           .select(col("label"), col("n_vecs"),
             (expr("(sm * 1000000) div (5 * n_vecs)").cast(DoubleType) / 1e6)
               .as("mean_purity"))
+      }),
+
+    // Class-separability audit — s10's global companion: per label, the
+    // mean cosine WITHIN the class vs AGAINST every other class. A
+    // label whose intra/inter gap collapses is one the embedding model
+    // cannot separate (and one ANN recall will suffer on). Pair sims
+    // are 6dp-rounded then averaged through DECIMAL (davg/oavg — the
+    // t18 order-independence contract). The all-pairs arm is d06's
+    // declared-quadratic twin; the scale path samples pairs per label,
+    // since class means, not per-vector results, are consumed.
+    GQ("s11_label_separation",
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pr AS (SELECT a.label AS la, b.label AS lb, round($oracleCosine, 6) AS sim
+               FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        x AS (SELECT la AS label, lb AS other, sim FROM pr
+              UNION ALL SELECT lb, la, sim FROM pr)
+        SELECT label,
+               CAST(COUNT(CASE WHEN other = label THEN 1 END) AS BIGINT)
+                 AS n_intra,
+               ${GQ.oavg("CASE WHEN other = label THEN sim END")} AS intra_sim,
+               ${GQ.oavg("CASE WHEN other <> label THEN sim END")} AS inter_sim
+        FROM x GROUP BY label"""),
+      (s, d) => {
+        val e = emb(s, d)
+        val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
+          col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
+          col("embedding").as("vb"))
+        val pr = a.join(b, col("ida") < col("idb"))
+          .select(col("la"), col("lb"), sim6(col("va"), col("vb")).as("sim"))
+        val x = pr.select(col("la").as("label"), col("lb").as("other"), col("sim"))
+          .unionByName(pr.select(col("lb").as("label"), col("la").as("other"),
+            col("sim")))
+        x.groupBy("label").agg(
+          count(when(col("other") === col("label"), 1)).as("n_intra"),
+          Engine.davg(when(col("other") === col("label"), col("sim")))
+            .as("intra_sim"),
+          Engine.davg(when(col("other") =!= col("label"), col("sim")))
+            .as("inter_sim"))
       })
   )
 }

@@ -60,7 +60,10 @@ class PlanLintSpec extends AnyFunSuite {
       // t37: the broadcast side is the ONE-row corpus-size aggregate
       "t37_term_burstiness",
       // e24: the broadcast side is the ONE-row threshold aggregate
-      "e24_user_concentration")
+      "e24_user_concentration",
+      // s11: d06's declared-quadratic twin (class-mean audit); the
+      // scale path samples pairs per label
+      "s11_label_separation")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
