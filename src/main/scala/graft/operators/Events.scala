@@ -724,6 +724,36 @@ object Events {
             col("top_users"), col("top_events"),
             (expr("(top_events * 1000000) div n_events").cast(DoubleType)
               / 1e6).as("top_share"))
+      }),
+
+    // Time-to-convert distribution — the latency companion to e12/e16's
+    // funnel counts: for users whose first purchase follows their first
+    // view, hours from view to purchase, profiled with exact
+    // interpolated percentiles (the e17 contract: integer micros,
+    // identical /3.6e9 division and round on both sides). Two
+    // user-keyed min-aggregations; the percentile reduces to one row.
+    GQ("e25_time_to_convert",
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+          p AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'purchase' GROUP BY 1),
+          g AS (SELECT epoch_us(t1) - epoch_us(t0) AS lat_us
+                FROM v JOIN p USING (user_id) WHERE t1 > t0)
+        SELECT COUNT(*) AS n_converts,
+               round(quantile_cont(lat_us / 3600000000.0, 0.5), 6) AS p50_hours,
+               round(quantile_cont(lat_us / 3600000000.0, 0.9), 6) AS p90_hours
+        FROM g"""),
+      (s, d) => {
+        val v = ev(s, d).filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        val p = ev(s, d).filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        v.join(p, "user_id").filter(col("t1") > col("t0"))
+          .select(((unix_micros(col("t1")) - unix_micros(col("t0")))
+            .cast(DoubleType) / 3600000000.0).as("lat_h"))
+          .agg(count(lit(1)).as("n_converts"),
+            round(expr("percentile(lat_h, 0.5)"), 6).as("p50_hours"),
+            round(expr("percentile(lat_h, 0.9)"), 6).as("p90_hours"))
       })
   )
 }

@@ -890,6 +890,34 @@ object Relational {
             .cast(LongType).as("cum_customers"))
       }),
 
+    // Relational DIVISION — "customers with an order in EVERY quarter
+    // of 1995" (Codd's ÷, the universal-quantification operator the
+    // semi/anti family can't express directly). Compiled as the
+    // count-matching form: per-customer distinct-quarter count equals
+    // the corpus-wide distinct-quarter count (one broadcast scalar) —
+    // no per-divisor-row join, so the divisor's size never multiplies
+    // the fact side.
+    GQ("q64_relational_division",
+      Some("""WITH o95 AS (SELECT o_custkey,
+                 CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+          dv AS (SELECT COUNT(DISTINCT q) AS nq FROM o95),
+          c AS (SELECT o_custkey, COUNT(DISTINCT q) AS cq FROM o95 GROUP BY 1)
+        SELECT o_custkey AS c_custkey, cq AS quarters
+        FROM c CROSS JOIN dv WHERE cq = nq"""),
+      (s, d) => {
+        val o95 = t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+          .select(col("o_custkey"), quarter(col("o_orderdate")).as("q"))
+        val dv = o95.agg(count_distinct(col("q")).as("nq"))
+        o95.groupBy("o_custkey").agg(count_distinct(col("q")).as("cq"))
+          .crossJoin(broadcast(dv)).filter(col("cq") === col("nq"))
+          .select(col("o_custkey").as("c_custkey"), col("cq").as("quarters"))
+      }),
+
     // PG pattern grammar parity: ILIKE (case-insensitive LIKE) and
     // LIKE ... ESCAPE — both in the reference's PG dialect, both
     // codegen'd predicates in one scan pass (no shuffle). The ESCAPE

@@ -63,7 +63,9 @@ class PlanLintSpec extends AnyFunSuite {
       "e24_user_concentration",
       // s11: d06's declared-quadratic twin (class-mean audit); the
       // scale path samples pairs per label
-      "s11_label_separation")
+      "s11_label_separation",
+      // q64: the broadcast side is the ONE-row divisor-count scalar
+      "q64_relational_division")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
