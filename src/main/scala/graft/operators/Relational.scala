@@ -1005,6 +1005,36 @@ object Relational {
            WHERE o_orderpriority NOT IN
              (SELECT p FROM vals WHERE p IS NOT NULL)) AS not_in_clean""")),
 
+    // NULLS FIRST / NULLS LAST ordering pins — the engines' DEFAULTS
+    // diverge (Spark: nulls first ASC; PG/DuckDB: nulls last ASC), so
+    // any ordered operator compiled without an explicit null placement
+    // is a latent cross-engine bug; this query pins both explicit
+    // placements from identical text (q24-style passthrough). The
+    // window partitions on status — never a global single-task sort.
+    GQ("q65_nulls_ordering", {
+      val q = """WITH b AS (SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                 ELSE o_orderpriority END AS p
+          FROM orders)
+        SELECT o_orderkey, o_orderstatus, p,
+          CAST(row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY p ASC NULLS FIRST, o_orderkey) AS BIGINT) AS rn_nf,
+          CAST(row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY p ASC NULLS LAST, o_orderkey) AS BIGINT) AS rn_nl
+        FROM b"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, """WITH b AS (SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                 ELSE o_orderpriority END AS p
+          FROM orders)
+        SELECT o_orderkey, o_orderstatus, p,
+          CAST(row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY p ASC NULLS FIRST, o_orderkey) AS BIGINT) AS rn_nf,
+          CAST(row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY p ASC NULLS LAST, o_orderkey) AS BIGINT) AS rn_nl
+        FROM b""")),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {

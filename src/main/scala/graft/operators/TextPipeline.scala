@@ -956,6 +956,51 @@ object TextPipeline {
             (expr("(n * 1000000) div tot").cast(DoubleType) / 1e6).as("share"))
       }),
 
+    // Source vocabulary divergence — the corpus-drift audit: each
+    // source's usage distribution over the global top-50 terms, then
+    // pairwise L1 distance between sources, ALL in integer micro-units
+    // (term shares floor-divide; the L1 sum is a sum of integer
+    // absolute differences — nothing to round, nothing to diverge). A
+    // source pair with large L1 writes differently — a mixture-weight
+    // or drift signal. The dense source x term matrix is |sources|*50
+    // rows (a constant), so the pair join is bounded by construction.
+    GQ("t39_vocab_divergence",
+      Some(s"""WITH tok AS (SELECT source, unnest($oracleTokens) AS term FROM documents),
+          tc AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+          top AS (SELECT term FROM tc ORDER BY n DESC, term LIMIT 50),
+          sc AS (SELECT source, term, COUNT(*) AS c FROM tok
+                 JOIN top USING (term) GROUP BY 1, 2),
+          st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM sc GROUP BY 1),
+          p AS (SELECT source, term, c * 1000000 // tot AS pm
+                FROM sc JOIN st USING (source)),
+          m AS (SELECT s.source, t.term, COALESCE(p.pm, 0) AS pm
+                FROM (SELECT DISTINCT source FROM documents) s
+                CROSS JOIN top t
+                LEFT JOIN p ON p.source = s.source AND p.term = t.term)
+        SELECT a.source AS s1, b.source AS s2,
+               CAST(SUM(abs(a.pm - b.pm)) AS BIGINT) AS l1_micros
+        FROM m a JOIN m b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2"""),
+      (s, d) => {
+        val tok = docs(s, d).select(col("source"),
+          explode(tokens(col("text"))).as("term"))
+        val top = tok.groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(50).select("term")
+        val sc = tok.join(broadcast(top), "term")
+          .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        val st = sc.groupBy("source").agg(sum("c").cast(LongType).as("tot"))
+        val p = sc.join(broadcast(st), "source")
+          .select(col("source"), col("term"), expr("(c * 1000000) div tot").as("pm"))
+        val m = docs(s, d).select("source").distinct()
+          .crossJoin(broadcast(top))
+          .join(p, Seq("source", "term"), "left")
+          .select(col("source"), col("term"), coalesce(col("pm"), lit(0L)).as("pm"))
+        m.as("a").join(m.as("b"),
+            col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(sum(abs(col("a.pm") - col("b.pm"))).cast(LongType).as("l1_micros"))
+      }),
+
     // repeated-substring SPANS — the character-level duplicated-content
     // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
     // instead of suffix-arrayed: 32-char windows at stride 16, a window

@@ -65,7 +65,10 @@ class PlanLintSpec extends AnyFunSuite {
       // scale path samples pairs per label
       "s11_label_separation",
       // q64: the broadcast side is the ONE-row divisor-count scalar
-      "q64_relational_division")
+      "q64_relational_division",
+      // t39: the cross product is |sources| x top-50 — both constants,
+      // a bounded dense matrix by construction
+      "t39_vocab_divergence")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
