@@ -754,6 +754,34 @@ object Events {
           .agg(count(lit(1)).as("n_converts"),
             round(expr("percentile(lat_h, 0.5)"), 6).as("p50_hours"),
             round(expr("percentile(lat_h, 0.9)"), 6).as("p90_hours"))
+      }),
+
+    // Weekly active users with week-over-week growth — e20's coarser
+    // companion (the reporting cadence): distinct users per ISO week
+    // plus the WoW delta in exact micro-units (lag over the tiny weeks
+    // rollup; zero-guarded floor div). date_trunc('week') is Monday-
+    // anchored on both engines.
+    GQ("e26_wau_trend",
+      Some("""WITH w AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                 COUNT(DISTINCT user_id) AS wau
+               FROM events GROUP BY 1)
+        SELECT wk, wau,
+               CASE WHEN lag(wau) OVER (ORDER BY wk) IS NULL THEN NULL
+                 ELSE CAST((wau - lag(wau) OVER (ORDER BY wk)) * 1000000
+                   // lag(wau) OVER (ORDER BY wk) AS DOUBLE) / 1e6
+               END AS wow_growth
+        FROM w"""),
+      (s, d) => {
+        val w = ev(s, d)
+          .groupBy(date_trunc("week", col("ts")).cast(DateType).as("wk"))
+          .agg(count_distinct(col("user_id")).as("wau"))
+        val prev = lag(col("wau"), 1).over(Window.orderBy("wk"))
+        w.select(col("wk"), col("wau"),
+          when(prev.isNull, lit(null).cast(DoubleType))
+            .otherwise(expr(
+              "CAST(((wau - lag(wau) OVER (ORDER BY wk)) * 1000000) div " +
+              "lag(wau) OVER (ORDER BY wk) AS DOUBLE) / 1e6"))
+            .as("wow_growth"))
       })
   )
 }

@@ -1035,6 +1035,38 @@ object Relational {
             ORDER BY p ASC NULLS LAST, o_orderkey) AS BIGINT) AS rn_nl
         FROM b""")),
 
+    // Null-safe comparison pins: IS [NOT] DISTINCT FROM (PG's
+    // null-safe equality family) vs plain `=` under 3VL, counted over
+    // a probe set with injected NULLs — one text both engines. Plain
+    // equality drops null pairs (UNKNOWN), the DISTINCT FROM family
+    // treats NULL as a comparable value; pinning the counts catches
+    // any compilation path that confuses the two.
+    GQ("q66_null_safe_compare", {
+      val q = """WITH b AS (SELECT
+            CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS a,
+            CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS c
+          FROM orders)
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN a = c THEN 1 ELSE 0 END) AS BIGINT) AS eq_true,
+          CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM c THEN 1 ELSE 0 END)
+            AS BIGINT) AS nsafe_eq,
+          CAST(SUM(CASE WHEN a IS DISTINCT FROM c THEN 1 ELSE 0 END)
+            AS BIGINT) AS nsafe_ne
+        FROM b"""
+      Some(q)
+    },
+      (s, d) => Engine.sql(s, d, """WITH b AS (SELECT
+            CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS a,
+            CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS c
+          FROM orders)
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN a = c THEN 1 ELSE 0 END) AS BIGINT) AS eq_true,
+          CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM c THEN 1 ELSE 0 END)
+            AS BIGINT) AS nsafe_eq,
+          CAST(SUM(CASE WHEN a IS DISTINCT FROM c THEN 1 ELSE 0 END)
+            AS BIGINT) AS nsafe_ne
+        FROM b""")),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {

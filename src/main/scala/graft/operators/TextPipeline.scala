@@ -1001,6 +1001,30 @@ object TextPipeline {
           .agg(sum(abs(col("a.pm") - col("b.pm"))).cast(LongType).as("l1_micros"))
       }),
 
+    // Numeric-token density — the tables/boilerplate facet (price
+    // lists, logs, and serial dumps are number-heavy; prose is not):
+    // per source, share of tokens that are pure digit runs, in exact
+    // micro-units. One scan, one |sources|-row aggregate; the regex is
+    // anchored-full-match on both engines.
+    GQ("t40_numeric_density",
+      Some(s"""WITH tok AS (SELECT source, unnest($oracleTokens) AS term FROM documents)
+        SELECT source, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN regexp_full_match(term, '[0-9]+')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+               CAST(SUM(CASE WHEN regexp_full_match(term, '[0-9]+')
+                 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS DOUBLE) / 1e6
+                 AS numeric_share
+        FROM tok GROUP BY 1"""),
+      (s, d) => docs(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("term").rlike("^[0-9]+$"), 1L).otherwise(0L))
+            .as("n_numeric"))
+        .select(col("source"), col("n_tokens"), col("n_numeric"),
+          (expr("(n_numeric * 1000000) div n_tokens").cast(DoubleType) / 1e6)
+            .as("numeric_share"))),
+
     // repeated-substring SPANS — the character-level duplicated-content
     // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
     // instead of suffix-arrayed: 32-char windows at stride 16, a window
