@@ -782,6 +782,46 @@ object Events {
               "CAST(((wau - lag(wau) OVER (ORDER BY wk)) * 1000000) div " +
               "lag(wau) OVER (ORDER BY wk) AS DOUBLE) / 1e6"))
             .as("wow_growth"))
+      }),
+
+    // Weekly behavior drift — L1 distance between each week's
+    // event-type mix and the global mix, all in integer micro-units
+    // (the t39 vocabulary-divergence pattern on the time axis). A week
+    // whose mix jumps is a product change, an outage, or a bot wave.
+    // The dense week x type matrix is |weeks| x |types| — constants —
+    // and everything downstream of the one rollup shuffle is tiny.
+    GQ("e27_weekly_drift",
+      Some("""WITH wt AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                 event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+          wtot AS (SELECT wk, CAST(SUM(n) AS BIGINT) AS tot FROM wt GROUP BY 1),
+          g AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS gn FROM wt GROUP BY 1),
+          gtot AS (SELECT CAST(SUM(gn) AS BIGINT) AS gt FROM g),
+          p AS (SELECT wk, event_type, n * 1000000 // tot AS pm
+                FROM wt JOIN wtot USING (wk)),
+          q AS (SELECT event_type, gn * 1000000 // gt AS qm
+                FROM g CROSS JOIN gtot),
+          m AS (SELECT w.wk, q.event_type, q.qm, COALESCE(p.pm, 0) AS pm
+                FROM (SELECT DISTINCT wk FROM wt) w CROSS JOIN q
+                LEFT JOIN p ON p.wk = w.wk AND p.event_type = q.event_type)
+        SELECT wk, CAST(SUM(abs(pm - qm)) AS BIGINT) AS l1_micros
+        FROM m GROUP BY 1"""),
+      (s, d) => {
+        val wt = ev(s, d)
+          .groupBy(date_trunc("week", col("ts")).cast(DateType).as("wk"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val wtot = wt.groupBy("wk").agg(sum("n").cast(LongType).as("tot"))
+        val g = wt.groupBy("event_type").agg(sum("n").cast(LongType).as("gn"))
+        val gtot = g.agg(sum("gn").cast(LongType).as("gt"))
+        val p = wt.join(broadcast(wtot), "wk")
+          .select(col("wk"), col("event_type"), expr("(n * 1000000) div tot").as("pm"))
+        val q = g.crossJoin(broadcast(gtot))
+          .select(col("event_type"), expr("(gn * 1000000) div gt").as("qm"))
+        val m = wt.select("wk").distinct().crossJoin(broadcast(q))
+          .join(p, Seq("wk", "event_type"), "left")
+          .select(col("wk"), col("qm"), coalesce(col("pm"), lit(0L)).as("pm"))
+        m.groupBy("wk")
+          .agg(sum(abs(col("pm") - col("qm"))).cast(LongType).as("l1_micros"))
       })
   )
 }

@@ -1025,6 +1025,31 @@ object TextPipeline {
           (expr("(n_numeric * 1000000) div n_tokens").cast(DoubleType) / 1e6)
             .as("numeric_share"))),
 
+    // Language-mix entropy per source — the mixture-uniformity
+    // diagnostic (0 = monolingual source, ln(5) = uniform over the 5
+    // langs). Per-term contributions -p*ln(p) are pre-rounded to 6dp
+    // and summed through DECIMAL (the t18 discipline; ln of a rational
+    // is irrational, so a 7th-digit halfway tie cannot occur). The
+    // aggregate is over the |source| x |lang| rollup — nothing scales
+    // with doc count after the first groupBy.
+    GQ("t41_lang_entropy",
+      Some(s"""WITH c AS (SELECT source, lang, COUNT(*) AS n
+                 FROM documents GROUP BY 1, 2),
+          t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT source, CAST(COUNT(*) AS INT) AS n_langs,
+               ${GQ.osum("round(-(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot), 6)")}
+                 AS lang_entropy
+        FROM c JOIN t USING (source) GROUP BY source"""),
+      (s, d) => {
+        val c = docs(s, d).groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        val t = c.groupBy("source").agg(sum("n").cast(LongType).as("tot"))
+        val p = col("n").cast(DoubleType) / col("tot")
+        c.join(broadcast(t), "source")
+          .groupBy("source")
+          .agg(count(lit(1)).cast(IntegerType).as("n_langs"),
+            Engine.dsum(round(-p * log(p), 6)).as("lang_entropy"))
+      }),
+
     // repeated-substring SPANS — the character-level duplicated-content
     // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
     // instead of suffix-arrayed: 32-char windows at stride 16, a window

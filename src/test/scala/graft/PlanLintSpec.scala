@@ -68,7 +68,10 @@ class PlanLintSpec extends AnyFunSuite {
       "q64_relational_division",
       // t39: the cross product is |sources| x top-50 — both constants,
       // a bounded dense matrix by construction
-      "t39_vocab_divergence")
+      "t39_vocab_divergence",
+      // e27: t39's shape on the time axis — |weeks| x |types| dense
+      // matrix plus a ONE-row global-total scalar
+      "e27_weekly_drift")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
