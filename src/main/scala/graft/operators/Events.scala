@@ -822,6 +822,41 @@ object Events {
           .select(col("wk"), col("qm"), coalesce(col("pm"), lit(0L)).as("pm"))
         m.groupBy("wk")
           .agg(sum(abs(col("pm") - col("qm"))).cast(LongType).as("l1_micros"))
+      }),
+
+    // Last-touch revenue attribution — every purchase's value credited
+    // to the user's immediately-preceding NON-purchase event type (the
+    // marketing-analytics classic; 'direct' when a purchase has no
+    // prior touch). The carry-forward is last_value IGNORE NULLS over
+    // ROWS UNBOUNDED PRECEDING..1 PRECEDING — one window partitioned
+    // by user (per-user event counts are bounded; the e02 sessionize
+    // argument), ordered by (ts, event_id) so equal timestamps cannot
+    // reorder between engines. Revenue sums via dsum (the e01
+    // discipline: decimal-exact, partition-order independent).
+    GQ("e28_attribution",
+      Some(s"""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                     THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+               FROM events)
+        SELECT COALESCE(touch, 'direct') AS touch,
+               CAST(COUNT(*) AS INT) AS n_purchases,
+               ${osum("value")} AS attributed_value
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d)
+          .withColumn("touch",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
+          .agg(count(lit(1)).cast(IntegerType).as("n_purchases"),
+            dsum(col("value")).as("attributed_value"))
       })
   )
 }

@@ -459,8 +459,74 @@ object Graph {
         val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
           .select("id_a", "id_b")
         adamicAdar(pairs, maxMidDegree = 64)
+      }),
+
+    // Degree assortativity (Newman 2002): Pearson correlation between
+    // the degrees at the two ends of every edge, over the same
+    // near-dup graph. Positive = hubs link to hubs (a template family
+    // whose members all resemble each other), negative = hub-and-spoke
+    // (one canonical page with many variants) — it tells a curation
+    // pipeline WHICH dedup survivor policy fits the corpus. All six
+    // moments are exact BIGINT sums over integer degrees (the q55
+    // discipline); the one double expression is written identically in
+    // both engines, and its sqrt inputs are integers (sqrt is
+    // correctly rounded, so no engine divergence), with the 6dp round
+    // on an irrational quotient (the g06 no-halfway-tie argument).
+    // At 100 TB the moment sums would widen to DECIMAL(38,0); the
+    // dataflow (one deg groupBy, two broadcast-size joins back to the
+    // edge list, one scalar agg) is unchanged.
+    GQ("g07_assortativity",
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        dg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+        j AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+              JOIN dg dx ON e.src = dx.id JOIN dg dy ON e.dst = dy.id),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x*y) AS BIGINT) AS sxy,
+                     CAST(SUM(x*x) AS BIGINT) AS sxx,
+                     CAST(SUM(y*y) AS BIGINT) AS syy FROM j)
+        SELECT CAST(n AS INT) AS n_edges,
+               round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                     (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                      sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS assortativity
+        FROM s"""),
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        degreeAssortativity(pairs)
       })
   )
+
+  /** Newman degree assortativity of an undirected graph. `pairs` is
+    * the canonical edge list (id_a < id_b); both directions enter the
+    * correlation so it is symmetric by construction. The degree table
+    * is |V| rows (broadcasts; falls back to an id-keyed shuffle join
+    * beyond the threshold) and the result is one row. */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val dg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    e.join(dg.as("dx"), col("src") === col("dx.id"))
+      .join(dg.as("dy"), col("dst") === col("dy.id"))
+      .select(col("dx.deg").as("x"), col("dy.deg").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast(IntegerType).as("n_edges"),
+        expr("round(CAST(n*sxy - sx*sy AS DOUBLE) / " +
+          "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * " +
+          "sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)").as("assortativity"))
+  }
 
   /** Adamic-Adar scores for every non-adjacent pair sharing a common
     * neighbor. `pairs` is the canonical undirected edge list
