@@ -1050,6 +1050,42 @@ object TextPipeline {
             Engine.dsum(round(-p * log(p), 6)).as("lang_entropy"))
       }),
 
+    // Type-token ratio + hapax-legomena share per source — the lexical-
+    // diversity dual of t31's Zipf slope: TTR says how wide the
+    // vocabulary is relative to volume (low = template/bot text),
+    // hapax share says how heavy the singleton tail is (high = noisy
+    // OCR/IDs, low = tight controlled vocabulary). Pure integers end
+    // to end (micro-unit floor division, no rounding ties possible).
+    // Scale: one (source, token) rollup shuffle collapses the token
+    // stream map-side; the per-source reduction is |vocab| rows per
+    // source, and output is |sources|.
+    GQ("t42_ttr_hapax",
+      Some(s"""WITH tok AS (SELECT source, unnest($oracleTokens) AS token FROM documents),
+          tc AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+          s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                       CAST(SUM(c) AS BIGINT) AS total,
+                       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS hapax
+                FROM tc GROUP BY 1)
+        SELECT source, CAST(vocab AS INT) AS vocab,
+               total AS n_tokens,
+               CAST((vocab * 1000000) // total AS DOUBLE) / 1e6 AS ttr,
+               CAST((hapax * 1000000) // vocab AS DOUBLE) / 1e6 AS hapax_share
+        FROM s"""),
+      (s, d) => {
+        val tc = docs(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        tc.groupBy("source")
+          .agg(count(lit(1)).as("vocab"), sum("c").cast(LongType).as("total"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).cast(LongType).as("hapax"))
+          .select(col("source"), col("vocab").cast(IntegerType).as("vocab"),
+            col("total").as("n_tokens"),
+            (expr("(vocab * 1000000) div total").cast(DoubleType) / 1e6).as("ttr"),
+            (expr("(hapax * 1000000) div vocab").cast(DoubleType) / 1e6)
+              .as("hapax_share"))
+      }),
+
     // repeated-substring SPANS — the character-level duplicated-content
     // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
     // instead of suffix-arrayed: 32-char windows at stride 16, a window

@@ -688,6 +688,32 @@ object VectorSearch {
             .as("intra_sim"),
           Engine.davg(when(col("other") =!= col("label"), col("sim")))
             .as("inter_sim"))
+      }),
+
+    // Embedding L2-norm audit per label — the cheapest embedding-table
+    // sanity check there is (zero/degenerate norms break cosine; a
+    // label whose norm band shifts signals an encoder version mix or
+    // a corrupt ingest batch). One codegen'd scan pass computing
+    // graft_dot(v,v) per row (no joins, no shuffle beyond the |labels|-
+    // row rollup); sqrt is correctly rounded so the per-row norm is
+    // bit-identical across engines, pre-rounded 6dp before the davg
+    // (the s11 discipline).
+    GQ("s12_norm_audit",
+      Some(s"""WITH e AS (SELECT label,
+            round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))), 6) AS nm
+          FROM embeddings)
+        SELECT label, CAST(COUNT(*) AS INT) AS n,
+               ${GQ.oavg("nm")} AS avg_norm,
+               MIN(nm) AS min_norm, MAX(nm) AS max_norm
+        FROM e GROUP BY label"""),
+      (s, d) => {
+        val e = emb(s, d).select(col("label"),
+          round(sqrt(GF.dot(col("embedding"), col("embedding"))), 6).as("nm"))
+        e.groupBy("label").agg(
+          count(lit(1)).cast(IntegerType).as("n"),
+          Engine.davg(col("nm")).as("avg_norm"),
+          min("nm").as("min_norm"), max("nm").as("max_norm"))
       })
   )
 }
