@@ -857,6 +857,42 @@ object Events {
           .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
           .agg(count(lit(1)).cast(IntegerType).as("n_purchases"),
             dsum(col("value")).as("attributed_value"))
+      }),
+
+    // Behavioral predictability — per event type, the Shannon entropy
+    // of its NEXT-event distribution (e15's transition matrix read as
+    // a randomness meter: 0 = deterministic flows like signup->view,
+    // ln(5) = anything can follow). Low-entropy types are automatable
+    // funnels; a type whose entropy jumps between datasets signals a
+    // logging change. Per-term -p*ln(p) pre-rounds to 6dp into a
+    // decimal sum (the t41 discipline; ln of a rational is irrational,
+    // no halfway ties). Everything downstream of the |types|^2 rollup
+    // is constant-size.
+    GQ("e29_transition_entropy",
+      Some(s"""WITH seq AS (SELECT event_type AS src,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS dst
+               FROM events),
+          c AS (SELECT src, dst, COUNT(*) AS cnt FROM seq
+                WHERE dst IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT src, CAST(COUNT(*) AS INT) AS n_dst,
+               ${osum("round(-(CAST(cnt AS DOUBLE) / tot) * ln(CAST(cnt AS DOUBLE) / tot), 6)")}
+                 AS next_entropy
+        FROM c JOIN t USING (src) GROUP BY src"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val c = ev(s, d)
+          .select(col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        val t = c.groupBy("src").agg(sum("cnt").cast(LongType).as("tot"))
+        val p = col("cnt").cast(DoubleType) / col("tot")
+        c.join(broadcast(t), "src")
+          .groupBy("src")
+          .agg(count(lit(1)).cast(IntegerType).as("n_dst"),
+            dsum(round(-p * log(p), 6)).as("next_entropy"))
       })
   )
 }

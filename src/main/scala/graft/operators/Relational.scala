@@ -1067,6 +1067,54 @@ object Relational {
             AS BIGINT) AS nsafe_ne
         FROM b""")),
 
+    // ---- ratio_to_report: each nation's share of its REGION's order
+    // revenue, the percent-of-parent window every BI layer ships.
+    // o_totalprice is a 2dp-valued DOUBLE, so cents = round(price*100)
+    // is exact (the product sits within an ulp of an integer, never
+    // near a .5 tie; explicit round() because DuckDB's double->int
+    // CAST rounds where Spark's truncates); the share is an integer
+    // micro-unit floor division against a window SUM of cents, widened
+    // through int128 (HUGEINT / DECIMAL(38,0)) so region totals near
+    // 2^63 cents cannot overflow — the 100 TB-safe form of
+    // (x*1e6)/total. DuckDB's DECIMAL `//` detours through DOUBLE
+    // (observed 1-micro drift), hence HUGEINT on the oracle side.
+    // Plan: one join+agg shuffle to the 25-nation rollup; the window
+    // partitions are <= 5 rows. ----
+    GQ("q67_revenue_share",
+      Some("""WITH nr AS (SELECT r_name, n_name,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY 1, 2)
+        SELECT r_name, n_name, n_orders,
+               CAST(cents AS DOUBLE) / 100 AS revenue,
+               CAST(CAST((CAST(cents AS HUGEINT) * 1000000)
+                   // SUM(cents) OVER (PARTITION BY r_name) AS BIGINT)
+                 AS DOUBLE) / 1e6 AS region_share
+        FROM nr"""),
+      (s, d) => {
+        val nr = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast(LongType).as("cents"),
+            count(lit(1)).as("n_orders"))
+        nr.withColumn("rc",
+            sum("cents").over(Window.partitionBy("r_name")))
+          .select(col("r_name"), col("n_name"), col("n_orders"),
+            (col("cents").cast(DoubleType) / 100).as("revenue"),
+            (expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div rc")
+              .cast(LongType).cast(DoubleType) / 1e6).as("region_share"))
+      }),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {
