@@ -234,6 +234,43 @@ object EventsStreaming {
       }.start()
   }
 
+  final case class TouchState(touch: String)
+  final case class AttribOut(user_id: Long, event_id: Long, touch: String,
+      value: Double)
+
+  /** Streaming twin of the batch e28 last-touch attribution: keyed
+    * state carries each user's most recent NON-purchase event type; a
+    * micro-batch sorts its per-user slice by (ts, event_id) — bounded
+    * by one user's per-trigger volume, the [[transitions]] discipline —
+    * emits one attributed row per purchase ('direct' when no touch has
+    * ever been seen), and bridges across micro-batch boundaries through
+    * the stored touch. State is ONE string per observed user (smaller
+    * than transitions' state). Same divergence contract as
+    * [[transitions]]: parity with the batch window holds when per-user
+    * arrival respects event time across triggers; Append cannot
+    * re-attribute an already-emitted purchase after a late touch. */
+  def attribution(spark: SparkSession, events: DataFrame): Dataset[AttribOut] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttribOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var touch = state.getOption.map(_.touch).orNull
+          val out = Seq.newBuilder[AttribOut]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += AttribOut(uid, e.event_id,
+                if (touch == null) "direct" else touch, e.value)
+            else touch = e.event_type
+          }
+          if (touch != null) state.update(TouchState(touch))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream join: each purchase joined to page views of the same
     * user within the preceding hour. Both sides carry watermarks so the
     * join state store is bounded (views retained only inside the time
