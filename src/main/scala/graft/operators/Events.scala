@@ -893,6 +893,88 @@ object Events {
           .groupBy("src")
           .agg(count(lit(1)).cast(IntegerType).as("n_dst"),
             dsum(round(-p * log(p), 6)).as("next_entropy"))
+      }),
+
+    // RFM segmentation — recency/frequency/monetary quartiles per
+    // purchasing user, the standard customer-value grid. Deliberately
+    // NOT a global ntile(): three whole-table ntile windows would each
+    // sort every user in ONE task (the s01/t21 scale-killer). Instead
+    // exact quartile BOUNDARIES (percentile_disc over the per-user
+    // rollup — integer-valued, engine-exact) broadcast back, and each
+    // user's quartile is a pure integer comparison count: fully
+    // distributed, no total order anywhere. Monetary uses exact cents
+    // (round(value*100): 2dp doubles sit within an ulp of an integer,
+    // never near a .5 tie). Quartile 1 = best (most recent / most
+    // frequent / highest spend).
+    GQ("e30_rfm_segments",
+      Some("""WITH p AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+                 CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          mx AS (SELECT MAX(last_d) AS mx FROM p),
+          s AS (SELECT user_id, CAST(mx - last_d AS INT) AS rec_days,
+                       freq, cents FROM p CROSS JOIN mx),
+          b AS (SELECT
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY rec_days) AS r1,
+              percentile_disc(0.50) WITHIN GROUP (ORDER BY rec_days) AS r2,
+              percentile_disc(0.75) WITHIN GROUP (ORDER BY rec_days) AS r3,
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY freq) AS f1,
+              percentile_disc(0.50) WITHIN GROUP (ORDER BY freq) AS f2,
+              percentile_disc(0.75) WITHIN GROUP (ORDER BY freq) AS f3,
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS m1,
+              percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS m2,
+              percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS m3
+            FROM s)
+        SELECT user_id, rec_days, freq,
+               CAST(cents AS DOUBLE) / 100 AS monetary,
+               CAST(1 + (CASE WHEN rec_days > r1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN rec_days > r2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN rec_days > r3 THEN 1 ELSE 0 END) AS INT)
+                 AS r_q,
+               CAST(1 + (CASE WHEN freq < f3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN freq < f2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN freq < f1 THEN 1 ELSE 0 END) AS INT)
+                 AS f_q,
+               CAST(1 + (CASE WHEN cents < m3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN cents < m2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN cents < m1 THEN 1 ELSE 0 END) AS INT)
+                 AS m_q
+        FROM s CROSS JOIN b"""),
+      (s, d) => {
+        val p = ev(s, d).filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(max(col("ts").cast(DateType)).as("last_d"),
+            count(lit(1)).as("freq"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).cast(LongType)
+              .as("cents"))
+        val mx = p.agg(max("last_d").as("mx"))
+        val sdf = p.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            datediff(col("mx"), col("last_d")).cast(IntegerType).as("rec_days"),
+            col("freq"), col("cents"))
+        val b = sdf.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY rec_days)").as("r1"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY rec_days)").as("r2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY rec_days)").as("r3"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY freq)").as("f1"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY freq)").as("f2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY freq)").as("f3"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").as("m1"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").as("m2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)").as("m3"))
+        sdf.crossJoin(broadcast(b))
+          .select(col("user_id"), col("rec_days"), col("freq"),
+            (col("cents").cast(DoubleType) / 100).as("monetary"),
+            expr("CAST(1 + (CASE WHEN rec_days > r1 THEN 1 ELSE 0 END)" +
+              " + (CASE WHEN rec_days > r2 THEN 1 ELSE 0 END)" +
+              " + (CASE WHEN rec_days > r3 THEN 1 ELSE 0 END) AS INT)").as("r_q"),
+            expr("CAST(1 + (CASE WHEN freq < f3 THEN 1 ELSE 0 END)" +
+              " + (CASE WHEN freq < f2 THEN 1 ELSE 0 END)" +
+              " + (CASE WHEN freq < f1 THEN 1 ELSE 0 END) AS INT)").as("f_q"),
+            expr("CAST(1 + (CASE WHEN cents < m3 THEN 1 ELSE 0 END)" +
+              " + (CASE WHEN cents < m2 THEN 1 ELSE 0 END)" +
+              " + (CASE WHEN cents < m1 THEN 1 ELSE 0 END) AS INT)").as("m_q"))
       })
   )
 }

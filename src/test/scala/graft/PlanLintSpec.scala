@@ -71,7 +71,12 @@ class PlanLintSpec extends AnyFunSuite {
       "t39_vocab_divergence",
       // e27: t39's shape on the time axis — |weeks| x |types| dense
       // matrix plus a ONE-row global-total scalar
-      "e27_weekly_drift")
+      "e27_weekly_drift",
+      // e30: both broadcast sides are ONE-row scalars (the global
+      // max-date anchor; the 9 exact quartile boundaries) — the
+      // boundary-broadcast design exists precisely to AVOID the
+      // global-ntile single-task sort
+      "e30_rfm_segments")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
