@@ -1115,6 +1115,75 @@ object Relational {
               .cast(LongType).cast(DoubleType) / 1e6).as("region_share"))
       }),
 
+    // Cheapest-supplier-per-part — the TPC-H Q2 shape re-expressed over
+    // lineitem (this schema has no partsupp): for every part that ever
+    // shipped, the minimum observed line price and the supplier that
+    // offered it, ties broken toward the smallest suppkey. The argmin is
+    // ONE `min(struct(price, supp))` aggregation — lexicographic struct
+    // ordering gives (min price, then min supplier) in a single
+    // partial+final pass, no self-join back onto the fact table and no
+    // per-part window sort (both classic argmin shapes that double the
+    // fact-table shuffle volume at 100 TB). Prices compare in exact
+    // integer cents. Dimension joins broadcast.
+    GQ("q68_min_cost_supplier",
+      Some("""WITH c AS (SELECT l_partkey, l_suppkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+          m AS (SELECT l_partkey, MIN(cents) AS min_cents FROM c GROUP BY 1),
+          w AS (SELECT c.l_partkey, m.min_cents,
+                       MIN(c.l_suppkey) AS best_supp
+                FROM c JOIN m ON c.l_partkey = m.l_partkey
+                            AND c.cents = m.min_cents
+                GROUP BY 1, 2)
+        SELECT p_partkey, p_name, s_name,
+               CAST(min_cents AS DOUBLE) / 100 AS best_price
+        FROM w JOIN part ON l_partkey = p_partkey
+               JOIN supplier ON best_supp = s_suppkey"""),
+      (s, d) => {
+        val best = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            struct(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("cents"), col("l_suppkey")).as("offer"))
+          .groupBy("l_partkey")
+          .agg(min("offer").as("best"))
+        best
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("best.l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            (col("best.cents").cast(DoubleType) / 100).as("best_price"))
+      }),
+
+    // Market-basket brand affinity: unordered brand pairs co-purchased in
+    // the same order, with support >= 3 orders. The pair space explodes
+    // from a self-join, but on the ORDER key — per-order pair volume is
+    // bounded by (items-per-order choose 2), a structural constant of the
+    // workload, so the join output is a bounded constant factor of the
+    // fact table no matter the total scale (the safe kind of self-join;
+    // contrast an unkeyed or skew-keyed one). Brand lookup broadcasts;
+    // the distinct pre-pass keeps multi-line same-brand orders from
+    // inflating counts.
+    GQ("q69_market_basket",
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                         AND x.p_brand < y.p_brand
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3"""),
+      (s, d) => {
+        val b = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")).distinct()
+        val x = b.toDF("l_orderkey", "brand_a")
+        val y = b.toDF("l_orderkey2", "brand_b")
+        x.join(y, col("l_orderkey") === col("l_orderkey2") &&
+            col("brand_a") < col("brand_b"))
+          .groupBy("brand_a", "brand_b")
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 3)
+      }),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {
