@@ -975,6 +975,63 @@ object Events {
             expr("CAST(1 + (CASE WHEN cents < m3 THEN 1 ELSE 0 END)" +
               " + (CASE WHEN cents < m2 THEN 1 ELSE 0 END)" +
               " + (CASE WHEN cents < m1 THEN 1 ELSE 0 END) AS INT)").as("m_q"))
+      }),
+
+    // Weekly-periodicity strength: lag-7 Pearson autocorrelation of the
+    // DAILY event-count series, per event type. The event scan collapses
+    // to one tiny (type, day) rollup — the only fact-table shuffle — and
+    // the lagged pairing is an equi-join of that rollup with itself
+    // shifted 7 days (rollup-sized, broadcastable; NOT a window over the
+    // raw events). All Pearson moments are exact BIGINT sums of daily
+    // counts (n·Σxy etc. stay well under 2^53 here; at 100 TB the same
+    // moments would widen through DECIMAL like q55), so the only doubles
+    // are the final sqrt/divide on identical integers — bit-identical
+    // across engines, then pinned at 6dp.
+    GQ("e31_weekly_autocorr",
+      Some("""WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+          pair AS (SELECT a.event_type, a.n AS x, b.n AS y
+                   FROM dly a JOIN dly b ON a.event_type = b.event_type
+                                        AND b.d = a.d + INTERVAL 7 DAY),
+          m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM pair GROUP BY 1)
+        SELECT event_type, n AS n_pairs,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS autocorr7
+        FROM m
+        WHERE n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy"""),
+      (s, d) => {
+        val dly = ev(s, d)
+          .groupBy(col("event_type"), col("ts").cast(DateType).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val a = dly.toDF("event_type", "d", "x")
+        val b = dly.toDF("event_type2", "d2", "y")
+        val m = a.join(b, col("event_type") === col("event_type2") &&
+            col("d2") === date_add(col("d"), 7))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        m.filter(col("n") > 1 &&
+            col("n") * col("sxx") > col("sx") * col("sx") &&
+            col("n") * col("syy") > col("sy") * col("sy"))
+          .select(col("event_type"), col("n").as("n_pairs"),
+            round((col("n").cast(DoubleType) * col("sxy") -
+                col("sx").cast(DoubleType) * col("sy")) /
+              (sqrt(col("n").cast(DoubleType) * col("sxx") -
+                  col("sx").cast(DoubleType) * col("sx")) *
+                sqrt(col("n").cast(DoubleType) * col("syy") -
+                  col("sy").cast(DoubleType) * col("sy"))), 6)
+              .as("autocorr7"))
       })
   )
 }

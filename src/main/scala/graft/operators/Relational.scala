@@ -1184,6 +1184,43 @@ object Relational {
           .filter(col("n_orders") >= 3)
       }),
 
+    // Fulfillment-latency SLA table: exact percentiles of the ship lag
+    // (days from order to line shipment) per order priority. Date
+    // arithmetic yields small exact integers, so percentile_disc is
+    // engine-exact (no interpolation doubles). The orders→lineitem join
+    // is the genuine fact-fact shuffle on orderkey; the ordered-set
+    // aggregate then runs per-priority (5 groups) over int days — at
+    // 100 TB the percentile pass would go through the q59-style
+    // histogram-of-days rollup (day lags have tiny cardinality), but the
+    // direct ordered-set form is the honest operator under test here.
+    GQ("q70_ship_latency",
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY lag_days) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY lag_days) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY lag_days) AS p99,
+               MAX(lag_days) AS worst
+        FROM (SELECT o_orderpriority,
+                CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                  AS INT) AS lag_days
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        GROUP BY 1"""),
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast(DateType),
+            col("o_orderdate").cast(DateType)).as("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          // percentile_disc picks an existing int value; Spark types it
+          // DOUBLE, DuckDB INT — cast losslessly to match
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY lag_days)")
+            .cast(IntegerType).as("p50"),
+          expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY lag_days)")
+            .cast(IntegerType).as("p90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY lag_days)")
+            .cast(IntegerType).as("p99"),
+          max("lag_days").as("worst"))),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {
