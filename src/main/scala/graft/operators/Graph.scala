@@ -501,6 +501,50 @@ object Graph {
         val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
           .select("id_a", "id_b")
         degreeAssortativity(pairs)
+      }),
+
+    // HITS hubs & authorities over the same near-dup digraph, 2
+    // iterations, max-normalized. Same fixed-point discipline as
+    // g01/g02: all accumulation is exact integer sums of micro-unit
+    // scores, and the per-round normalization is an integer floor
+    // division by the round's max — no float rounding anywhere in the
+    // loop, so the unrolled-CTE oracle matches bit for bit.
+    GQ("g08_hits", {
+      def half(scores: String, edgeKey: String, groupKey: String,
+          cur: String): String =
+        s"""${cur}_raw AS (SELECT e.$groupKey AS id,
+              CAST(SUM(s.micros) AS BIGINT) AS raw
+              FROM edges e JOIN $scores s ON e.$edgeKey = s.id GROUP BY 1),
+            ${cur}_mx AS (SELECT MAX(raw) AS mx FROM ${cur}_raw),
+            $cur AS (SELECT n.id,
+                CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000
+                     // GREATEST(mx, 1) AS BIGINT) AS micros
+              FROM nodes n LEFT JOIN ${cur}_raw r ON n.id = r.id
+              CROSS JOIN ${cur}_mx)"""
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+        h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS micros FROM nodes),
+        ${half("h0", "src", "dst", "a1")},
+        ${half("a1", "dst", "src", "h1")},
+        ${half("h1", "src", "dst", "a2")},
+        ${half("a2", "dst", "src", "h2")}
+        SELECT a2.id, CAST(a2.micros AS DOUBLE) / 1000000 AS authority,
+               CAST(h2.micros AS DOUBLE) / 1000000 AS hub
+        FROM a2 JOIN h2 ON a2.id = h2.id""")
+    },
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        hits(edges, dd.select(col("doc_id").as("id")), iters = 2)
       })
   )
 
@@ -558,6 +602,58 @@ object Graph {
           .as("aa_score"))
       .localCheckpoint()
     Engine.releaseCheckpoint(p)
+    out
+  }
+
+  /** Fixed-iteration HITS (Kleinberg 1999): authority(v) accumulates
+    * hub scores over in-edges, hub(u) accumulates authority scores
+    * over out-edges, each half-step max-normalized so scores stay in
+    * [0, 1]. On a curation graph authorities are the canonical copies
+    * a cluster points at; hubs are aggregator/boilerplate documents.
+    *
+    * Fixed-point arithmetic throughout ([[pageRank]]'s determinism
+    * discipline): scores are integer micro-units, accumulation is an
+    * exact integer SUM, and normalization is `(raw * 1e6) div max` —
+    * the multiply widened through DECIMAL(38,0) so it cannot overflow
+    * long even when raw is |V|-scaled (the oracle widens through
+    * HUGEINT identically). No ties, no rounding, any partitioning.
+    *
+    * 100 TB shape: adjacency materialized once; per half-step one
+    * shuffle keyed by the gathering endpoint plus a 1-row max that
+    * broadcasts back — score tables stay one row per node, lineage cut
+    * per round like pageRank. */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint()
+    val n = nodes.localCheckpoint()
+    def half(scores: DataFrame, edgeKey: String, groupKey: String): DataFrame = {
+      val raw = e.join(scores, e(edgeKey) === scores("id"))
+        .groupBy(e(groupKey).as("rid"))
+        .agg(sum("micros").as("raw"))
+      val mx = raw.agg(max("raw").as("mx"))
+      n.join(raw, col("id") === col("rid"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr("CAST((CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * 1000000)" +
+            " div greatest(mx, 1L) AS BIGINT)").as("micros"))
+    }
+    var hub = n.select(col("id"), lit(1000000L).as("micros"))
+    var auth = hub
+    // each half-step is checkpointed (lineage cut per round, the
+    // pageRank shape); the tiny per-round tables release at the end
+    val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to iters) {
+      auth = half(hub, "src", "dst").localCheckpoint()
+      hub = half(auth, "dst", "src").localCheckpoint()
+      rounds += auth += hub
+    }
+    val out = auth.select(col("id"),
+        (col("micros").cast(DoubleType) / 1e6).as("authority"))
+      .join(hub.select(col("id"),
+        (col("micros").cast(DoubleType) / 1e6).as("hub")), "id")
+      .localCheckpoint()
+    rounds.foreach(Engine.releaseCheckpoint)
+    Engine.releaseCheckpoint(e)
+    Engine.releaseCheckpoint(n)
     out
   }
 }

@@ -1086,6 +1086,54 @@ object TextPipeline {
               .as("hapax_share"))
       }),
 
+    // PMI collocations — pointwise mutual information over document-
+    // level co-occurrence (Church & Hanks 1990), the standard
+    // collocation / template-phrase miner: pairs with high PMI travel
+    // together far more than chance, flagging boilerplate frames. The
+    // per-doc pair explode is bounded by (distinct terms per doc choose
+    // 2) — a function of DOC LENGTH, not corpus size (the q69 bounded
+    // self-join class) — and the aggregate is keyed on term pairs,
+    // bounded by vocab². PMI's ln runs on one exact-integer rational
+    // (products < 2^53), identical text both engines, pinned at 6dp;
+    // the n_ab >= 5 support floor keeps rare-pair noise (and any
+    // near-boundary values) out.
+    GQ("t43_pmi_collocations",
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($oracleTokens) AS term
+                 FROM documents),
+          nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+          tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+          pc AS (SELECT a.term AS term_a, b.term AS term_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+                 FROM dt a JOIN dt b ON a.doc_id = b.doc_id
+                                    AND a.term < b.term
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT term_a, term_b, n_ab,
+               round(ln(CAST(n_ab AS DOUBLE) * n
+                        / (CAST(ta.df AS DOUBLE) * tb.df)), 6) AS pmi
+        FROM pc JOIN tc ta ON term_a = ta.term
+                JOIN tc tb ON term_b = tb.term
+                CROSS JOIN nd"""),
+      (s, d) => {
+        val dt = docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .distinct()
+        val nd = dt.agg(countDistinct("doc_id").as("n"))
+        val tc = dt.groupBy("term").agg(count(lit(1)).as("df"))
+        val a = dt.toDF("doc_id", "term_a")
+        val b = dt.toDF("doc_id2", "term_b")
+        a.join(b, col("doc_id") === col("doc_id2") &&
+            col("term_a") < col("term_b"))
+          .groupBy("term_a", "term_b")
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .join(broadcast(tc.toDF("ta", "df_a")), col("term_a") === col("ta"))
+          .join(broadcast(tc.toDF("tb", "df_b")), col("term_b") === col("tb"))
+          .crossJoin(broadcast(nd))
+          .select(col("term_a"), col("term_b"), col("n_ab"),
+            round(log(col("n_ab").cast(DoubleType) * col("n") /
+              (col("df_a").cast(DoubleType) * col("df_b"))), 6).as("pmi"))
+      }),
+
     // repeated-substring SPANS — the character-level duplicated-content
     // detector (Lee et al. 2022's ExactSubstr motivation, gram-windowed
     // instead of suffix-arrayed: 32-char windows at stride 16, a window
