@@ -714,6 +714,120 @@ object VectorSearch {
           count(lit(1)).cast(IntegerType).as("n"),
           Engine.davg(col("nm")).as("avg_norm"),
           min("nm").as("min_norm"), max("nm").as("max_norm"))
+      }),
+
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): rerank
+    // the top-kCand exact candidates so each pick balances query
+    // relevance against redundancy with what's already picked
+    // (lambda = 0.7). Greedy scores run in integer micro-units —
+    // num = 7·simq_m − 3·maxrel_m, argmax by (num, smallest nid) —
+    // so the k-step loop has no float rounding to tie-split on and
+    // the unrolled-CTE oracle matches exactly (the g01 discipline
+    // applied to retrieval). See [[mmrRerank]] for the scale shape.
+    GQ("s13_mmr_rerank", {
+      val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))" +
+        " * sqrt(list_dot_product(b.v, b.v)))"
+      def step(prev: String, cur: String, r: Int): String =
+        s"""${cur}_sc AS (SELECT c.qid, c.nid, c.simq_m, MAX(pr.s) AS mr
+              FROM cand c
+              JOIN $prev s ON c.qid = s.qid
+              JOIN pair pr ON pr.qid = c.qid AND pr.x = c.nid
+                          AND pr.y = s.nid
+              WHERE NOT EXISTS (SELECT 1 FROM $prev z
+                                WHERE z.qid = c.qid AND z.nid = c.nid)
+              GROUP BY 1, 2, 3),
+            ${cur}_pick AS (SELECT qid, nid, $r AS rank,
+                7 * simq_m - 3 * mr AS num
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY 7 * simq_m - 3 * mr DESC, nid) AS rn
+                    FROM ${cur}_sc) WHERE rn = 1),
+            $cur AS (SELECT * FROM $prev UNION ALL
+                     SELECT qid, nid, rank, num FROM ${cur}_pick)"""
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+        q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 100 = 0),
+        p AS (SELECT a.qid, b.vec_id AS nid,
+                CAST(round(round($cos, 6) * 1000000) AS BIGINT) AS simq_m
+              FROM q a JOIN e b ON b.vec_id <> a.qid),
+        cand AS (SELECT qid, nid, simq_m FROM (
+                   SELECT qid, nid, simq_m, ROW_NUMBER() OVER (
+                     PARTITION BY qid ORDER BY simq_m DESC, nid) AS rn
+                   FROM p) WHERE rn <= 8),
+        cv AS (SELECT c.qid, c.nid, c.simq_m, e.v
+               FROM cand c JOIN e ON e.vec_id = c.nid),
+        pair AS (SELECT a.qid, a.nid AS x, b.nid AS y,
+                   CAST(round(round($cos, 6) * 1000000) AS BIGINT) AS s
+                 FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid <> b.nid),
+        s1 AS (SELECT qid, nid, 1 AS rank, 7 * simq_m AS num FROM (
+                 SELECT qid, nid, simq_m, ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY simq_m DESC, nid) AS rn
+                 FROM cand) WHERE rn = 1),
+        ${step("s1", "s2", 2)}, ${step("s2", "s3", 3)}, ${step("s3", "s4", 4)}
+        SELECT qid, CAST(rank AS INT) AS rank, nid,
+               CAST(num AS DOUBLE) / 1e7 AS mmr
+        FROM s4""")
+    },
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        mmrRerank(e, q, k = 4, kCand = 8)
       })
   )
+
+  /** Greedy MMR re-ranking of the exact top-`kCand` candidates per
+    * query: pick `k` results, each maximizing
+    * lambda·sim(query, c) − (1−lambda)·max_{s∈picked} sim(c, s)
+    * with lambda = 0.7. The standard redundancy-aware serving layer on
+    * top of any of the top-k retrievers (diverse RAG contexts, dedup'd
+    * search pages).
+    *
+    * 100 TB shape: the expensive part is candidate generation, which
+    * reuses [[bruteForceTopK]]'s bounded-heap scan (swap in lshTopK /
+    * ivfPqTopK unchanged — any (qid, nid, sim) producer works). The
+    * greedy loop then touches only kCand rows per query: each of the
+    * k−1 steps is one qid-keyed join of candidates × picked (≤ kCand·k
+    * rows per query) and one argmax — work per query is O(kCand·k²),
+    * independent of corpus size, and queries parallelize freely.
+    * Scoring is exact integer micros (num = 7·simq − 3·maxrel; argmax
+    * on (num, −nid) via struct max) — no float rounding inside the
+    * loop, so results are partition- and engine-independent.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+      k: Int, kCand: Int): DataFrame = {
+    val corpusV = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val cand = bruteForceTopK(corpus, queries, kCand)
+      .join(corpusV, "nid")
+      .select(col("qid"), col("nid"),
+        expr("CAST(round(sim * 1000000) AS BIGINT)").as("simq_m"), col("nv"))
+      .localCheckpoint() // candidate scan runs once, not once per step
+    var selected = cand.groupBy("qid")
+      .agg(max(struct(col("simq_m"), (-col("nid")).as("nn"))).as("b"))
+      .select(col("qid"), (-col("b.nn")).as("nid"), lit(1).as("rank"),
+        (lit(7L) * col("b.simq_m")).as("num"))
+    for (r <- 2 to k) {
+      val selV = selected.select(col("qid").as("sqid"), col("nid").as("sid"))
+        .join(cand.select(col("qid").as("sqid"), col("nid").as("sid"),
+          col("nv").as("sv")), Seq("sqid", "sid"))
+      val rem = cand.join(selected.select("qid", "nid"),
+        Seq("qid", "nid"), "left_anti")
+      val pick = rem.join(selV, col("qid") === col("sqid"))
+        .select(col("qid"), col("nid"), col("simq_m"),
+          round(sim6(col("nv"), col("sv")) * 1000000, 0).cast(LongType).as("s"))
+        .groupBy("qid", "nid", "simq_m")
+        .agg(max("s").as("mr"))
+        .select(col("qid"),
+          struct((lit(7L) * col("simq_m") - lit(3L) * col("mr")).as("num"),
+            (-col("nid")).as("nn")).as("cand"))
+        .groupBy("qid").agg(max("cand").as("b"))
+        .select(col("qid"), (-col("b.nn")).as("nid"), lit(r).as("rank"),
+          col("b.num").as("num"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    val out = selected.select(col("qid"), col("rank").cast(IntegerType).as("rank"),
+        col("nid"), (col("num").cast(DoubleType) / 1e7).as("mmr"))
+      .localCheckpoint()
+    Engine.releaseCheckpoint(cand)
+    out
+  }
 }

@@ -76,7 +76,16 @@ class PlanLintSpec extends AnyFunSuite {
       // max-date anchor; the 9 exact quartile boundaries) — the
       // boundary-broadcast design exists precisely to AVOID the
       // global-ntile single-task sort
-      "e30_rfm_segments")
+      "e30_rfm_segments",
+      // t43: the broadcast side is the ONE-row corpus document count
+      // feeding the PMI denominator
+      "t43_pmi_collocations",
+      // g08: each HITS half-step broadcasts the ONE-row per-round max
+      // used by the integer normalization
+      "g08_hits",
+      // s13: candidate generation is s01's broadcast-query-set arm;
+      // the greedy loop joins only kCand-row-per-query tables
+      "s13_mmr_rerank")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
