@@ -545,6 +545,49 @@ object Graph {
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         hits(edges, dd.select(col("doc_id").as("id")), iters = 2)
+      }),
+
+    // Local clustering coefficient — the per-node "how clique-like is
+    // my neighborhood" signal (Watts & Strogatz 1998): 2·tri(v) /
+    // (deg(v)·(deg(v)−1)). On a near-dup graph, high-coefficient nodes
+    // sit inside tight mirror clusters (safe to collapse to one
+    // survivor); low-coefficient high-degree nodes are template hubs
+    // stitching unrelated documents (split, don't collapse). Builds on
+    // g03's per-node triangle counts plus the degree table; the
+    // coefficient is an integer floor division in micro-units — no
+    // float rounding, so the CTE oracle matches exactly.
+    GQ("g10_local_clustering",
+      Some(s"""WITH ${Dedup.ngramPairCtes},
+        p AS (SELECT id_a, id_b FROM it
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) >= 0.02),
+        dg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                 SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)
+               GROUP BY 1),
+        tri AS (SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+                FROM p p1 JOIN p p2 ON p1.id_b = p2.id_a
+                JOIN p p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+        m AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b AS id FROM tri
+                UNION ALL SELECT c AS id FROM tri)
+              GROUP BY id)
+        SELECT n.doc_id AS id,
+               CAST(COALESCE(dg.deg, 0) AS INT) AS deg,
+               COALESCE(m.triangles, 0) AS triangles,
+               CASE WHEN COALESCE(dg.deg, 0) >= 2
+                 THEN CAST((2 * COALESCE(m.triangles, 0) * 1000000)
+                           // (dg.deg * (dg.deg - 1)) AS DOUBLE) / 1e6
+                 ELSE 0.0 END AS clustering
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) n
+        LEFT JOIN dg ON dg.id = n.doc_id
+        LEFT JOIN m ON m.id = n.doc_id"""),
+      (s, d) => {
+        val dd = docs(s, d).filter(col("doc_id") < 300)
+        val pairs = Dedup.ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        localClustering(pairs, dd.select(col("doc_id").as("id")))
       })
   )
 
@@ -600,6 +643,32 @@ object Graph {
       .agg(count(lit(1)).cast(IntegerType).as("n_common"),
         Engine.dsum(round(lit(1.0) / log(col("deg").cast(DoubleType)), 6))
           .as("aa_score"))
+      .localCheckpoint()
+    Engine.releaseCheckpoint(p)
+    out
+  }
+
+  /** Per-node local clustering coefficient over the canonical
+    * undirected edge list: 2·tri(v) / (deg(v)·(deg(v)−1)), 0 for
+    * degree < 2. Triangle counting delegates to [[triangleCounts]]
+    * (degree-oriented wedge join — each triangle enumerated once);
+    * the degree rollup is one extra |E|-keyed aggregate, and the
+    * coefficient itself is an exact integer floor division emitted as
+    * micros/1e6 (no float rounding, any partitioning). */
+  def localClustering(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint() // feeds both the tri pass and deg
+    val tri = triangleCounts(p, nodes)
+    val deg = p.select(col("id_a").as("id"))
+      .unionAll(p.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val out = tri.join(deg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).cast(IntegerType).as("deg"),
+        col("triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("(2 * triangles * 1000000) div (deg * (deg - 1))")
+            .cast(DoubleType) / 1e6)
+          .otherwise(lit(0.0)).as("clustering"))
       .localCheckpoint()
     Engine.releaseCheckpoint(p)
     out

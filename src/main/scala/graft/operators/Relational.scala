@@ -1221,6 +1221,45 @@ object Relational {
             .cast(IntegerType).as("p99"),
           max("lag_days").as("worst"))),
 
+    // Dormant high-value accounts — the TPC-H Q22 shape: customers
+    // whose balance beats the average POSITIVE balance yet placed no
+    // order in the trailing 180 days (anchored to the data's max order
+    // date, so the query is deterministic), rolled up per market
+    // segment. Composes two one-row scalar broadcasts (the balance
+    // threshold — pinned at 6dp through DECIMAL so the comparison
+    // boundary is engine-exact — and the date anchor), an anti join
+    // against the windowed fact slice, and a final rollup. The anti
+    // join shuffles on custkey; the recent-orders side is already cut
+    // down by the date predicate (which pushes to the parquet scan).
+    GQ("q71_dormant_accounts",
+      Some(s"""WITH th AS (SELECT ${oavg("CASE WHEN c_acctbal > 0 THEN c_acctbal END")}
+                 AS avg_bal FROM customer),
+          mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders)
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_dormant,
+               ${osum("c_acctbal")} AS total_balance
+        FROM customer CROSS JOIN th CROSS JOIN mx
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= mxd - INTERVAL 180 DAY)
+        GROUP BY 1"""),
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val cust = t(s, d, "customer")
+        val th = cust.agg(davg(when(col("c_acctbal") > 0, col("c_acctbal")))
+          .as("avg_bal"))
+        val mx = orders.agg(max("o_orderdate").as("mxd"))
+        val recent = orders.crossJoin(broadcast(mx))
+          .filter(col("o_orderdate") >= col("mxd") - expr("INTERVAL 180 DAY"))
+          .select("o_custkey")
+        cust.crossJoin(broadcast(th))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_dormant"),
+            dsum(col("c_acctbal")).as("total_balance"))
+      }),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {

@@ -85,7 +85,10 @@ class PlanLintSpec extends AnyFunSuite {
       "g08_hits",
       // s13: candidate generation is s01's broadcast-query-set arm;
       // the greedy loop joins only kCand-row-per-query tables
-      "s13_mmr_rerank")
+      "s13_mmr_rerank",
+      // q71: both broadcast sides are ONE-row scalars (the balance
+      // threshold and the max-date anchor)
+      "q71_dormant_accounts")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
