@@ -1260,6 +1260,46 @@ object Relational {
             dsum(col("c_acctbal")).as("total_balance"))
       }),
 
+    // Year-over-year revenue growth per nation — the standard trend
+    // table: yearly revenue in exact cents, previous year via lag()
+    // over the tiny (nation, year) rollup, growth as an integer
+    // micro-unit ratio (floor division — no float rounding, engine-
+    // exact). The only fact-scale work is the one rollup shuffle; the
+    // window sorts |nations|·|years| rows.
+    GQ("q72_yoy_growth",
+      Some("""WITH ny AS (SELECT n_name,
+                 CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY 1, 2),
+          w AS (SELECT n_name, yr, cents,
+                  lag(cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev
+                FROM ny)
+        SELECT n_name, yr, CAST(cents AS DOUBLE) / 100 AS revenue,
+               CAST(CAST(((cents - prev) * 1000000) // prev AS DOUBLE) / 1e6
+                 AS DOUBLE) AS yoy_growth
+        FROM w WHERE prev IS NOT NULL"""),
+      (s, d) => {
+        val ny = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            year(col("o_orderdate")).cast(IntegerType).as("yr"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast(LongType).as("cents"))
+        ny.withColumn("prev",
+            lag("cents", 1).over(Window.partitionBy("n_name").orderBy("yr")))
+          .filter(col("prev").isNotNull)
+          .select(col("n_name"), col("yr"),
+            (col("cents").cast(DoubleType) / 100).as("revenue"),
+            (expr("((cents - prev) * 1000000) div prev")
+              .cast(DoubleType) / 1e6).as("yoy_growth"))
+      }),
+
     // ---- plain-SQL surface (the exec_simple_query analogue §3.1):
     // the same SQL text runs on Spark (via Engine.sql) and on the oracle --
     GQ("q24_sql_passthrough", {

@@ -1086,6 +1086,47 @@ object TextPipeline {
               .as("hapax_share"))
       }),
 
+    // Positional bias of the most frequent terms — where in a document
+    // does each head term first appear? Navigation/boilerplate tokens
+    // front-load (mean relative position near 0), content terms spread
+    // uniformly (~0.5): a cheap template-structure probe. First
+    // occurrence via array_position on the per-doc token array (no
+    // explode of all positions), the relative position an exact
+    // integer floor division emitted as a 6dp double, averaged through
+    // DECIMAL. The top-10 head-term table broadcasts (10 rows); the
+    // per-doc scan is one pass.
+    GQ("t44_positional_bias",
+      Some(s"""WITH tok AS (SELECT doc_id, $oracleTokens AS tok FROM documents),
+          dt AS (SELECT DISTINCT doc_id, unnest(tok) AS term FROM tok),
+          top AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt
+                  GROUP BY 1 ORDER BY df DESC, term LIMIT 10),
+          px AS (SELECT t.term, t.df, list_position(k.tok, t.term) AS pos,
+                   len(k.tok) AS n_tok
+                 FROM tok k CROSS JOIN top t)
+        SELECT term, df AS n_docs,
+               ${GQ.oavg("CAST(((pos - 1) * 1000000) // n_tok AS DOUBLE) / 1e6")}
+                 AS mean_rel_pos
+        FROM px WHERE pos >= 1
+        GROUP BY term, df"""),
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tok"))
+          .withColumn("n_tok", size(col("tok")))
+        val top = toks
+          .select(col("doc_id"), explode(col("tok")).as("term")).distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term")).limit(10)
+        toks.crossJoin(broadcast(top))
+          .select(col("term"), col("df"),
+            expr("array_position(tok, term)").as("pos"), col("n_tok"))
+          .filter(col("pos") > 0)
+          .groupBy("term", "df")
+          .agg(Engine.davg(
+            expr("((pos - 1) * 1000000) div n_tok").cast(DoubleType) / 1e6)
+            .as("mean_rel_pos"))
+          .select(col("term"), col("df").as("n_docs"), col("mean_rel_pos"))
+      }),
+
     // PMI collocations — pointwise mutual information over document-
     // level co-occurrence (Church & Hanks 1990), the standard
     // collocation / template-phrase miner: pairs with high PMI travel

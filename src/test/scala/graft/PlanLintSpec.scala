@@ -88,7 +88,9 @@ class PlanLintSpec extends AnyFunSuite {
       "s13_mmr_rerank",
       // q71: both broadcast sides are ONE-row scalars (the balance
       // threshold and the max-date anchor)
-      "q71_dormant_accounts")
+      "q71_dormant_accounts",
+      // t44: the broadcast side is the 10-row head-term table
+      "t44_positional_bias")
 
   test("no query plans an unapproved nested-loop or cartesian join") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
