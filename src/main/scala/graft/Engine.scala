@@ -137,6 +137,17 @@ object Engine {
   /** Average of a double column: exact sum, one double division, 6dp. */
   def davg(c: Column): Column = round(sum(c.cast(DEC)).cast(DoubleType) / count(c), 6)
 
+  /** Collapse IEEE -0.0 to +0.0 on an emitted double. Engines that round
+    * doubles in float space (DuckDB: nearbyint(x*10^d)/10^d) keep the sign
+    * of a tiny negative value that rounds to zero and emit -0.0; Spark's
+    * round goes through BigDecimal, which has no signed zero, and emits
+    * +0.0. The two compare equal under SQL `=` but hash differently —
+    * invisible to every rows/values check, fatal to a bit/text-hash gate
+    * (t18's two-round red was exactly this, on one document). Apply to any
+    * emitted double whose value can round to zero from below; pair with
+    * GQ.ozeroNorm on the oracle side. */
+  def zeroNorm(c: Column): Column = when(c === 0, lit(0.0)).otherwise(c)
+
   /** Drop the cached blocks behind a localCheckpoint'd frame once a
     * downstream materialization supersedes it (iterative operators cut
     * lineage every round; without the release each round's blocks pin

@@ -22,4 +22,9 @@ object GQ {
   /** Average, oracle side (see Engine.davg). */
   def oavg(e: String): String =
     s"round(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE) / COUNT($e), 6)"
+  /** Signed-zero normalization, oracle side (see Engine.zeroNorm): DuckDB's
+    * float-space round keeps the sign of a tiny negative that rounds to
+    * zero (-0.0); Spark's BigDecimal round cannot. Equal under `=`,
+    * different under a hash — collapse both engines to +0.0. */
+  def ozeroNorm(e: String): String = s"CASE WHEN $e = 0 THEN 0.0 ELSE $e END"
 }

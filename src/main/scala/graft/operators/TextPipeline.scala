@@ -40,6 +40,37 @@ object TextPipeline {
 
   val oracleTokens = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** t18's token stream joined with both unigram LMs: one row per token
+    * OCCURRENCE carrying the raw double log-likelihood-ratio term.
+    * Factored out so TextPipelineSpec can assert the boundary-distance
+    * property on exactly the doubles the query aggregates. */
+  def dsirTerms(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d).select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("token"))
+    val raw = tok.groupBy("token").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy("token").agg(count(lit(1)).as("ct"))
+    val st = raw.agg(sum("cr").as("tr"), count(lit(1)).as("b"))
+      .crossJoin(tgt.agg(sum("ct").as("tt")))
+    tok.join(broadcast(raw), "token")
+      .join(broadcast(tgt), Seq("token"), "left")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("token"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) / (col("tt") + col("b")))
+          - log((col("cr") + 1).cast(DoubleType) / (col("tr") + col("b"))))
+          .as("term_raw"))
+  }
+
+  /** t18 body over the factored term stream (see the GQ comment for the
+    * determinism contract; spec: TextPipelineSpec "t18 boundary"). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirTerms(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+        Engine.zeroNorm(
+          round(Engine.dsum(round(col("term_raw"), 6)) / count(lit(1)), 4))
+          .as("dsir_weight"))
+
   /** Oracle twin of TextFunctions.langScore over a `tok` list column. */
   private def oracleLangScore(l: String): String = {
     val in = langMarkers(l).map(m => s"'$m'").mkString(", ")
@@ -541,14 +572,25 @@ object TextPipeline {
     // LMs are DataFrames joined distributively on token (vocab-bounded
     // -> broadcast; degrades to one token-keyed shuffle), one agg on
     // doc_id; no driver-side model state.
-    // Determinism (r7 fix): a plain AVG(double) sums in partition order
-    // (Spark partial agg) vs sequential order (DuckDB); double addition
-    // is non-associative, and at 500 docs a mean landed on a 4dp
-    // rounding boundary -> hash mismatch. The g01 cure: round each
-    // per-token log-ratio to 6dp FIRST (the per-term doubles are
-    // bit-identical across engines), sum exactly in DECIMAL (order-
-    // independent), one double division by the count, then round 4dp —
-    // same text both engines. t22 below carries the identical shape.
+    // Determinism — the full two-round story, because the cure must match
+    // the disease. r7: a plain AVG(double) sums in partition order; fixed
+    // by 6dp-rounding each per-token log-ratio, exact DECIMAL sum, one
+    // division, 4dp emit. Still red. r8 hypothesis (per-token ln/round
+    // diverging by an ulp across engines) was DISPROVED by measurement:
+    // `Probe t18` dumps every distinct per-token term and a DuckDB diff
+    // found ZERO divergent doubles — raw or 6dp — at sf0.01, and zero
+    // divergent per-doc quotients. The actual bug was IEEE signed zero on
+    // exactly one document: its mean log-ratio is a tiny NEGATIVE that
+    // rounds to zero at 4dp, DuckDB's float-space round keeps the sign
+    // (-0.0), Spark's BigDecimal round has no -0 (+0.0) — equal under
+    // SQL `=`, different under the driver's value hash. Cure: zeroNorm
+    // on both engines. TextPipelineSpec additionally pins the g01-style
+    // boundary-distance property (no per-token term within 1e-9 of a 6dp
+    // round boundary, no per-doc quotient within 1e-9 of a 4dp boundary)
+    // so the rounding contract itself is PROVEN tie-free on this corpus,
+    // not assumed. t22 below carries the identical shape (its log-probs
+    // are strictly negative and bounded away from 0 — no signed-zero
+    // exposure).
     GQ("t18_dsir_weights",
       Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($oracleTokens) AS token FROM documents),
         raw AS (SELECT token, COUNT(*) AS cr FROM tok GROUP BY 1),
@@ -556,30 +598,13 @@ object TextPipeline {
         st AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
                       (SELECT COUNT(*) FROM raw) AS b,
                       (SELECT SUM(ct) FROM tgt) AS tt)
+        SELECT doc_id, n_tokens, ${GQ.ozeroNorm("dsir_weight")} AS dsir_weight FROM (
         SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
                round(${GQ.osum("round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + b)) " +
                  "- ln(CAST(cr + 1 AS DOUBLE) / (tr + b)), 6)")} / COUNT(*), 4) AS dsir_weight
         FROM tok JOIN raw USING (token) LEFT JOIN tgt USING (token) CROSS JOIN st
-        GROUP BY doc_id"""),
-      (s, d) => {
-        val tok = docs(s, d).select(col("doc_id"), col("lang"),
-          explode(tokens(col("text"))).as("token"))
-        val raw = tok.groupBy("token").agg(count(lit(1)).as("cr"))
-        val tgt = tok.filter(col("lang") === "en")
-          .groupBy("token").agg(count(lit(1)).as("ct"))
-        val st = raw.agg(sum("cr").as("tr"), count(lit(1)).as("b"))
-          .crossJoin(tgt.agg(sum("ct").as("tt")))
-        tok.join(broadcast(raw), "token")
-          .join(broadcast(tgt), Seq("token"), "left")
-          .crossJoin(broadcast(st))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
-            round(Engine.dsum(round(
-              log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) / (col("tt") + col("b")))
-                - log((col("cr") + 1).cast(DoubleType) / (col("tr") + col("b"))), 6))
-              / count(lit(1)), 4)
-              .as("dsir_weight"))
-      }),
+        GROUP BY doc_id)"""),
+      (s, d) => dsirWeights(s, d)),
 
     // Character-entropy quality signal — the classic gibberish/boiler-
     // plate detector (low entropy = repeated characters/padding, high =

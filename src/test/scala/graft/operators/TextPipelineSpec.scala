@@ -22,6 +22,40 @@ class TextPipelineSpec extends AnyFunSuite {
       s"en mean ${byLang(true)} should exceed non-en ${byLang(false)}")
   }
 
+  test("t18 rounding contract is tie-free on the gate corpus (g01 boundary property)") {
+    // Proves (not assumes) that cross-engine ulp noise cannot flip either
+    // rounding step: every per-token raw term sits > 1e-9 from a 6dp
+    // HALF_UP boundary, and every per-doc quotient sits > 1e-7 from a 4dp
+    // boundary — while engine ln/÷ disagreement is bounded by a few ulps
+    // (< 1e-12 at these magnitudes). Checked on BOTH the spec corpus and
+    // the driver's sf0.01 gate corpus.
+    for (sf <- Seq(TestSpark.sf, "/root/testdata/sf0.01")) {
+      val terms = graft.operators.TextPipeline.dsirTerms(spark, sf)
+      val d6 = terms.select(
+        min(abs(pmod(abs(col("term_raw")) * 1e6, lit(1.0)) - 0.5)).as("d"))
+        .collect()(0).getDouble(0)
+      assert(d6 > 1e-3, s"$sf: a per-token term sits ${d6 * 1e-6} from a 6dp boundary")
+      val q = terms.groupBy("doc_id")
+        .agg((graft.Engine.dsum(round(col("term_raw"), 6)) / count(lit(1))).as("q"))
+      val d4 = q.select(
+        min(abs(pmod(abs(col("q")) * 1e4, lit(1.0)) - 0.5)).as("d"))
+        .collect()(0).getDouble(0)
+      assert(d4 > 1e-3, s"$sf: a per-doc quotient sits ${d4 * 1e-4} from a 4dp boundary")
+    }
+  }
+
+  test("t18 signed-zero normalization: emitted zeros are +0.0, and zeroNorm kills -0.0") {
+    // the r7/r8 red was ONE doc whose mean rounds to zero from below:
+    // DuckDB emits -0.0, Spark +0.0 — hash-different, `=`-equal
+    val zeros = SparkEntry.queries("t18_dsir_weights")(spark, "/root/testdata/sf0.01")
+      .filter(col("dsir_weight") === 0.0).collect()
+    assert(zeros.nonEmpty, "gate corpus lost its zero-weight doc; boundary spec may be vacuous")
+    assert(zeros.forall(r => java.lang.Double.doubleToLongBits(r.getDouble(2)) == 0L))
+    val direct = spark.range(1)
+      .select(graft.Engine.zeroNorm(lit(-0.0)).as("z")).collect()(0).getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(direct) == 0L, "zeroNorm must collapse -0.0")
+  }
+
   test("t17 keywords come from their own document and are capped at 3") {
     val kw = SparkEntry.queries("t17_tfidf_keywords")(spark, TestSpark.sf)
     val perDoc = kw.groupBy("doc_id").count().agg(max("count")).collect()(0).getLong(0)
