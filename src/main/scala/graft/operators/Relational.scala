@@ -28,6 +28,89 @@ object Relational {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Engine.table(s, d, n)
 
+  /** Co-occurrence pairs over (basket, item) rows with the degenerate-
+    * basket discipline (q69; spec: RelationalSpec "degenerate basket").
+    *
+    * Input must be DISTINCT (l_orderkey, p_brand) rows. Baskets with more
+    * than `maxBasket` distinct brands are dropped whole — C(b,2) growth
+    * means one hub basket otherwise dominates the stage (the Dedup
+    * maxBucket skew class); the drop list is tiny by definition, so it
+    * anti-joins as a broadcast. Brands in fewer than `minSupport` baskets
+    * are a-priori-pruned (no semantic effect: a surviving pair needs both
+    * brands in >= minSupport shared baskets). Pairs are then generated
+    * ARRAY-LOCALLY from each capped, sorted basket — the self-join is
+    * gone, per-task input is bounded by C(maxBasket,2), and the only
+    * wide pair-space operation left is the final (brand_a, brand_b)
+    * count, whose key space is bounded by the brand-vocabulary square.
+    */
+  /** Exact interpolated median per group, bounded-state form (q59; spec:
+    * RelationalSpec "q59 rollup"). Returns (key, med2 = v_lo + v_hi),
+    * i.e. TWICE the median, an exact Long (no doubles until emission).
+    *
+    * Spark's exact `percentile` collects every group value into one
+    * aggregation buffer — per-group state linear in group size, an OOM
+    * class at 100 TB. This form rolls up to counts per DISTINCT value
+    * (state bounded by the value-domain cardinality), takes a cumulative
+    * count over the value order, and reads the two middle order
+    * statistics as "min value whose cumulative count reaches k" — exact
+    * for any integral column, and every stage (agg, window sort) spills.
+    */
+  private def median2ByRollup(df: DataFrame, key: String, v: String): DataFrame = {
+    val cnt = df.groupBy(key, v).agg(count(lit(1)).as("c"))
+    val cum = cnt
+      .withColumn("cum", sum("c").over(Window.partitionBy(key).orderBy(col(v))))
+      .withColumn("n", sum("c").over(Window.partitionBy(key)))
+    // k-th smallest = min v with cum >= k; middle ranks (n+1) div 2 and
+    // n div 2 + 1 (equal when n is odd) — their sum is 2x the
+    // interpolated median, kept integral
+    cum.groupBy(key).agg(
+      (min(when(col("cum") >= expr("(n + 1) div 2"), col(v)))
+        + min(when(col("cum") >= expr("n div 2 + 1"), col(v)))).as("med2"))
+  }
+
+  /** q59 body over (p_brand, pc integer-cents) rows: median + MAD +
+    * outlier counts, all order statistics via median2ByRollup, all
+    * arithmetic in exact integers scaled x2/x4 (dev > 3*mad, i.e.
+    * dev2/2 > 3*mad4/4, compares as 2*dev2 > 3*mad4), emitted as the
+    * exact 2-adic doubles the oracle's
+    * quantile_cont produces. */
+  def madOutliers(j: DataFrame): DataFrame = {
+    val m = median2ByRollup(j, "p_brand", "pc")
+    val dv = j.join(broadcast(m), "p_brand")
+      .select(col("p_brand"), col("pc"), col("med2"),
+        abs(lit(2L) * col("pc") - col("med2")).as("dev2"))
+    val a = median2ByRollup(dv, "p_brand", "dev2")
+      .withColumnRenamed("med2", "mad4")
+    dv.join(broadcast(a), "p_brand")
+      .groupBy(col("p_brand"), col("med2"), col("mad4"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), 1L).otherwise(0L))
+          .as("n_out"))
+      .select(col("p_brand"), col("n"),
+        (col("med2").cast(DoubleType) / 2).as("med_cents"),
+        (col("mad4").cast(DoubleType) / 4).as("mad_cents"),
+        col("n_out"))
+  }
+
+  def marketBasketPairs(b: DataFrame, maxBasket: Int, minSupport: Long): DataFrame = {
+    val bad = b.groupBy("l_orderkey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBasket).select("l_orderkey")
+    val freq = b.groupBy("p_brand").agg(count(lit(1)).as("bf"))
+      .filter(col("bf") >= minSupport).select("p_brand")
+    val baskets = b
+      .join(broadcast(bad), Seq("l_orderkey"), "left_anti")
+      .join(broadcast(freq), Seq("p_brand"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), (i + lit(2)).cast(IntegerType), size(col("bs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+  }
+
   /** Revenue expression: l_extendedprice * (1 - l_discount). Per-row double
     * math — bit-deterministic, matching the oracle's identical expression. */
   private val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -769,9 +852,14 @@ object Relational {
     // WITHOUT a rounding contract: prices become integer cents, the
     // exact interpolated median of integers is k/2 (exact in double),
     // deviations are k/2 steps, their median is k/4, and the outlier
-    // predicate dev > 3*mad compares exact doubles. Scale: the
-    // lineitem-part join shuffles on partkey (or broadcasts part); the
-    // 25-row band tables broadcast back over the scan — the q54 shape.
+    // predicate dev > 3*mad compares exact doubles. The ORACLE keeps
+    // the textbook quantile_cont definition; the Spark side (r8 scale
+    // fix, see madOutliers) computes the SAME exact medians through a
+    // count-by-value rollup + cumulative window — per-group state
+    // bounded by the price-domain cardinality instead of the group row
+    // count (Spark's exact `percentile` collects every group value into
+    // one aggregation buffer: an OOM class at 100 TB). The gate proving
+    // both forms hash-identical IS the old-vs-new equivalence check.
     GQ("q59_mad_outliers",
       Some("""WITH j AS (SELECT p_brand,
                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
@@ -797,19 +885,7 @@ object Relational {
             // (Spark truncates, DuckDB rounds) — round(.,0) first is
             // unambiguous because a true .5 tie cannot occur
             round(col("l_extendedprice") * 100, 0).cast(LongType).as("pc"))
-        val m = j.groupBy("p_brand").agg(expr("percentile(pc, 0.5)").as("med"))
-        val dv = j.join(broadcast(m), "p_brand")
-          .select(col("p_brand"), col("pc"), col("med"),
-            abs(col("pc") - col("med")).as("dev"))
-        val a = dv.groupBy("p_brand", "med")
-          .agg(expr("percentile(dev, 0.5)").as("mad"))
-        dv.join(broadcast(a.select(col("p_brand"), col("mad"))), "p_brand")
-          .groupBy(col("p_brand"), col("med"), col("mad"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
-              .as("n_out"))
-          .select(col("p_brand"), col("n"), col("med").as("med_cents"),
-            col("mad").as("mad_cents"), col("n_out"))
+        madOutliers(j)
       }),
 
     // Equi-width histogram (PG width_bucket semantics, written as the
@@ -1155,33 +1231,34 @@ object Relational {
       }),
 
     // Market-basket brand affinity: unordered brand pairs co-purchased in
-    // the same order, with support >= 3 orders. The pair space explodes
-    // from a self-join, but on the ORDER key — per-order pair volume is
-    // bounded by (items-per-order choose 2), a structural constant of the
-    // workload, so the join output is a bounded constant factor of the
-    // fact table no matter the total scale (the safe kind of self-join;
-    // contrast an unkeyed or skew-keyed one). Brand lookup broadcasts;
-    // the distinct pre-pass keeps multi-line same-brand orders from
-    // inflating counts.
+    // the same order, with support >= 3 orders. r8 flagged the naive
+    // order-keyed self-join: per-order pair volume is C(b,2) in the
+    // basket size b, and ONE degenerate order (crawler cart, test
+    // account) explodes a single join key — the identical skew class
+    // Dedup/VectorSearch cap with maxBucket. Capped form (see
+    // marketBasketPairs): baskets larger than maxBasket=100 brands are
+    // dropped as degenerate (documented semantics, mirrored in the
+    // oracle), brands below the support floor are a-priori-pruned (pure
+    // optimization — a pair needs both brands in >= 3 orders, so an
+    // infrequent brand cannot survive), and pairs are generated
+    // array-locally from each capped basket — no self-join at all.
     GQ("q69_market_basket",
       Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand
-                FROM lineitem JOIN part ON l_partkey = p_partkey)
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+          ok AS (SELECT l_orderkey FROM b GROUP BY 1 HAVING COUNT(*) <= 100),
+          f AS (SELECT p_brand FROM b GROUP BY 1 HAVING COUNT(*) >= 3),
+          bb AS (SELECT b.l_orderkey, b.p_brand
+                 FROM b JOIN ok USING (l_orderkey) JOIN f USING (p_brand))
         SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
                CAST(COUNT(*) AS BIGINT) AS n_orders
-        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
-                         AND x.p_brand < y.p_brand
+        FROM bb x JOIN bb y ON x.l_orderkey = y.l_orderkey
+                           AND x.p_brand < y.p_brand
         GROUP BY 1, 2 HAVING COUNT(*) >= 3"""),
       (s, d) => {
         val b = t(s, d, "lineitem")
           .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey"), col("p_brand")).distinct()
-        val x = b.toDF("l_orderkey", "brand_a")
-        val y = b.toDF("l_orderkey2", "brand_b")
-        x.join(y, col("l_orderkey") === col("l_orderkey2") &&
-            col("brand_a") < col("brand_b"))
-          .groupBy("brand_a", "brand_b")
-          .agg(count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 3)
+        marketBasketPairs(b, maxBasket = 100, minSupport = 3)
       }),
 
     // Fulfillment-latency SLA table: exact percentiles of the ship lag

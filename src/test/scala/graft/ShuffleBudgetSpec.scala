@@ -38,7 +38,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "t34_ngram_novelty" -> 2,      // gram df + per-doc rollup
     "p03_curriculum_order" -> 3,   // histogram + offsets window + in-bucket rank
     "d13_cross_source_dups" -> 4,  // (hash,source) counts + pair product + matrix
-    "e20_dau_wau" -> 5)            // day-user distinct, dau, wau explode, join
+    "e20_dau_wau" -> 5,            // day-user distinct, dau, wau explode, join
+    // q59/q69 static counts include re-planned shared subtrees (the
+    // rollup input / distinct-basket frame each feed 2-3 consumers);
+    // identical exchanges dedupe at runtime via ReusedExchange
+    // (spark.sql.exchange.reuse) — the budget pins the static shape
+    "q59_mad_outliers" -> 7,       // 2x(rollup agg + cum window) + final agg + shared dv
+    "q69_market_basket" -> 7)      // distinct x3 consumers + size/freq aggs + basket + pair
 
   test("headline plans keep their exact shuffle budgets") {
     val diffs = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>

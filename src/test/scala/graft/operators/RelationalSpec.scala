@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, TestSpark}
@@ -101,6 +102,54 @@ class RelationalSpec extends AnyFunSuite {
   test("t21: per-source cap is exactly the two phase shuffles") {
     val p = plan("t21_per_source_cap")
     assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q69: degenerate basket is dropped whole, pairs stay bounded and exact") {
+    // one crawler-cart order with 10k distinct brands (C(b,2) ~ 50M pairs
+    // uncapped) + a small honest corpus; the capped operator must finish
+    // with the hub contributing NOTHING and the honest counts exact
+    import spark.implicits._
+    val honest = for {
+      ord <- 1 to 6; brand <- Seq("A", "B", "C").take(ord % 3 + 1)
+    } yield (ord.toLong, brand)
+    val hub = (1 to 10000).map(i => (999L, s"hub_$i"))
+    val b = (honest ++ hub).toDF("l_orderkey", "p_brand").distinct()
+    val got = graft.operators.Relational
+      .marketBasketPairs(b, maxBasket = 100, minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // honest baskets: ord1={A,B} ord2={A,B,C} ord3={A} ord4={A,B} ord5={A,B,C} ord6={A}
+    // pair support: (A,B)=4, (A,C)=2, (B,C)=2
+    assert(got == Set(("A", "B", 4L), ("A", "C", 2L), ("B", "C", 2L)), s"got $got")
+    assert(!got.exists(p => p._1.startsWith("hub") || p._2.startsWith("hub")))
+  }
+
+  test("q59 rollup median/MAD == the direct percentile form") {
+    // the shipped bounded-state rollup vs the naive collect-the-group
+    // `percentile` it replaced — value-identical on the full spec corpus
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val j = graft.Engine.table(spark, TestSpark.sf, "lineitem")
+      .join(graft.Engine.table(spark, TestSpark.sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(col("l_extendedprice") * 100, 0).cast(LongType).as("pc"))
+    val m = j.groupBy("p_brand").agg(expr("percentile(pc, 0.5)").as("med"))
+    val dv = j.join(broadcast(m), "p_brand")
+      .select(col("p_brand"), col("med"), abs(col("pc") - col("med")).as("dev"))
+    val naive = dv.groupBy("p_brand", "med")
+      .agg(expr("percentile(dev, 0.5)").as("mad"), count(lit(1)).as("n"))
+      .withColumn("n_out", lit(0L)) // recomputed below to avoid a 3rd pass
+    val nOut = dv.join(broadcast(naive.select("p_brand", "mad")), "p_brand")
+      .groupBy("p_brand")
+      .agg(sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_out"))
+    val want = naive.drop("n_out").join(nOut, "p_brand")
+      .select(col("p_brand"), col("n"), col("med"), col("mad"), col("n_out"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val got = graft.operators.Relational.madOutliers(j)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
   test("q53 compilation matches hand-computed GROUPS frame semantics") {
