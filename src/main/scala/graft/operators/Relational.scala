@@ -55,37 +55,50 @@ object Relational {
     * statistics as "min value whose cumulative count reaches k" — exact
     * for any integral column, and every stage (agg, window sort) spills.
     */
-  private def median2ByRollup(df: DataFrame, key: String, v: String): DataFrame = {
-    val cnt = df.groupBy(key, v).agg(count(lit(1)).as("c"))
+  /** Exact interpolated median per group from a WEIGHTED value rollup
+    * (key, v, w): cumulative weight over the value order reads the two
+    * middle order statistics as "min v whose cumulative weight reaches
+    * k". Returns (key, med2 = v_lo + v_hi) — TWICE the median, an exact
+    * Long (no doubles until emission). */
+  private def median2FromCounts(cnt: DataFrame, key: String, v: String,
+      w: String): DataFrame = {
     val cum = cnt
-      .withColumn("cum", sum("c").over(Window.partitionBy(key).orderBy(col(v))))
-      .withColumn("n", sum("c").over(Window.partitionBy(key)))
+      .withColumn("cum", sum(w).over(Window.partitionBy(key).orderBy(col(v))))
+      .withColumn("n", sum(w).over(Window.partitionBy(key)))
     // k-th smallest = min v with cum >= k; middle ranks (n+1) div 2 and
-    // n div 2 + 1 (equal when n is odd) — their sum is 2x the
-    // interpolated median, kept integral
+    // n div 2 + 1 (equal when n is odd)
     cum.groupBy(key).agg(
       (min(when(col("cum") >= expr("(n + 1) div 2"), col(v)))
         + min(when(col("cum") >= expr("n div 2 + 1"), col(v)))).as("med2"))
   }
 
   /** q59 body over (p_brand, pc integer-cents) rows: median + MAD +
-    * outlier counts, all order statistics via median2ByRollup, all
-    * arithmetic in exact integers scaled x2/x4 (dev > 3*mad, i.e.
-    * dev2/2 > 3*mad4/4, compares as 2*dev2 > 3*mad4), emitted as the
-    * exact 2-adic doubles the oracle's
-    * quantile_cont produces. */
+    * outlier counts, bounded-state form (spec: RelationalSpec "q59
+    * rollup"). Spark's exact `percentile` collects every group value
+    * into one aggregation buffer — per-group state linear in group
+    * size, an OOM class at 100 TB. Here the fact table collapses in
+    * ONE pass to counts per distinct value (state bounded by the
+    * price-domain cardinality; the exchange is identical across its
+    * three consumers, so runtime ReusedExchange keeps it one scan),
+    * and every later stat — both medians, n, n_out — derives from the
+    * WEIGHTED rollup via spillable window/agg stages. Arithmetic runs
+    * in exact integers scaled x2/x4 (dev > 3*mad, i.e. dev2/2 >
+    * 3*mad4/4, compares as 2*dev2 > 3*mad4); emission is the exact
+    * 2-adic doubles the oracle's quantile_cont produces. */
   def madOutliers(j: DataFrame): DataFrame = {
-    val m = median2ByRollup(j, "p_brand", "pc")
-    val dv = j.join(broadcast(m), "p_brand")
-      .select(col("p_brand"), col("pc"), col("med2"),
-        abs(lit(2L) * col("pc") - col("med2")).as("dev2"))
-    val a = median2ByRollup(dv, "p_brand", "dev2")
+    val cnt = j.groupBy("p_brand", "pc").agg(count(lit(1)).as("c"))
+    val m = median2FromCounts(cnt, "p_brand", "pc", "c")
+    val dvc = cnt.join(broadcast(m), "p_brand")
+      .select(col("p_brand"), col("med2"),
+        abs(lit(2L) * col("pc") - col("med2")).as("dev2"), col("c"))
+    val dc = dvc.groupBy("p_brand", "dev2").agg(sum("c").as("c"))
+    val a = median2FromCounts(dc, "p_brand", "dev2", "c")
       .withColumnRenamed("med2", "mad4")
-    dv.join(broadcast(a), "p_brand")
+    dvc.join(broadcast(a), "p_brand")
       .groupBy(col("p_brand"), col("med2"), col("mad4"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), 1L).otherwise(0L))
-          .as("n_out"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), col("c"))
+          .otherwise(0L)).as("n_out"))
       .select(col("p_brand"), col("n"),
         (col("med2").cast(DoubleType) / 2).as("med_cents"),
         (col("mad4").cast(DoubleType) / 4).as("mad_cents"),

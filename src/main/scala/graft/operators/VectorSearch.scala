@@ -348,6 +348,89 @@ object VectorSearch {
       .select("id_a", "id_b", "sim")
   }
 
+  /** s10 purity rollup over a supplied (qid, nid, sim) neighbor set:
+    * join both endpoint labels, count label agreement per vector, then
+    * per-label mean purity in exact integer micro-units (floor div —
+    * hash-stable under any partitioning). Denominator is the ACTUAL
+    * neighbor count, so the same code is exact-arm (everyone has k
+    * neighbors) and approximate-arm (some vectors reach fewer)
+    * correct. */
+  private def labelPurityFrom(e: DataFrame, topk: DataFrame): DataFrame = {
+    val lbl = e.select(col("vec_id"), col("label"))
+    val m = topk
+      .join(lbl.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+      .join(lbl.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
+      .groupBy("qid", "qlabel")
+      .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("matches"), count(lit(1)).as("nn"))
+    m.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum("matches").as("sm"),
+        sum("nn").as("snn"))
+      .select(col("label"), col("n_vecs"),
+        (expr("(sm * 1000000) div snn").cast(DoubleType) / 1e6)
+          .as("mean_purity"))
+  }
+
+  /** Exact-arm label purity (declared-quadratic d06 class) — the spec
+    * oracle the benched LSH arm is pinned against. */
+  def labelPurityExact(e: DataFrame, k: Int = 5): DataFrame = {
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        sim6(col("qv"), col("embedding")).as("sim"))
+    labelPurityFrom(e, topKPerQid(pairs, k))
+  }
+
+  /** Benched s10 arm: neighbors from the capped multi-table LSH bucket
+    * self-join (s05's candidate machinery — nothing broadcasts, bucket
+    * quadratics capped), bounded-heap top-k per vector, same purity
+    * rollup. */
+  def labelPurityLsh(e: DataFrame, k: Int = 5,
+      planes: Int = 5, tables: Int = 8, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = lshPairSims(e, planes, tables, dim, maxBucket)
+    val directed = pairs.select(explode(array(
+        struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
+        struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
+      .select(col("e.qid"), col("e.nid"), col("e.sim"))
+    labelPurityFrom(e, topKPerQid(directed, k))
+  }
+
+  /** s11 body: intra/inter class mean cosine, optionally over a
+    * DETERMINISTIC per-label sample (maxPerLabel > 0): vectors rank by
+    * content hash within their label (the t21 two-phase-cap
+    * discipline) and only the first maxPerLabel enter the all-pairs
+    * join — pair volume bounded by (labels x maxPerLabel)^2 / 2
+    * regardless of corpus size, and the sample is partition-count
+    * independent. maxPerLabel = 0 is the exact arm
+    * ([[labelSeparationExact]]). */
+  def labelSeparation(e0: DataFrame, maxPerLabel: Int): DataFrame = {
+    val e =
+      if (maxPerLabel <= 0) e0
+      else e0.withColumn("rn", row_number().over(
+          Window.partitionBy("label")
+            .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))))
+        .filter(col("rn") <= maxPerLabel).drop("rn")
+    val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
+      col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
+      col("embedding").as("vb"))
+    val pr = a.join(b, col("ida") < col("idb"))
+      .select(col("la"), col("lb"), sim6(col("va"), col("vb")).as("sim"))
+    val x = pr.select(col("la").as("label"), col("lb").as("other"), col("sim"))
+      .unionByName(pr.select(col("lb").as("label"), col("la").as("other"),
+        col("sim")))
+    x.groupBy("label").agg(
+      count(when(col("other") === col("label"), 1)).as("n_intra"),
+      Engine.davg(when(col("other") === col("label"), col("sim")))
+        .as("intra_sim"),
+      Engine.davg(when(col("other") =!= col("label"), col("sim")))
+        .as("inter_sim"))
+  }
+
+  /** Exact-arm class separation — the spec oracle for the sampled arm. */
+  def labelSeparationExact(e: DataFrame): DataFrame = labelSeparation(e, 0)
+
   /** Exact radius (range) search: every corpus vector with cosine >=
     * `tau` of each query — the fixed-radius dual of top-k retrieval
     * (candidate pools for curation, "all docs similar to this seed").
@@ -603,92 +686,37 @@ object VectorSearch {
       }),
 
     // Embedding-space label purity — the representation-quality audit:
-    // for EVERY vector, the fraction of its 5 exact nearest neighbors
-    // sharing its label, averaged per label in exact micro-units
-    // (matches are integers; 5*n is the denominator — floor div, no
-    // floats until emission). A label whose neighborhoods are impure
-    // is either mislabeled data or an embedding model that cannot
-    // separate it — both curation signals. The all-pairs arm is the
-    // d06 declared-quadratic oracle twin (the scale path swaps in any
-    // ANN arm, since purity consumes only (qid, neighbor label) —
-    // s01's bounded heap keeps the reduction partial-aggregated here).
-    GQ("s10_label_purity",
-      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        pr AS (SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid,
-                      b.label AS nlabel, round($oracleCosine, 6) AS sim
-               FROM e a JOIN e b ON b.vec_id <> a.vec_id),
-        top5 AS (SELECT qid, qlabel, nlabel FROM (
-          SELECT qid, qlabel, nlabel,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-          FROM pr) WHERE rn <= 5),
-        m AS (SELECT qid, qlabel,
-                CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
-                  AS matches
-              FROM top5 GROUP BY 1, 2)
-        SELECT qlabel AS label, COUNT(*) AS n_vecs,
-               CAST(SUM(matches) * 1000000 // (5 * COUNT(*)) AS DOUBLE) / 1e6
-                 AS mean_purity
-        FROM m GROUP BY 1"""),
-      (s, d) => {
-        val e = emb(s, d)
-        val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val pairs = e.join(q, col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"),
-            sim6(col("qv"), col("embedding")).as("sim"))
-        val lbl = e.select(col("vec_id"), col("label"))
-        val m = topKPerQid(pairs, 5)
-          .join(lbl.select(col("vec_id").as("nid"), col("label").as("nlabel")),
-            "nid")
-          .join(lbl.select(col("vec_id").as("qid"), col("label").as("qlabel")),
-            "qid")
-          .groupBy("qid", "qlabel")
-          .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
-            .as("matches"))
-        m.groupBy(col("qlabel").as("label"))
-          .agg(count(lit(1)).as("n_vecs"), sum("matches").as("sm"))
-          .select(col("label"), col("n_vecs"),
-            (expr("(sm * 1000000) div (5 * n_vecs)").cast(DoubleType) / 1e6)
-              .as("mean_purity"))
-      }),
+    // for every REACHED vector, the fraction of its (up to) 5 nearest
+    // neighbors sharing its label, averaged per label in exact micro-
+    // units (floor div, no floats until emission). A label whose
+    // neighborhoods are impure is either mislabeled data or an
+    // embedding model that cannot separate it — both curation signals.
+    // r8 flagged the exact all-pairs arm as the #1 bench cost; the
+    // BENCHED arm is now the LSH candidate graph (s05's capped
+    // multi-table bucket self-join — volume bounded by maxBucket, no
+    // broadcast of the corpus), feeding the same bounded-heap top-5 +
+    // purity rollup. The exact arm survives as [[labelPurityExact]],
+    // the spec oracle: VectorSearchSpec pins per-label LSH purity
+    // against it (the d06/d07 two-arm pattern). Rows-only gate: the
+    // neighbor set depends on our hyperplane hashes.
+    GQ("s10_label_purity", None,
+      (s, d) => labelPurityLsh(emb(s, d))),
 
     // Class-separability audit — s10's global companion: per label, the
     // mean cosine WITHIN the class vs AGAINST every other class. A
     // label whose intra/inter gap collapses is one the embedding model
     // cannot separate (and one ANN recall will suffer on). Pair sims
     // are 6dp-rounded then averaged through DECIMAL (davg/oavg — the
-    // t18 order-independence contract). The all-pairs arm is d06's
-    // declared-quadratic twin; the scale path samples pairs per label,
-    // since class means, not per-vector results, are consumed.
-    GQ("s11_label_separation",
-      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        pr AS (SELECT a.label AS la, b.label AS lb, round($oracleCosine, 6) AS sim
-               FROM e a JOIN e b ON a.vec_id < b.vec_id),
-        x AS (SELECT la AS label, lb AS other, sim FROM pr
-              UNION ALL SELECT lb, la, sim FROM pr)
-        SELECT label,
-               CAST(COUNT(CASE WHEN other = label THEN 1 END) AS BIGINT)
-                 AS n_intra,
-               ${GQ.oavg("CASE WHEN other = label THEN sim END")} AS intra_sim,
-               ${GQ.oavg("CASE WHEN other <> label THEN sim END")} AS inter_sim
-        FROM x GROUP BY label"""),
-      (s, d) => {
-        val e = emb(s, d)
-        val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
-          col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
-          col("embedding").as("vb"))
-        val pr = a.join(b, col("ida") < col("idb"))
-          .select(col("la"), col("lb"), sim6(col("va"), col("vb")).as("sim"))
-        val x = pr.select(col("la").as("label"), col("lb").as("other"), col("sim"))
-          .unionByName(pr.select(col("lb").as("label"), col("la").as("other"),
-            col("sim")))
-        x.groupBy("label").agg(
-          count(when(col("other") === col("label"), 1)).as("n_intra"),
-          Engine.davg(when(col("other") === col("label"), col("sim")))
-            .as("intra_sim"),
-          Engine.davg(when(col("other") =!= col("label"), col("sim")))
-            .as("inter_sim"))
-      }),
+    // t18 order-independence contract). r8: the benched arm is now the
+    // DETERMINISTIC per-label hash-sample (class MEANS are consumed,
+    // not per-vector results, so an unbiased pair sample estimates
+    // them; LSH would bias toward high-sim pairs and is wrong here) —
+    // the t21 cap discipline picks <= maxPerLabel vectors by content
+    // hash, all-pairs runs only among the kept set. Exact arm:
+    // [[labelSeparationExact]], pinned against the sample in
+    // VectorSearchSpec. Rows-only: the sample depends on our hash.
+    GQ("s11_label_separation", None,
+      (s, d) => labelSeparation(emb(s, d), maxPerLabel = 100)),
 
     // Embedding L2-norm audit per label — the cheapest embedding-table
     // sanity check there is (zero/degenerate norms break cosine; a

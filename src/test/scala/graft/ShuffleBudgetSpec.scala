@@ -43,7 +43,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // rollup input / distinct-basket frame each feed 2-3 consumers);
     // identical exchanges dedupe at runtime via ReusedExchange
     // (spark.sql.exchange.reuse) — the budget pins the static shape
-    "q59_mad_outliers" -> 7,       // 2x(rollup agg + cum window) + final agg + shared dv
+    "q59_mad_outliers" -> 9,       // one (brand,pc) rollup x3 consumers (statically
+                                   // re-planned, runtime-reused) + 2 cum windows +
+                                   // dev rollup + final agg
     "q69_market_basket" -> 7)      // distinct x3 consumers + size/freq aggs + basket + pair
 
   test("headline plans keep their exact shuffle budgets") {

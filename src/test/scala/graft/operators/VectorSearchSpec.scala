@@ -193,4 +193,48 @@ class VectorSearchSpec extends AnyFunSuite {
     // recall (same regime as the s02 spec's 0.3 floor)
     assert(recall >= 0.2, s"recall=$recall exact=${exact.size} got=${got.size}")
   }
+
+  test("s10 LSH-armed purity tracks the exact-arm purity per label") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val exact = VectorSearch.labelPurityExact(e).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lsh = VectorSearch.labelPurityLsh(e).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(exact.keySet == lsh.keySet, "every label must be reached by the LSH arm")
+    // coverage: nearly every vector keeps >= 1 candidate neighbor
+    val cov = lsh.values.map(_._1).sum.toDouble / exact.values.map(_._1).sum
+    assert(cov >= 0.95, s"LSH arm reached only $cov of vectors")
+    val diffs = exact.map { case (l, (_, p)) => l -> math.abs(p - lsh(l)._2) }
+    // the arms agree on the audit's signal (random near-orthogonal
+    // corpus: purity ~ 1/|labels|; an embedding with real clusters
+    // tightens this, never loosens it)
+    assert(diffs.values.max <= 0.15,
+      s"per-label purity diverges: $diffs\nexact=$exact\nlsh=$lsh")
+  }
+
+  test("s11 sampled separation tracks the exact intra/inter means per label") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val exact = VectorSearch.labelSeparationExact(e).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val smp = VectorSearch.labelSeparation(e, maxPerLabel = 100).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet == smp.keySet)
+    val dIntra = exact.map { case (l, (i, _)) => math.abs(i - smp(l)._1) }.max
+    val dInter = exact.map { case (l, (_, i)) => math.abs(i - smp(l)._2) }.max
+    // mean cosine on this corpus sits near 0 with sd ~ 1/sqrt(dim);
+    // a 100-per-label unbiased sample pins the class means to a few
+    // hundredths — loose enough to be seed-robust, tight enough that
+    // a biased sampler (e.g. LSH candidates) fails immediately
+    assert(dIntra <= 0.05 && dInter <= 0.05,
+      s"dIntra=$dIntra dInter=$dInter\nexact=$exact\nsample=$smp")
+  }
+
+  test("s11 sample is deterministic and respects the per-label cap") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val a = VectorSearch.labelSeparation(e, maxPerLabel = 50).collect().toSeq
+    val b = VectorSearch.labelSeparation(e.repartition(13), maxPerLabel = 50)
+      .collect().toSeq
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted,
+      "sampled separation must be partition-count independent")
+  }
 }
