@@ -49,6 +49,37 @@ object GraftHash {
     */
   lazy val A: Array[Long] = Array.tabulate(MaxHashes)(i => splitmix64(2L * i) | 1L)
   lazy val B: Array[Long] = Array.tabulate(MaxHashes)(i => splitmix64(2L * i + 1))
+
+  /** One-pass tokenizer kernel — the single implementation behind
+    * Tokens' interpreted eval AND its generated code (called as a
+    * static from codegen'd Java, like fnv64 above). Byte-level scan:
+    * after UTF8String.toLowerCase (the same kernel `lower()` uses, so
+    * case folding can never diverge from the HOF formulation), every
+    * byte of a multi-byte UTF-8 sequence is >= 0x80 — i.e. negative
+    * here, never in [a-z0-9] — so alnum runs are pure-ASCII slices and
+    * no String materializes per row. */
+  def tokenize(v: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = v.toLowerCase.getBytes
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val b = bytes(i)
+      val alnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out += org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start)
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0)
+      out += org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(bytes, start, n - start)
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** fnv64(str) -> long. Deterministic 64-bit content hash (for shingle
@@ -70,32 +101,17 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   * per element, with no subexpression elimination (the tokenize step
   * dominated the dedup pipelines); this is the `Datums`-style batch
   * kernel the reference would write (src/utils/adt.rs one-pass loops).
+  * doGenCode keeps the hottest text kernel inside whole-stage codegen
+  * (a CodegenFallback here broke the codegen span of EVERY text-family
+  * scan — the r8 flag); interpreted eval and generated code share the
+  * one static kernel, GraftHash.tokenize.
   */
-case class Tokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class Tokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    // UTF8String.toLowerCase == Lower's own kernel, so `lower(text)`
-    // and this expression can never disagree on case folding
-    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase.toString
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    val n = s.length
-    var i = 0
-    var start = -1
-    while (i < n) {
-      val c = s.charAt(i)
-      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-      if (alnum) { if (start < 0) start = i }
-      else if (start >= 0) {
-        out += org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(start, i))
-        start = -1
-      }
-      i += 1
-    }
-    if (start >= 0)
-      out += org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(start, n))
-    new GenericArrayData(out.toArray)
-  }
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.tokenize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.tokenize($c)")
   override protected def withNewChildInternal(c: Expression): Tokens = copy(child = c)
   override def prettyName: String = "graft_tokens"
 }

@@ -124,4 +124,19 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Tokens participates in whole-stage codegen (no CodegenFallback boxing)") {
+    // r8 flag: a CodegenFallback tokenizer broke the codegen span of
+    // every text-family scan — the hottest loop in the pipeline at
+    // 100 TB. Pin that the generated code calls the static kernel
+    // directly (and that nothing in the span routes through the
+    // interpreted-eval fallback).
+    import org.apache.spark.sql.execution.debug._
+    val df = graft.Engine.table(spark, graft.TestSpark.sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+    val code = df.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
+    assert(code.contains("GraftHash.tokenize"),
+      "tokenizer must compile into the whole-stage-codegen span")
+    assert(!code.contains("CodegenFallback"), "no fallback boxing in the token scan")
+  }
 }
