@@ -26,6 +26,13 @@ object Errors {
     * port waits a bounded window (LockManager.waitTimeoutMs) and then
     * fails with PostgreSQL's lock_timeout code. */
   final val LockNotAvailable = "55P03"
+  /** PG's deadlock_detected. The reference's lmgr has no detector (two
+    * cross-waiting sessions block forever, lmgr.rs:277-373); PG's
+    * deadlock.c aborts one victim when its deadlock_timeout fires.
+    * This port checks the wait-for graph BEFORE each sleep and fails
+    * the acquire that would close a cycle — same victim semantics,
+    * prompt resolution. */
+  final val DeadlockDetected = "40P01"
 }
 
 class GraftArgError(val sqlstate: String, msg: String)

@@ -468,28 +468,70 @@ object GraftSession {
       * wait — within the window the behavior is the reference's
       * (blocked until release), past it PostgreSQL's lock_timeout
       * semantics apply (SQLSTATE 55P03 lock_not_available). Process-
-      * wide and settable (tests shrink it; a deadlocked pair of
-      * sessions resolves as two 55P03s at the deadline rather than a
-      * PG-style deadlock-detector abort — the documented divergence). */
+      * wide and settable (tests shrink it). A cross-session deadlock
+      * never reaches this deadline: the wait-for-graph check in
+      * acquire fails the cycle-closing request with 40P01
+      * deadlock_detected immediately (PG's deadlock.c semantics; the
+      * reference's lmgr would block both forever). */
     @volatile var waitTimeoutMs: Long = 5000L
+
+    // wait-for graph: sid -> the sessions whose grants currently block
+    // it. An edge exists only while its owner sleeps inside acquire;
+    // every read/write happens under the manager monitor, so cycle
+    // checks always see a consistent graph.
+    private val waitingFor =
+      scala.collection.mutable.Map[Long, Set[Long]]()
+
+    /** Can `me` be reached from `start` by following wait-for edges?
+      * (BFS; if yes, the edge me->start would close a cycle.) */
+    private def reachesMe(me: Long, start: Set[Long]): Boolean = {
+      val seen = scala.collection.mutable.Set[Long]()
+      var frontier = start
+      while (frontier.nonEmpty) {
+        if (frontier.contains(me)) return true
+        seen ++= frontier
+        frontier = frontier.flatMap(s =>
+          waitingFor.getOrElse(s, Set.empty)).diff(seen)
+      }
+      false
+    }
 
     def acquire(sid: Long, table: String, mode: String): Unit = synchronized {
       val m = modeIndex(mode)
       val deadline = System.nanoTime() + waitTimeoutMs * 1000000L
-      // the condition-variable loop: sleep on the manager's monitor,
-      // re-check the conflict mask every time any session releases
-      while ({
-        val others = held.getOrElse(table, scala.collection.mutable.Map.empty)
-          .iterator.collect { case (s, g) if s != sid => g }.foldLeft(0)(_ | _)
-        (conflictMask(m) & others) != 0
-      }) {
-        val remainMs = (deadline - System.nanoTime()) / 1000000L
-        if (remainMs <= 0)
-          throw new GraftStateError(Errors.LockNotAvailable,
-            s"could not obtain $mode lock on relation \"$table\": " +
-              "timeout waiting for conflicting locks to be released")
-        wait(remainMs)
-      }
+      try {
+        // the condition-variable loop: sleep on the manager's monitor,
+        // re-check the blocker set every time any session releases
+        var granted = false
+        while (!granted) {
+          val blockers = held
+            .getOrElse(table, scala.collection.mutable.Map.empty)
+            .iterator
+            .collect { case (s, g) if s != sid && (conflictMask(m) & g) != 0 => s }
+            .toSet
+          if (blockers.isEmpty) granted = true
+          else {
+            // deadlock check BEFORE sleeping (PG's deadlock.c runs on
+            // deadlock_timeout; eagerly here — same victim semantics,
+            // prompt resolution): if a blocker transitively waits on
+            // US, sleeping would close a cycle no release can break.
+            // The acquire that closes the cycle is the victim (40P01),
+            // exactly the session whose check fires first in PG.
+            waitingFor(sid) = blockers
+            if (reachesMe(sid, blockers))
+              throw new GraftStateError(Errors.DeadlockDetected,
+                s"deadlock detected: session $sid waiting for $mode on " +
+                  s"\"$table\" closes a wait-for cycle with " +
+                  s"session(s) ${blockers.mkString(", ")}")
+            val remainMs = (deadline - System.nanoTime()) / 1000000L
+            if (remainMs <= 0)
+              throw new GraftStateError(Errors.LockNotAvailable,
+                s"could not obtain $mode lock on relation \"$table\": " +
+                  "timeout waiting for conflicting locks to be released")
+            wait(remainMs)
+          }
+        }
+      } finally waitingFor.remove(sid)
       val grants = held.getOrElseUpdate(table, scala.collection.mutable.Map())
       grants(sid) = grants.getOrElse(sid, 0) | bit(m)
     }

@@ -163,6 +163,43 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-session deadlock: cycle-closing acquire fails fast with 40P01 (deadlock.c semantics)") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val a = new GraftSession(spark, Some(TestSpark.sf))
+    val b = new GraftSession(spark, Some(TestSpark.sf))
+    val prevTimeout = GraftSession.LockManager.waitTimeoutMs
+    try {
+      // the timeout is 60s: if the victim were resolved by the bounded
+      // wait (two 55P03s — the pre-r9 behavior), this test would hang
+      // for a minute and fail on the sqlstate; a prompt 40P01 proves
+      // the wait-for-graph detector fired
+      GraftSession.LockManager.waitTimeoutMs = 60000L
+      a.execute("BEGIN"); b.execute("BEGIN")
+      a.execute("LOCK TABLE nation IN EXCLUSIVE MODE")
+      b.execute("LOCK TABLE region IN EXCLUSIVE MODE")
+      val aBlocked = Future(a.execute("LOCK TABLE region IN SHARE MODE"))
+      Thread.sleep(300) // let A reach its wait edge
+      assert(!aBlocked.isCompleted, "A must be blocked on B's grant")
+      val t0 = System.nanoTime()
+      val e = intercept[GraftStateError](
+        b.execute("LOCK TABLE nation IN SHARE MODE")) // closes the cycle
+      assert(e.sqlstate == Errors.DeadlockDetected, e.getMessage)
+      assert((System.nanoTime() - t0) < 5.seconds.toNanos,
+        "victim must fail via the detector, not the wait deadline")
+      assert(b.transactionState == "failed_transaction")
+      b.execute("ROLLBACK") // victim releases -> A's acquire proceeds
+      Await.result(aBlocked, 10.seconds)
+      assert(a.locks.contains(("region", "SHARE")))
+      a.execute("COMMIT")
+    } finally {
+      GraftSession.LockManager.waitTimeoutMs = prevTimeout
+      try a.execute("ABORT") catch { case _: Throwable => }
+      try b.execute("ABORT") catch { case _: Throwable => }
+    }
+  }
+
   test("search_path resolves unqualified relations in namespace order (namespace.rs:29-70)") {
     spark.sql("CREATE DATABASE IF NOT EXISTS public")
     spark.sql("DROP TABLE IF EXISTS public.sp_probe_t")
