@@ -105,15 +105,26 @@ object Analytics {
           quantile_cont(l_extendedprice, 0.9) AS price_p90,
           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         FROM lineitem GROUP BY l_returnflag"""),
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_quantity, 0.25)").as("p25"),
-          expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.75)").as("p75"),
-          expr("percentile(l_extendedprice, 0.9)").as("price_p90"),
-          min(col("l_quantity")).as("min_qty"),
-          max(col("l_quantity")).as("max_qty"))),
+      // count-by-value rollups per value column (Percentiles): per-flag
+      // state bounded by the quantity / price domains, never group row
+      // count; all post-rollup frames are |flags| rows -> broadcast joins
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val qc = li.groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val qp = Percentiles.percentilesFromCounts(qc, Seq("l_returnflag"),
+          "v", "c", Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+        val mm = qc.groupBy("l_returnflag")
+          .agg(min("v").as("min_qty"), max("v").as("max_qty"))
+        val pc = li.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val pp = Percentiles.percentilesFromCounts(pc, Seq("l_returnflag"),
+          "v", "c", Seq(0.9 -> "price_p90"))
+        qp.select(col("l_returnflag"), col("p25"), col("p50"), col("p75"))
+          .join(broadcast(pp.select(col("l_returnflag"), col("price_p90"))),
+            "l_returnflag")
+          .join(broadcast(mm), "l_returnflag")
+      }),
 
     // Mixed-width arithmetic coercions — the declared operator matrix
     // covers every int2/int4/int8/float4/float8 pairing (int24pl,
@@ -389,17 +400,27 @@ object Analytics {
     // the result via pandas, which crashes on ndarray cells (round-2 a02
     // err). The sketch result is unpacked into scalar columns instead.
     GQ("a02_approx_percentiles", None,
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-            .as("pcts"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
-        .select(col("l_returnflag"),
-          element_at(col("pcts"), 1).as("approx_p25"),
-          element_at(col("pcts"), 2).as("approx_p50"),
-          element_at(col("pcts"), 3).as("approx_p75"),
-          col("exact_p50"))),
+      // the exact arm runs through the count-by-value rollup
+      // (Percentiles) like q28 — the sketch side stays mergeable, the
+      // exact side stays bounded-state; both reduce to |flags| rows
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val sk = li.groupBy("l_returnflag")
+          .agg(expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+            .as("pcts"))
+        val pc = li.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val ex = Percentiles.percentilesFromCounts(pc, Seq("l_returnflag"),
+          "v", "c", Seq(0.5 -> "exact_p50"))
+        sk.join(broadcast(ex.select(col("l_returnflag"), col("exact_p50"))),
+            "l_returnflag")
+          .select(col("l_returnflag"),
+            element_at(col("pcts"), 1).as("approx_p25"),
+            element_at(col("pcts"), 2).as("approx_p50"),
+            element_at(col("pcts"), 3).as("approx_p75"),
+            col("exact_p50"))
+      }),
 
     // recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4.x): a
     // recursive month spine over the orders range, gap-filled monthly

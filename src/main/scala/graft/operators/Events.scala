@@ -412,9 +412,11 @@ object Events {
     // user's consecutive events of each type, exact interpolated
     // p50/p95 per type (the q28 percentile contract). The lag() window
     // keys on (user_id, event_type) — bounded per-task by one user's
-    // stream, never a global per-type sort; the percentile aggregate
-    // reduces per type. Gap micros are exact integers < 2^53, so the
-    // interpolation inputs are bit-identical; emission rounds 6dp.
+    // stream, never a global per-type sort; the percentiles run through
+    // the count-by-value rollup (Percentiles) so per-type state is
+    // bounded by the gap-micros domain, not the row count. Gap micros
+    // are exact integers < 2^53, so the interpolation inputs are
+    // bit-identical; emission rounds 6dp.
     GQ("e17_interevent_gaps",
       Some("""WITH g AS (SELECT event_type,
                  epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -431,13 +433,15 @@ object Events {
         val g = ev(s, d).select(col("event_type"),
           (unix_micros(col("ts"))
             - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
-        g.filter(col("gap_us").isNotNull)
+        val cnt = g.filter(col("gap_us").isNotNull)
+          .groupBy("event_type", "gap_us").agg(count(lit(1)).as("c"))
           .select(col("event_type"),
-            (col("gap_us").cast(DoubleType) / 1000000.0).as("gap_s"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_gaps"),
-            round(expr("percentile(gap_s, 0.5)"), 6).as("p50_s"),
-            round(expr("percentile(gap_s, 0.95)"), 6).as("p95_s"))
+            (col("gap_us").cast(DoubleType) / 1000000.0).as("gap_s"), col("c"))
+        Percentiles.percentilesFromCounts(cnt, Seq("event_type"), "gap_s", "c",
+            Seq(0.5 -> "p50", 0.95 -> "p95"))
+          .select(col("event_type"), col("n_rows").as("n_gaps"),
+            round(col("p50"), 6).as("p50_s"),
+            round(col("p95"), 6).as("p95_s"))
       }),
 
     // Funnel summary — the deliverable on top of e12's per-user steps:
@@ -627,21 +631,29 @@ object Events {
                  AS mean_events
         FROM sessions GROUP BY 1"""),
       (s, d) => {
-        val sess = sessionize(ev(s, d)).select(col("n_events"),
-          ((unix_micros(col("t_end")) - unix_micros(col("t_start")))
-            .cast(DoubleType) / 1000000.0).as("dur_s"))
-        sess.select(
-            when(col("n_events") === 1, "single")
-              .when(col("n_events") === 2, "double")
-              .otherwise("multi").as("bucket"),
-            col("dur_s"), col("n_events"))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n_sessions"),
-            round(expr("percentile(dur_s, 0.5)"), 6).as("p50_dur_s"),
-            round(expr("percentile(dur_s, 0.95)"), 6).as("p95_dur_s"),
-            sum("n_events").as("se"))
-          .select(col("bucket"), col("n_sessions"), col("p50_dur_s"),
-            col("p95_dur_s"),
+        val sess = sessionize(ev(s, d)).select(
+          when(col("n_events") === 1, "single")
+            .when(col("n_events") === 2, "double")
+            .otherwise("multi").as("bucket"),
+          (unix_micros(col("t_end")) - unix_micros(col("t_start")))
+            .as("dur_us"),
+          col("n_events"))
+        // one (bucket, dur_us) rollup feeds both the percentiles and the
+        // per-bucket totals — per-bucket state bounded by the duration
+        // domain, and the rollup exchange is shared by both consumers
+        val cnt = sess.groupBy("bucket", "dur_us")
+          .agg(count(lit(1)).as("c"), sum("n_events").as("se_part"))
+        val p = Percentiles.percentilesFromCounts(
+          cnt.select(col("bucket"),
+            (col("dur_us").cast(DoubleType) / 1000000.0).as("dur_s"),
+            col("c")),
+          Seq("bucket"), "dur_s", "c", Seq(0.5 -> "p50", 0.95 -> "p95"))
+        cnt.groupBy("bucket")
+          .agg(sum("c").as("n_sessions"), sum("se_part").as("se"))
+          .join(broadcast(p), "bucket")
+          .select(col("bucket"), col("n_sessions"),
+            round(col("p50"), 6).as("p50_dur_s"),
+            round(col("p95"), 6).as("p95_dur_s"),
             (expr("(se * 1000000) div n_sessions").cast(DoubleType) / 1e6)
               .as("mean_events"))
       }),
@@ -731,7 +743,9 @@ object Events {
     // view, hours from view to purchase, profiled with exact
     // interpolated percentiles (the e17 contract: integer micros,
     // identical /3.6e9 division and round on both sides). Two
-    // user-keyed min-aggregations; the percentile reduces to one row.
+    // user-keyed min-aggregations; the percentiles run through the
+    // count-by-value rollup (Percentiles), state bounded by the
+    // distinct-latency domain (<= one row per converted user).
     GQ("e25_time_to_convert",
       Some("""WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
                  WHERE event_type = 'view' GROUP BY 1),
@@ -748,12 +762,17 @@ object Events {
           .groupBy("user_id").agg(min(col("ts")).as("t0"))
         val p = ev(s, d).filter(col("event_type") === "purchase")
           .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        v.join(p, "user_id").filter(col("t1") > col("t0"))
-          .select(((unix_micros(col("t1")) - unix_micros(col("t0")))
-            .cast(DoubleType) / 3600000000.0).as("lat_h"))
-          .agg(count(lit(1)).as("n_converts"),
-            round(expr("percentile(lat_h, 0.5)"), 6).as("p50_hours"),
-            round(expr("percentile(lat_h, 0.9)"), 6).as("p90_hours"))
+        val cnt = v.join(p, "user_id").filter(col("t1") > col("t0"))
+          .groupBy((unix_micros(col("t1")) - unix_micros(col("t0")))
+            .as("lat_us"))
+          .agg(count(lit(1)).as("c"))
+          .select((col("lat_us").cast(DoubleType) / 3600000000.0).as("lat_h"),
+            col("c"))
+        Percentiles.percentilesFromCounts(cnt, Seq.empty, "lat_h", "c",
+            Seq(0.5 -> "p50", 0.9 -> "p90"))
+          .select(col("n_rows").as("n_converts"),
+            round(col("p50"), 6).as("p50_hours"),
+            round(col("p90"), 6).as("p90_hours"))
       }),
 
     // Weekly active users with week-over-week growth — e20's coarser

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact interpolated percentiles from a WEIGHTED value rollup — the
+  * bounded-state replacement for Spark's exact `percentile()` aggregate
+  * (which collects every group value into one aggregation buffer:
+  * per-group state linear in group size, an OOM class at 100 TB; q59's
+  * `madOutliers` documents the same trade for the median-only case).
+  *
+  * Input is a rollup of (keys..., v, w): one row per DISTINCT value per
+  * group with its occurrence count, so per-group state is bounded by the
+  * value-domain cardinality, and every stage (agg, window sort) spills.
+  * The interpolation replicates Spark's `Percentile.getPercentile`
+  * bit-for-bit so converted queries stay hash-identical to the collecting
+  * form they replace: 0-indexed position = (n-1)*p (Long*Double),
+  * lower/higher = floor/ceil (Longs), and the blend
+  * `(higher-pos)*v_lo + (pos-lower)*v_hi` in that operand order.
+  * v_k is read from the cumulative weight as "min v whose cumulative
+  * count reaches k+1" — exact order statistics, no per-row sort state.
+  *
+  * The value column must already be the FINAL double the percentile is
+  * taken over (e.g. gap_us/1e6): interpolation is linear but floating-
+  * point division is not, so transforming after the blend would diverge
+  * from the collecting aggregate by an ulp. Callers group by the exact
+  * integer domain and divide in the rollup select — injective while the
+  * quotient spacing exceeds the double ulp (all call sites are micros or
+  * day counts, far inside that bound).
+  */
+object Percentiles {
+
+  /** @param cnt  rollup rows (keys..., v, w) — one per distinct value
+    * @param keys group-by columns (empty = one global group)
+    * @param v    value column (numeric; cast to double at emission)
+    * @param w    weight column (Long count of occurrences of v)
+    * @param ps   (fraction, output-column-name) pairs
+    * @return one row per group: keys..., n_rows (total weight), ps...
+    */
+  def percentilesFromCounts(cnt: DataFrame, keys: Seq[String], v: String,
+      w: String, ps: Seq[(Double, String)]): DataFrame = {
+    val kcols = keys.map(col)
+    val part = if (keys.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(kcols: _*)
+    val cum = cnt
+      .withColumn("cum", sum(col(w)).over(part.orderBy(col(v))))
+      .withColumn("n", sum(col(w)).over(part))
+    // Per-row rank thresholds: n is a per-group constant broadcast onto
+    // every row by the window above, so each percentile's lower/higher
+    // order statistics reduce with plain min(when(...)) aggregates.
+    val aggCols = ps.flatMap { case (p, name) =>
+      val pos = (col("n") - lit(1L)).cast(DoubleType) * lit(p)
+      Seq(
+        min(when(col("cum") > floor(pos), col(v))).as(name + "_lo"),
+        min(when(col("cum") > ceil(pos), col(v))).as(name + "_hi"))
+    } :+ max(col("n")).as("n_rows")
+    val agged = (if (keys.isEmpty) cum.groupBy() else cum.groupBy(kcols: _*))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val outCols = kcols ++ Seq(col("n_rows")) ++ ps.map { case (p, name) =>
+      val pos = (col("n_rows") - lit(1L)).cast(DoubleType) * lit(p)
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      when(col(name + "_lo").isNull, lit(null).cast(DoubleType))
+        // integral position, or both ranks in one value bucket: return the
+        // key directly — Spark's Percentile shortcuts both cases, and the
+        // (1-f)*k + f*k blend is NOT bit-exact k in floating point
+        .when(lo === hi || col(name + "_lo") === col(name + "_hi"),
+          col(name + "_lo").cast(DoubleType))
+        .otherwise((hi - pos) * col(name + "_lo").cast(DoubleType)
+          + (pos - lo) * col(name + "_hi").cast(DoubleType))
+        .as(name)
+    }
+    agged.select(outCols: _*)
+  }
+}

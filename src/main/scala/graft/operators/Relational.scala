@@ -927,7 +927,8 @@ object Relational {
     // profiled per market segment with exact interpolated percentiles
     // (gap days are exact integers; round 6 on emission). The lag
     // window partitions per customer — bounded task input — and the
-    // percentile aggregate reduces to |segments| rows.
+    // percentiles run through the count-by-value rollup (Percentiles):
+    // per-segment state bounded by the gap-day domain, not row count.
     GQ("q61_reorder_gaps",
       Some("""WITH g AS (SELECT c_mktsegment,
                  datediff('day', lag(o_orderdate) OVER (
@@ -946,12 +947,14 @@ object Relational {
           .select(col("c_mktsegment"),
             datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
               .as("gap_d"))
-        g.filter(col("gap_d").isNotNull)
-          .select(col("c_mktsegment"), col("gap_d").cast(DoubleType).as("gd"))
-          .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n_gaps"),
-            round(expr("percentile(gd, 0.5)"), 6).as("p50_days"),
-            round(expr("percentile(gd, 0.9)"), 6).as("p90_days"))
+        val cnt = g.filter(col("gap_d").isNotNull)
+          .groupBy(col("c_mktsegment"), col("gap_d").cast(DoubleType).as("gd"))
+          .agg(count(lit(1)).as("c"))
+        Percentiles.percentilesFromCounts(cnt, Seq("c_mktsegment"), "gd", "c",
+            Seq(0.5 -> "p50", 0.9 -> "p90"))
+          .select(col("c_mktsegment"), col("n_rows").as("n_gaps"),
+            round(col("p50"), 6).as("p50_days"),
+            round(col("p90"), 6).as("p90_days"))
       }),
 
     // Customer acquisition curve — new customers per first-order month

@@ -92,13 +92,99 @@ class PlanLintSpec extends AnyFunSuite {
       // t44: the broadcast side is the 10-row head-term table
       "t44_positional_bias")
 
-  test("no query plans an unapproved nested-loop or cartesian join") {
+  /** Spark's exact `percentile()` (interpolated Percentile aggregate)
+    * collects every group value into ONE aggregation buffer — per-group
+    * state linear in group size, an OOM class at 100 TB. Every former
+    * user (q59/q61/e17/e21/e25/q28/a02) now runs the bounded
+    * count-by-value rollup (operators/Percentiles.scala); this lint is
+    * deliberately allowlist-free so no new entry re-introduces it.
+    * (`approx_percentile`/KLL sketches and `percentile_disc` render
+    * under their own names and are not matched; percentile_disc's one
+    * user, q54, aggregates a 3-group lineitem rollup.)
+    */
+  private val exactPercentile = java.util.regex.Pattern.compile("(?<![\\w.])percentile\\(")
+
+  test("no query plans an unapproved nested-loop, cartesian join, or exact percentile") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       if (!allowNestedLoop(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans BroadcastNestedLoopJoin — allowlist only with a scale justification")
       assert(!p.contains("CartesianProduct"), s"$name plans CartesianProduct")
+      assert(!exactPercentile.matcher(p).find(),
+        s"$name plans the exact collecting percentile() aggregate — use " +
+          "Percentiles.percentilesFromCounts (bounded per-group state)")
+    }
+  }
+
+  /** Driver-side collects are how a distributed operator silently
+    * becomes a single-machine one. Every `.collect()`/`.head()`/
+    * `.first()` in src/main is audited here with a per-file budget; a
+    * new call fails the lint until it is justified below.
+    *  - Catalog.scala 1: spark.catalog.listTables — |tables| rows.
+    *  - Dedup.scala 1: d05 union-find edges, <=2M-edge bounded cutover
+    *    with a distributed fixpoint fallback (Dedup.scala:297-323).
+    *  - Bpe.scala 2: per-iteration argmax (1 row x 8 iterations) and
+    *    the final <=vocab-size merge table.
+    *  - Relational.scala 1: q56 kth-value via TakeOrdered(10).
+    *  - Cluster.scala 4: k-means centroid reads — k rows each.
+    *  - VectorSearch.scala 4: IVF probe lists (nprobe ints) and
+    *    fixed-size codebook seeds/reads.
+    *  - Layout.scala 2: ONE-row stats aggregate; centroid-table read
+    *    (k rows).
+    *  - WireServer.scala 2: the PG wire SINK — rows cross to the
+    *    client here by definition; portal fetches are maxRows-capped.
+    */
+  private val collectBudget = Map(
+    "Catalog.scala" -> 1, "Dedup.scala" -> 1, "Bpe.scala" -> 2,
+    "Relational.scala" -> 1, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
+    "Layout.scala" -> 2, "WireServer.scala" -> 2)
+
+  test("every driver-side collect in src/main is audited and budgeted") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val call = java.util.regex.Pattern.compile(
+      "\\.(collect\\(\\)|collectAsList\\b|head\\(\\)|first\\(\\))")
+    val found = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        val m = call.matcher(src)
+        var n = 0
+        while (m.find()) n += 1
+        f.getFileName.toString -> n
+      }
+      .filter(_._2 > 0).toMap
+    for ((file, n) <- found)
+      assert(collectBudget.getOrElse(file, 0) >= n,
+        s"$file has $n driver-side collect/head/first calls, budget is " +
+          s"${collectBudget.getOrElse(file, 0)} — audit the new call and " +
+          "extend the budget with a boundedness justification")
+    for ((file, budget) <- collectBudget)
+      assert(found.getOrElse(file, 0) == budget,
+        s"$file budget is stale ($budget vs ${found.getOrElse(file, 0)} found) — keep the audit exact")
+  }
+
+  /** Streaming twins: same plan discipline. Physical plans need a
+    * running micro-batch, so this lints the analyzed logical plans —
+    * where a missing join condition ("Join Cross") and the collecting
+    * percentile aggregate are already visible.
+    */
+  test("streaming twins plan no cross join and no exact percentile") {
+    import graft.streaming.EventsStreaming
+    val ev = EventsStreaming.readEvents(spark, s"${TestSpark.sf}/events.parquet")
+    val twins = Seq(
+      "windowedStats" -> EventsStreaming.windowedStats(ev),
+      "dedupStream" -> EventsStreaming.dedupStream(ev),
+      "sessionized" -> EventsStreaming.sessionized(spark, ev).toDF(),
+      "transitions" -> EventsStreaming.transitions(spark, ev).toDF(),
+      "attribution" -> EventsStreaming.attribution(spark, ev).toDF(),
+      "purchaseViewJoin" -> EventsStreaming.purchaseViewJoin(ev))
+    for ((name, df) <- twins) {
+      val p = df.queryExecution.analyzed.toString
+      assert(!p.contains("Join Cross"), s"streaming $name plans a cross join")
+      assert(!exactPercentile.matcher(p).find(),
+        s"streaming $name plans the exact collecting percentile() aggregate")
     }
   }
 }
