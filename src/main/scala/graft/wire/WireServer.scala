@@ -227,7 +227,15 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
     // extended-protocol state: prepared statements (query text + declared
     // param oids) and bound portals (query text + typed param values)
     val stmts = scala.collection.mutable.Map[String, (String, Seq[Int])]()
-    val portals = scala.collection.mutable.Map[String, (String, Seq[Any])]()
+    val portals =
+      scala.collection.mutable.Map[String, (String, Seq[Any], Seq[Int])]()
+    // suspended-portal cursors (Execute with maxRows hit the cap): the
+    // remaining text-rendered rows as a toLocalIterator — one partition
+    // resident at a time, so a huge result never materializes server-side.
+    // Dropped on re-Bind (portal replaced), Close, and Sync (autocommit
+    // statement boundary = PG's transaction-end portal close).
+    val suspended = scala.collection.mutable.Map[String,
+      (Array[StructField], Array[Int], Iterator[org.apache.spark.sql.Row])]()
     var sendReady = true // ReadyForQuery after startup, Query, and Sync ONLY
     var skipTilSync = false // extended error recovery (protocol rule)
 
@@ -235,6 +243,20 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
       if (params.isEmpty) sess.execute(query)
       else sess.executeWith(translateParams(query),
         params.zipWithIndex.map { case (v, i) => s"p${i + 1}" -> v }.toMap)
+
+    // Send up to `max` DataRows from a suspended cursor; PortalSuspended
+    // ('s') if rows remain, else CommandComplete with THIS Execute's row
+    // count (PG reports the rows processed by the completing Execute).
+    def sendPortalRows(portal: String, fields: Array[StructField],
+        fmts: Array[Int], it: Iterator[org.apache.spark.sql.Row],
+        max: Int): Unit = {
+      var n = 0
+      while (n < max && it.hasNext) {
+        sendDataRow(out, fields, fmts, it.next()); n += 1
+      }
+      if (it.hasNext) send(out, 's')
+      else { suspended.remove(portal); send(out, 'C', cstr(s"SELECT $n")) }
+    }
 
     while (alive && running) {
       if (sendReady) {
@@ -248,7 +270,9 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
         val body = readBody(in)
         if (skipTilSync) {
           // after an extended-mode error, discard until Sync (protocol)
-          if (msgType == 'S') { skipTilSync = false; sendReady = true }
+          if (msgType == 'S') {
+            skipTilSync = false; sendReady = true; suspended.clear()
+          }
         } else if (msgType == 'Q') {
           val (query, _) = readCstr(body, 0)
           try {
@@ -306,12 +330,21 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
                   typedParam(s, oids.lift(k).getOrElse(0))
                 }
               }
-              portals(portal) = (query, params)
+              // RESULT format codes (after the params): 0 entries = all
+              // text, 1 entry = every column, else per column; resolved
+              // against the schema at Describe/Execute time
+              val nRes = i16At(body, pos); pos += 2
+              val resFmts = (0 until nRes).map(k => i16At(body, pos + 2 * k))
+              if (resFmts.exists(f => f != 0 && f != 1))
+                throw new GraftArgError(Errors.FeatureNotSupported,
+                  "result format codes must be 0 (text) or 1 (binary)")
+              portals(portal) = (query, params, resFmts)
+              suspended.remove(portal) // re-Bind replaces any open cursor
               send(out, '2') // BindComplete
             case 'D' => // Describe: 'S' statement | 'P' portal
               val kind = body(0).toChar
               val (name, _) = readCstr(body, 1)
-              val (query, params) = kind match {
+              val (query, params, resFmts) = kind match {
                 case 'S' =>
                   val (q, oids) = stmts.getOrElse(name,
                     throw new GraftArgError("26000",
@@ -319,7 +352,9 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
                   // ParameterDescription: declared oids (0 = unspecified)
                   send(out, 't',
                     (i16(oids.length) +: oids.map(i32)).reduce(_ ++ _))
-                  (q, oids.map(_ => null: Any)) // schema probe binds nulls
+                  // formats are a Bind property — Describe-statement
+                  // always reports text (PG semantics)
+                  (q, oids.map(_ => null: Any), Seq.empty[Int])
                 case _ =>
                   portals.getOrElse(name,
                     throw new GraftArgError("34000", // invalid_cursor_name
@@ -333,30 +368,60 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
                     params.zipWithIndex.map { case (v, i) =>
                       s"p${i + 1}" -> v }.toMap).schema).toOption
               schemaOpt match {
-                case Some(s) if s.nonEmpty => sendRowDescription(out, s.fields)
+                case Some(s) if s.nonEmpty =>
+                  sendRowDescription(out, s.fields,
+                    resolveFmts(resFmts, s.fields))
                 case _ => send(out, 'n') // NoData
               }
-            case 'E' => // Execute: portal, int32 maxRows (0 = all; the
-              // suspend/resume cursor protocol is not implemented —
-              // results always run to CommandComplete)
-              val (portal, _) = readCstr(body, 0)
-              val (query, params) = portals.getOrElse(portal,
+            case 'E' => // Execute: portal, int32 maxRows. 0 = run to
+              // CommandComplete; >0 = the cursor protocol: send up to
+              // maxRows DataRows, then PortalSuspended; a re-Execute
+              // resumes from the retained row iterator.
+              val (portal, p1) = readCstr(body, 0)
+              val fetchMax = i32At(body, p1)
+              val (query, params, resFmts) = portals.getOrElse(portal,
                 throw new GraftArgError("34000",
                   s"portal \"$portal\" does not exist"))
               try {
                 spark.sparkContext.setJobGroup(jobGroupOf(sid),
                   s"wire session $sid", interruptOnCancel = true)
-                // Execute sends DataRows WITHOUT RowDescription (that
-                // is Describe's job, per protocol)
-                writeResult(out, portalDf(query, params), withRowDesc = false)
+                suspended.get(portal) match {
+                  case Some((fields, fmts, it)) => // resume; 0 = no limit
+                    sendPortalRows(portal, fields, fmts, it,
+                      if (fetchMax <= 0) Int.MaxValue else fetchMax)
+                  case None =>
+                    // Execute sends DataRows WITHOUT RowDescription
+                    // (that is Describe's job, per protocol)
+                    val df = portalDf(query, params)
+                    val schema = df.schema
+                    val utility =
+                      schema.length == 1 && schema.head.name == "command_status"
+                    if (fetchMax <= 0 || utility)
+                      writeResult(out, df, withRowDesc = false, resFmts)
+                    else {
+                      val fmts = resolveFmts(resFmts, schema.fields)
+                      val (fields, rendered) = renderWire(df, fmts)
+                      // same server-side cap as the run-to-completion
+                      // path; one partition resident at a time
+                      val it = rendered.limit(maxRows).toLocalIterator()
+                      suspended(portal) =
+                        (fields, fmts, scala.jdk.CollectionConverters
+                          .IteratorHasAsScala(it).asScala)
+                      sendPortalRows(portal, fields, fmts,
+                        suspended(portal)._3, fetchMax)
+                    }
+                }
               } finally spark.sparkContext.clearJobGroup()
             case 'C' => // Close statement/portal: always succeeds
               val kind = body(0).toChar
               val (name, _) = readCstr(body, 1)
-              if (kind == 'S') stmts.remove(name) else portals.remove(name)
+              if (kind == 'S') stmts.remove(name)
+              else { portals.remove(name); suspended.remove(name) }
               send(out, '3') // CloseComplete
             case 'H' => out.flush() // Flush
-            case 'S' => sendReady = true // Sync
+            case 'S' => // Sync: statement boundary — open cursors close
+              // (autocommit twin of PG's transaction-end portal drop)
+              suspended.clear(); sendReady = true
             case other =>
               sendError(out, "08P01",
                 s"unexpected message type ${other.toChar}")
@@ -463,49 +528,114 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
   }
 
   /** RowDescription: name, table oid 0, attnum 0, type oid, typlen,
-    * typmod -1, format 0 (text). */
+    * typmod -1, format per column (0 text / 1 binary — the format the
+    * DataRows will actually use). */
   private def sendRowDescription(out: DataOutputStream,
-      fields: Array[StructField]): Unit =
-    send(out, 'T', (i16(fields.length) +: fields.map { f =>
-      cstr(f.name) ++ i32(0) ++ i16(0) ++ i32(Catalog.typeOid(f.dataType)) ++
-        i16(Catalog.typeLen(f.dataType)) ++ i32(-1) ++ i16(0)
+      fields: Array[StructField], fmts: Array[Int] = Array.empty): Unit =
+    send(out, 'T', (i16(fields.length) +: fields.zipWithIndex.map {
+      case (f, i) =>
+        cstr(f.name) ++ i32(0) ++ i16(0) ++ i32(Catalog.typeOid(f.dataType)) ++
+          i16(Catalog.typeLen(f.dataType)) ++ i32(-1) ++
+          i16(if (i < fmts.length) fmts(i) else 0)
     }).reduce(_ ++ _))
+
+  /** Resolve Bind's result-format list against a schema (protocol rule:
+    * 0 entries = all text, 1 entry = every column, else one per column)
+    * and reject binary for types without a binary send function here —
+    * at Bind/Describe time, not mid-row-stream. */
+  private def resolveFmts(resFmts: Seq[Int],
+      fields: Array[StructField]): Array[Int] = {
+    val fmts: Array[Int] =
+      if (resFmts.isEmpty) Array.fill(fields.length)(0)
+      else if (resFmts.length == 1) Array.fill(fields.length)(resFmts.head)
+      else if (resFmts.length == fields.length) resFmts.toArray
+      else throw new GraftArgError("08P01",
+        s"bind message has ${resFmts.length} result formats but query has ${fields.length} columns")
+    for ((f, i) <- fields.zipWithIndex)
+      if (fmts(i) == 1 && !binarySendable(f.dataType))
+        throw new GraftArgError(Errors.FeatureNotSupported,
+          s"no binary output function for column \"${f.name}\" (${f.dataType.simpleString})")
+    fmts
+  }
+
+  /** PG binary wire encodings implemented: the fixed-width scalar types
+    * plus bytea (network byte order / IEEE-754 bits / raw bytes — the
+    * formats every binary-protocol driver hardcodes). */
+  private def binarySendable(dt: DataType): Boolean = dt match {
+    case ShortType | IntegerType | LongType | FloatType | DoubleType |
+        BooleanType | BinaryType => true
+    case _ => false
+  }
+
+  private def binaryEncode(dt: DataType,
+      row: org.apache.spark.sql.Row, i: Int): Array[Byte] = dt match {
+    case ShortType => i16(row.getShort(i).toInt)
+    case IntegerType => i32(row.getInt(i))
+    case LongType =>
+      val v = row.getLong(i)
+      i32((v >>> 32).toInt) ++ i32(v.toInt)
+    case FloatType => i32(java.lang.Float.floatToIntBits(row.getFloat(i)))
+    case DoubleType =>
+      val b = java.lang.Double.doubleToLongBits(row.getDouble(i))
+      i32((b >>> 32).toInt) ++ i32(b.toInt)
+    case BooleanType => Array[Byte](if (row.getBoolean(i)) 1 else 0)
+    case BinaryType => row.getAs[Array[Byte]](i)
+    case other => throw new GraftArgError(Errors.FeatureNotSupported,
+      s"no binary output function for ${other.simpleString}")
+  }
 
   /** Utility tags (GraftSession's single command_status column) become a
     * bare CommandComplete; everything else streams RowDescription +
     * DataRows in text format + "SELECT n". Extended-protocol Execute
     * passes withRowDesc = false (Describe already announced it). */
   private def writeResult(out: DataOutputStream, df: DataFrame,
-      withRowDesc: Boolean = true): Unit = {
+      withRowDesc: Boolean = true, resFmts: Seq[Int] = Seq.empty): Unit = {
     val schema = df.schema
     if (schema.length == 1 && schema.head.name == "command_status") {
       val tagValue = df.head().getString(0)
       send(out, 'C', cstr(tagValue))
       return
     }
-    val fields = schema.fields
-    if (withRowDesc) sendRowDescription(out, fields)
-    // text rendering via the engine's PG output conventions
-    // (PgFunctions.pgBoolOut / \x-hex bytea; everything else casts)
-    val rendered = df.select(fields.map { f =>
+    val fmts = resolveFmts(resFmts, df.schema.fields)
+    val (fields, rendered) = renderWire(df, fmts)
+    if (withRowDesc) sendRowDescription(out, fields, fmts)
+    val rows = rendered.limit(maxRows).collect()
+    rows.foreach(sendDataRow(out, fields, fmts, _))
+    send(out, 'C', cstr(s"SELECT ${rows.length}"))
+  }
+
+  /** Wire rendering, shared by the run-to-completion path and the
+    * portal cursor path: text columns render via the engine's PG output
+    * conventions (PgFunctions.pgBoolOut / \x-hex bytea; everything else
+    * casts); binary-format columns (fmts(i)==1) stay RAW and are
+    * encoded per row by [[binaryEncode]]. */
+  private def renderWire(df: DataFrame,
+      fmts: Array[Int]): (Array[StructField], DataFrame) = {
+    val fields = df.schema.fields
+    val rendered = df.select(fields.zipWithIndex.map { case (f, i) =>
       val c = col(s"`${f.name}`")
-      (f.dataType match {
+      (if (i < fmts.length && fmts(i) == 1) c
+       else f.dataType match {
         case BooleanType => when(c, lit("t")).otherwise(lit("f"))
         case BinaryType => concat(lit("\\x"), lower(hex(c)))
         case _ => c.cast(StringType)
       }).as(f.name)
     }.toIndexedSeq: _*)
-    val rows = rendered.limit(maxRows).collect()
-    rows.foreach { row =>
-      val cols = (0 until fields.length).map { i =>
-        if (row.isNullAt(i)) i32(-1)
-        else {
-          val b = row.getString(i).getBytes(UTF_8)
-          i32(b.length) ++ b
-        }
+    (fields, rendered)
+  }
+
+  private def sendDataRow(out: DataOutputStream, fields: Array[StructField],
+      fmts: Array[Int], row: org.apache.spark.sql.Row): Unit = {
+    val cols = (0 until fields.length).map { i =>
+      if (row.isNullAt(i)) i32(-1)
+      else {
+        val b =
+          if (i < fmts.length && fmts(i) == 1)
+            binaryEncode(fields(i).dataType, row, i)
+          else row.getString(i).getBytes(UTF_8)
+        i32(b.length) ++ b
       }
-      send(out, 'D', (i16(fields.length) +: cols).reduce(_ ++ _))
     }
-    send(out, 'C', cstr(s"SELECT ${rows.length}"))
+    send(out, 'D', (i16(fields.length) +: cols).reduce(_ ++ _))
   }
 }

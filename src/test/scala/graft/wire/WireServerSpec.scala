@@ -94,13 +94,17 @@ class WireServerSpec extends AnyFunSuite {
       msg('P', cstrB(stmt) ++ cstrB(query) ++ i16B(oids.length) ++
         (if (oids.isEmpty) Array.empty[Byte] else oids.map(i32B).reduce(_ ++ _)))
 
-    def bind(portal: String, stmt: String, params: Seq[String]): Unit = {
+    def bind(portal: String, stmt: String, params: Seq[String],
+        resultFmts: Seq[Int] = Nil): Unit = {
       val pv = params.map { p =>
         if (p == null) i32B(-1)
         else { val b = p.getBytes(UTF_8); i32B(b.length) ++ b }
       }
       msg('B', cstrB(portal) ++ cstrB(stmt) ++ i16B(0) ++ i16B(params.length) ++
-        (if (pv.isEmpty) Array.empty[Byte] else pv.reduce(_ ++ _)) ++ i16B(0))
+        (if (pv.isEmpty) Array.empty[Byte] else pv.reduce(_ ++ _)) ++
+        i16B(resultFmts.length) ++
+        (if (resultFmts.isEmpty) Array.empty[Byte]
+         else resultFmts.map(i16B).reduce(_ ++ _)))
     }
 
     def describe(kind: Char, name: String): Unit =
@@ -113,6 +117,34 @@ class WireServerSpec extends AnyFunSuite {
     def flushMsg(): Unit = { msg('H', Array.empty); out.flush() }
 
     /** Text values of all DataRow messages in `msgs`. */
+    /** Raw field bytes of all DataRow messages (binary-format tests). */
+    def rawRows(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[Array[Byte]]] =
+      msgs.collect { case ('D', b) =>
+        val n = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+        var pos = 2
+        (0 until n).map { _ =>
+          val len = ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+            ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+          pos += 4
+          if (len == -1) null
+          else { val v = b.slice(pos, pos + len); pos += len; v }
+        }
+      }
+
+    /** Per-field format codes from a RowDescription message. */
+    def rowDescFmts(msgs: Seq[(Char, Array[Byte])]): Seq[Int] =
+      msgs.collectFirst { case ('T', b) =>
+        val n = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+        var pos = 2
+        (0 until n).map { _ =>
+          while (b(pos) != 0) pos += 1
+          pos += 1 + 4 + 2 + 4 + 2 + 4 // oid/attnum/typoid/typlen/typmod
+          val f = ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
+          pos += 2
+          f
+        }
+      }.getOrElse(Nil)
+
     def dataRows(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[String]] =
       msgs.collect { case ('D', b) =>
         val n = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
@@ -430,6 +462,106 @@ class WireServerSpec extends AnyFunSuite {
       assert(eMsgs.map(_._1).contains('3')) // CloseComplete
       assert(c.errFields(eMsgs)('C') == "26000")
       assert(!eMsgs.exists(_._1 == 'D'), "Execute after error must be skipped")
+
+      // the session still serves simple queries afterwards
+      c.query("SELECT 7 AS x")
+      assert(c.dataRows(c.drain()._1) == Seq(Seq("7")))
+      c.terminate()
+    } finally srv.close()
+  }
+
+  test("extended protocol: binary result formats round-trip per type") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+
+      // one column per implemented binary send function
+      c.parse("", "SELECT CAST(1234 AS SMALLINT) AS i2, 123456 AS i4, " +
+        "CAST(9876543210 AS BIGINT) AS i8, CAST(1.5 AS FLOAT) AS f4, " +
+        "CAST(-2.25 AS DOUBLE) AS f8, true AS b, X'DEADBEEF' AS by, " +
+        "CAST(NULL AS INT) AS nil")
+      c.bind("pb", "", Nil, resultFmts = Seq(1)) // one code = all columns
+      c.describe('P', "pb")
+      c.executePortal("pb")
+      c.sync()
+      val (msgs, _) = c.drain()
+      assert(c.errFields(msgs).isEmpty, s"err: ${c.errFields(msgs)}")
+      assert(c.rowDescFmts(msgs) == Seq(1, 1, 1, 1, 1, 1, 1, 1))
+      val row = c.rawRows(msgs).head
+      def be(n: Int, v: Long): Seq[Byte] =
+        (n - 1 to 0 by -1).map(s => ((v >>> (8 * s)) & 0xff).toByte)
+      assert(row(0).toSeq == be(2, 1234))
+      assert(row(1).toSeq == be(4, 123456))
+      assert(row(2).toSeq == be(8, 9876543210L))
+      assert(row(3).toSeq == be(4, java.lang.Float.floatToIntBits(1.5f)))
+      assert(row(4).toSeq == be(8, java.lang.Double.doubleToLongBits(-2.25)))
+      assert(row(5).toSeq == Seq(1.toByte))
+      assert(row(6).toSeq == Seq(0xde, 0xad, 0xbe, 0xef).map(_.toByte))
+      assert(row(7) == null) // NULL is format-independent (-1 length)
+
+      // mixed per-column codes: text name, binary key
+      c.parse("s2", "SELECT n_name, n_nationkey FROM nation WHERE n_nationkey = 7")
+      c.bind("pm", "s2", Nil, resultFmts = Seq(0, 1))
+      c.executePortal("pm")
+      c.sync()
+      val (mMsgs, _) = c.drain()
+      val mrow = c.rawRows(mMsgs).head
+      assert(new String(mrow(0), UTF_8) == "NATION_7")
+      assert(mrow(1).toSeq == be(4, 7))
+
+      // no binary output function for varchar: 0A000 at Execute
+      c.bind("pv", "s2", Nil, resultFmts = Seq(1, 1))
+      c.executePortal("pv")
+      c.sync()
+      val (vMsgs, _) = c.drain()
+      assert(c.errFields(vMsgs)('C') == "0A000")
+
+      // session healthy afterwards
+      c.query("SELECT 7 AS x")
+      assert(c.dataRows(c.drain()._1) == Seq(Seq("7")))
+      c.terminate()
+    } finally srv.close()
+  }
+
+  test("extended protocol: Execute maxRows suspends and resumes the portal") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+
+      // 5-row portal fetched 2 at a time: D D s | D D s | D C
+      c.parse("", "SELECT r_name FROM region ORDER BY r_regionkey")
+      c.bind("p", "", Nil)
+      c.executePortal("p", maxRows = 2)
+      c.executePortal("p", maxRows = 2)
+      c.executePortal("p", maxRows = 2)
+      c.sync()
+      val (msgs, st) = c.drain()
+      assert(msgs.map(_._1) == Seq('1', '2', 'D', 'D', 's', 'D', 'D', 's', 'D', 'C'),
+        s"tags: ${msgs.map(_._1)} err: ${c.errFields(msgs)}")
+      assert(c.dataRows(msgs).flatten.size == 5)
+      // completing Execute reports ITS row count (PG semantics)
+      assert(c.cstrAt(msgs.last._2, 0) == "SELECT 1")
+      assert(st == 'I')
+
+      // Sync closed the cursor but not the portal: a fresh Execute
+      // restarts from row 0 and runs to completion with maxRows=0
+      c.executePortal("p")
+      c.sync()
+      val (again, _) = c.drain()
+      assert(c.dataRows(again).flatten.size == 5)
+      assert(c.cstrAt(again.last._2, 0) == "SELECT 5")
+
+      // suspend, then Close the portal: re-Execute errors 34000 and
+      // error recovery skips until Sync (existing recovery contract)
+      c.executePortal("p", maxRows = 1)
+      c.closeStmt('P', "p")
+      c.executePortal("p")
+      c.sync()
+      val (closed, _) = c.drain()
+      assert(closed.map(_._1).containsSlice(Seq('D', 's', '3')))
+      assert(c.errFields(closed)('C') == "34000")
 
       // the session still serves simple queries afterwards
       c.query("SELECT 7 AS x")
