@@ -482,6 +482,11 @@ object GraftSession {
     private val waitingFor =
       scala.collection.mutable.Map[Long, Set[Long]]()
 
+    /** Test-visible snapshot of the wait-for graph (specs assert no
+      * stale edges survive grants, victims, and repeated cycles). */
+    private[graft] def waitingSnapshot: Map[Long, Set[Long]] =
+      synchronized { waitingFor.toMap }
+
     /** Can `me` be reached from `start` by following wait-for edges?
       * (BFS; if yes, the edge me->start would close a cycle.) */
     private def reachesMe(me: Long, start: Set[Long]): Boolean = {
@@ -509,8 +514,14 @@ object GraftSession {
             .iterator
             .collect { case (s, g) if s != sid && (conflictMask(m) & g) != 0 => s }
             .toSet
-          if (blockers.isEmpty) granted = true
-          else {
+          if (blockers.isEmpty) {
+            // clear the wait edge AT grant, not just in the finally:
+            // the graph must never show an edge for a session that is
+            // no longer sleeping (keeps cycle checks minimal and makes
+            // the snapshot assertable in specs)
+            waitingFor.remove(sid)
+            granted = true
+          } else {
             // deadlock check BEFORE sleeping (PG's deadlock.c runs on
             // deadlock_timeout; eagerly here — same victim semantics,
             // prompt resolution): if a blocker transitively waits on

@@ -200,6 +200,117 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("three-session deadlock cycle: exactly one 40P01 victim, survivors complete") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val a = new GraftSession(spark, Some(TestSpark.sf))
+    val b = new GraftSession(spark, Some(TestSpark.sf))
+    val c = new GraftSession(spark, Some(TestSpark.sf))
+    val prevTimeout = GraftSession.LockManager.waitTimeoutMs
+    try {
+      GraftSession.LockManager.waitTimeoutMs = 60000L
+      a.execute("BEGIN"); b.execute("BEGIN"); c.execute("BEGIN")
+      a.execute("LOCK TABLE nation IN EXCLUSIVE MODE")
+      b.execute("LOCK TABLE region IN EXCLUSIVE MODE")
+      c.execute("LOCK TABLE supplier IN EXCLUSIVE MODE")
+      // A -> B and B -> C wait edges, then C closes the 3-cycle
+      val aBlocked = Future(a.execute("LOCK TABLE region IN SHARE MODE"))
+      Thread.sleep(300)
+      assert(!aBlocked.isCompleted)
+      val bBlocked = Future(b.execute("LOCK TABLE supplier IN SHARE MODE"))
+      Thread.sleep(300)
+      assert(!bBlocked.isCompleted)
+      val e = intercept[GraftStateError](
+        c.execute("LOCK TABLE nation IN SHARE MODE"))
+      assert(e.sqlstate == Errors.DeadlockDetected, e.getMessage)
+      // exactly ONE victim: the survivors are still blocked, not failed
+      assert(!aBlocked.isCompleted && !bBlocked.isCompleted)
+      c.execute("ROLLBACK") // victim releases supplier -> B proceeds
+      Await.result(bBlocked, 10.seconds)
+      b.execute("COMMIT") // releases region -> A proceeds
+      Await.result(aBlocked, 10.seconds)
+      a.execute("COMMIT")
+      assert(GraftSession.LockManager.waitingSnapshot.isEmpty,
+        "no wait edges may survive the resolved cycle")
+    } finally {
+      GraftSession.LockManager.waitTimeoutMs = prevTimeout
+      Seq(a, b, c).foreach(s =>
+        try s.execute("ABORT") catch { case _: Throwable => })
+    }
+  }
+
+  test("two independent cycles closing concurrently: one victim each, no stale edges") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val Seq(a, b, c, d) =
+      Seq.fill(4)(new GraftSession(spark, Some(TestSpark.sf)))
+    val prevTimeout = GraftSession.LockManager.waitTimeoutMs
+    try {
+      GraftSession.LockManager.waitTimeoutMs = 60000L
+      Seq(a, b, c, d).foreach(_.execute("BEGIN"))
+      a.execute("LOCK TABLE nation IN EXCLUSIVE MODE")
+      b.execute("LOCK TABLE region IN EXCLUSIVE MODE")
+      c.execute("LOCK TABLE supplier IN EXCLUSIVE MODE")
+      d.execute("LOCK TABLE part IN EXCLUSIVE MODE")
+      // A -> B and C -> D wait edges (two disjoint pairs)
+      val aBlocked = Future(a.execute("LOCK TABLE region IN SHARE MODE"))
+      val cBlocked = Future(c.execute("LOCK TABLE part IN SHARE MODE"))
+      Thread.sleep(300)
+      assert(!aBlocked.isCompleted && !cBlocked.isCompleted)
+      // B and D close their cycles SIMULTANEOUSLY; the manager monitor
+      // serializes the checks — each must victimize only itself
+      val bVictim = Future(
+        intercept[GraftStateError](b.execute("LOCK TABLE nation IN SHARE MODE")))
+      val dVictim = Future(
+        intercept[GraftStateError](d.execute("LOCK TABLE supplier IN SHARE MODE")))
+      assert(Await.result(bVictim, 10.seconds).sqlstate == Errors.DeadlockDetected)
+      assert(Await.result(dVictim, 10.seconds).sqlstate == Errors.DeadlockDetected)
+      b.execute("ROLLBACK"); d.execute("ROLLBACK")
+      Await.result(aBlocked, 10.seconds)
+      Await.result(cBlocked, 10.seconds)
+      a.execute("COMMIT"); c.execute("COMMIT")
+      assert(GraftSession.LockManager.waitingSnapshot.isEmpty)
+    } finally {
+      GraftSession.LockManager.waitTimeoutMs = prevTimeout
+      Seq(a, b, c, d).foreach(s =>
+        try s.execute("ABORT") catch { case _: Throwable => })
+    }
+  }
+
+  test("repeated deadlock cycles leave no stale wait edges (grant-time cleanup)") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val prevTimeout = GraftSession.LockManager.waitTimeoutMs
+    try {
+      GraftSession.LockManager.waitTimeoutMs = 60000L
+      for (round <- 1 to 2) {
+        val a = new GraftSession(spark, Some(TestSpark.sf))
+        val b = new GraftSession(spark, Some(TestSpark.sf))
+        try {
+          a.execute("BEGIN"); b.execute("BEGIN")
+          a.execute("LOCK TABLE nation IN EXCLUSIVE MODE")
+          b.execute("LOCK TABLE region IN EXCLUSIVE MODE")
+          val aBlocked = Future(a.execute("LOCK TABLE region IN SHARE MODE"))
+          Thread.sleep(300)
+          val e = intercept[GraftStateError](
+            b.execute("LOCK TABLE nation IN SHARE MODE"))
+          assert(e.sqlstate == Errors.DeadlockDetected,
+            s"round $round: ${e.getMessage} (a stale edge from an earlier " +
+              "round would mis-route the cycle check)")
+          b.execute("ROLLBACK")
+          Await.result(aBlocked, 10.seconds)
+          a.execute("COMMIT")
+          assert(GraftSession.LockManager.waitingSnapshot.isEmpty,
+            s"round $round left stale wait edges")
+        } finally Seq(a, b).foreach(s =>
+          try s.execute("ABORT") catch { case _: Throwable => })
+      }
+    } finally GraftSession.LockManager.waitTimeoutMs = prevTimeout
+  }
+
   test("search_path resolves unqualified relations in namespace order (namespace.rs:29-70)") {
     spark.sql("CREATE DATABASE IF NOT EXISTS public")
     spark.sql("DROP TABLE IF EXISTS public.sp_probe_t")
