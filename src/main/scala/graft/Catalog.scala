@@ -13,6 +13,23 @@ import org.apache.spark.sql.types._
   */
 object Catalog {
 
+  /** Table property carrying CREATE TABLE's NOT NULL column list —
+    * Spark's catalog drops the constraint from the stored parquet
+    * schema, so the session persists it out-of-band (the attnotnull the
+    * reference keeps in its SQLite catalog, catalog.rs:37). Properties
+    * live in the shared external catalog: a fresh session rebuilds
+    * identical kb_attribute rows from them. */
+  final val NotNullProp = "graft.notnull"
+
+  /** NOT NULL columns of a catalog table per [[NotNullProp]] (empty for
+    * temp views and property-less tables). */
+  def notNullCols(spark: SparkSession, table: String): Set[String] =
+    scala.util.Try(
+      spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .collectFirst { case r if r.getString(0) == NotNullProp =>
+          r.getString(1).split(",").filter(_.nonEmpty).toSet })
+      .toOption.flatten.getOrElse(Set.empty)
+
   /** (oid, typname, typlen, typalign) — the 8 bootstrapped types
     * (initdb/main.rs:407-452) + the driver-testdata extensions that the
     * reference lacks (timestamp, double-array), flagged by oid >= 90000. */
@@ -59,12 +76,13 @@ object Catalog {
     kbClass.toDF("oid", "relname", "relnamespace", "relkind")
       .createOrReplaceTempView("kb_class")
 
-    val kbAttr = kbClass.flatMap { case (oid, name, _, _) =>
+    val kbAttr = kbClass.flatMap { case (oid, name, _, relkind) =>
       val schema =
         try spark.table(name).schema catch { case _: Exception => StructType(Nil) }
+      val nn = if (relkind == "r") notNullCols(spark, name) else Set.empty[String]
       schema.fields.zipWithIndex.map { case (f, num) =>
         (oid, f.name, typeOid(f.dataType), typeLen(f.dataType),
-          num + 1, !f.nullable, false)
+          num + 1, !f.nullable || nn(f.name), false)
       }
     }
     kbAttr.toDF("attrelid", "attname", "atttypid", "attlen",

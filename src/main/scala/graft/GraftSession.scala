@@ -3,6 +3,7 @@ package graft
 import scala.util.matching.Regex
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, raise_error, when}
 import org.apache.spark.sql.types._
 
 import graft.sources.Copy
@@ -295,6 +296,15 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
         s"$cn $sparkTy${if (nn != null) " NOT NULL" else ""}"
       case bad => throw new GraftArgError(Errors.SyntaxError, s"cannot parse column: $bad")
     }
+    // Spark's in-memory catalog accepts NOT NULL in the DDL but drops
+    // the constraint from the stored parquet-table schema, so it would
+    // survive neither this session's kb_attribute nor a restart. The
+    // reference catalog persists it (catalog.rs attnotnull); persist it
+    // here as a table property — properties live in the shared external
+    // catalog, so a fresh session rebuilds identical kb rows and the
+    // COPY paths can enforce 23502.
+    val notNullCols = colsSpec.split(",").collect {
+      case colRe(cn, _, nn) if nn != null => cn }
     // reloptions (WITH (k=v, ...), reference rel.rs:20-25; grammar
     // sql.lalrpop:401-418: ident = NumericOnly | Sconst, list non-empty)
     // -> parquet table properties
@@ -309,13 +319,16 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
         ms.sliding(2).exists { case Seq(a, b) => a.end != b.start; case _ => false })
         throw new GraftArgError(Errors.SyntaxError,
           s"cannot parse reloptions: $spec (expected key = value, ...)")
-      val entries = ms.map { m =>
+      ms.map { m =>
         val v = if (m.group(2) != null) m.group(2) else m.group(3)
         s"'${m.group(1)}' = '${v.replace("'", "''")}'"
       }
-      s" TBLPROPERTIES (${entries.mkString(", ")})"
-    }.getOrElse("")
-    spark.sql(s"CREATE TABLE $name (${ddlCols.mkString(", ")}) USING parquet$props")
+    }.getOrElse(Seq.empty) ++
+      (if (notNullCols.isEmpty) Seq.empty
+       else Seq(s"'${Catalog.NotNullProp}' = '${notNullCols.mkString(",")}'"))
+    val propsSql =
+      if (props.isEmpty) "" else s" TBLPROPERTIES (${props.mkString(", ")})"
+    spark.sql(s"CREATE TABLE $name (${ddlCols.mkString(", ")}) USING parquet$propsSql")
   }
 
   /** COPY options with the reference's validation discipline
@@ -354,9 +367,29 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
   private def copyFrom(table: String, path: String, opts: String): DataFrame = {
     val rel = resolveRelation(table)
     val schema = spark.table(rel).schema
-    Copy.from(spark, path, schema, copyOpts(opts))
+    checkNotNull(Copy.from(spark, path, schema, copyOpts(opts)), rel, schema)
       .write.mode("append").insertInto(rel)
     tag(s"COPY")
+  }
+
+  /** PG's not-null check on the COPY ingest paths (23502
+    * not_null_violation): the constraint lives in the table properties
+    * ([[Catalog.NotNullProp]] — Spark's stored parquet schema cannot
+    * carry it), enforced per row inside the write pipeline, no extra
+    * pass. */
+  private def checkNotNull(df: DataFrame, rel: String,
+      schema: StructType): DataFrame = {
+    val nn = Catalog.notNullCols(spark, rel)
+    if (nn.isEmpty) df
+    else df.select(schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      if (nn(f.name))
+        when(c.isNull, raise_error(lit(s"null value in column " +
+          s""""${f.name}" of relation "$rel" violates not-null """ +
+          "constraint (SQLSTATE 23502)")).cast(f.dataType))
+          .otherwise(c).as(f.name)
+      else c
+    }.toIndexedSeq: _*)
   }
 
   /** Wire front-end hook: if `query` is `COPY t FROM STDIN [opts]`,
@@ -386,7 +419,8 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
     val lines = payload.split("\n", -1).toIndexedSeq
       .filter(l => l.nonEmpty && l != "\\.") // v3 ends with CopyDone; tolerate a trailing \.
     val ds = spark.createDataset(lines)
-    Copy.fromLines(ds, schema, opts).write.mode("append").insertInto(rel)
+    checkNotNull(Copy.fromLines(ds, schema, opts), rel, schema)
+      .write.mode("append").insertInto(rel)
     lines.size.toLong
   }
 

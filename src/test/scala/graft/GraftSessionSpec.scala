@@ -445,6 +445,49 @@ class GraftSessionSpec extends AnyFunSuite {
       .head.getInt(2) == -1) // varlena typlen
   }
 
+  test("catalog restart parity: a fresh session over the same warehouse sees identical kb rows (catalog.rs:37)") {
+    // The reference's SQLite catalog survives restart (src/catalog.rs:37);
+    // here CREATE TABLE metadata lives in the shared external catalog +
+    // warehouse, and the kb_* views rebuild per session from it. A
+    // newSession() is the in-JVM restart analogue: all session state
+    // (temp views, registered kb_* views) is gone, the warehouse is not.
+    spark.sql("DROP TABLE IF EXISTS restart_probe")
+    val s1 = new GraftSession(spark, Some(TestSpark.sf))
+    s1.execute("CREATE TABLE restart_probe (a int NOT NULL, b varchar(5), c bigint)")
+    def kbRows(sp: org.apache.spark.sql.SparkSession): Seq[String] = {
+      Catalog.registerKbViews(sp)
+      sp.sql(
+        """SELECT c.relkind, a.attname, a.atttypid, a.attlen, a.attnum,
+                  a.attnotnull
+           FROM kb_attribute a JOIN kb_class c ON a.attrelid = c.oid
+           WHERE c.relname = 'restart_probe' ORDER BY a.attnum""")
+        .collect().map(_.toString).toSeq
+    }
+    val before = kbRows(spark)
+    assert(before.length == 3 && before.head.contains("true"), before.mkString("; "))
+    try {
+      val spark2 = spark.newSession()
+      val s2 = new GraftSession(spark2, Some(TestSpark.sf))
+      assert(kbRows(spark2) == before,
+        "fresh session must rebuild identical kb_class/kb_attribute rows")
+      // the varchar typmod survives in the stored schema metadata
+      // (Spark keeps char/varchar in __CHAR_VARCHAR_TYPE_STRING; the
+      // raw type stays STRING)
+      assert(spark2.table("restart_probe").schema("b").metadata.json
+        .contains("varchar(5)"))
+      // NOT NULL survives as catalog metadata AND is enforced on the
+      // fresh session's COPY ingest (23502)
+      val schema2 = spark2.table("restart_probe").schema
+      val e = intercept[Exception](s2.copyInRows("restart_probe", schema2,
+        graft.sources.Copy.Options(), ",x,2\n"))
+      assert(e.getMessage.contains("not-null"), e.getMessage)
+      s2.copyInRows("restart_probe", schema2, graft.sources.Copy.Options(),
+        "1,hello,2\n")
+      assert(s2.execute("SELECT COUNT(*) AS n FROM restart_probe")
+        .head.getLong(0) == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS restart_probe")
+  }
+
   test("declared arithmetic proc matrix is SQL-callable with PG semantics") {
     // mixed-width procs from the bootstrap catalog (initdb:528-584)
     assert(spark.sql("SELECT int24pl(CAST(1 AS SMALLINT), 2)").head.getInt(0) == 3)
