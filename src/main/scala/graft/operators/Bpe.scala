@@ -112,11 +112,46 @@ object Bpe {
     documents.withColumn("bpe_tokens", syms)
   }
 
+  /** Program-generated DuckDB oracle for the unrolled 8-merge training
+    * loop (upgraded from rows-only in r10): symbol arrays ride as
+    * chr(1)-delimited strings (`SEP sym SEP SEP sym SEP ...`), where
+    * SQL `replace` of `SEP l SEP SEP r SEP` -> `SEP lr SEP` is EXACTLY
+    * the greedy left-to-right non-overlapping merge the training fold
+    * applies ("aaa" under (a,a) -> ["aa","a"]), and the delimiters pin
+    * symbol boundaries so a suffix/prefix match can never merge across
+    * two symbols. Each iteration is one pair-count CTE + one argmax CTE
+    * (count DESC, l, r — the fold's tie-break; both engines compare
+    * ASCII binary) + one replace CTE. Word-internal symbols are
+    * [a-z0-9]+ so the chr(1) separator cannot collide. */
+  private val S = "chr(1)"
+  private val oracleWordCtes: String = {
+    val tok = TextPipeline.oracleTokens
+    val iters = (1 to 8).map { i =>
+      s""",
+p$i AS (SELECT wc, unnest(list_zip(list_slice(ls, 1, length(ls)-1), list_slice(ls, 2, length(ls)))) AS pr
+        FROM (SELECT wc, string_split(substr(enc, 2, length(enc)-2), $S||$S) AS ls
+              FROM w$i WHERE length(enc) > 0)),
+b$i AS (SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(wc) AS BIGINT) AS c
+        FROM p$i WHERE pr[2] IS NOT NULL
+        GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+w${i + 1} AS (SELECT wc, replace(enc, $S||l||$S||$S||r||$S, $S||l||r||$S) AS enc
+        FROM w$i CROSS JOIN b$i)"""
+    }.mkString
+    s"""words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest($tok) AS w FROM documents) GROUP BY 1),
+w1 AS (SELECT wc, $S || array_to_string(string_split(w, ''), $S||$S) || $S AS enc FROM words)$iters"""
+  }
+
   val defs: Seq[GQ] = Seq(
-    // rows-only gate: the merge table depends on the fold/tokenizer
-    // internals; BpeSpec pins the classic toy-corpus merges, greedy
-    // left-to-right semantics, and determinism.
-    GQ("t24_bpe_merges", None,
+    // Full SQL oracle: the unrolled training loop above; BpeSpec keeps
+    // pinning the classic toy-corpus merges, greedy left-to-right
+    // semantics, and determinism.
+    GQ("t24_bpe_merges",
+      Some(s"""WITH $oracleWordCtes
+        SELECT * FROM (${(1 to 8).map(i =>
+          s"SELECT CAST($i AS INT) AS rank, l AS left, r AS right, c AS pair_count FROM b$i")
+          .mkString(" UNION ALL ")})"""),
       (s, d) => trainMerges(Engine.table(s, d, "documents"), "text", 8)),
 
     // The full tokenizer flow — train the merge table, then tokenize
@@ -124,10 +159,27 @@ object Bpe {
     // budget is priced in). Inference is the one-pass native kernel
     // (graft_bpe_encode): pure projection over one corpus scan, no
     // shuffle — the 100 TB shape; the merge table rides in the plan.
-    // Rows-only gate (training is Spark-seeded); BpeSpec pins kernel
-    // semantics == the fold oracle, and compression_ratio > 1 is
-    // asserted by construction (merges only ever glue).
-    GQ("t26_bpe_tokenize", None,
+    // Full SQL oracle: the same unrolled training CTEs, then the 8
+    // learned merges replayed over each document's RAW char stream
+    // (the kernel's input; BpeSpec pins kernel == fold). The chr(1)
+    // separator gamble extends to document text here — the driver's
+    // synthetic corpus contains no control chars, and a collision
+    // would surface as a hash mismatch, not a silent pass.
+    GQ("t26_bpe_tokenize",
+      Some(s"""WITH $oracleWordCtes,
+d0 AS (SELECT doc_id, text, CASE WHEN length(text) = 0 THEN ''
+       ELSE $S || array_to_string(string_split(text, ''), $S||$S) || $S END AS enc
+       FROM documents),
+${(1 to 8).map(i =>
+        s"""d$i AS (SELECT doc_id, text, replace(enc, $S||l||$S||$S||r||$S, $S||l||r||$S) AS enc
+        FROM d${i - 1} CROSS JOIN b$i)""").mkString(",\n")}
+        SELECT doc_id, n_bpe_tokens,
+               round(CAST(length(text) AS DOUBLE) / greatest(n_bpe_tokens, 1), 6) AS chars_per_token
+        FROM (SELECT doc_id, text,
+                CAST(CASE WHEN enc = '' THEN 0
+                     ELSE length(string_split(substr(enc, 2, length(enc)-2), $S||$S)) END AS INT)
+                  AS n_bpe_tokens
+              FROM d8)"""),
       (s, d) => {
         val corpus = Engine.table(s, d, "documents")
         val merges = trainMerges(corpus, "text", 8).collect()

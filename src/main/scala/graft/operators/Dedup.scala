@@ -476,7 +476,50 @@ object Dedup {
     // values each, so every bucket approaches the maxBucket cap and pair
     // generation goes quadratic-ish. Radius 6 keeps 9-bit chunks (512
     // values) and still catches real near-dups.
-    GQ("d03_dedup_simhash", None, // hash-scheme-specific: rows-only gate
+    // Full SQL oracle (upgraded from rows-only in r10): simhash is
+    // deterministic end-to-end — the oracle recomputes FNV-1a 64 per
+    // token via list_reduce over HUGEINT (mod 2^64 wrapping = the JVM's
+    // Long overflow), takes the per-bit majority vote, reconstructs the
+    // signed 64-bit signature, and brute-forces hamming<=6 pairs. The
+    // pigeonhole chunk scheme on the Spark side is recall-complete, so
+    // the two formulations are row-identical while no bucket exceeds
+    // maxBucket (sf0.01 tops out at corpus size 500 << 1000).
+    GQ("d03_dedup_simhash",
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(tok) AS t FROM toks),
+        hashed AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(14695981039346656037::HUGEINT,
+                     [unicode(c)::HUGEINT for c in split(t, '')]),
+                   (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+                 ) AS h
+          FROM tok),
+        bits AS (SELECT unnest(range(64)) AS b),
+        pw(b, p) AS (SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM pw WHERE b < 63),
+        votes AS (
+          SELECT h.doc_id, bits.b,
+                 SUM(CASE WHEN (h.h // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed h CROSS JOIN bits JOIN pw ON pw.b = bits.b
+          GROUP BY 1, 2),
+        sigu AS (
+          SELECT d.doc_id,
+                 COALESCE(SUM(CASE WHEN v.v > 0 THEN pw.p ELSE 0::HUGEINT END), 0::HUGEINT) AS su
+          FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+          LEFT JOIN pw ON pw.b = v.b
+          GROUP BY 1),
+        sig AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                      THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS s
+          FROM sigu)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 6"""),
       (s, d) => simhashPairs(docs(s, d), maxHamming = 6)),
 
     GQ("d04_dedup_ngram_jaccard",
