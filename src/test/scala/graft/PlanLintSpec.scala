@@ -121,7 +121,9 @@ class PlanLintSpec extends AnyFunSuite {
     * becomes a single-machine one. Every `.collect()`/`.head()`/
     * `.first()` in src/main is audited here with a per-file budget; a
     * new call fails the lint until it is justified below.
-    *  - Catalog.scala 1: spark.catalog.listTables — |tables| rows.
+    *  - Catalog.scala 2: spark.catalog.listTables — |tables| rows; and
+    *    SHOW TBLPROPERTIES per table — |properties| rows (the NOT NULL
+    *    column list the catalog persists out-of-band).
     *  - Dedup.scala 1: d05 union-find edges, <=2M-edge bounded cutover
     *    with a distributed fixpoint fallback (Dedup.scala:297-323).
     *  - Bpe.scala 2: per-iteration argmax (1 row x 8 iterations) and
@@ -136,7 +138,7 @@ class PlanLintSpec extends AnyFunSuite {
     *    client here by definition; portal fetches are maxRows-capped.
     */
   private val collectBudget = Map(
-    "Catalog.scala" -> 1, "Dedup.scala" -> 1, "Bpe.scala" -> 2,
+    "Catalog.scala" -> 2, "Dedup.scala" -> 1, "Bpe.scala" -> 2,
     "Relational.scala" -> 1, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
     "Layout.scala" -> 2, "WireServer.scala" -> 2)
 
