@@ -722,12 +722,18 @@ object Events {
         GROUP BY n_users, n_events, p99c"""),
       (s, d) => {
         val uc = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
-        val th = uc.agg(
-          // the disc percentile IS a data value (a long count); Spark's
-          // aggregate emits double, DuckDB's stays BIGINT — cast back
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
-            .cast(LongType).as("p99c"),
-          count(lit(1)).as("n_users"), sum("c").cast(LongType).as("n_events"))
+        // the p99 threshold runs the count-by-value rollup (state
+        // bounded by the distinct per-user-count domain); the disc
+        // percentile IS a data value (a long count) — the rollup emits
+        // double like the aggregate did, cast back. n_users is the
+        // rollup's total weight; n_events recovers as sum(v*c).
+        val cc = uc.groupBy(col("c").as("v")).agg(count(lit(1)).as("cn"))
+        val th = Percentiles.percentileDiscFromCounts(cc, Seq.empty,
+            "v", "cn", Seq(0.99 -> "p99d"))
+          .select(col("p99d").cast(LongType).as("p99c"),
+            col("n_rows").as("n_users"))
+          .crossJoin(broadcast(
+            cc.agg(sum(col("v") * col("cn")).cast(LongType).as("n_events"))))
         uc.crossJoin(broadcast(th)).filter(col("c") >= col("p99c"))
           .groupBy("n_users", "n_events", "p99c")
           .agg(count(lit(1)).as("top_users"),
@@ -972,16 +978,18 @@ object Events {
           .select(col("user_id"),
             datediff(col("mx"), col("last_d")).cast(IntegerType).as("rec_days"),
             col("freq"), col("cents"))
-        val b = sdf.agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY rec_days)").as("r1"),
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY rec_days)").as("r2"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY rec_days)").as("r3"),
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY freq)").as("f1"),
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY freq)").as("f2"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY freq)").as("f3"),
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").as("m1"),
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").as("m2"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)").as("m3"))
+        // quartile boundaries via three keyless count-by-value rollups
+        // (state bounded by each metric's value domain); each is one
+        // row, so the composition stays a 1-row broadcast scalar
+        def qb(metric: String, n1: String, n2: String, n3: String) = {
+          val cnt = sdf.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cn"))
+          Percentiles.percentileDiscFromCounts(cnt, Seq.empty, "v", "cn",
+              Seq(0.25 -> n1, 0.50 -> n2, 0.75 -> n3))
+            .select(n1, n2, n3)
+        }
+        val b = qb("rec_days", "r1", "r2", "r3")
+          .crossJoin(qb("freq", "f1", "f2", "f3"))
+          .crossJoin(qb("cents", "m1", "m2", "m3"))
         sdf.crossJoin(broadcast(b))
           .select(col("user_id"), col("rec_days"), col("freq"),
             (col("cents").cast(DoubleType) / 100).as("monetary"),

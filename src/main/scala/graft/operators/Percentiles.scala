@@ -42,10 +42,7 @@ object Percentiles {
   def percentilesFromCounts(cnt: DataFrame, keys: Seq[String], v: String,
       w: String, ps: Seq[(Double, String)]): DataFrame = {
     val kcols = keys.map(col)
-    val part = if (keys.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(kcols: _*)
-    val cum = cnt
-      .withColumn("cum", sum(col(w)).over(part.orderBy(col(v))))
-      .withColumn("n", sum(col(w)).over(part))
+    val cum = cumulative(cnt, keys, v, w)
     // Per-row rank thresholds: n is a per-group constant broadcast onto
     // every row by the window above, so each percentile's lower/higher
     // order statistics reduce with plain min(when(...)) aggregates.
@@ -72,5 +69,38 @@ object Percentiles {
         .as(name)
     }
     agged.select(outCols: _*)
+  }
+
+  /** The DISCRETE companion ([[percentilesFromCounts]]'s bounded-state
+    * contract, for `percentile_disc`): the SQL-standard cume_dist
+    * definition — the smallest value whose cumulative count reaches
+    * ceil(p*n), the 1-indexed rank Spark's PercentileDisc selects
+    * (verified across n in 1..100 x 6 fractions incl. the p*n-integral
+    * double-rounding boundaries, PercentilesSpec). No interpolation, so
+    * the only arithmetic to replicate is the p*n double product —
+    * identical operands here and in the aggregate. Emits DOUBLE like
+    * the aggregate does; call sites re-cast as they did before. */
+  def percentileDiscFromCounts(cnt: DataFrame, keys: Seq[String], v: String,
+      w: String, ps: Seq[(Double, String)]): DataFrame = {
+    val kcols = keys.map(col)
+    val cum = cumulative(cnt, keys, v, w)
+    val aggCols = ps.map { case (p, name) =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col(v)))
+        .cast(DoubleType).as(name)
+    } :+ max(col("n")).as("n_rows")
+    val agged = (if (keys.isEmpty) cum.groupBy() else cum.groupBy(kcols: _*))
+      .agg(aggCols.head, aggCols.tail: _*)
+    agged.select((kcols ++ Seq(col("n_rows")) ++ ps.map(p => col(p._2))): _*)
+  }
+
+  /** Shared cumulative frame: per-group running weight over the value
+    * order plus the group total, broadcast onto every rollup row. */
+  private def cumulative(cnt: DataFrame, keys: Seq[String], v: String,
+      w: String): DataFrame = {
+    val part = if (keys.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(keys.map(col): _*)
+    cnt
+      .withColumn("cum", sum(col(w)).over(part.orderBy(col(v))))
+      .withColumn("n", sum(col(w)).over(part))
   }
 }

@@ -711,11 +711,13 @@ object Relational {
       }),
 
     // PG ordered-set aggregates (WITHIN GROUP): percentile_disc via
-    // Spark's native WITHIN GROUP support; mode() derived as count +
-    // row_number with a MIN-value tie-break on both engines (PG leaves
-    // the tie implementation-dependent; the derivation pins it so the
-    // result is engine-independent). Two shuffles on the group key, both
-    // with partial aggregation.
+    // the bounded count-by-value rollup (Percentiles — Spark's native
+    // WITHIN GROUP aggregate collects per-group values, the q59 OOM
+    // class); mode() derived as count + row_number with a MIN-value
+    // tie-break on both engines (PG leaves the tie implementation-
+    // dependent; the derivation pins it so the result is engine-
+    // independent). Two shuffles on the group key, both with partial
+    // aggregation.
     GQ("q51_ordered_set_aggs",
       Some("""WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
                 FROM orders GROUP BY 1, 2),
@@ -739,9 +741,11 @@ object Relational {
               .orderBy(col("cnt").desc, col("o_orderstatus"))))
           .filter(col("rn") === 1)
           .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"))
-        val med = o.groupBy("o_orderpriority")
-          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
-            .as("median_price"))
+        val pc = o.groupBy(col("o_orderpriority"), col("o_totalprice").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val med = Percentiles.percentileDiscFromCounts(pc,
+            Seq("o_orderpriority"), "v", "c", Seq(0.5 -> "median_price"))
+          .select(col("o_orderpriority"), col("median_price"))
         mode.join(med, "o_orderpriority")
       }),
 
@@ -849,9 +853,11 @@ object Relational {
         FROM lineitem JOIN b USING (l_returnflag)"""),
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val bands = li.groupBy("l_returnflag").agg(
-          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)").as("lo"),
-          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("hi"))
+        val pc = li.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val bands = Percentiles.percentileDiscFromCounts(pc,
+            Seq("l_returnflag"), "v", "c", Seq(0.05 -> "lo", 0.95 -> "hi"))
+          .select("l_returnflag", "lo", "hi")
         li.join(broadcast(bands), "l_returnflag").select(
           col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("price_w"),
@@ -1281,11 +1287,9 @@ object Relational {
     // (days from order to line shipment) per order priority. Date
     // arithmetic yields small exact integers, so percentile_disc is
     // engine-exact (no interpolation doubles). The orders→lineitem join
-    // is the genuine fact-fact shuffle on orderkey; the ordered-set
-    // aggregate then runs per-priority (5 groups) over int days — at
-    // 100 TB the percentile pass would go through the q59-style
-    // histogram-of-days rollup (day lags have tiny cardinality), but the
-    // direct ordered-set form is the honest operator under test here.
+    // is the genuine fact-fact shuffle on orderkey; the percentile pass
+    // runs the q59-style histogram-of-days rollup (day lags have tiny
+    // cardinality — exactly the bounded-state 100 TB shape).
     GQ("q70_ship_latency",
       Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
                percentile_disc(0.50) WITHIN GROUP (ORDER BY lag_days) AS p50,
@@ -1297,22 +1301,25 @@ object Relational {
                   AS INT) AS lag_days
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         GROUP BY 1"""),
-      (s, d) => t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority"),
-          datediff(col("l_shipdate").cast(DateType),
-            col("o_orderdate").cast(DateType)).as("lag_days"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_lines"),
-          // percentile_disc picks an existing int value; Spark types it
-          // DOUBLE, DuckDB INT — cast losslessly to match
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY lag_days)")
-            .cast(IntegerType).as("p50"),
-          expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY lag_days)")
-            .cast(IntegerType).as("p90"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY lag_days)")
-            .cast(IntegerType).as("p99"),
-          max("lag_days").as("worst"))),
+      (s, d) => {
+        val cnt = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            datediff(col("l_shipdate").cast(DateType),
+              col("o_orderdate").cast(DateType)).as("v"))
+          .groupBy("o_orderpriority", "v").agg(count(lit(1)).as("c"))
+        val mm = cnt.groupBy("o_orderpriority")
+          .agg(sum("c").as("n_lines"), max("v").as("worst"))
+        // the disc percentile picks an existing int value; the rollup
+        // emits DOUBLE like the aggregate did — cast losslessly back
+        Percentiles.percentileDiscFromCounts(cnt, Seq("o_orderpriority"),
+            "v", "c", Seq(0.50 -> "p50", 0.90 -> "p90", 0.99 -> "p99"))
+          .join(broadcast(mm), "o_orderpriority")
+          .select(col("o_orderpriority"), col("n_lines"),
+            col("p50").cast(IntegerType).as("p50"),
+            col("p90").cast(IntegerType).as("p90"),
+            col("p99").cast(IntegerType).as("p99"), col("worst"))
+      }),
 
     // Dormant high-value accounts — the TPC-H Q22 shape: customers
     // whose balance beats the average POSITIVE balance yet placed no

@@ -92,17 +92,18 @@ class PlanLintSpec extends AnyFunSuite {
       // t44: the broadcast side is the 10-row head-term table
       "t44_positional_bias")
 
-  /** Spark's exact `percentile()` (interpolated Percentile aggregate)
-    * collects every group value into ONE aggregation buffer — per-group
+  /** Spark's exact `percentile()` / `percentile_disc` aggregates
+    * collect every group value into ONE aggregation buffer — per-group
     * state linear in group size, an OOM class at 100 TB. Every former
-    * user (q59/q61/e17/e21/e25/q28/a02) now runs the bounded
-    * count-by-value rollup (operators/Percentiles.scala); this lint is
-    * deliberately allowlist-free so no new entry re-introduces it.
-    * (`approx_percentile`/KLL sketches and `percentile_disc` render
-    * under their own names and are not matched; percentile_disc's one
-    * user, q54, aggregates a 3-group lineitem rollup.)
+    * user (q59/q61/e17/e21/e25/q28/a02 interpolated;
+    * q51/q54/q70/e24/e30 discrete) now runs the bounded count-by-value
+    * rollup (operators/Percentiles.scala); this lint is deliberately
+    * allowlist-free so no new entry re-introduces either form.
+    * (`approx_percentile`/KLL sketches render under their own names
+    * and are mergeable — they stay.)
     */
-  private val exactPercentile = java.util.regex.Pattern.compile("(?<![\\w.])percentile\\(")
+  private val exactPercentile =
+    java.util.regex.Pattern.compile("(?<![\\w.])percentile(_disc)?\\(")
 
   test("no query plans an unapproved nested-loop, cartesian join, or exact percentile") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

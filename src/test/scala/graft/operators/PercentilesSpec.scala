@@ -57,6 +57,31 @@ class PercentilesSpec extends AnyFunSuite {
     assert(r.getDouble(1) == exact.getDouble(0) && r.getDouble(2) == exact.getDouble(1))
   }
 
+  test("percentileDiscFromCounts matches percentile_disc across sizes and fractions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // sweep group sizes incl. every p*n-integral double-rounding
+    // boundary for these fractions (n divisible by 4, 20, 100)
+    val rows = (0 until 12).flatMap { g =>
+      val n = Seq(1, 2, 3, 4, 5, 19, 20, 21, 40, 100, 500, 999)(g)
+      (0 until n).map(_ => (s"g$g", rnd.nextInt(40).toLong))
+    }
+    val df = rows.toDF("k", "v")
+    val fr = Seq(0.05 -> "p05", 0.25 -> "p25", 0.5 -> "p50",
+      0.75 -> "p75", 0.95 -> "p95", 0.99 -> "p99")
+    val aggs = fr.map { case (p, name) =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(name) }
+    val exact = df.groupBy("k").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cnt = df.groupBy("k", "v").agg(count(lit(1)).as("c"))
+    val got = Percentiles.percentileDiscFromCounts(cnt, Seq("k"), "v", "c", fr)
+      .collect()
+    assert(got.length == 12)
+    for (r <- got; ((_, name), i) <- fr.zipWithIndex)
+      assert(r.getDouble(2 + i) == exact(r.getString(0)).getDouble(1 + i),
+        s"${r.getString(0)} $name")
+  }
+
   test("rollup plans no collecting percentile and spillable stages only") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
