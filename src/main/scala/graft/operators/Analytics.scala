@@ -113,17 +113,18 @@ object Analytics {
         val qc = li.groupBy(col("l_returnflag"), col("l_quantity").as("v"))
           .agg(count(lit(1)).as("c"))
         val qp = Percentiles.percentilesFromCounts(qc, Seq("l_returnflag"),
-          "v", "c", Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
-        val mm = qc.groupBy("l_returnflag")
-          .agg(min("v").as("min_qty"), max("v").as("max_qty"))
+          "v", "c", Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"),
+          Seq(min("v").as("min_qty"), max("v").as("max_qty")))
         val pc = li.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
           .agg(count(lit(1)).as("c"))
         val pp = Percentiles.percentilesFromCounts(pc, Seq("l_returnflag"),
           "v", "c", Seq(0.9 -> "price_p90"))
-        qp.select(col("l_returnflag"), col("p25"), col("p50"), col("p75"))
+        qp.select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+            col("min_qty"), col("max_qty"))
           .join(broadcast(pp.select(col("l_returnflag"), col("price_p90"))),
             "l_returnflag")
-          .join(broadcast(mm), "l_returnflag")
+          .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+            col("price_p90"), col("min_qty"), col("max_qty"))
       }),
 
     // Mixed-width arithmetic coercions — the declared operator matrix

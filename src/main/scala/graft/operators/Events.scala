@@ -643,14 +643,12 @@ object Events {
         // domain, and the rollup exchange is shared by both consumers
         val cnt = sess.groupBy("bucket", "dur_us")
           .agg(count(lit(1)).as("c"), sum("n_events").as("se_part"))
-        val p = Percentiles.percentilesFromCounts(
-          cnt.select(col("bucket"),
-            (col("dur_us").cast(DoubleType) / 1000000.0).as("dur_s"),
-            col("c")),
-          Seq("bucket"), "dur_s", "c", Seq(0.5 -> "p50", 0.95 -> "p95"))
-        cnt.groupBy("bucket")
-          .agg(sum("c").as("n_sessions"), sum("se_part").as("se"))
-          .join(broadcast(p), "bucket")
+        Percentiles.percentilesFromCounts(
+            cnt.select(col("bucket"),
+              (col("dur_us").cast(DoubleType) / 1000000.0).as("dur_s"),
+              col("c"), col("se_part")),
+            Seq("bucket"), "dur_s", "c", Seq(0.5 -> "p50", 0.95 -> "p95"),
+            Seq(sum("c").as("n_sessions"), sum("se_part").as("se")))
           .select(col("bucket"), col("n_sessions"),
             round(col("p50"), 6).as("p50_dur_s"),
             round(col("p95"), 6).as("p95_dur_s"),
@@ -729,11 +727,10 @@ object Events {
         // rollup's total weight; n_events recovers as sum(v*c).
         val cc = uc.groupBy(col("c").as("v")).agg(count(lit(1)).as("cn"))
         val th = Percentiles.percentileDiscFromCounts(cc, Seq.empty,
-            "v", "cn", Seq(0.99 -> "p99d"))
+            "v", "cn", Seq(0.99 -> "p99d"),
+            Seq(sum(col("v") * col("cn")).cast(LongType).as("n_events")))
           .select(col("p99d").cast(LongType).as("p99c"),
-            col("n_rows").as("n_users"))
-          .crossJoin(broadcast(
-            cc.agg(sum(col("v") * col("cn")).cast(LongType).as("n_events"))))
+            col("n_rows").as("n_users"), col("n_events"))
         uc.crossJoin(broadcast(th)).filter(col("c") >= col("p99c"))
           .groupBy("n_users", "n_events", "p99c")
           .agg(count(lit(1)).as("top_users"),
@@ -978,18 +975,26 @@ object Events {
           .select(col("user_id"),
             datediff(col("mx"), col("last_d")).cast(IntegerType).as("rec_days"),
             col("freq"), col("cents"))
-        // quartile boundaries via three keyless count-by-value rollups
-        // (state bounded by each metric's value domain); each is one
-        // row, so the composition stays a 1-row broadcast scalar
-        def qb(metric: String, n1: String, n2: String, n3: String) = {
-          val cnt = sdf.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cn"))
-          Percentiles.percentileDiscFromCounts(cnt, Seq.empty, "v", "cn",
-              Seq(0.25 -> n1, 0.50 -> n2, 0.75 -> n3))
-            .select(n1, n2, n3)
-        }
-        val b = qb("rec_days", "r1", "r2", "r3")
-          .crossJoin(qb("freq", "f1", "f2", "f3"))
-          .crossJoin(qb("cents", "m1", "m2", "m3"))
+        // all nine quartile boundaries from ONE (metric, value) rollup
+        // pass over the per-user frame (state bounded by the metric
+        // value domains; one scan, one exchange — three separate
+        // rollups would re-derive the purchase aggregation each time),
+        // pivoted to the 1-row broadcast scalar the quartile
+        // comparisons consume
+        val mv = sdf.select(explode(array(
+            struct(lit("r").as("mk"), col("rec_days").cast(LongType).as("v")),
+            struct(lit("f").as("mk"), col("freq").as("v")),
+            struct(lit("m").as("mk"), col("cents").as("v")))).as("x"))
+          .select(col("x.mk").as("mk"), col("x.v").as("v"))
+          .groupBy("mk", "v").agg(count(lit(1)).as("cn"))
+        val qs = Percentiles.percentileDiscFromCounts(mv, Seq("mk"),
+          "v", "cn", Seq(0.25 -> "q1", 0.50 -> "q2", 0.75 -> "q3"))
+        def pick(mk: String, q: String, as: String) =
+          max(when(col("mk") === mk, col(q))).as(as)
+        val b = qs.groupBy().agg(
+          pick("r", "q1", "r1"), pick("r", "q2", "r2"), pick("r", "q3", "r3"),
+          pick("f", "q1", "f1"), pick("f", "q2", "f2"), pick("f", "q3", "f3"),
+          pick("m", "q1", "m1"), pick("m", "q2", "m2"), pick("m", "q3", "m3"))
         sdf.crossJoin(broadcast(b))
           .select(col("user_id"), col("rec_days"), col("freq"),
             (col("cents").cast(DoubleType) / 100).as("monetary"),

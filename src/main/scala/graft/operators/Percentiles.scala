@@ -40,20 +40,26 @@ object Percentiles {
     * @return one row per group: keys..., n_rows (total weight), ps...
     */
   def percentilesFromCounts(cnt: DataFrame, keys: Seq[String], v: String,
-      w: String, ps: Seq[(Double, String)]): DataFrame = {
+      w: String, ps: Seq[(Double, String)],
+      extraAggs: Seq[Column] = Seq.empty): DataFrame = {
     val kcols = keys.map(col)
     val cum = cumulative(cnt, keys, v, w)
     // Per-row rank thresholds: n is a per-group constant broadcast onto
     // every row by the window above, so each percentile's lower/higher
     // order statistics reduce with plain min(when(...)) aggregates.
-    val aggCols = ps.flatMap { case (p, name) =>
+    val aggCols = (ps.flatMap { case (p, name) =>
       val pos = (col("n") - lit(1L)).cast(DoubleType) * lit(p)
       Seq(
         min(when(col("cum") > floor(pos), col(v))).as(name + "_lo"),
         min(when(col("cum") > ceil(pos), col(v))).as(name + "_hi"))
-    } :+ max(col("n")).as("n_rows")
+    } :+ max(col("n")).as("n_rows")) ++ extraAggs
     val agged = (if (keys.isEmpty) cum.groupBy() else cum.groupBy(kcols: _*))
       .agg(aggCols.head, aggCols.tail: _*)
+    // extras (same-pass sibling aggregates) keep whatever .as name the
+    // caller gave them: everything past keys/lo-hi pairs/n_rows
+    val internal = (keys :+ "n_rows").toSet ++
+      ps.flatMap(p => Seq(p._2 + "_lo", p._2 + "_hi"))
+    val extraCols = agged.columns.filterNot(internal).map(col)
     val outCols = kcols ++ Seq(col("n_rows")) ++ ps.map { case (p, name) =>
       val pos = (col("n_rows") - lit(1L)).cast(DoubleType) * lit(p)
       val lo = floor(pos)
@@ -68,7 +74,7 @@ object Percentiles {
           + (pos - lo) * col(name + "_hi").cast(DoubleType))
         .as(name)
     }
-    agged.select(outCols: _*)
+    agged.select(outCols ++ extraCols: _*)
   }
 
   /** The DISCRETE companion ([[percentilesFromCounts]]'s bounded-state
@@ -80,17 +86,25 @@ object Percentiles {
     * the only arithmetic to replicate is the p*n double product —
     * identical operands here and in the aggregate. Emits DOUBLE like
     * the aggregate does; call sites re-cast as they did before. */
+  /** @param extraAggs additional aggregates evaluated over the SAME
+    *        cumulative rollup pass (e.g. `sum(col(w))`, `max(col(v))`,
+    *        weighted totals) — siblings ride the one exchange instead
+    *        of a second aggregation + join over the rollup. Appended
+    *        after the percentile columns; name them with `.as`.
+    */
   def percentileDiscFromCounts(cnt: DataFrame, keys: Seq[String], v: String,
-      w: String, ps: Seq[(Double, String)]): DataFrame = {
+      w: String, ps: Seq[(Double, String)],
+      extraAggs: Seq[Column] = Seq.empty): DataFrame = {
     val kcols = keys.map(col)
     val cum = cumulative(cnt, keys, v, w)
-    val aggCols = ps.map { case (p, name) =>
+    val discCols = ps.map { case (p, name) =>
       min(when(col("cum") >= ceil(lit(p) * col("n")), col(v)))
         .cast(DoubleType).as(name)
-    } :+ max(col("n")).as("n_rows")
-    val agged = (if (keys.isEmpty) cum.groupBy() else cum.groupBy(kcols: _*))
+    }
+    // column order: keys..., n_rows, percentiles..., extras...
+    val aggCols = (max(col("n")).as("n_rows") +: discCols) ++ extraAggs
+    (if (keys.isEmpty) cum.groupBy() else cum.groupBy(kcols: _*))
       .agg(aggCols.head, aggCols.tail: _*)
-    agged.select((kcols ++ Seq(col("n_rows")) ++ ps.map(p => col(p._2))): _*)
   }
 
   /** Shared cumulative frame: per-group running weight over the value

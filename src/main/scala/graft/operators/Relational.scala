@@ -1308,13 +1308,12 @@ object Relational {
             datediff(col("l_shipdate").cast(DateType),
               col("o_orderdate").cast(DateType)).as("v"))
           .groupBy("o_orderpriority", "v").agg(count(lit(1)).as("c"))
-        val mm = cnt.groupBy("o_orderpriority")
-          .agg(sum("c").as("n_lines"), max("v").as("worst"))
         // the disc percentile picks an existing int value; the rollup
-        // emits DOUBLE like the aggregate did — cast losslessly back
+        // emits DOUBLE like the aggregate did — cast losslessly back.
+        // n_lines and worst ride the same rollup pass as extras.
         Percentiles.percentileDiscFromCounts(cnt, Seq("o_orderpriority"),
-            "v", "c", Seq(0.50 -> "p50", 0.90 -> "p90", 0.99 -> "p99"))
-          .join(broadcast(mm), "o_orderpriority")
+            "v", "c", Seq(0.50 -> "p50", 0.90 -> "p90", 0.99 -> "p99"),
+            Seq(sum("c").as("n_lines"), max("v").as("worst")))
           .select(col("o_orderpriority"), col("n_lines"),
             col("p50").cast(IntegerType).as("p50"),
             col("p90").cast(IntegerType).as("p90"),
