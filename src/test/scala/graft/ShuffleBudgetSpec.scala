@@ -46,7 +46,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q59_mad_outliers" -> 9,       // one (brand,pc) rollup x3 consumers (statically
                                    // re-planned, runtime-reused) + 2 cum windows +
                                    // dev rollup + final agg
-    "q69_market_basket" -> 7)      // distinct x3 consumers + size/freq aggs + basket + pair
+    "q69_market_basket" -> 7,      // distinct x3 consumers + size/freq aggs + basket + pair
+    // r10 percentile-rollup family (Percentiles.scala): each = value
+    // rollup + cumulative window + final agg, plus the query's own
+    // joins; pinned so the bounded-state shapes cannot silently grow
+    "q28_percentiles" -> 4,        // qty rollup+cum+agg, price rollup (shares scan)
+    "q54_winsorize" -> 2,          // price rollup + cum window; bands broadcast back
+    "q61_reorder_gaps" -> 3,       // lag window + gap rollup + cum window
+    "q70_ship_latency" -> 2,       // lag-day rollup + cum window (extras fold in)
+    "e24_user_concentration" -> 5, // user rollup + count rollup + cum + agg + final
+    "e30_rfm_segments" -> 9)       // purchase rollup x consumers + metric rollup +
+                                   // cum + boundary pivot (statically re-planned,
+                                   // runtime-reused like q59)
 
   test("headline plans keep their exact shuffle budgets") {
     val diffs = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>
