@@ -207,6 +207,30 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
 
   /** Text-format bind value -> typed Scala value by declared oid; oid 0
     * (unspecified) binds as text and relies on ANSI coercion. */
+  /** Binary-format Bind parameter (format code 1): the PG binary recv
+    * encodings of the fixed-width types + bytea, decoded to the SAME
+    * JVM types the text path produces so the engine sees one typing
+    * regardless of wire format. A binary param needs its declared oid
+    * — without one the bytes are untypable (0A000, as PG errors). */
+  private def binaryParam(b: Array[Byte], pos: Int, len: Int, oid: Int): Any = {
+    def need(n: Int): Unit =
+      if (len != n) throw new GraftArgError(Errors.InvalidParameterValue,
+        s"binary parameter for oid $oid must be $n bytes, got $len")
+    oid match {
+      case 21 => need(2); ((b(pos) & 0xff) << 8 | (b(pos + 1) & 0xff)).toShort.toInt
+      case 23 => need(4); i32At(b, pos)
+      case 20 => need(8); (i32At(b, pos).toLong << 32) | (i32At(b, pos + 4).toLong & 0xffffffffL)
+      case 700 => need(4); java.lang.Float.intBitsToFloat(i32At(b, pos)).toDouble
+      case 701 => need(8)
+        java.lang.Double.longBitsToDouble(
+          (i32At(b, pos).toLong << 32) | (i32At(b, pos + 4).toLong & 0xffffffffL))
+      case 16 => need(1); b(pos) != 0
+      case 17 => java.util.Arrays.copyOfRange(b, pos, pos + len)
+      case other => throw new GraftArgError(Errors.FeatureNotSupported,
+        s"no binary input function for parameter oid $other")
+    }
+  }
+
   private def typedParam(text: String, oid: Int): Any = oid match {
     case 21 | 23 => text.trim.toInt // int2, int4
     case 20 => text.trim.toLong // int8
@@ -317,15 +341,25 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
                   s"prepared statement \"$stmt\" does not exist"))
               val nFmt = i16At(body, p2)
               val fmts = (0 until nFmt).map(k => i16At(body, p2 + 2 + 2 * k))
-              if (fmts.exists(_ != 0))
+              if (fmts.exists(f => f != 0 && f != 1))
                 throw new GraftArgError(Errors.FeatureNotSupported,
-                  "only text-format (0) bind parameters are supported")
+                  "parameter format codes must be 0 (text) or 1 (binary)")
               var pos = p2 + 2 + 2 * nFmt
               val nParams = i16At(body, pos); pos += 2
+              // per-param format (protocol rule: 0 codes = all text,
+              // 1 code = every param, else one per param)
+              def fmtOf(k: Int): Int =
+                if (fmts.isEmpty) 0
+                else if (fmts.length == 1) fmts.head
+                else fmts(k)
               val params = (0 until nParams).map { k =>
                 val len = i32At(body, pos); pos += 4
                 if (len == -1) null
-                else {
+                else if (fmtOf(k) == 1) {
+                  val v = binaryParam(body, pos, len, oids.lift(k).getOrElse(0))
+                  pos += len
+                  v
+                } else {
                   val s = new String(body, pos, len, UTF_8); pos += len
                   typedParam(s, oids.lift(k).getOrElse(0))
                 }

@@ -107,6 +107,23 @@ class WireServerSpec extends AnyFunSuite {
          else resultFmts.map(i16B).reduce(_ ++ _)))
     }
 
+    /** Bind with raw (possibly binary-format) parameter payloads. */
+    def bindRaw(portal: String, stmt: String, params: Seq[Array[Byte]],
+        paramFmts: Seq[Int], resultFmts: Seq[Int] = Nil): Unit = {
+      val pv = params.map { p =>
+        if (p == null) i32B(-1) else i32B(p.length) ++ p
+      }
+      msg('B', cstrB(portal) ++ cstrB(stmt) ++
+        i16B(paramFmts.length) ++
+        (if (paramFmts.isEmpty) Array.empty[Byte]
+         else paramFmts.map(i16B).reduce(_ ++ _)) ++
+        i16B(params.length) ++
+        (if (pv.isEmpty) Array.empty[Byte] else pv.reduce(_ ++ _)) ++
+        i16B(resultFmts.length) ++
+        (if (resultFmts.isEmpty) Array.empty[Byte]
+         else resultFmts.map(i16B).reduce(_ ++ _)))
+    }
+
     def describe(kind: Char, name: String): Unit =
       msg('D', Array(kind.toByte) ++ cstrB(name))
     def executePortal(portal: String, maxRows: Int = 0): Unit =
@@ -518,6 +535,46 @@ class WireServerSpec extends AnyFunSuite {
       assert(c.errFields(vMsgs)('C') == "0A000")
 
       // session healthy afterwards
+      c.query("SELECT 7 AS x")
+      assert(c.dataRows(c.drain()._1) == Seq(Seq("7")))
+      c.terminate()
+    } finally srv.close()
+  }
+
+  test("extended protocol: binary-format bind parameters decode per declared oid") {
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val c = new Client(srv.boundPort)
+      c.startup(); c.drain()
+      def be(n: Int, v: Long): Array[Byte] =
+        (n - 1 to 0 by -1).map(s => ((v >>> (8 * s)) & 0xff).toByte).toArray
+
+      // int8 param in binary == the text-bound twin
+      c.parse("sb", "SELECT n_name FROM nation WHERE n_nationkey = $1", Seq(20))
+      c.bindRaw("pb", "sb", Seq(be(8, 3L)), paramFmts = Seq(1))
+      c.executePortal("pb")
+      c.sync()
+      val (m1, _) = c.drain()
+      assert(c.errFields(m1).isEmpty, s"err: ${c.errFields(m1)}")
+      assert(c.dataRows(m1) == Seq(Seq("NATION_3")))
+
+      // float8 + bool binary params flow through expression params
+      c.parse("sf", "SELECT $1 + 1.0 AS x, NOT $2 AS y", Seq(701, 16))
+      c.bindRaw("pf", "sf",
+        Seq(be(8, java.lang.Double.doubleToLongBits(2.5)), Array[Byte](1)),
+        paramFmts = Seq(1, 1))
+      c.executePortal("pf")
+      c.sync()
+      val (m2, _) = c.drain()
+      assert(c.dataRows(m2) == Seq(Seq("3.5", "f")))
+
+      // binary param without a declared oid is untypable: 0A000
+      c.parse("sn", "SELECT $1 AS v")
+      c.bindRaw("pn", "sn", Seq(be(4, 7)), paramFmts = Seq(1))
+      c.sync()
+      val (m3, _) = c.drain()
+      assert(c.errFields(m3)('C') == "0A000")
+
       c.query("SELECT 7 AS x")
       assert(c.dataRows(c.drain()._1) == Seq(Seq("7")))
       c.terminate()
