@@ -81,16 +81,19 @@ object Percentiles {
     * contract, for `percentile_disc`): the SQL-standard cume_dist
     * definition — the smallest value whose cumulative count reaches
     * ceil(p*n), the 1-indexed rank Spark's PercentileDisc selects
-    * (verified across n in 1..100 x 6 fractions incl. the p*n-integral
+    * (verified across n in 1..999 x 6 fractions incl. the p*n-integral
     * double-rounding boundaries, PercentilesSpec). No interpolation, so
     * the only arithmetic to replicate is the p*n double product —
     * identical operands here and in the aggregate. Emits DOUBLE like
-    * the aggregate does; call sites re-cast as they did before. */
-  /** @param extraAggs additional aggregates evaluated over the SAME
+    * the aggregate does; call sites re-cast as they did before.
+    *
+    * @param extraAggs additional aggregates evaluated over the SAME
     *        cumulative rollup pass (e.g. `sum(col(w))`, `max(col(v))`,
     *        weighted totals) — siblings ride the one exchange instead
     *        of a second aggregation + join over the rollup. Appended
     *        after the percentile columns; name them with `.as`.
+    *        `cum` and `n` are reserved internal column names in both
+    *        helpers (the rollup frame must not carry them).
     */
   def percentileDiscFromCounts(cnt: DataFrame, keys: Seq[String], v: String,
       w: String, ps: Seq[(Double, String)],
