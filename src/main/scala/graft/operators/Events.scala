@@ -773,7 +773,9 @@ object Events {
             col("c"))
         Percentiles.percentilesFromCounts(cnt, Seq.empty, "lat_h", "c",
             Seq(0.5 -> "p50", 0.9 -> "p90"))
-          .select(col("n_rows").as("n_converts"),
+          // keyless agg over an EMPTY rollup yields one all-null row;
+          // the oracle's COUNT(*) (and the old collecting form) say 0
+          .select(coalesce(col("n_rows"), lit(0L)).as("n_converts"),
             round(col("p50"), 6).as("p50_hours"),
             round(col("p90"), 6).as("p90_hours"))
       }),
