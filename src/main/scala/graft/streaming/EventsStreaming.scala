@@ -119,6 +119,42 @@ object EventsStreaming {
       }.start()
   }
 
+  /** Continuous EXACT-percentile maintenance — the exact companion to
+    * [[quantileRollupQuery]]'s KLL sketches, enabled by the same
+    * insight as the batch engine's rollup (operators/Percentiles): a
+    * count-by-value table IS a mergeable summary for exact order
+    * statistics. Each micro-batch lands its own (group, value, count)
+    * partial rows idempotently; counts sum associatively under any
+    * replay-safe batch/partition topology, so [[readExactQuantiles]]
+    * over the streamed table equals `percentile()` over a direct scan
+    * of everything streamed — bit-identical, not within rank error.
+    * State per (group, value) is one long: bounded by the value-domain
+    * cardinality, the identical 100 TB trade the batch queries make. */
+  def exactQuantileRollupQuery(events: DataFrame, table: String,
+      groupCols: Seq[String], valueCol: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = events.writeStream
+    checkpointLocation.fold(w)(l => w.option("checkpointLocation", l))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        graft.Layout.idempotentBatchAppend(
+          b.groupBy((groupCols :+ valueCol).map(col): _*)
+            .agg(count(lit(1)).as("vc")),
+          table, batchId, Seq.empty)
+      }.start()
+  }
+
+  /** Exact percentiles from a streamed count-by-value table: re-sum
+    * the per-batch partials and run the batch engine's bounded-state
+    * interpolation — bit-identical to the collecting `percentile()`
+    * aggregate over one scan of the full stream. */
+  def readExactQuantiles(rollup: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    val cnt = rollup.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum("vc").as("c"))
+    graft.operators.Percentiles.percentilesFromCounts(
+      cnt, groupCols, valueCol, "c", ps)
+  }
+
   /** Streaming dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")

@@ -312,6 +312,49 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(rolled == direct, s"rolled=$rolled direct=$direct")
   }
 
+  test("streaming exact-percentile maintenance: merged rollup == percentile() bit-for-bit, replay-safe") {
+    spark.sql("DROP TABLE IF EXISTS ev_exact_quant_stream")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "ev_exact_quant_stream")
+    if (loc.exists) rm(loc)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(EventsStreaming.eventsSchema).parquet(stagedDir)
+      val q = EventsStreaming.exactQuantileRollupQuery(stream,
+        "ev_exact_quant_stream", Seq("event_type"), "value")
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    def rolled(): Map[String, (Long, Long, Long)] = {
+      // replay overwrites batch_id partitions in place — drop the
+      // cached file index before re-reading
+      spark.catalog.refreshTable("ev_exact_quant_stream")
+      EventsStreaming.readExactQuantiles(spark.table("ev_exact_quant_stream"),
+          Seq("event_type"), "value", Seq(0.5 -> "p50", 0.95 -> "p95"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toMap
+    }
+    val first = rolled()
+    val direct = Engine.table(spark, TestSpark.sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toMap
+    assert(first == direct, "streamed exact percentiles must equal one-scan percentile() bit-for-bit")
+    // a full replay (fresh query, same source, batch ids restart at 0)
+    // must not change the table: idempotentBatchAppend absorbs it
+    runOnce()
+    assert(rolled() == first, "replayed batches must land idempotently")
+  }
+
   test("streaming quantile-sketch maintenance: merged p50/p95 within rank error") {
     spark.sql("DROP TABLE IF EXISTS ev_quant_stream")
     def rm(f: java.io.File): Unit = {
