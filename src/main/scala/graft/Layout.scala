@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Physical table layout for 100 TB: partitioning and bucketing.
@@ -398,6 +398,56 @@ object Layout {
         ((col(c).cast("double") - lit(mn)) / lit(span) * lit(top.toDouble))
           .cast("long"))).cast("int")
     }
+    writeByZ(df, table, buckets, files)
+  }
+
+  /** Skew-resistant Z-order: bucket each column by its QUANTILE grid
+    * instead of min/max normalization — the upgrade [[writeZOrdered]]'s
+    * doc comment names. Under a heavy-tailed column, min/max bucketing
+    * collapses (most rows share the bottom buckets, so the Morton curve
+    * degrades to ordering by the other columns and file-level locality
+    * on the skewed column is lost); equal-MASS buckets keep every bucket
+    * holding ~1/2^bits of the rows regardless of the value distribution,
+    * so the curve tiles rank space uniformly.
+    *
+    * Cost model at 100 TB: ONE extra `approx_percentile` scan (bounded
+    * sketch state per partition, mergeable) returning (2^bits - 1) x
+    * |zCols| doubles to the driver — scalar-sized, independent of data
+    * volume. Bucketing each row then costs O(2^bits) comparisons against
+    * the literal cut array, which is why `bits` defaults to 8 here (256
+    * buckets per column — already far finer than file-level min/max
+    * stats can exploit) rather than [[writeZOrdered]]'s 16.
+    *
+    * Cut ties (heavily duplicated values) merge adjacent buckets —
+    * harmless: rows equal on the column cannot be separated by any
+    * clustering. Nulls bucket to 0 (sort first), matching the
+    * interleave kernel's null contract. */
+  def writeZOrderedQuantile(df: DataFrame, table: String, zCols: Seq[String],
+      files: Int, bits: Int = 8, accuracy: Int = 10000): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 8, "1..8 z-order columns")
+    val nb = 1 << math.min(bits, math.min(31, 63 / zCols.size))
+    val fracs = (1 until nb).map(i => i.toDouble / nb)
+    val aggs = zCols.map(c => expr(
+      s"approx_percentile(CAST($c AS DOUBLE), array(${fracs.mkString(",")}), $accuracy)")
+      .as(s"cuts_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      val cuts: Seq[Double] =
+        if (row.isNullAt(i)) Seq.empty else row.getSeq[Double](i)
+      if (cuts.isEmpty) lit(0) // empty/all-null input: single bucket
+      else
+        // bucket = #cuts <= value; a null value nulls the lambda, filter
+        // drops every element -> bucket 0
+        size(filter(array(cuts.map(lit): _*),
+          x => x <= col(c).cast("double")))
+    }
+    writeByZ(df, table, buckets, files)
+  }
+
+  /** Shared Morton-write tail: interleave the per-column buckets, range-
+    * partition + sort by the z-value, drop it, publish the table. */
+  private def writeByZ(df: DataFrame, table: String, buckets: Seq[Column],
+      files: Int): Unit = {
     val zv = graft.functions.GraftFunctions.interleaveBits(buckets: _*)
     df.withColumn("__z", zv)
       .repartitionByRange(files, col("__z"))

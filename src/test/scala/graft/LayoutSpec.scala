@@ -111,6 +111,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(meanSpan("grid_lin", "y") > 200.0)
   }
 
+  test("quantile z-order keeps multi-column locality under heavy-tailed skew") {
+    freshTable("skew_mm"); freshTable("skew_q")
+    import spark.implicits._
+    // v = 2^(x/4) over x in 0..255 spans 1..2^63.75: under min/max
+    // bucketing, every row with x < 191 (75% of the data) lands in
+    // v-bucket 0, so the Morton curve degrades to y-order there and
+    // per-file locality on the skewed column is gone. xr rides along as
+    // the rank of v (the pre-image) so spans are measured in rank space.
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x, y)))
+      .map { case (x, y) => (x, math.pow(2.0, x / 4.0), y) }
+      .toDF("xr", "v", "y")
+    // 64 files: sampled range boundaries straddle Morton quadrants, so
+    // a file can span two curve-adjacent tiles; at an 8x8 tile grid the
+    // straddle worst case (2 tiles = 64 ranks) still sits far below the
+    // min/max layout's collapsed-bucket spans
+    Layout.writeZOrdered(grid, "skew_mm", Seq("v", "y"), files = 64)
+    Layout.writeZOrderedQuantile(grid, "skew_q", Seq("v", "y"), files = 64)
+    def meanSpan(table: String, c: String): Double = {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      val files = loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 8, s"$table files: ${files.length}")
+      files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)), max(col(c))).head
+        (r.getInt(1) - r.getInt(0)).toDouble
+      }.sum / files.length
+    }
+    // min/max bucketing: the bucket-0 mass orders purely by y, so most
+    // files span nearly the whole xr domain
+    val mm = meanSpan("skew_mm", "xr")
+    val q = meanSpan("skew_q", "xr")
+    assert(mm > 120.0, s"min/max xr span: $mm")
+    // equal-mass buckets: ~8x8 rank tiling -> narrow on BOTH columns
+    assert(q < 0.6 * mm, s"quantile xr span $q vs min/max $mm")
+    assert(meanSpan("skew_q", "y") < 128.0)
+  }
+
   test("IVF-PQ index table: probed-cell partition pruning + inline parity") {
     import graft.operators.VectorSearch
     // a previous JVM's warehouse dir can survive while the catalog entry
