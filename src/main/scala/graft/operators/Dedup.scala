@@ -456,10 +456,69 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Entity resolution by token-blocked fuzzy matching — near-duplicate
+    * catalog/name entries (the PII-dedup / record-linkage shape of the
+    * training-data pipeline), resolved over the DISTINCT-VALUE domain.
+    *
+    * Scale design (the percentile-rollup trick applied to ER):
+    *  1. roll rows up to distinct names first — every later stage is
+    *     bounded by name-vocabulary cardinality, not row count;
+    *  2. candidate pairs come from standard token blocking: two names
+    *     are candidates iff they share a token whose document frequency
+    *     is in [2, dfCap]. The df cap drops non-discriminative hot
+    *     tokens (a stopword-like token would otherwise pair everything
+    *     with everything — the same quadratic-bucket guard as LSH's
+    *     maxBucket); df-1 tokens cannot form a pair and are pruned
+    *     before the self-join;
+    *  3. `levenshtein` runs only on blocked candidates, never all pairs;
+    *  4. the output stays at the value level (name_a, name_b, dist,
+    *     rows represented by each side) — row-level linkage is a later
+    *     equi-join on name, so no row-pair set is ever materialized.
+    */
+  def entityPairs(parts: DataFrame, nameCol: String = "p_name",
+      maxDist: Int = 3, dfCap: Long = 1000L): DataFrame = {
+    val names = parts.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("cnt"))
+    val toks = names.select(col("name"),
+      explode(split(col("name"), " ")).as("tok")).distinct()
+    val keep = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("tok")
+    val blocked = toks.join(keep, Seq("tok"))
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .join(names.select(col("name").as("name_a"), col("cnt").as("rows_a")),
+        Seq("name_a"))
+      .join(names.select(col("name").as("name_b"), col("cnt").as("rows_b")),
+        Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("rows_a"), col("rows_b"))
+  }
+
   // ------------------------------------------------------------------
   // Driver-verified query entries
   // ------------------------------------------------------------------
   val defs: Seq[GQ] = Seq(
+
+    GQ("d15_entity_pairs",
+      Some("""WITH names AS (SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY 1),
+        toks AS (SELECT DISTINCT name, unnest(string_split(name, ' ')) AS tok FROM names),
+        keep AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000),
+        cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                 FROM toks a JOIN keep k ON a.tok = k.tok JOIN toks b ON b.tok = a.tok
+                 WHERE a.name < b.name)
+        SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist,
+               na.cnt AS rows_a, nb.cnt AS rows_b
+        FROM cand JOIN names na ON cand.name_a = na.name
+                  JOIN names nb ON cand.name_b = nb.name
+        WHERE levenshtein(name_a, name_b) <= 3"""),
+      (s, d) => entityPairs(Engine.table(s, d, "part"))),
 
     GQ("d01_dedup_exact",
       Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes

@@ -133,7 +133,9 @@ class PlanLintSpec extends AnyFunSuite {
     *  - Cluster.scala 4: k-means centroid reads — k rows each.
     *  - VectorSearch.scala 4: IVF probe lists (nprobe ints) and
     *    fixed-size codebook seeds/reads.
-    *  - Layout.scala 2: ONE-row stats aggregate; centroid-table read
+    *  - Layout.scala 3: ONE-row min/max stats aggregate; ONE-row
+    *    approx_percentile cuts aggregate ((2^bits - 1) x |zCols|
+    *    doubles, bounded by parameters not data); centroid-table read
     *    (k rows).
     *  - WireServer.scala 2: the PG wire SINK — rows cross to the
     *    client here by definition; portal fetches are maxRows-capped.
@@ -141,7 +143,7 @@ class PlanLintSpec extends AnyFunSuite {
   private val collectBudget = Map(
     "Catalog.scala" -> 2, "Dedup.scala" -> 1, "Bpe.scala" -> 2,
     "Relational.scala" -> 1, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
-    "Layout.scala" -> 2, "WireServer.scala" -> 2)
+    "Layout.scala" -> 3, "WireServer.scala" -> 2)
 
   test("every driver-side collect in src/main is audited and budgeted") {
     import scala.jdk.CollectionConverters._

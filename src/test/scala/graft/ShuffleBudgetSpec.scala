@@ -55,9 +55,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q61_reorder_gaps" -> 3,       // lag window + gap rollup + cum window
     "q70_ship_latency" -> 2,       // lag-day rollup + cum window (extras fold in)
     "e24_user_concentration" -> 5, // user rollup + count rollup + cum + agg + final
-    "e30_rfm_segments" -> 9)       // purchase rollup x consumers + metric rollup +
+    "e30_rfm_segments" -> 9,       // purchase rollup x consumers + metric rollup +
                                    // cum + boundary pivot (statically re-planned,
                                    // runtime-reused like q59)
+    "d15_entity_pairs" -> 8)       // name rollup x3 consumers + tok distinct x2 +
+                                   // df-cap agg x2 + pair distinct; every join
+                                   // broadcasts (value-domain-sized sides) and
+                                   // levenshtein is pushed into the candidate
+                                   // join condition
 
   test("headline plans keep their exact shuffle budgets") {
     val diffs = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>

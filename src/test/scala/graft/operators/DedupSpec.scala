@@ -188,4 +188,27 @@ class DedupSpec extends AnyFunSuite {
         s"extra=${(got -- want).take(5)}")
     }
   }
+
+  test("entityPairs: df cap drops the stopword block, keeps discriminative ones") {
+    // "the" appears in every name: without the cap it would pair all
+    // four names quadratically; with dfCap=3 its block is dropped and
+    // only the discriminative tokens (red, gear) generate candidates
+    val parts = Seq(
+      "the red bolt", "the red boat", "the blue gear", "the wide gear",
+      "the red bolt" // duplicate row: rows_a/rows_b must count it
+    ).toDF("p_name")
+    val got = Dedup.entityPairs(parts, maxDist = 3, dfCap = 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("the red boat", "the red bolt", 1, 1L, 2L),
+      ("the blue gear", "the wide gear", 3, 1L, 1L)))
+
+    // control: a cap that admits "the" pairs every name pair within
+    // distance reach — the blocking, not the distance filter, is what
+    // keeps candidate generation bounded
+    val uncapped = Dedup.entityPairs(parts, maxDist = 20, dfCap = 10L)
+    assert(uncapped.count() == 6) // all C(4,2) name pairs
+  }
 }
