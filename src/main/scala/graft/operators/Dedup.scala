@@ -525,7 +525,72 @@ object Dedup {
         FROM documents GROUP BY md5(text)"""),
       (s, d) => exactGroups(docs(s, d))),
 
-    GQ("d02_dedup_minhash_lsh", None, // hash-scheme-specific: rows-only gate
+    // r10 oracle upgrade (the d03-simhash discipline applied to minhash):
+    // the full scheme restated in SQL — FNV-1a shingle hashes over
+    // HUGEINT mod 2^64, the 64 splitmix64-derived (A, B) permutation
+    // coefficients embedded as literals (same public constants
+    // GraftHash.A/B compute), the 64x64-bit wrapping multiply done in
+    // 32-bit halves (a full 64x64 product overflows HUGEINT), banding
+    // grouped by SLICE CONTENTS (the semantics the band hash is a proxy
+    // for — fold-hash collisions are ~2^-64), and the same [2, maxBucket]
+    // bucket-size guard. Empty-shingle docs get the all-0xFF signature
+    // via the LEFT JOIN + COALESCE(2^64-1) arm, like the kernel.
+    GQ("d02_dedup_minhash_lsh", Some {
+      val ab = (0 until 64).map { j =>
+        val a = java.lang.Long.toUnsignedString(graft.functions.GraftHash.A(j))
+        val b = java.lang.Long.toUnsignedString(graft.functions.GraftHash.B(j))
+        s"($j, $a::HUGEINT, $b::HUGEINT)"
+      }.mkString(", ")
+      s"""WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
+        FROM documents),
+      shing AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(tok[i:i+2], ' ')
+                                     for i in range(1, greatest(len(tok)-1, 1))])) AS s
+        FROM toks),
+      hashed AS (
+        SELECT doc_id, s,
+               list_reduce(
+                 list_prepend(14695981039346656037::HUGEINT,
+                   [unicode(c)::HUGEINT for c in split(s, '')]),
+                 (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+               ) AS h
+        FROM shing),
+      ab(j, a, b) AS (VALUES $ab),
+      sigv AS (
+        SELECT h.doc_id, ab.j,
+               MIN(((h.h % 4294967296::HUGEINT) * ab.a
+                    + (((h.h // 4294967296::HUGEINT) * ab.a) % 4294967296::HUGEINT)
+                      * 4294967296::HUGEINT
+                    + ab.b) % 18446744073709551616::HUGEINT) AS v
+        FROM hashed h CROSS JOIN ab GROUP BY 1, 2),
+      sig AS (
+        SELECT d.doc_id, ab.j,
+               COALESCE(s.v, 18446744073709551615::HUGEINT) AS v
+        FROM documents d CROSS JOIN ab
+        LEFT JOIN sigv s ON s.doc_id = d.doc_id AND s.j = ab.j),
+      bandrows AS (
+        SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS slice
+        FROM sig GROUP BY doc_id, j // 4),
+      bsz AS (
+        SELECT band, slice, COUNT(*) AS c FROM bandrows GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandrows a
+        JOIN bsz ON bsz.band = a.band AND bsz.slice = a.slice
+        JOIN bandrows b ON b.band = a.band AND b.slice = a.slice
+        WHERE a.doc_id < b.doc_id AND bsz.c BETWEEN 2 AND 1000),
+      est AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.05"""
+    },
       (s, d) => minhashCandidates(docs(s, d), minEstJaccard = 0.05)),
 
     // radius 6: simhash dedup radii stay small in practice (the published
