@@ -461,6 +461,56 @@ object VectorSearch {
   private val oracleCosine =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+  /** r10 oracle upgrade for the LSH family (the d02 embedded-constant
+    * discipline applied to hyperplanes): the scheme's +-1 planes are
+    * DETERMINISTIC functions of splitmix64, so all planes x tables of
+    * them embed as literal DOUBLE[] rows and the whole candidate scheme
+    * restates in SQL. DuckDB's `list_dot_product` over CAST DOUBLE[]
+    * reproduces the native kernel's left-to-right double accumulation
+    * bit-for-bit (hash-proven by d06/s01/s06), so even a sign decision
+    * at a near-zero dot agrees. Bucket membership groups on the
+    * (tbl, bucket) code with the same [2, maxBucket] size guard, pairs
+    * dedup across tables, and the exact rounded cosine scores
+    * candidates — identical semantics, engine-independent text. */
+  private def oracleLshSims(planes: Int, tables: Int,
+      maxBucket: Int = 1000): String = {
+    val planeRows = (0 until planes * tables).map { p =>
+      s"($p, [${hyperplane(p, 64).mkString(", ")}])"
+    }.mkString(", ")
+    val bits = (0 until planes).map(j => s"WHEN $j THEN ${1 << j}").mkString(" ")
+    s"""planes(pid, s) AS (VALUES $planeRows),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dots AS (SELECT e.vec_id, p.pid, list_dot_product(e.v, p.s) AS d
+               FROM e CROSS JOIN planes p),
+      buck AS (
+        SELECT vec_id, pid // $planes AS tbl,
+               SUM(CASE WHEN d > 0.0 THEN CASE pid % $planes $bits END ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2),
+      bsz AS (SELECT tbl, bucket, COUNT(*) AS c FROM buck GROUP BY 1, 2),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buck a
+        JOIN bsz ON bsz.tbl = a.tbl AND bsz.bucket = a.bucket
+        JOIN buck b ON b.tbl = a.tbl AND b.bucket = a.bucket
+        WHERE a.vec_id < b.vec_id AND bsz.c BETWEEN 2 AND $maxBucket),
+      sims AS (
+        SELECT p.id_a, p.id_b, round($oracleCosine, 6) AS sim
+        FROM pairs p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b)"""
+  }
+
+  /** The directed top-k CTE tail shared by the s05/s10 oracles: both
+    * heap arms restate as the standard rank() formulation (the heap's
+    * total order is (sim DESC, nid) — hash-proven by s01). */
+  private def oracleDirectedTopK(k: Int): String =
+    s"""directed AS (
+        SELECT id_a AS qid, id_b AS nid, sim FROM sims
+        UNION ALL SELECT id_b, id_a, sim FROM sims),
+      topk AS (
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM directed) WHERE rn <= $k)"""
+
   /** Scale path for near-dup detection: capped multi-table LSH
     * candidates ([[lshPairSims]]) then exact cosine — replaces the
     * quadratic all-pairs with one shuffle on (table, bucket) + capped
@@ -508,7 +558,9 @@ object VectorSearch {
 
   val defs: Seq[GQ] = Seq(
 
-    GQ("d07_embedding_neardup_lsh", None, // approximate recall of d06's set
+    GQ("d07_embedding_neardup_lsh", // r10: full oracle via embedded planes
+      Some(s"""WITH ${oracleLshSims(planes = 4, tables = 8)}
+        SELECT id_a, id_b, sim FROM sims WHERE sim > 0.3"""),
       (s, d) => cosineNearDupPairsLsh(emb(s, d), 0.3)),
 
     GQ("d06_embedding_neardup",
@@ -535,7 +587,19 @@ object VectorSearch {
         bruteForceTopK(e, q, 10)
       }),
 
-    GQ("s02_ann_lsh", None, // approximate: rows-only gate (recall tested in specs)
+    GQ("s02_ann_lsh", // r10: full oracle via embedded planes (d02 discipline)
+      Some(s"""WITH ${oracleLshSims(planes = 4, tables = 8)},
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        scored AS (
+          SELECT cand.qid, cand.nid, round($oracleCosine, 6) AS sim
+          FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid)
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored) WHERE rn <= 10"""),
       (s, d) => {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") % 100 === 0)
@@ -559,7 +623,11 @@ object VectorSearch {
         ivfPqTopK(e, q, 10)
       }),
 
-    GQ("s05_mutual_knn_graph", None, // LSH-approximate: rows-only + spec
+    GQ("s05_mutual_knn_graph", // r10: full oracle via embedded planes
+      Some(s"""WITH ${oracleLshSims(planes = 5, tables = 8)},
+        ${oracleDirectedTopK(5)}
+        SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b, MAX(sim) AS sim
+        FROM topk GROUP BY 1, 2 HAVING COUNT(*) = 2"""),
       (s, d) => mutualKnnGraph(emb(s, d), 5)),
 
     // exact fixed-radius retrieval: scan + filter, no heap, no window —
@@ -699,7 +767,22 @@ object VectorSearch {
     // the spec oracle: VectorSearchSpec pins per-label LSH purity
     // against it (the d06/d07 two-arm pattern). Rows-only gate: the
     // neighbor set depends on our hyperplane hashes.
-    GQ("s10_label_purity", None,
+    GQ("s10_label_purity", // r10: full oracle (reverses the r9 coverage
+      // regression — the BENCHED bounded arm is now hash-gated, not
+      // only spec-pinned against the exact arm)
+      Some(s"""WITH ${oracleLshSims(planes = 5, tables = 8)},
+        ${oracleDirectedTopK(5)},
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        m AS (
+          SELECT t.qid, ql.label AS qlabel,
+                 SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS matches,
+                 COUNT(*) AS nn
+          FROM topk t JOIN lbl nl ON nl.vec_id = t.nid
+                      JOIN lbl ql ON ql.vec_id = t.qid
+          GROUP BY 1, 2)
+        SELECT qlabel AS label, COUNT(*) AS n_vecs,
+               CAST((SUM(matches) * 1000000) // SUM(nn) AS DOUBLE) / 1e6 AS mean_purity
+        FROM m GROUP BY 1"""),
       (s, d) => labelPurityLsh(emb(s, d))),
 
     // Class-separability audit — s10's global companion: per label, the
@@ -715,7 +798,28 @@ object VectorSearch {
     // hash, all-pairs runs only among the kept set. Exact arm:
     // [[labelSeparationExact]], pinned against the sample in
     // VectorSearchSpec. Rows-only: the sample depends on our hash.
-    GQ("s11_label_separation", None,
+    GQ("s11_label_separation", // r10: full oracle (r9 regression reversed)
+      // — the deterministic content-hash sample restates directly:
+      // md5(CAST(vec_id AS VARCHAR)) renders and compares identically
+      // in both engines, and the averages use the oavg decimal contract
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        samp AS (
+          SELECT vec_id, label, v FROM (
+            SELECT vec_id, label, v,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM e) WHERE rn <= 100),
+        pr AS (
+          SELECT a.label AS la, b.label AS lb, round($oracleCosine, 6) AS sim
+          FROM samp a JOIN samp b ON a.vec_id < b.vec_id),
+        x AS (
+          SELECT la AS label, lb AS other, sim FROM pr
+          UNION ALL SELECT lb, la, sim FROM pr)
+        SELECT label,
+               COUNT(CASE WHEN other = label THEN 1 END) AS n_intra,
+               ${GQ.oavg("CASE WHEN other = label THEN sim END")} AS intra_sim,
+               ${GQ.oavg("CASE WHEN other <> label THEN sim END")} AS inter_sim
+        FROM x GROUP BY 1"""),
       (s, d) => labelSeparation(emb(s, d), maxPerLabel = 100)),
 
     // Embedding L2-norm audit per label — the cheapest embedding-table
