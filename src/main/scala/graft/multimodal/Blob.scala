@@ -97,6 +97,21 @@ object Blob {
       }.toDF("id", "sig")
   }
 
+  /** FNV-1a over a VARCHAR's codepoints as HUGEINT mod 2^64 — the d03
+    * oracle discipline (char windows == byte windows on this ASCII
+    * corpus, verified by the m03 oracle's length identity). */
+  private def oracleFnv(s: String): String =
+    s"""list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        [unicode(c)::HUGEINT for c in split($s, '')]),
+      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
+
+  /** Unsigned-HUGEINT -> signed-BIGINT reinterpretation (two's
+    * complement), matching the Scala Long the kernels carry. */
+  private def oracleSigned(e: String): String =
+    s"""CAST(CASE WHEN $e >= 9223372036854775808::HUGEINT
+         THEN $e - 18446744073709551616::HUGEINT ELSE $e END AS BIGINT)"""
+
   val defs: Seq[GQ] = Seq(
     // Binary plumbing parity: encode text -> blob, typed metadata.
     GQ("m01_binary_metadata",
@@ -108,9 +123,28 @@ object Blob {
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.checksum").as("checksum"))),
 
-    // Stubbed decode over the real mapPartitions plumbing: rows-only gate
-    // (fake features are graft-hash-specific) + unit-tested in BlobSpec.
-    GQ("m02_decode_features", None,
+    // Stubbed decode over the real mapPartitions plumbing. r10 oracle
+    // upgrade: the "engine-defined stub" is itself deterministic public
+    // arithmetic (fnv64 dims + byte-mean brightness), so it restates in
+    // SQL with the d03 FNV-over-HUGEINT discipline — forward and
+    // REVERSED text for the two dimensions, unsigned->signed conversion
+    // before Scala's abs semantics, ordered double folds for the sums.
+    GQ("m02_decode_features", Some(s"""WITH f AS (
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               ${oracleFnv("text")} AS hf,
+               ${oracleFnv("reverse(text)")} AS hr,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE list_reduce(list_prepend(0.0,
+                           [unicode(c)::DOUBLE for c in split(text, '')]),
+                           (a, b) -> a + b)
+                         / length(text) / 255.0 END AS brightness
+        FROM documents)
+      SELECT media_id, n_bytes,
+             CAST(16 + abs(${oracleSigned("hf")}) % 1024 AS INT) AS width,
+             CAST(16 + abs(${oracleSigned("hr")}) % 1024 AS INT) AS height,
+             brightness
+      FROM f"""),
       (s, d) => decodeFeatures(s,
         toMediaFrame(Engine.table(s, d, "documents"), "doc_id", "text", "text/plain"))
         .toDF()),
@@ -146,9 +180,63 @@ object Blob {
     // seam) -> pigeonhole Hamming buckets (operators.Dedup
     // .hammingNeighborPairs — one shuffle on (chunk, value),
     // bucket-capped, complete within the radius) -> media-pair
-    // aggregation (one shuffle on the pair). Rows-only gate (signature
-    // is stub-specific); BlobSpec asserts locality + recall.
-    GQ("m04_phash_neardup", None,
+    // aggregation (one shuffle on the pair). r10 oracle upgrade: the
+    // pigeonhole candidate scheme is recall-COMPLETE (the d03
+    // precedent), so the oracle is the brute-force Hamming form over
+    // SQL-restated aHash signatures — block means with the exact
+    // lo/hi = floor boundaries + the hi>lo guard, the global mean as
+    // an ORDERED fold (means of partial frames are not exactly
+    // representable, so summation order matters), bit assembly over
+    // HUGEINT with the signed conversion. maxBucket (non-binding at
+    // oracle scale, like d03's) stays a Spark-side skew guard only.
+    GQ("m04_phash_neardup", Some("""WITH fr AS (
+        SELECT doc_id AS media_id, frame_no,
+               substring(text, CAST(frame_no*1024+1 AS INT), 256) AS frame
+        FROM (SELECT doc_id, text,
+                unnest(range(0, least(greatest((octet_length(encode(text))-1)//1024 + 1, 1), 4))) AS frame_no
+              FROM documents)),
+      fb AS (
+        SELECT media_id*4 + frame_no AS fid,
+               CASE WHEN length(frame) = 0 THEN [0]
+                    ELSE [unicode(c) for c in split(frame, '')] END AS b
+        FROM fr),
+      fl AS (SELECT fid, b, len(b) AS n FROM fb),
+      blocks AS (
+        SELECT fid, n, j,
+               (j*n)//64 AS lo,
+               greatest(((j+1)*n)//64, (j*n)//64 + 1) AS hi
+        FROM fl CROSS JOIN (SELECT unnest(range(64)) AS j)),
+      means AS (
+        SELECT bl.fid, bl.j,
+               COALESCE(list_reduce(list_prepend(0.0,
+                 [CAST(x AS DOUBLE) for x in f.b[bl.lo+1 : least(bl.hi, f.n)]]),
+                 (a, c) -> a + c), 0.0)
+                 / (bl.hi - bl.lo) AS m
+        FROM blocks bl JOIN fl f ON f.fid = bl.fid),
+      gm AS (
+        SELECT fid,
+               list_reduce(list_prepend(0.0, list(m ORDER BY j)), (a, c) -> a + c) / 64 AS g
+        FROM means GROUP BY fid),
+      sigu AS (
+        SELECT means.fid,
+               COALESCE(SUM(CASE WHEN means.m > gm.g
+                 THEN (2::HUGEINT ^ means.j)::HUGEINT ELSE 0::HUGEINT END),
+                 0::HUGEINT) AS su
+        FROM means JOIN gm ON gm.fid = means.fid
+        GROUP BY means.fid),
+      sig AS (
+        SELECT fid,
+               CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                    THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS s
+        FROM sigu),
+      pairs AS (
+        SELECT a.fid AS fa, b.fid AS fb, CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.fid < b.fid
+        WHERE bit_count(xor(a.s, b.s)) <= 4)
+      SELECT fa//4 AS media_a, fb//4 AS media_b,
+             COUNT(*) AS n_frame_matches, MIN(hamming) AS min_hamming
+      FROM pairs WHERE fa//4 <> fb//4
+      GROUP BY 1, 2"""),
       (s, d) => {
         val media = Engine.table(s, d, "documents").select(
           col("doc_id").as("media_id"),
