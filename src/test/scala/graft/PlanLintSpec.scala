@@ -51,18 +51,18 @@ class PlanLintSpec extends AnyFunSuite {
       "t32_nb_margin",
       // t33: the broadcast side is the ONE-row split-total aggregate
       "t33_split_drift",
-      // s10: d06's declared-quadratic all-pairs twin (exact purity
-      // audit); the scale path substitutes an ANN arm — purity
-      // consumes only (qid, neighbor label) pairs
-      "s10_label_purity",
+      // (s10 left this list in r10: the benched arm is the capped LSH
+      // bucket join — pure equi joins, no nested loop to allow)
       // e22: the broadcast side is the ONE-row user-count aggregate
       "e22_type_cooccurrence",
       // t37: the broadcast side is the ONE-row corpus-size aggregate
       "t37_term_burstiness",
       // e24: the broadcast side is the ONE-row threshold aggregate
       "e24_user_concentration",
-      // s11: d06's declared-quadratic twin (class-mean audit); the
-      // scale path samples pairs per label
+      // s11: the benched arm's pair join is (ida < idb) over the
+      // deterministic per-label sample — a nested loop by operator
+      // shape, but bounded at (labels x maxPerLabel)^2 / 2 rows
+      // regardless of corpus size (the sample IS the bound)
       "s11_label_separation",
       // q64: the broadcast side is the ONE-row divisor-count scalar
       "q64_relational_division",
