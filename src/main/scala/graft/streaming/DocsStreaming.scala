@@ -216,4 +216,91 @@ object DocsStreaming {
         .select(col("id").as(idCol)).distinct()
       sink(batch.join(contaminated, Seq(idCol), "left_anti"), batchId)
     }.start()
+
+  /** Streaming twin of `operators.Dedup.entityPairs`: names arriving on
+    * a stream emit fuzzy-match pairs against every previously-seen name
+    * sharing a blocking token, as they arrive.
+    *
+    * State is keyed by TOKEN (the batch op's blocking key): each group
+    * holds the distinct names seen with that token — at most `dfCap`
+    * of them, so per-group state is bounded by the parameter, not the
+    * stream. A group that would exceed the cap goes DEAD: its name list
+    * is dropped (state shrinks to a flag) and it never pairs again —
+    * the batch df-cap guard under append semantics, with the one
+    * documented divergence that pairs emitted while the group was
+    * under the cap cannot be retracted (batch drops an over-cap block's
+    * pairs entirely; Append output is immutable).
+    *
+    * Cross-token dedup cannot use a second stateful operator (the pair
+    * would need its own keyed state), so each pair routes through
+    * exactly ONE group: the lexicographically smallest token the two
+    * names share. A pair whose routing token's group is dead is lost
+    * even if the names share another live token — the same explicit
+    * recall trade the cap already makes. When no group exceeds the
+    * cap, the emitted pair set EQUALS the batch operator's (name-level)
+    * pair set on the same names (DocsStreamingSpec pins this).
+    */
+  def entityPairsStream(newNames: DataFrame, maxDist: Int = 3,
+      dfCap: Int = 1000): DataFrame = {
+    val spark = newNames.sparkSession
+    import spark.implicits._
+    val routed = newNames.select(col("name").cast(StringType).as("name"))
+      .select(explode(split(col("name"), " ")).as("tok"), col("name"))
+      .as[(String, String)]
+    routed.groupByKey(_._1)
+      .flatMapGroupsWithState[(List[String], Boolean), (String, String, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (tok, rows, state) =>
+        var (known, dead) = state.getOption.getOrElse((List.empty[String], false))
+        val out = List.newBuilder[(String, String, Int)]
+        rows.foreach { case (_, name) =>
+          if (!dead && !known.contains(name)) {
+            if (known.size >= dfCap) { dead = true; known = Nil }
+            else {
+              known.foreach { old =>
+                if (minSharedToken(old, name) == tok) {
+                  val d = editDistance(old, name)
+                  if (d <= maxDist) {
+                    val (a, b) = if (old < name) (old, name) else (name, old)
+                    out += ((a, b, d))
+                  }
+                }
+              }
+              known = name :: known
+            }
+          }
+        }
+        state.update((known, dead))
+        out.result().iterator
+      }
+      .toDF("name_a", "name_b", "dist")
+  }
+
+  /** Smallest token two names share — the deterministic pair-routing
+    * rule of [[entityPairsStream]] (both names sit in at least one
+    * common group, so the set is never empty when called from one). */
+  private def minSharedToken(a: String, b: String): String = {
+    val sa = a.split(" ").toSet
+    b.split(" ").filter(sa.contains).min
+  }
+
+  /** Plain Levenshtein distance (insert/delete/substitute, unit costs)
+    * — the same function `functions.levenshtein` computes in the batch
+    * plan, needed here as driver-free Scala inside the state update. */
+  private def editDistance(a: String, b: String): Int = {
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
 }

@@ -253,4 +253,56 @@ class DocsStreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(inline),
       "stream-built index diverged from the batch-built answer")
   }
+
+  test("streaming entity pairs equal the batch pair set across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val names = Seq(
+      "the red bolt", "the red boat", "the blue gear",
+      "the wide gear", "old ring", "cold ring")
+    val in = MemoryStream[String]
+    val out = DocsStreaming.entityPairsStream(
+      in.toDF().toDF("name"), maxDist = 3, dfCap = 100)
+    val q = out.writeStream.format("memory")
+      .queryName("er_out").outputMode(OutputMode.Append).start()
+    // split across batches; a batch-2 name must pair against batch-1
+    // state ("cold ring" vs "old ring"), and a repeated arrival must
+    // not re-pair
+    in.addData(names.take(3): _*); q.processAllAvailable()
+    in.addData(names.drop(3) :+ "the red bolt": _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("er_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val batch = graft.operators.Dedup
+      .entityPairs(names.toDF("p_name"), maxDist = 3, dfCap = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(streamed == batch,
+      s"stream=$streamed batch=$batch")
+    assert(streamed.contains(("cold ring", "old ring", 1)))
+  }
+
+  test("streaming entity pairs: an over-cap token group goes dead and stops pairing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[String]
+    // dfCap = 2: the "x" block dies when "x c" (its 3rd distinct name)
+    // arrives; "x d" can then never pair through it
+    val out = DocsStreaming.entityPairsStream(
+      in.toDF().toDF("name"), maxDist = 10, dfCap = 2)
+    val q = out.writeStream.format("memory")
+      .queryName("er_cap_out").outputMode(OutputMode.Append).start()
+    in.addData("x a", "x b"); q.processAllAvailable()
+    in.addData("x c", "x d"); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("er_cap_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // the under-cap pair survives (append output cannot retract — the
+    // documented divergence from the batch drop-the-block semantics);
+    // nothing pairs after the death
+    assert(got == Set(("x a", "x b")), got.toString)
+  }
 }
