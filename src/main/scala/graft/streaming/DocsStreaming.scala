@@ -286,7 +286,7 @@ object DocsStreaming {
   /** Plain Levenshtein distance (insert/delete/substitute, unit costs)
     * — the same function `functions.levenshtein` computes in the batch
     * plan, needed here as driver-free Scala inside the state update. */
-  private def editDistance(a: String, b: String): Int = {
+  private[graft] def editDistance(a: String, b: String): Int = {
     var prev = Array.tabulate(b.length + 1)(identity)
     var cur = new Array[Int](b.length + 1)
     var i = 1

@@ -305,4 +305,21 @@ class DocsStreamingSpec extends AnyFunSuite {
     // nothing pairs after the death
     assert(got == Set(("x a", "x b")), got.toString)
   }
+
+  test("property: state-side editDistance == Spark's levenshtein") {
+    // the streaming twin computes distances inside the state update (no
+    // Column functions there); its DP must agree with the batch plan's
+    // levenshtein() on arbitrary strings or stream/batch pairs diverge
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def word() = (0 until rnd.nextInt(12))
+      .map(_ => "abc xyz".charAt(rnd.nextInt(7))).mkString
+    val cases = Seq(("", ""), ("", "abc"), ("kitten", "sitting")) ++
+      Seq.fill(200)((word(), word()))
+    val fromSpark = cases.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).as[Int].collect()
+    cases.zip(fromSpark).foreach { case ((a, b), expect) =>
+      assert(DocsStreaming.editDistance(a, b) == expect, s"'$a' vs '$b'")
+    }
+  }
 }
