@@ -498,6 +498,45 @@ object VectorSearch {
         FROM pairs p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b)"""
   }
 
+  /** Spark's `hash()` (Murmur3_x86_32, seed 42) over a non-negative
+    * BIGINT `vec_id`, restated step-by-step through DuckDB lateral
+    * column aliases — 32-bit wrapping ops as HUGEINT mod 2^32, rotl as
+    * shift-add of disjoint bit ranges, the final unsigned->signed
+    * reinterpretation. This is what makes the IVF codebook SAMPLE
+    * (the `cells` corpus vectors with the smallest murmur) an
+    * oracle-reproducible selection (validated against pyspark's hash()
+    * and per-row over the embeddings table). Emits column `mm`. */
+  private val oracleMurmur = """
+      vec_id % 4294967296 AS lo,
+      vec_id // 4294967296 AS hi,
+      (lo::HUGEINT * 3432918353) % 4294967296 AS k1a,
+      (k1a * 32768) % 4294967296 + k1a // 131072 AS k1b,
+      (k1b * 461845907) % 4294967296 AS k1c,
+      xor(42::HUGEINT, k1c) AS h1a,
+      (h1a * 8192) % 4294967296 + h1a // 524288 AS h1b,
+      (h1b * 5 + 3864292196) % 4294967296 AS h1c,
+      (hi::HUGEINT * 3432918353) % 4294967296 AS k2a,
+      (k2a * 32768) % 4294967296 + k2a // 131072 AS k2b,
+      (k2b * 461845907) % 4294967296 AS k2c,
+      xor(h1c, k2c) AS h2a,
+      (h2a * 8192) % 4294967296 + h2a // 524288 AS h2b,
+      (h2b * 5 + 3864292196) % 4294967296 AS h2c,
+      xor(h2c, 8::HUGEINT) AS f0,
+      xor(f0, f0 // 65536) AS f1,
+      (f1 * 2246822507) % 4294967296 AS f2,
+      xor(f2, f2 // 8192) AS f3,
+      (f3 * 3266489909) % 4294967296 AS f4,
+      xor(f4, f4 // 65536) AS f5,
+      CASE WHEN f5 >= 2147483648 THEN f5 - 4294967296 ELSE f5 END AS mm"""
+
+  /** Zero-guarded UNROUNDED cosine between two DOUBLE[] expressions —
+    * the NearestCellsKernel formula (argmin/argmax rankings must use
+    * the raw double, not the 6dp-rounded serving value). */
+  private def oracleCosRaw(a: String, b: String): String =
+    s"""CASE WHEN list_dot_product($a,$a) = 0.0 OR list_dot_product($b,$b) = 0.0
+        THEN 0.0 ELSE list_dot_product($a,$b)
+          / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"""
+
   /** The directed top-k CTE tail shared by the s05/s10 oracles: both
     * heap arms restate as the standard rank() formulation (the heap's
     * total order is (sim DESC, nid) — hash-proven by s01). */
@@ -607,7 +646,40 @@ object VectorSearch {
         lshTopK(e, q, 10)
       }),
 
-    GQ("s03_ann_ivf", None, // approximate: rows-only gate + recall spec
+    // r10 oracle upgrade: the IVF codebook is a murmur-sampled SUBSET
+    // of the corpus (no Lloyd iteration — no decimal->double means), so
+    // the whole path restates: sampled centroids via the murmur CTE,
+    // cell assignment as rank-1 over the UNROUNDED kernel cosine (ties
+    // to the lower cid, per NearestCellsKernel's strict insert), nprobe
+    // probing as rank<=3, then the s02-style scored top-10 tail.
+    GQ("s03_ann_ivf", Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
+        seeds AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
+                  ORDER BY mmv.mm, vec_id LIMIT 16),
+        cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c FROM seeds),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
+            FROM e CROSS JOIN cents) WHERE rn = 1),
+        qprobe AS (
+          SELECT vec_id AS qid, cid FROM (
+            SELECT e.vec_id, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
+            FROM e CROSS JOIN cents WHERE e.vec_id % 100 = 0) WHERE rn <= 3),
+        pairs AS (
+          SELECT DISTINCT q.qid, c.vec_id AS nid
+          FROM qprobe q JOIN asg c ON c.cid = q.cid
+          WHERE c.vec_id <> q.qid),
+        scored AS (
+          SELECT p.qid, p.nid, round($oracleCosine, 6) AS sim
+          FROM pairs p JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = p.nid)
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored) WHERE rn <= 10"""),
       (s, d) => {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") % 100 === 0)
@@ -615,7 +687,68 @@ object VectorSearch {
         ivfTopK(e, q, 10)
       }),
 
-    GQ("s04_ann_ivfpq", None, // approximate: rows-only gate + recall spec
+    // r10 oracle upgrade, the deepest restatement in the suite: the PQ
+    // model's 32-vector murmur sample yields both the 16 coarse
+    // centroids (lowest vec_ids of the sample) and the 8x32 codeword
+    // books (8-dim slices); encode = per-subspace cosine rank-1; the
+    // ADC score is an ORDER-SENSITIVE 8-term double sum, restated as an
+    // ordered list_reduce fold over j; shortlist and final heaps are
+    // the proven rank() forms (ADC shortlist UNROUNDED, rerank 6dp).
+    GQ("s04_ann_ivfpq", Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
+        samp AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
+                 ORDER BY mmv.mm, vec_id LIMIT 32),
+        s32 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sid, v FROM samp),
+        cents AS (SELECT sid AS cid, v AS c FROM s32 WHERE sid < 16),
+        books AS (
+          SELECT j, sid AS c, v[j*8+1 : j*8+8] AS w
+          FROM s32 CROSS JOIN (SELECT unnest(range(8)) AS j)),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
+            FROM e CROSS JOIN cents) WHERE rn = 1),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT e.vec_id, b.j, b.c,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.j
+                     ORDER BY ${oracleCosRaw("e.v[b.j*8+1 : b.j*8+8]", "b.w")} DESC, b.c) AS rn
+            FROM e CROSS JOIN books b) WHERE rn = 1),
+        qprobe AS (
+          SELECT vec_id AS qid, cid FROM (
+            SELECT e.vec_id, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
+            FROM e CROSS JOIN cents WHERE e.vec_id % 100 = 0) WHERE rn <= 3),
+        adc AS (
+          SELECT e.vec_id AS qid, b.j, b.c,
+                 list_dot_product(e.v[b.j*8+1 : b.j*8+8], b.w) AS dot
+          FROM e CROSS JOIN books b WHERE e.vec_id % 100 = 0),
+        cand AS (
+          SELECT q.qid, a.vec_id AS nid
+          FROM qprobe q JOIN asg a ON a.cid = q.cid
+          WHERE a.vec_id <> q.qid),
+        adcscore AS (
+          SELECT cand.qid, cand.nid,
+                 list_reduce(list_prepend(0.0, list(adc.dot ORDER BY adc.j)),
+                   (x, y) -> x + y) AS sim
+          FROM cand
+          JOIN codes ON codes.vec_id = cand.nid
+          JOIN adc ON adc.qid = cand.qid AND adc.j = codes.j AND adc.c = codes.code
+          GROUP BY cand.qid, cand.nid),
+        shortlist AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM adcscore) WHERE rn <= 50),
+        exact AS (
+          SELECT s.qid, s.nid, round($oracleCosine, 6) AS sim
+          FROM shortlist s JOIN e a ON a.vec_id = s.qid JOIN e b ON b.vec_id = s.nid)
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM exact) WHERE rn <= 10"""),
       (s, d) => {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") % 100 === 0)
