@@ -226,10 +226,59 @@ object Cluster {
         GROUP BY label, pred"""),
       (s, d) => centroidClassifier(emb(s, d))),
 
-    // Lloyd's is seeded from Spark's hash ordering (not reproducible in
-    // DuckDB SQL) -> rows-only gate; convergence/purity/determinism are
-    // spec-tested (ClusterSpec).
-    GQ("c01_kmeans_embeddings", None,
+    // r10 oracle upgrade — the last "impossible" entry to fall: the
+    // three Lloyd iterations UNROLL as CTE chains (assignment = rank-1
+    // over the unrounded kernel cosine, ties to the lower cid), the
+    // murmur-sampled seeds come from the shared murmur3 CTE, and the
+    // centroid mean's decimal->double step is EXACT here, not lucky:
+    // the decimal sum's unscaled integer (<= n * |x| * 10^12, far
+    // below 2^53 at oracle scale) and 10^12 are both exactly
+    // representable doubles, so BOTH engines' conversions are the same
+    // correctly-rounded IEEE division, and the following /n is a
+    // second identical correctly-rounded step. (At a corpus where
+    // n * |x| * 10^12 crossed 2^53 this equivalence would break —
+    // the oracle is for the sf0.01 gate, the operator for 100 TB.)
+    // Empty clusters keep their previous centroid via the LEFT JOIN +
+    // COALESCE arm, like the kernel loop.
+    GQ("c01_kmeans_embeddings", Some {
+      def iter(i: Int): String = s""",
+        asg$i AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, ca.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${VectorSearch.oracleCosRaw("e.v", "ca.c")} DESC, ca.cid) AS rn
+            FROM e CROSS JOIN centarr$i ca) WHERE rn = 1),
+        sums$i AS (
+          SELECT a.cid, p.pos, CAST(SUM(CAST(p.x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                 COUNT(*) AS n
+          FROM asg$i a JOIN expl p USING (vec_id) GROUP BY 1, 2),
+        cents${i + 1} AS (
+          SELECT c.cid, c.pos, COALESCE(s.sx / s.n, c.m) AS m
+          FROM cents$i c LEFT JOIN sums$i s ON s.cid = c.cid AND s.pos = c.pos),
+        centarr${i + 1} AS (
+          SELECT cid, list(m ORDER BY pos) AS c FROM cents${i + 1} GROUP BY cid)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        expl AS (SELECT vec_id, unnest(range(64)) AS pos, unnest(v) AS x FROM e),
+        mmv AS (SELECT vec_id, ${VectorSearch.oracleMurmur} FROM embeddings),
+        seeds AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
+                  ORDER BY mmv.mm, vec_id LIMIT 10),
+        seedc AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v FROM seeds),
+        cents0 AS (SELECT cid, unnest(range(64)) AS pos, unnest(v) AS m FROM seedc),
+        centarr0 AS (SELECT cid, list(m ORDER BY pos) AS c FROM cents0 GROUP BY cid)
+        ${iter(0)}${iter(1)}${iter(2)},
+        asgF AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, ca.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${VectorSearch.oracleCosRaw("e.v", "ca.c")} DESC, ca.cid) AS rn
+            FROM e CROSS JOIN centarr3 ca) WHERE rn = 1),
+        final AS (
+          SELECT a.vec_id, a.cid,
+                 round(${VectorSearch.oracleCosRaw("e.v", "ca.c")}, 6) AS sim
+          FROM asgF a JOIN e USING (vec_id) JOIN centarr3 ca ON ca.cid = a.cid)
+        SELECT cid, COUNT(*) AS n, ${graft.GQ.oavg("sim")} AS avg_sim
+        FROM final GROUP BY cid"""
+    },
       (s, d) => {
         val (asg, cents) = kmeans(emb(s, d), "embedding", k = 10, iters = 3)
         val simToCent = cents.toIndexedSeq.zipWithIndex

@@ -506,7 +506,7 @@ object VectorSearch {
     * (the `cells` corpus vectors with the smallest murmur) an
     * oracle-reproducible selection (validated against pyspark's hash()
     * and per-row over the embeddings table). Emits column `mm`. */
-  private val oracleMurmur = """
+  private[operators] val oracleMurmur = """
       vec_id % 4294967296 AS lo,
       vec_id // 4294967296 AS hi,
       (lo::HUGEINT * 3432918353) % 4294967296 AS k1a,
@@ -532,7 +532,7 @@ object VectorSearch {
   /** Zero-guarded UNROUNDED cosine between two DOUBLE[] expressions —
     * the NearestCellsKernel formula (argmin/argmax rankings must use
     * the raw double, not the 6dp-rounded serving value). */
-  private def oracleCosRaw(a: String, b: String): String =
+  private[operators] def oracleCosRaw(a: String, b: String): String =
     s"""CASE WHEN list_dot_product($a,$a) = 0.0 OR list_dot_product($b,$b) = 0.0
         THEN 0.0 ELSE list_dot_product($a,$b)
           / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"""
