@@ -501,10 +501,56 @@ object Dedup {
         col("rows_a"), col("rows_b"))
   }
 
+  /** Entity grouping over [[entityPairs]]' fuzzy matches: connected
+    * components over the value-level pair graph, canonical entity =
+    * the cluster's minimum name. Names map to dense Longs by rank in
+    * name order (a window over the DISTINCT-name rollup — value-domain
+    * bounded, the same state class as the pair stage) so the d05
+    * component machinery applies unchanged; rank order preserves
+    * lexicographic order, so the component's min ID IS its min name. */
+  def entityClusters(parts: DataFrame, nameCol: String = "p_name",
+      maxDist: Int = 3, dfCap: Long = 1000L): DataFrame = {
+    val pairs = entityPairs(parts, nameCol, maxDist, dfCap)
+      .select("name_a", "name_b")
+    val names = parts.select(col(nameCol).as("name")).distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy("name")).cast(LongType))
+    val idPairs = pairs
+      .join(names.select(col("name").as("name_a"), col("id").as("id_a")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("id").as("id_b")), "name_b")
+      .select("id_a", "id_b")
+    nearDupClusters(idPairs, names.select("id"))
+      .join(names, "id")
+      .join(names.select(col("id").as("cluster"), col("name").as("entity")),
+        "cluster")
+      .select(col("name"), col("entity"),
+        (col("name") === col("entity")).as("is_canonical"))
+  }
+
   // ------------------------------------------------------------------
   // Driver-verified query entries
   // ------------------------------------------------------------------
   val defs: Seq[GQ] = Seq(
+
+    // ER grouping: components over the fuzzy-pair graph (the d05
+    // recursive-CTE oracle discipline on STRING node labels)
+    GQ("d16_entity_clusters",
+      Some("""WITH RECURSIVE nm AS (SELECT DISTINCT p_name AS name FROM part),
+        toks AS (SELECT DISTINCT name, unnest(string_split(name, ' ')) AS tok FROM nm),
+        keep AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000),
+        cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                 FROM toks a JOIN keep k ON a.tok = k.tok JOIN toks b ON b.tok = a.tok
+                 WHERE a.name < b.name),
+        p AS (SELECT name_a, name_b FROM cand WHERE levenshtein(name_a, name_b) <= 3),
+        edges AS (SELECT name_a AS src, name_b AS dst FROM p
+                  UNION ALL SELECT name_b, name_a FROM p),
+        cc AS (
+          SELECT name AS n, name AS lbl FROM nm
+          UNION
+          SELECT e.dst, c.lbl FROM cc c JOIN edges e ON c.n = e.src)
+        SELECT n AS name, MIN(lbl) AS entity, (n = MIN(lbl)) AS is_canonical
+        FROM cc GROUP BY n"""),
+      (s, d) => entityClusters(Engine.table(s, d, "part"))),
 
     GQ("d15_entity_pairs",
       Some("""WITH names AS (SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY 1),

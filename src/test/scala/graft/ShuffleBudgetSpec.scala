@@ -58,11 +58,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "e30_rfm_segments" -> 9,       // purchase rollup x consumers + metric rollup +
                                    // cum + boundary pivot (statically re-planned,
                                    // runtime-reused like q59)
-    "d15_entity_pairs" -> 8)       // name rollup x3 consumers + tok distinct x2 +
+    "d15_entity_pairs" -> 8,       // name rollup x3 consumers + tok distinct x2 +
                                    // df-cap agg x2 + pair distinct; every join
                                    // broadcasts (value-domain-sized sides) and
                                    // levenshtein is pushed into the candidate
                                    // join condition
+    "d16_entity_clusters" -> 6)    // name rollup x2 + rank window (value-domain
+                                   // single partition, bounded) + label/entity
+                                   // join-backs; the component labels come from
+                                   // the driver union-find regime at this scale
+                                   // (pair graph <= driverMaxEdges)
 
   test("headline plans keep their exact shuffle budgets") {
     val diffs = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>
