@@ -102,6 +102,14 @@ object TextPipeline {
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    bm25FromParts(tf, stats)
+  }
+
+  /** The BM25 scoring tail over a (doc_id, token, tf, dl) postings
+    * frame + a one-row (n, avgdl) stats frame — shared verbatim by the
+    * corpus-scan path ([[bm25Scores]]) and the persisted-index path
+    * ([[bm25FromIndex]]) so the two can never drift arithmetically. */
+  private def bm25FromParts(tf: DataFrame, stats: DataFrame): DataFrame = {
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df_), "token")
       .crossJoin(broadcast(stats))
@@ -112,6 +120,22 @@ object TextPipeline {
           .as("term_score"))
       .groupBy("doc_id")
       .agg(round(sum(col("term_score")), 4).as("bm25"))
+  }
+
+  /** BM25 over a PERSISTED inverted index (the serving path fed by
+    * `streaming.DocsStreaming.invertedIndexIngestQuery`): postings =
+    * (doc_id, token, tf, dl) rows, doclens = (doc_id, dl) one row per
+    * ingested document (n/avgdl must count EVERY document, not only
+    * those holding query terms). Query-term postings prune at the scan
+    * (predicate pushdown on `token`); the arithmetic is bm25Scores'
+    * own tail, so index-served scores equal corpus-scan scores exactly
+    * (DocsStreamingSpec pins it across micro-batches). */
+  def bm25FromIndex(postings: DataFrame, doclens: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val stats = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = postings.filter(col("token").isin(terms: _*))
+      .select("doc_id", "token", "tf", "dl")
+    bm25FromParts(tf, stats)
   }
 
   val defs: Seq[GQ] = Seq(

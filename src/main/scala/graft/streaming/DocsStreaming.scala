@@ -217,6 +217,43 @@ object DocsStreaming {
       sink(batch.join(contaminated, Seq(idCol), "left_anti"), batchId)
     }.start()
 
+  /** Continuous inverted-index maintenance — the TEXT twin of
+    * [[ivfIndexIngestQuery]]: documents arriving on a stream land as
+    * postings rows (doc_id, token, tf, dl) plus one doclen row
+    * (doc_id, dl) per micro-batch. Tokenize/count is a stateless
+    * per-document projection and a (doc_id, token) never spans batches
+    * (a document arrives whole, exactly once — run the stream behind
+    * [[dedupAgainstCorpus]] if arrivals can repeat), so per-batch
+    * append IS the exact semantics: query-time df/n/avgdl computed
+    * over the accumulated tables equal a batch scan of the full
+    * corpus, and `TextPipeline.bm25FromIndex` serves scores IDENTICAL
+    * to `TextPipeline.bm25Scores` on the union (the scoring tail is
+    * literally shared). Writes go through
+    * `Layout.idempotentBatchAppend`, so replayed batches replace
+    * their own rows — a duplicated posting would inflate tf/df. */
+  def invertedIndexIngestQuery(newDocs: DataFrame,
+      postingsTable: String, doclenTable: String,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions.tokens
+    val w = newDocs.writeStream
+    checkpointLocation.fold(w)(l => w.option("checkpointLocation", l))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // tokenize runs once per output table (twice per batch) — the
+        // codegen'd kernel on a micro-batch is cheaper than holding a
+        // localCheckpoint across the two writes (principle 9: no
+        // hidden state outlives the invocation)
+        val base = batch.select(col("doc_id"), tokens(col("text")).as("tok"))
+        val postings = base
+          .select(col("doc_id"), size(col("tok")).as("dl"),
+            explode(col("tok")).as("token"))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        val doclens = base.select(col("doc_id"), size(col("tok")).as("dl"))
+        graft.Layout.idempotentBatchAppend(postings, postingsTable, batchId, Seq.empty)
+        graft.Layout.idempotentBatchAppend(doclens, doclenTable, batchId, Seq.empty)
+      }.start()
+  }
+
   /** Streaming twin of `operators.Dedup.entityPairs`: names arriving on
     * a stream emit fuzzy-match pairs against every previously-seen name
     * sharing a blocking token, as they arrive.

@@ -306,6 +306,43 @@ class DocsStreamingSpec extends AnyFunSuite {
     assert(got == Set(("x a", "x b")), got.toString)
   }
 
+  test("streamed inverted index serves bm25 identical to the corpus scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def fresh(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists) new scala.reflect.io.Directory(loc).deleteRecursively()
+    }
+    fresh("inv_postings"); fresh("inv_doclens")
+
+    val docsAll = Seq(
+      (1L, "spark shuffle hash join strategies"),
+      (2L, "hash aggregation and shuffle partitions"),
+      (3L, "columnar parquet scan pruning"),
+      (4L, "join reorder with hash statistics"),
+      (5L, "a document about nothing relevant"))
+    val in = MemoryStream[(Long, String)]
+    val q = DocsStreaming.invertedIndexIngestQuery(
+      in.toDF().toDF("doc_id", "text"), "inv_postings", "inv_doclens")
+    in.addData(docsAll.take(2): _*); q.processAllAvailable()
+    in.addData(docsAll.drop(2): _*); q.processAllAvailable()
+    q.stop()
+
+    val terms = Seq("hash", "shuffle", "join")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val served = graft.operators.TextPipeline.bm25FromIndex(
+      spark.table("inv_postings"), spark.table("inv_doclens"), terms)
+    val scanned = graft.operators.TextPipeline.bm25Scores(
+      docsAll.toDF("doc_id", "text"), terms)
+    assert(canon(served) == canon(scanned),
+      s"served=${canon(served)} scanned=${canon(scanned)}")
+    // n/avgdl must count doc 5 even though it holds no query term
+    assert(spark.table("inv_doclens").count() == 5)
+  }
+
   test("property: state-side editDistance == Spark's levenshtein") {
     // the streaming twin computes distances inside the state update (no
     // Column functions there); its DP must agree with the batch plan's
