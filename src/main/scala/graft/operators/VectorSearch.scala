@@ -578,21 +578,57 @@ object VectorSearch {
     * in fixed order — bit-identical across engines. */
   def hybridRrfTopK(documents: DataFrame, corpus: DataFrame,
       terms: Seq[String], qid: Long, k: Int = 20): DataFrame = {
-    val lexTop = TextPipeline.bm25Scores(documents, terms)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
-      .select(col("doc_id"), row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id"))).as("rl"))
+    val lexTop = rankLex(TextPipeline.bm25Scores(documents, terms), k)
     val q = corpus.filter(col("vec_id") === qid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val vecTop = bruteForceTopK(corpus, q, k)
-      .select(col("nid").as("doc_id"), col("sim"))
+    val vecTop = rankVec(bruteForceTopK(corpus, q, k))
+    hybridRrfFuse(lexTop, vecTop)
+  }
+
+  /** Rank a (doc_id, bm25) frame into the lexical arm's (doc_id, rl)
+    * top-`k` list — deterministic total order (score desc, doc_id). */
+  def rankLex(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("rl"))
+
+  /** Rank a single query's (qid, nid, sim) neighbor frame into the
+    * vector arm's (doc_id, rv) list — any top-k source fits (brute,
+    * LSH, IVF-PQ, persisted-index), since fusion consumes only ranks. */
+  def rankVec(neighbors: DataFrame): DataFrame =
+    neighbors.select(col("nid").as("doc_id"), col("sim"))
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("sim").desc, col("doc_id"))).as("rv"))
+
+  /** The RRF fusion tail shared by the inline (s07) and index-served
+    * hybrid paths: score 1/(60+r_lex) + 1/(60+r_vec) over the two
+    * k-row rank lists, keep the fused top 10 — constant work at any
+    * corpus size, bit-identical wherever the arms come from. */
+  def hybridRrfFuse(lexTop: DataFrame, vecTop: DataFrame): DataFrame =
     lexTop.join(vecTop, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         round(coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
           + coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+
+  /** Index-SERVED hybrid retrieval — the serving composition of the
+    * three persisted-index paths: the lexical arm reads the streamed
+    * inverted index (`TextPipeline.bm25FromIndex`), the vector arm
+    * reads the cid-partitioned IVF-PQ index
+    * ([[ivfPqTopKIndexed]] — probed cells prune as PartitionFilters),
+    * and the fusion is the shared RRF tail. At 100 TB no query ever
+    * scans the corpus: the lexical arm prunes to query-term postings,
+    * the vector arm to nprobe cells + the rerank shortlist fetch.
+    * VectorSearchSpec pins it EQUAL to the same arms computed inline. */
+  def hybridRrfTopKIndexed(postings: DataFrame, doclens: DataFrame,
+      ivfIndex: DataFrame, corpus: DataFrame, model: PqModel,
+      terms: Seq[String], qid: Long, k: Int = 20): DataFrame = {
+    val lexTop = rankLex(TextPipeline.bm25FromIndex(postings, doclens, terms), k)
+    val q = corpus.filter(col("vec_id") === qid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val vecTop = rankVec(ivfPqTopKIndexed(ivfIndex, corpus, q,
+      model.copy(rerank = math.max(model.rerank, k)), k))
+    hybridRrfFuse(lexTop, vecTop)
   }
 
   val defs: Seq[GQ] = Seq(

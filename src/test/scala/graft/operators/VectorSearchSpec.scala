@@ -237,4 +237,33 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted,
       "sampled separation must be partition-count independent")
   }
+
+  test("index-served hybrid RRF equals the same arms computed inline") {
+    import graft.functions.TextFunctions.tokens
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    val model = VectorSearch.pqModel(e)
+    val terms = Seq("scan", "hash", "merge")
+    // postings/doclens built exactly as the streaming ingest lands them
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tok"))
+    val postings = base
+      .select(col("doc_id"), size(col("tok")).as("dl"),
+        explode(col("tok")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val doclens = base.select(col("doc_id"), size(col("tok")).as("dl"))
+    val served = VectorSearch.hybridRrfTopKIndexed(
+      postings, doclens, VectorSearch.encodeIvfPq(e, model), e, model,
+      terms, qid = 0L)
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val inline = VectorSearch.hybridRrfFuse(
+      VectorSearch.rankLex(
+        graft.operators.TextPipeline.bm25Scores(docs, terms), 20),
+      VectorSearch.rankVec(VectorSearch.ivfPqTopK(e, q0, 20)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(canon(served) == canon(inline),
+      s"served=${canon(served)} inline=${canon(inline)}")
+  }
 }
