@@ -214,6 +214,49 @@ class WireServerSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("concurrent clients: isolated session state, correct results, no cross-talk") {
+    // thread-per-conn sharing ONE SparkSession + lock table + catalog:
+    // six parallel clients interleave engine queries with per-session
+    // GUC writes; each must read back ITS OWN value and ITS OWN rows
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until 6).map { i =>
+        new Thread(() => {
+          try {
+            val c = new Client(srv.boundPort)
+            c.startup(s"user$i")
+            c.drain()
+            val myBatch = (1000 + i).toString
+            c.query(s"SET batch_size = $myBatch")
+            c.drain()
+            (0 until 3).foreach { r =>
+              // distinct arithmetic per client+round: a swapped result
+              // between sessions cannot go unnoticed
+              c.query(s"SELECT ${i * 100} + $r AS v")
+              val (m1, _) = c.drain()
+              val got = c.dataRows(m1)
+              if (got != Seq(Seq((i * 100 + r).toString)))
+                errors.add(s"client $i round $r: $got")
+              c.query("SELECT count(*) AS n FROM nation")
+              val (m2, _) = c.drain()
+              if (c.dataRows(m2) != Seq(Seq("25")))
+                errors.add(s"client $i nation count: ${c.dataRows(m2)}")
+            }
+            c.query("SHOW batch_size")
+            val (m3, _) = c.drain()
+            if (c.dataRows(m3).map(_.last) != Seq(myBatch))
+              errors.add(s"client $i SHOW leak: ${c.dataRows(m3)} != $myBatch")
+            c.terminate()
+          } catch { case e: Throwable => errors.add(s"client $i: $e") }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errors.isEmpty, errors.toString)
+    } finally srv.close()
+  }
+
   test("SET/SHOW/BEGIN drive utility tags and transaction status bytes") {
     val srv = new WireServer(spark, Some(TestSpark.sf)).start()
     try {
