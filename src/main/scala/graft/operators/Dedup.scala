@@ -279,11 +279,33 @@ object Dedup {
     Engine.releaseCheckpoint(df)
 
   def nearDupClusters(pairs: DataFrame, nodes: DataFrame,
-      driverMaxEdges: Long = 2000000L): DataFrame = {
+      driverMaxEdges: Long = 2000000L): DataFrame =
+    componentsByMinLabel(pairs, nodes, driverMaxEdges)
+
+  /** Connected components by min-label propagation, generic over the
+    * node-id type: LongType (d05's doc ids) and StringType (d16's name
+    * domain) share one implementation because min-label convergence
+    * needs only a TOTAL ORDER on labels, not dense integers. Running
+    * directly on the natural key removes the dense-ID assignment that
+    * previously fed d16 — a `row_number()` window with no partitionBy,
+    * i.e. a single task sorting the whole name vocabulary (10^8+ rows
+    * at 100 TB). The component's min label IS its canonical value, so
+    * no rank mapping is needed at any scale.
+    *
+    * String order parity: Spark's min()/least() compare strings as
+    * UTF-8 bytes (UTF8String), which equals code-point order — the
+    * driver union-find arm compares the same way so both regimes pick
+    * identical canonical labels (java.lang.String's UTF-16 order would
+    * diverge above the BMP). DuckDB's default binary collation matches,
+    * which is what keeps the d16 oracle exact.
+    */
+  private def componentsByMinLabel(pairs: DataFrame, nodes: DataFrame,
+      driverMaxEdges: Long): DataFrame = {
     // materialize the (possibly expensive) pair source ONCE, then derive
     // the symmetric edge list from the materialized form — a union of
     // two references to the raw plan would execute it twice
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val idType = p.schema.head.dataType
     // adaptive execution, sized from the (already materialized) edge
     // count — the same runtime-statistics reasoning AQE applies within
     // a query, applied across the loop. The candidate-pair graph holds
@@ -298,11 +320,23 @@ object Dedup {
     if (graphRows <= driverMaxEdges) {
       val edgeRows = p.collect()
       releaseCheckpoint(p)
+      // ordering must agree with the distributed arm's min()/least():
+      // longs compare numerically, strings as UTF-8 bytes (see Scaladoc)
+      val lt: (Any, Any) => Boolean = idType match {
+        case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+        case StringType => (a, b) =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String])) < 0
+        case t => throw new IllegalArgumentException(
+          s"componentsByMinLabel: unsupported node-id type $t")
+      }
       // union-find, roots pinned to the component minimum: attaching the
       // LARGER root under the smaller keeps root == min id with no
       // separate relabel pass; path compression bounds chain length
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def root(x: Long): Long = {
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def root(x: Any): Any = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x
@@ -310,15 +344,19 @@ object Dedup {
         r
       }
       edgeRows.foreach { e =>
-        val a = e.getLong(0); val b = e.getLong(1)
+        val a = e.get(0); val b = e.get(1)
         if (!parent.contains(a)) parent(a) = a
         if (!parent.contains(b)) parent(b) = b
         val ra = root(a); val rb = root(b)
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        if (lt(ra, rb)) parent(rb) = ra else if (lt(rb, ra)) parent(ra) = rb
       }
       val spark = nodes.sparkSession
-      import spark.implicits._
-      val labels = parent.keys.toSeq.map(id => (id, root(id))).toDF("id", "lbl")
+      import scala.jdk.CollectionConverters._
+      val schema = StructType(Seq(
+        StructField("id", idType), StructField("lbl", idType)))
+      val labels = spark.createDataFrame(
+        parent.keys.toSeq
+          .map(id => org.apache.spark.sql.Row(id, root(id))).asJava, schema)
       return attachLabels(nodes, labels)
     }
     val nParts = math.max(1, math.min(
@@ -503,28 +541,23 @@ object Dedup {
 
   /** Entity grouping over [[entityPairs]]' fuzzy matches: connected
     * components over the value-level pair graph, canonical entity =
-    * the cluster's minimum name. Names map to dense Longs by rank in
-    * name order (a window over the DISTINCT-name rollup — value-domain
-    * bounded, the same state class as the pair stage) so the d05
-    * component machinery applies unchanged; rank order preserves
-    * lexicographic order, so the component's min ID IS its min name. */
+    * the cluster's minimum name. Components run DIRECTLY on the string
+    * name domain ([[componentsByMinLabel]] is generic over the label
+    * type) — min-label propagation needs only a total order, so no
+    * dense-ID mapping exists, and in particular no global rank window:
+    * the previous `row_number().over(Window.orderBy("name"))` funneled
+    * the whole name vocabulary through ONE task, a scale-killer at a
+    * 10^8+ entity domain. Every stage here is value-domain bounded and
+    * fully partitioned. */
   def entityClusters(parts: DataFrame, nameCol: String = "p_name",
       maxDist: Int = 3, dfCap: Long = 1000L): DataFrame = {
     val pairs = entityPairs(parts, nameCol, maxDist, dfCap)
-      .select("name_a", "name_b")
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
     val names = parts.select(col(nameCol).as("name")).distinct()
-      .withColumn("id",
-        row_number().over(Window.orderBy("name")).cast(LongType))
-    val idPairs = pairs
-      .join(names.select(col("name").as("name_a"), col("id").as("id_a")), "name_a")
-      .join(names.select(col("name").as("name_b"), col("id").as("id_b")), "name_b")
-      .select("id_a", "id_b")
-    nearDupClusters(idPairs, names.select("id"))
-      .join(names, "id")
-      .join(names.select(col("id").as("cluster"), col("name").as("entity")),
-        "cluster")
-      .select(col("name"), col("entity"),
-        (col("name") === col("entity")).as("is_canonical"))
+    componentsByMinLabel(pairs, names.select(col("name").as("id")),
+        driverMaxEdges = 2000000L)
+      .select(col("id").as("name"), col("cluster").as("entity"),
+        (col("id") === col("cluster")).as("is_canonical"))
   }
 
   // ------------------------------------------------------------------

@@ -170,6 +170,47 @@ class PlanLintSpec extends AnyFunSuite {
         s"$file budget is stale ($budget vs ${found.getOrElse(file, 0)} found) — keep the audit exact")
   }
 
+  /** A window with no partitionBy funnels its entire input through ONE
+    * task (Exchange SinglePartition + full sort) — the r10 verdict
+    * found exactly this inside d16's dense-ID mapping, where "input" is
+    * the whole name vocabulary (10^8+ rows at 100 TB). Entries below
+    * are the audited exceptions, each with the bound that makes the
+    * single partition driver-sized rather than data-sized.
+    */
+  private val allowGlobalWindow: Set[String] = Set(
+    // cumulative windows over count-by-value rollups with a GLOBAL
+    // group (the Percentiles.scala discipline): window input rows =
+    // distinct-value-domain cardinality, not row count
+    "e24_user_concentration", "e25_time_to_convert",
+    // weekly / monthly series: window input = |weeks| / |months| rows
+    "e26_wau_trend", "q63_acquisition_curve",
+    // p03's histogram-offset window: input = one row per distinct
+    // token count (<= max document length) — the whole POINT of p03's
+    // two-phase rank is that the corpus-sized rank IS partitioned
+    "p03_curriculum_order",
+    // rank windows over .limit(k) candidate lists (BM25 arm + vector
+    // arm before RRF fusion): k rows each by construction
+    "s07_hybrid_rrf",
+    // regression over the top-100 vocabulary slice
+    "t31_zipf_slope")
+
+  test("no query plans an unpartitioned window over an unbounded domain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowGlobalWindow(name)) None
+      else {
+        val plan = fn(spark, TestSpark.sf).queryExecution.optimizedPlan
+        val n = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w }.size
+        if (n > 0) Some(s"$name: $n") else None
+      }
+    }
+    assert(bad.isEmpty,
+      s"unpartitioned window(s) — a single-task global sort; partition " +
+        s"or allowlist with the bound that keeps the domain driver-sized:\n  " +
+        bad.mkString("\n  "))
+  }
+
   /** Streaming twins: same plan discipline. Physical plans need a
     * running micro-batch, so this lints the analyzed logical plans —
     * where a missing join condition ("Join Cross") and the collecting

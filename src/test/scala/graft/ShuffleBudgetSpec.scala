@@ -63,11 +63,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                    // broadcasts (value-domain-sized sides) and
                                    // levenshtein is pushed into the candidate
                                    // join condition
-    "d16_entity_clusters" -> 6)    // name rollup x2 + rank window (value-domain
-                                   // single partition, bounded) + label/entity
-                                   // join-backs; the component labels come from
-                                   // the driver union-find regime at this scale
-                                   // (pair graph <= driverMaxEdges)
+    "d16_entity_clusters" -> 1)    // r11: components run directly on the string
+                                   // name domain — no dense-ID rank window (the
+                                   // old single-partition sort is gone); the one
+                                   // shuffle is the name rollup, labels attach
+                                   // by broadcast join. Pair building and the
+                                   // union-find/fixpoint materialize eagerly at
+                                   // plan-construction time (localCheckpoint),
+                                   // so their exchanges (pinned via d15) don't
+                                   // appear in this final serve plan
 
   test("headline plans keep their exact shuffle budgets") {
     val diffs = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>

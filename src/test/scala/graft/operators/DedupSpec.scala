@@ -93,6 +93,27 @@ class DedupSpec extends AnyFunSuite {
     assert(dist == cc)
   }
 
+  test("CC runs directly on STRING labels; both regimes pick the min name") {
+    import org.apache.spark.sql.functions.col
+    // the d16 shape: node ids are the entity names themselves — no
+    // dense-ID rank mapping anywhere (min-label needs only an order)
+    val pairs = Seq(("beta", "gamma"), ("alpha", "beta"), ("delta", "echo"))
+      .toDF("id_a", "id_b")
+    val nodes = Seq("alpha", "beta", "gamma", "delta", "echo", "zeta").toDF("id")
+    val drv = Dedup.nearDupClusters(pairs, nodes)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(drv("alpha") == ("alpha", true))
+    assert(drv("beta") == ("alpha", false))
+    assert(drv("gamma") == ("alpha", false)) // transitive via beta
+    assert(drv("delta") == ("delta", true))
+    assert(drv("echo") == ("delta", false))
+    assert(drv("zeta") == ("zeta", true)) // isolate survives alone
+    // distributed fixpoint must agree byte-for-byte on strings too
+    val dist = Dedup.nearDupClusters(pairs, nodes, driverMaxEdges = -1L)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(dist == drv)
+  }
+
   test("CC regimes agree on random graphs (chains, stars, cycles, isolates)") {
     import spark.implicits._
     // deterministic pseudo-random graphs exercising deep chains (the
