@@ -112,6 +112,15 @@ object Blob {
     s"""CAST(CASE WHEN $e >= 9223372036854775808::HUGEINT
          THEN $e - 18446744073709551616::HUGEINT ELSE $e END AS BIGINT)"""
 
+  /** `math.abs(signed) % m` evaluated in the HUGEINT domain: abs of the
+    * signed interpretation never overflows there (|Long.MinValue| = 2^63
+    * fits), whereas BIGINT abs() errors on MinValue — where the Scala
+    * kernel yields 0 because 2^63 ≡ 0 (mod 1024). Same result on every
+    * input, no asymmetric out-of-range failure mode. */
+  private def oracleAbsMod(e: String, m: Int): String =
+    s"""CAST(abs(CASE WHEN $e >= 9223372036854775808::HUGEINT
+         THEN $e - 18446744073709551616::HUGEINT ELSE $e END) % $m AS INT)"""
+
   val defs: Seq[GQ] = Seq(
     // Binary plumbing parity: encode text -> blob, typed metadata.
     GQ("m01_binary_metadata",
@@ -141,8 +150,8 @@ object Blob {
                          / length(text) / 255.0 END AS brightness
         FROM documents)
       SELECT media_id, n_bytes,
-             CAST(16 + abs(${oracleSigned("hf")}) % 1024 AS INT) AS width,
-             CAST(16 + abs(${oracleSigned("hr")}) % 1024 AS INT) AS height,
+             CAST(16 + ${oracleAbsMod("hf", 1024)} AS INT) AS width,
+             CAST(16 + ${oracleAbsMod("hr", 1024)} AS INT) AS height,
              brightness
       FROM f"""),
       (s, d) => decodeFeatures(s,

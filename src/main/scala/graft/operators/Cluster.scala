@@ -240,6 +240,14 @@ object Cluster {
     // the oracle is for the sf0.01 gate, the operator for 100 TB.)
     // Empty clusters keep their previous centroid via the LEFT JOIN +
     // COALESCE arm, like the kernel loop.
+    // The REVERSE direction, double -> DECIMAL(38,12), is corpus-
+    // validated rather than proven: Spark quantizes the double's
+    // shortest-string decimal repr HALF_UP (BigDecimal.valueOf) while
+    // DuckDB rounds the binary value, so an input within ~1 ulp of a
+    // half-quantum at 12 dp could cast differently between engines on
+    // another corpus. The sf0.01/sf0.1 hash matches pin it for the
+    // gate; if c01 ever diverges on new data, suspect this oracle
+    // limit before the kernel.
     GQ("c01_kmeans_embeddings", Some {
       def iter(i: Int): String = s""",
         asg$i AS (

@@ -288,9 +288,14 @@ object DocsStreaming {
       .flatMapGroupsWithState[(List[String], Boolean), (String, String, Int)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (tok, rows, state) =>
         var (known, dead) = state.getOption.getOrElse((List.empty[String], false))
+        // membership via a Set rebuilt once per batch invocation (the
+        // persisted state stays the List — no encoder change): O(1) per
+        // arrival instead of an O(dfCap) List scan, which compounded to
+        // O(dfCap^2) string compares per group per batch at the default
+        var knownSet = known.toSet
         val out = List.newBuilder[(String, String, Int)]
         rows.foreach { case (_, name) =>
-          if (!dead && !known.contains(name)) {
+          if (!dead && !knownSet(name)) {
             if (known.size >= dfCap) { dead = true; known = Nil }
             else {
               known.foreach { old =>
@@ -303,6 +308,7 @@ object DocsStreaming {
                 }
               }
               known = name :: known
+              knownSet += name
             }
           }
         }

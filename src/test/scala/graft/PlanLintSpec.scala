@@ -139,11 +139,13 @@ class PlanLintSpec extends AnyFunSuite {
     *    (k rows).
     *  - WireServer.scala 2: the PG wire SINK — rows cross to the
     *    client here by definition; portal fetches are maxRows-capped.
+    *  - Skew.scala 1: the ONE-row max-key-count probe aggregate gating
+    *    the salted-join arm (sampled, scalar result).
     */
   private val collectBudget = Map(
     "Catalog.scala" -> 2, "Dedup.scala" -> 1, "Bpe.scala" -> 2,
     "Relational.scala" -> 1, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
-    "Layout.scala" -> 3, "WireServer.scala" -> 2)
+    "Layout.scala" -> 3, "WireServer.scala" -> 2, "Skew.scala" -> 1)
 
   test("every driver-side collect in src/main is audited and budgeted") {
     import scala.jdk.CollectionConverters._

@@ -253,6 +253,10 @@ class WireServerSpec extends AnyFunSuite {
       }
       threads.foreach(_.start())
       threads.foreach(_.join(120000))
+      // a hung client enqueues no error — the join timeout alone would
+      // let a deadlocked run pass vacuously; a live thread must fail
+      val hung = threads.filter(_.isAlive)
+      assert(hung.isEmpty, s"${hung.size} client thread(s) still alive after join timeout")
       assert(errors.isEmpty, errors.toString)
     } finally srv.close()
   }
