@@ -261,6 +261,87 @@ class WireServerSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("chaos: 8 clients mix DDL/COPY/query/LOCK with the deadlock detector engaged") {
+    // every client owns a private table (DDL + COPY + SELECT) and
+    // fights over nation/region in OPPOSITE lock orders inside
+    // transactions — the deadlock-cycle shape, so the detector's
+    // 40P01 fires under real concurrency. Contract: lock statements
+    // may fail (40P01 is the detector WORKING; the block then aborts
+    // per the state machine and the round ends in ABORT), everything
+    // else must succeed, every session stays correct and isolated,
+    // and every thread finishes — a hang is the one unacceptable
+    // outcome.
+    val N = 8
+    (0 until N).foreach(i => spark.sql(s"DROP TABLE IF EXISTS chaos_t$i"))
+    val srv = new WireServer(spark, Some(TestSpark.sf)).start()
+    try {
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val deadlocks = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until N).map { i =>
+        new Thread(() => {
+          try {
+            val c = new Client(srv.boundPort)
+            c.startup(s"chaos$i"); c.drain()
+            val myBatch = (2000 + i).toString
+            c.query(s"SET batch_size = $myBatch"); c.drain()
+            c.query(s"CREATE TABLE chaos_t$i (id int, name varchar(16))")
+            val (ddl, _) = c.drain()
+            if (ddl.exists(_._1 == 'E'))
+              errors.add(s"client $i DDL failed")
+            c.query(s"COPY chaos_t$i FROM STDIN")
+            if (c.read()._1 != 'G') errors.add(s"client $i no CopyInResponse")
+            (0 to i).foreach(r => c.copyData(s"$r,row$r\n"))
+            c.copyDone()
+            val (cp, _) = c.drain()
+            if (!cp.exists { case (t, b) =>
+                t == 'C' && c.cstrAt(b, 0) == s"COPY ${i + 1}" })
+              errors.add(s"client $i COPY tag wrong")
+            val (first, second) =
+              if (i % 2 == 0) ("nation", "region") else ("region", "nation")
+            (1 to 3).foreach { _ =>
+              c.query("BEGIN"); c.drain()
+              var lockErr = false
+              for (t <- Seq(first, second)) {
+                c.query(s"LOCK TABLE $t IN EXCLUSIVE MODE")
+                val (m, _) = c.drain()
+                if (m.exists(_._1 == 'E')) {
+                  lockErr = true
+                  val code = c.errFields(m).getOrElse('C', "?")
+                  if (code == "40P01") deadlocks.incrementAndGet()
+                  else if (code != "25P02") // post-error statement in block
+                    errors.add(s"client $i LOCK $t unexpected sqlstate $code")
+                }
+              }
+              c.query("ABORT"); c.drain() // releases grants either way
+              c.query(s"SELECT count(*) AS n FROM chaos_t$i")
+              val (cnt, _) = c.drain()
+              if (c.dataRows(cnt) != Seq(Seq((i + 1).toString)))
+                errors.add(s"client $i count drifted: ${c.dataRows(cnt)}")
+            }
+            c.query("SHOW batch_size")
+            val (sh, _) = c.drain()
+            if (c.dataRows(sh).map(_.last) != Seq(myBatch))
+              errors.add(s"client $i GUC leak: ${c.dataRows(sh)}")
+            c.terminate()
+          } catch { case e: Throwable => errors.add(s"client $i: $e") }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(180000))
+      val hung = threads.filter(_.isAlive)
+      assert(hung.isEmpty,
+        s"${hung.size} chaos client(s) hung (deadlock not detected?)")
+      assert(errors.isEmpty, errors.toString)
+      // own-table rows survived the storm, visible engine-side too
+      (0 until N).foreach { i =>
+        assert(spark.table(s"chaos_t$i").count() == i + 1)
+      }
+    } finally {
+      srv.close()
+      (0 until N).foreach(i => spark.sql(s"DROP TABLE IF EXISTS chaos_t$i"))
+    }
+  }
+
   test("SET/SHOW/BEGIN drive utility tags and transaction status bytes") {
     val srv = new WireServer(spark, Some(TestSpark.sf)).start()
     try {
