@@ -20,9 +20,22 @@ object Scaling {
     "d07_embedding_neardup_lsh", "s02_ann_lsh", "t14_span_dedup",
     "d15_entity_pairs", "d16_entity_clusters", "e20_dau_wau")
 
+  /** Declared-quadratic audit arms (their scale twin is probed
+    * instead): d06 is d07's exact all-pairs oracle twin, s10's purity
+    * audit is the same class. Excluded from --all, probe explicitly
+    * if you want to watch a quadratic be quadratic. */
+  private val declaredQuadratic = Set("d06_embedding_neardup", "s10_label_purity")
+
   def main(args: Array[String]): Unit = {
     val Array(dirA, dirB) = args.take(2)
-    val names = if (args.length > 2) args.drop(2).toSeq else headline
+    val names =
+      if (args.length > 2 && args(2) == "--all")
+        SparkEntry.queries.keys.toSeq.sorted
+          .filterNot(declaredQuadratic)
+          .drop(if (args.length > 3) args(3).toInt else 0)
+          .take(if (args.length > 4) args(4).toInt else Int.MaxValue)
+      else if (args.length > 2) args.drop(2).toSeq
+      else headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -64,13 +64,37 @@ object Cluster {
     * largest cluster (~(N/k)^2 per cluster); k is the dial — at real
     * corpus scale pick k ~ N / desired-cluster-size (SemDeDup's own
     * regime), and the per-cluster work stays constant as the corpus
-    * grows. One shuffle on cid for the self-join; the drop set joins
-    * back as a shuffle anti join on vec_id. */
-  def semanticDedup(e: DataFrame, k: Int = 8, tau: Double = 0.35,
-      step: Int = 37): DataFrame = {
-    val cents = seedCentroids(e, k, step)
-    val asg = e.select(col("vec_id"), col("embedding"),
-      assignByCosine(col("embedding"), cents).as("cid"))
+    * grows. The default (k <= 0) derives exactly that:
+    * k = max(8, ceil(N / targetCluster)), from one metadata-only
+    * count — so the within-cluster pair volume scales LINEARLY with
+    * the corpus instead of quadratically (the r11 sf1 probe measured
+    * the fixed-k=8 form at 33x on 10x data; the derived form holds
+    * per-cluster work constant). At the oracle scale factors the
+    * derived k IS 8 (N = 500 / 2000 at sf0.01 / sf0.1), which is what
+    * keeps the embedded-LIMIT-8 oracle exact at the gate — documented
+    * there. Plan size grows linearly with k (k centroid literals in
+    * the codegen'd argmax); beyond k ~ thousands, assignment should
+    * move to the GF.nearestCells kernel (centroid matrix in the task
+    * closure, the kmeans() route). One shuffle on cid for the
+    * self-join; the drop set joins back as a shuffle anti join on
+    * vec_id. */
+  def semanticDedup(e: DataFrame, k: Int = -1, tau: Double = 0.35,
+      step: Int = 37, targetCluster: Long = 250L): DataFrame = {
+    val kk = if (k > 0) k
+      else math.max(8L, (e.count() + targetCluster - 1) / targetCluster).toInt
+    val cents = seedCentroids(e, kk, step)
+    // assignment arms by k: the oracle-expressible literal-array argmax
+    // unrolls k cosines into the generated code — past ~16 centroids
+    // the method outgrows the JVM's 64 KB codegen limit and the whole
+    // stage silently falls back to interpreted evaluation (measured:
+    // 71 s literal vs 5 s kernel at k=80 on the sf1 probe). Large k uses the native
+    // NearestCells kernel (centroid matrix in the task closure, one
+    // call per row); the gate regime (k = 8) keeps the literal form
+    // the DuckDB oracle restates bit-for-bit.
+    val assign =
+      if (kk <= 16) assignByCosine(col("embedding"), cents)
+      else GF.nearestCells(col("embedding"), cents, 1)(0)
+    val asg = e.select(col("vec_id"), col("embedding"), assign.as("cid"))
     val a = asg.select(col("cid").as("cid_a"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
     val b = asg.select(col("cid").as("cid_b"), col("vec_id").as("id_b"),
@@ -191,6 +215,10 @@ object Cluster {
 
   val defs: Seq[GQ] = Seq(
 
+    // LIMIT 8 is the DERIVED k at both gate scale factors:
+    // max(8, ceil(N/250)) = 8 for N = 500 (sf0.01) and 2000 (sf0.1).
+    // A larger corpus derives a larger k Spark-side (linear pair
+    // volume); the oracle pins the gate regime.
     GQ("d10_semantic_dedup",
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8),

@@ -290,6 +290,28 @@ object VectorSearch {
     * cosine (the d02 "join back afterward" shape; this also stops
     * shuffling the 256-byte embedding through the bucket join x tables
     * x 2 sides, the dominant shuffle cost of the uncapped form). */
+  /** Hyperplane count for the bucket self-join, derived from corpus
+    * size when the caller leaves it defaulted (`planes <= 0`):
+    * max(minPlanes, ceil(log2(N / targetBucket))) from one
+    * metadata-only count. Bucket density — not corpus size — is what
+    * drives the self-join's cost (in-bucket pairs grow quadratically
+    * with members-per-bucket), so the bucket count must grow WITH the
+    * corpus to keep expected bucket size at targetBucket and pair
+    * volume linear: the r11 sf1 probe measured fixed-planes s05 at
+    * 37x on 10x data; derived planes restore ~linear. At the gate
+    * scale factors the derivation yields exactly the embedded-oracle
+    * values (4 for d07, 5 for s05/s10 at N = 500/2000), so the
+    * hyperplane-literal oracles stay exact — same discipline as d10's
+    * derived k. */
+  private def derivePlanes(e: DataFrame, planes: Int, minPlanes: Int,
+      targetBucket: Long = 128L): Int =
+    if (planes > 0) planes
+    else {
+      val n = math.max(1L, e.count())
+      math.max(minPlanes,
+        math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    }
+
   private def lshPairSims(e: DataFrame, planes: Int, tables: Int,
       dim: Int, maxBucket: Int): DataFrame = {
     val withB = e.select(col("vec_id"),
@@ -328,9 +350,9 @@ object VectorSearch {
     * re-execute the top-k subtree. Emits (id_a < id_b, sim) once per
     * mutual edge. */
   def mutualKnnGraph(e: DataFrame, k: Int,
-      planes: Int = 5, tables: Int = 8, dim: Int = 64,
+      planes: Int = -1, tables: Int = 8, dim: Int = 64,
       maxBucket: Int = 1000): DataFrame = {
-    val pairs = lshPairSims(e, planes, tables, dim, maxBucket)
+    val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim, maxBucket)
     val directed = pairs.select(explode(array(
         struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
         struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
@@ -386,9 +408,9 @@ object VectorSearch {
     * quadratics capped), bounded-heap top-k per vector, same purity
     * rollup. */
   def labelPurityLsh(e: DataFrame, k: Int = 5,
-      planes: Int = 5, tables: Int = 8, dim: Int = 64,
+      planes: Int = -1, tables: Int = 8, dim: Int = 64,
       maxBucket: Int = 1000): DataFrame = {
-    val pairs = lshPairSims(e, planes, tables, dim, maxBucket)
+    val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim, maxBucket)
     val directed = pairs.select(explode(array(
         struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
         struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
@@ -560,9 +582,9 @@ object VectorSearch {
     * planes must stay low for usable recall. `maxBucket` drops
     * degenerate buckets (see lshPairSims for the recall trade). */
   def cosineNearDupPairsLsh(e: DataFrame, threshold: Double,
-      planes: Int = 4, tables: Int = 8, dim: Int = 64,
+      planes: Int = -1, tables: Int = 8, dim: Int = 64,
       maxBucket: Int = 1000): DataFrame =
-    lshPairSims(e, planes, tables, dim, maxBucket)
+    lshPairSims(e, derivePlanes(e, planes, 4), tables, dim, maxBucket)
       .filter(col("sim") > threshold)
 
   /** Hybrid lexical+vector retrieval fused with reciprocal-rank fusion
