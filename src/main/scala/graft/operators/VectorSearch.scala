@@ -370,6 +370,50 @@ object VectorSearch {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Majority-vote tail shared by the exact (s09) and ANN serving
+    * arms of k-NN classification: join neighbor labels, count votes,
+    * argmax per query (vote ties to the smaller label — the s09
+    * oracle's total order). Consumes only (qid, nid[, sim]) — which
+    * is exactly why the neighbor arm swaps freely between brute
+    * force, LSH, and the persisted indexes. */
+  def knnVote(e: DataFrame, q: DataFrame, topk: DataFrame): DataFrame = {
+    val votes = topk
+      .join(e.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nlabel"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("qlabel").as("label"),
+        col("nlabel").as("pred"))
+  }
+
+  /** The SCALE arm of s09: k-NN classification with neighbors from
+    * the LSH candidate generator instead of the |Q| x N brute-force
+    * scan (the sf1 probe measured the brute arm at 35x on 10x data —
+    * by definition: both factors grow). Approximate where LSH recall
+    * misses a true neighbor; VectorSearchSpec pins prediction
+    * agreement with the exact arm. The brute arm stays the driver
+    * oracle entry (exact -> full SQL oracle); a deployment serves
+    * this one, or [[lshTopKIndexed]]/[[ivfPqTopKIndexed]] plugged
+    * into the same [[knnVote]] tail.
+    *
+    * Defaults trade candidate volume for recall (classification
+    * flips on a missed neighbor, unlike near-dup pair mining): fewer
+    * planes -> coarser buckets -> per-table hit probability p^planes
+    * stays high, more tables -> P(miss) = (1-p^planes)^tables
+    * collapses. At this corpus's neighbor angles (~70 deg) that is
+    * ~98% per-neighbor recall. Growing the corpus, raise planes with
+    * log2(N) and re-size tables to hold the recall product — or skip
+    * the tuning entirely and serve the IVF index. */
+  def knnClassifierAnn(e: DataFrame, k: Int = 5,
+      planes: Int = 3, tables: Int = 16, dim: Int = 64): DataFrame = {
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    knnVote(e, q.select("qid", "qlabel"),
+      lshTopK(e, q.select("qid", "qv"), k, planes, tables, dim))
+  }
+
   /** s10 purity rollup over a supplied (qid, nid, sim) neighbor set:
     * join both endpoint labels, count label agreement per vector, then
     * per-label mean purity in exact integer micro-units (floor div —
@@ -932,16 +976,7 @@ object VectorSearch {
         val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"),
             sim6(col("qv"), col("embedding")).as("sim"))
-        val top5 = topKPerQid(pairs, 5)
-          .join(e.select(col("vec_id").as("nid"), col("label").as("nlabel")),
-            "nid")
-        val votes = top5.groupBy("qid", "nlabel")
-          .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nlabel"))
-        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
-          .select(col("qid"), col("qlabel").as("label"),
-            col("nlabel").as("pred"))
+        knnVote(e, q.select("qid", "qlabel"), topKPerQid(pairs, 5))
       }),
 
     // Embedding-space label purity — the representation-quality audit:

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.{Engine, TestSpark}
+import graft.{Engine, SparkEntry, TestSpark}
 
 class VectorSearchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -236,6 +236,22 @@ class VectorSearchSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted,
       "sampled separation must be partition-count independent")
+  }
+
+  test("ANN-arm kNN classifier agrees with the exact arm (s09's scale swap)") {
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    def preds(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val exact = preds(SparkEntry.queries("s09_knn_classifier")(spark, TestSpark.sf))
+    val ann = preds(VectorSearch.knnClassifierAnn(e))
+    // same query set, same vote tail; predictions may differ only where
+    // LSH recall missed a true neighbor — require high agreement so a
+    // broken candidate generator (or vote tail drift) fails loudly
+    assert(ann.keySet == exact.keySet)
+    assert(ann.forall { case (q, (l, _)) => exact(q)._1 == l }) // labels join identically
+    val agree = ann.count { case (q, (_, p)) => exact(q)._2 == p }
+    assert(agree.toDouble / ann.size >= 0.8,
+      s"ANN kNN agreement ${agree}/${ann.size} below 0.8")
   }
 
   test("index-served hybrid RRF equals the same arms computed inline") {
