@@ -139,6 +139,19 @@ class DedupSpec extends AnyFunSuite {
       val dist = Dedup.nearDupClusters(pairs, nodes, driverMaxEdges = -1L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(dist == small, s"trial $trial: regimes disagree")
+      // the STRING-label arm must produce the isomorphic clustering on
+      // the same graph: zero-padded labels order like the numbers, so
+      // every (node, cluster, survivor) triple maps 1:1
+      def s(x: Long) = f"n$x%03d"
+      val sPairs = edges.result().distinct.map { case (a, b) => (s(a), s(b)) }
+        .toDF("id_a", "id_b")
+      val sNodes = ids.map(s).toDF("id")
+      for (dme <- Seq(2000000L, -1L)) {
+        val got = Dedup.nearDupClusters(sPairs, sNodes, driverMaxEdges = dme)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+        assert(got == small.map { case (a, b, c) => (s(a), s(b), c) },
+          s"trial $trial: string arm (driverMaxEdges=$dme) diverges")
+      }
       // every node labeled exactly once, every cluster label is a member
       assert(small.size == n)
       val byCluster = small.groupBy(_._2)
