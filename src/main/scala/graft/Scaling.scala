@@ -21,10 +21,11 @@ object Scaling {
     "d15_entity_pairs", "d16_entity_clusters", "e20_dau_wau")
 
   /** Declared-quadratic audit arms (their scale twin is probed
-    * instead): d06 is d07's exact all-pairs oracle twin, s10's purity
-    * audit is the same class. Excluded from --all, probe explicitly
-    * if you want to watch a quadratic be quadratic. */
-  private val declaredQuadratic = Set("d06_embedding_neardup", "s10_label_purity")
+    * instead): d06 is d07's exact all-pairs oracle twin. (s10's
+    * BENCHED entry is already the LSH arm — it probes normally at
+    * ~10x; its exact arm lives only in VectorSearchSpec.) Excluded
+    * from --all; probe explicitly to watch a quadratic be quadratic. */
+  private val declaredQuadratic = Set("d06_embedding_neardup")
 
   def main(args: Array[String]): Unit = {
     val Array(dirA, dirB) = args.take(2)
