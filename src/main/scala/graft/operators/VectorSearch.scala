@@ -137,8 +137,8 @@ object VectorSearch {
     topKPerQid(pairs, k, distinct = true)
   }
 
-  /** IVF-flavored ANN: a FIXED-size coarse codebook (`cells` centroids,
-    * a parameter — k-means-style, NOT a function of corpus size), corpus
+  /** IVF-flavored ANN: a coarse codebook of `cells` centroids (derived
+    * from corpus size when defaulted — see [[deriveCells]]), corpus
     * rows assigned to their nearest cell by a one-pass native argmin
     * expression (graft_nearest_cells: no row explosion, no window, no
     * BroadcastNestedLoopJoin), queries probing their `nprobe` nearest
@@ -146,23 +146,41 @@ object VectorSearch {
     * (cells x dim doubles to the driver), assignment is one codegen'd
     * pass over the corpus, and candidate generation broadcasts the
     * (small) probed query set — the corpus is never shuffled. Recall /
-    * cost dial: `cells` (use ~sqrt(N) on a real corpus) and `nprobe`.
+    * cost dial: the probed fraction nprobe/cells.
     */
+  /** Cell count / probe width derived from corpus size when the
+    * caller leaves them defaulted (<= 0): cells = max(16, ceil(N/125))
+    * holds expected CELL SIZE constant as the corpus grows (a fixed
+    * cell count means every cell — and so every probe — grows linearly
+    * with N), and nprobe scales with cells to keep the probed FRACTION
+    * (the recall dial) at its gate value. Same gate-stable discipline
+    * as d10's k and the LSH plane derivation: at sf0.01/sf0.1 these
+    * equal the embedded-oracle constants (16, 3) exactly. */
+  private def deriveCells(corpus: DataFrame, cells: Int): Int =
+    if (cells > 0) cells
+    else math.max(16L, (corpus.count() + 124) / 125).toInt
+
+  private def deriveNprobe(cells: Int, nprobe: Int): Int =
+    if (nprobe > 0) nprobe
+    else math.max(3, math.ceil(cells * 3.0 / 16).toInt)
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 3): DataFrame = {
+      cells: Int = -1, nprobe: Int = -1): DataFrame = {
+    val cc = deriveCells(corpus, cells)
+    val np = deriveNprobe(cc, nprobe)
     // Deterministic spread sample of the codebook: the `cells` corpus
     // vectors with the smallest murmur3(vec_id) — uniform over the
     // corpus, stable across runs/partitionings; canonical order by id.
     val picked = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy(hash(col("vec_id")), col("vec_id")).limit(cells).collect()
+      .orderBy(hash(col("vec_id")), col("vec_id")).limit(cc).collect()
     val centroids: Array[Array[Double]] = picked.sortBy(_.getLong(0)).map(r =>
       r.getSeq[Number](1).map(_.doubleValue).toArray)
 
     val c = corpus.withColumn(
       "cid", GF.nearestCells(col("embedding"), centroids, 1)(0))
     val q = queries.withColumn(
-      "cid", explode(GF.nearestCells(col("qv"), centroids, nprobe)))
+      "cid", explode(GF.nearestCells(col("qv"), centroids, np)))
     val pairs = c.join(broadcast(q), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -197,22 +215,26 @@ object VectorSearch {
       books: Array[Array[Array[Double]]],
       nprobe: Int, rerank: Int)
 
-  def pqModel(corpus: DataFrame, cells: Int = 16, m: Int = 8,
+  def pqModel(corpus: DataFrame, cells: Int = -1, m: Int = 8,
       codebookSize: Int = 32, dim: Int = 64,
-      nprobe: Int = 3, rerank: Int = 50): PqModel = {
+      nprobe: Int = -1, rerank: Int = 50): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    // cells/nprobe derive from corpus size when defaulted (see
+    // deriveCells): gate-identical, cell size constant beyond it
+    val cc = deriveCells(corpus, cells)
+    val np = deriveNprobe(cc, nprobe)
     val subDim = dim / m
     val picked = corpus.select(col("vec_id"), col("embedding"))
       .orderBy(hash(col("vec_id")), col("vec_id"))
-      .limit(math.max(cells, codebookSize)).collect()
+      .limit(math.max(cc, codebookSize)).collect()
     val sampleVecs: Array[Array[Double]] = picked.sortBy(_.getLong(0)).map(r =>
       r.getSeq[Number](1).map(_.doubleValue).toArray)
     PqModel(
-      sampleVecs.take(cells),
+      sampleVecs.take(cc),
       Array.tabulate(m) { j =>
         sampleVecs.take(codebookSize).map(v => v.slice(j * subDim, (j + 1) * subDim))
       },
-      nprobe, rerank)
+      np, rerank)
   }
 
   /** Index rows (vec_id, cid, codes): one codegen'd pass, the full
@@ -251,7 +273,7 @@ object VectorSearch {
 
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 3, m: Int = 8, codebookSize: Int = 32,
+      cells: Int = -1, nprobe: Int = -1, m: Int = 8, codebookSize: Int = 32,
       rerank: Int = 50, dim: Int = 64): DataFrame = {
     val model = pqModel(corpus, cells, m, codebookSize, dim, nprobe, rerank)
     pqSearch(encodeIvfPq(corpus, model), corpus, queries,
