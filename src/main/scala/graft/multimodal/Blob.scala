@@ -191,14 +191,17 @@ object Blob {
     // bucket-capped, complete within the radius) -> media-pair
     // aggregation (one shuffle on the pair). r10 oracle upgrade: the
     // pigeonhole candidate scheme is recall-COMPLETE (the d03
-    // precedent), so the oracle is the brute-force Hamming form over
-    // SQL-restated aHash signatures — block means with the exact
-    // lo/hi = floor boundaries + the hi>lo guard, the global mean as
-    // an ORDERED fold (means of partial frames are not exactly
-    // representable, so summation order matters), bit assembly over
-    // HUGEINT with the signed conversion. maxBucket (non-binding at
-    // oracle scale, like d03's) stays a Spark-side skew guard only.
-    GQ("m04_phash_neardup", Some("""WITH fr AS (
+    // precedent), so the oracle restates the aHash signatures in SQL —
+    // block means with the exact lo/hi = floor boundaries + the hi>lo
+    // guard, the global mean as an ORDERED fold (means of partial
+    // frames are not exactly representable, so summation order
+    // matters), bit assembly over HUGEINT with the signed conversion —
+    // and, r11, MIRRORS the chunk-bucket scheme including maxBucket
+    // (the d03 lesson: a brute-force oracle diverges the moment any
+    // bucket tops the cap; non-binding at today's gate SFs but part of
+    // the operator's semantics, so the oracle models it).
+    GQ("m04_phash_neardup", Some(s"""WITH
+      ${graft.operators.Dedup.oracleSimhashChunks(maxHamming = 4)} fr AS (
         SELECT doc_id AS media_id, frame_no,
                substring(text, CAST(frame_no*1024+1 AS INT), 256) AS frame
         FROM (SELECT doc_id, text,
@@ -238,9 +241,17 @@ object Blob {
                CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
                     THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS s
         FROM sigu),
+      ck AS (
+        SELECT g.fid, s.s, c.i,
+               CAST((g.su // c.plo) % c.pw AS BIGINT) AS ckv
+        FROM sigu g JOIN sig s USING (fid) CROSS JOIN chunkdef c),
+      buck AS (SELECT i, ckv FROM ck GROUP BY i, ckv
+               HAVING COUNT(*) BETWEEN 2 AND 1000),
       pairs AS (
-        SELECT a.fid AS fa, b.fid AS fb, CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-        FROM sig a JOIN sig b ON a.fid < b.fid
+        SELECT DISTINCT a.fid AS fa, b.fid AS fb,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM ck a JOIN buck USING (i, ckv)
+        JOIN ck b ON b.i = a.i AND b.ckv = a.ckv AND a.fid < b.fid
         WHERE bit_count(xor(a.s, b.s)) <= 4)
       SELECT fa//4 AS media_a, fb//4 AS media_b,
              COUNT(*) AS n_frame_matches, MIN(hamming) AS min_hamming

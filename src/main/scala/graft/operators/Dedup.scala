@@ -128,6 +128,21 @@ object Dedup {
     hammingNeighborPairs(sig, maxHamming, maxBucket)
   }
 
+  /** The d03 oracle's chunkdef CTE: one row per pigeonhole chunk with
+    * 2^lo and 2^width as HUGEINT literals, boundaries computed by the
+    * SAME integer arithmetic as [[hammingNeighborPairs]] so the
+    * oracle's (signature // 2^lo) % 2^width equals the Scala side's
+    * shift-and-mask chunk value bit for bit. */
+  private[graft] def oracleSimhashChunks(maxHamming: Int = 6): String = {
+    val n = maxHamming + 1
+    val rows = (0 until n).map { i =>
+      val lo = i * 64 / n
+      val hi = (i + 1) * 64 / n
+      s"($i, ${BigInt(2).pow(lo)}::HUGEINT, ${BigInt(2).pow(hi - lo)}::HUGEINT)"
+    }.mkString(", ")
+    s"chunkdef(i, plo, pw) AS (VALUES $rows),"
+  }
+
   /** All (id_a < id_b) pairs whose 64-bit signatures differ in at most
     * `maxHamming` bits, from a (id, sig) frame — the pigeonhole-complete
     * candidate scheme shared by simhash text dedup (d03) and perceptual-
@@ -683,12 +698,17 @@ object Dedup {
     // deterministic end-to-end — the oracle recomputes FNV-1a 64 per
     // token via list_reduce over HUGEINT (mod 2^64 wrapping = the JVM's
     // Long overflow), takes the per-bit majority vote, reconstructs the
-    // signed 64-bit signature, and brute-forces hamming<=6 pairs. The
-    // pigeonhole chunk scheme on the Spark side is recall-complete, so
-    // the two formulations are row-identical while no bucket exceeds
-    // maxBucket (sf0.01 tops out at corpus size 500 << 1000).
+    // signed 64-bit signature, and then — r11 — MIRRORS the pigeonhole
+    // chunk-bucket scheme INCLUDING the maxBucket cap: the cap is part
+    // of the operator's semantics (the documented recall trade of
+    // principle 6), and the first full sf0.1 oracle sweep proved a
+    // brute-force oracle diverges exactly where a chunk bucket tops
+    // 1000 members (13622 vs 13980 rows at sf0.1; sf0.01 never caps).
+    // Chunk boundaries [i*64/7, (i+1)*64/7) are embedded as 2^lo /
+    // 2^width literals computed by the same integer arithmetic as
+    // hammingNeighborPairs.
     GQ("d03_dedup_simhash",
-      Some("""WITH RECURSIVE toks AS (
+      Some(s"""WITH RECURSIVE ${oracleSimhashChunks()} toks AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
           FROM documents),
@@ -718,11 +738,20 @@ object Dedup {
           SELECT doc_id,
                  CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
                       THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS s
-          FROM sigu)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.s, b.s)) <= 6"""),
+          FROM sigu),
+        ck AS (
+          SELECT g.doc_id, s.s, c.i,
+                 CAST((g.su // c.plo) % c.pw AS BIGINT) AS ckv
+          FROM sigu g JOIN sig s USING (doc_id) CROSS JOIN chunkdef c),
+        buck AS (SELECT i, ckv FROM ck GROUP BY i, ckv
+                 HAVING COUNT(*) BETWEEN 2 AND 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.s AS sa, b.s AS sb
+          FROM ck a JOIN buck USING (i, ckv)
+          JOIN ck b ON b.i = a.i AND b.ckv = a.ckv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 6"""),
       (s, d) => simhashPairs(docs(s, d), maxHamming = 6)),
 
     GQ("d04_dedup_ngram_jaccard",
