@@ -111,6 +111,47 @@ object Engine {
     spark.sql(query)
   }
 
+  /** Corpus-size lookup memoized on the CANONICALIZED logical plan —
+    * the derived-density-knob functions (SemDeDup k, LSH planes, IVF
+    * cells; ARCHITECTURE principle 10) each need |corpus| at
+    * plan-build time, and without memoization every build (bench
+    * warm+timed runs, every PlanLint sweep, repeated model builds in
+    * one serving session) re-runs the count job. Keyed structurally
+    * (canonicalized plan), LRU-bounded, safe under this engine's
+    * immutable-Parquet write discipline — a table MUTATED in place
+    * under an identical plan would serve a stale count, which is the
+    * same staleness contract as Spark's own relation statistics. */
+  private val countCache =
+    new java.util.LinkedHashMap[Any, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, java.lang.Long]): Boolean = size() > 64
+    }
+
+  def memoCount(df: DataFrame): Long = {
+    // Canonicalized-plan OBJECTS from two reads of the same path do not
+    // compare equal (HadoopFsRelation equality is instance-based), so
+    // the key is the canonicalized plan's rendering plus every file
+    // relation's root paths — same path + same plan shape => hit;
+    // different scale-factor dirs stay distinct.
+    val plan = df.queryExecution.analyzed
+    val paths = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }.mkString(";")
+    val k: Any = plan.canonicalized.toString + "|" + paths
+    countCache.synchronized {
+      val hit = countCache.get(k)
+      if (hit != null) return hit.longValue()
+    }
+    val n = df.count()
+    countCache.synchronized { countCache.put(k, n) }
+    n
+  }
+
   // -------------------------------------------------------------------
   // Deterministic numeric helpers shared by the operator library.
   // Double sums are order-dependent across partitions; aggregating through

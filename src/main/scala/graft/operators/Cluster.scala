@@ -13,10 +13,11 @@ import graft.functions.{GraftFunctions => GF}
   * within-cluster near-duplicates by cosine).
   *
   * 100 TB shape shared by both:
-  *  - centroids live on the driver (k x dim doubles, k is a PARAMETER,
-  *    never a function of corpus size) and ship to executors inside the
-  *    plan — assignment is one codegen'd pass over the corpus with no
-  *    row explosion, no window, no join;
+  *  - centroids live on the driver (k x dim doubles; k is a parameter,
+  *    derived as ceil(N / targetCluster) when defaulted — ARCHITECTURE
+  *    principle 10 — so per-cluster work stays constant) and ship to
+  *    executors inside the plan — assignment is one codegen'd pass
+  *    over the corpus with no row explosion, no window, no join;
   *  - the only corpus-wide exchange keys on the (small-cardinality)
   *    cluster id, where partial aggregation collapses each map task's
   *    contribution to <= k x dim rows before the shuffle.
@@ -81,7 +82,7 @@ object Cluster {
   def semanticDedup(e: DataFrame, k: Int = -1, tau: Double = 0.35,
       step: Int = 37, targetCluster: Long = 250L): DataFrame = {
     val kk = if (k > 0) k
-      else math.max(8L, (e.count() + targetCluster - 1) / targetCluster).toInt
+      else math.max(8L, (Engine.memoCount(e) + targetCluster - 1) / targetCluster).toInt
     val cents = seedCentroids(e, kk, step)
     // assignment arms by k: the oracle-expressible literal-array argmax
     // unrolls k cosines into the generated code — past ~16 centroids

@@ -158,7 +158,7 @@ object VectorSearch {
     * equal the embedded-oracle constants (16, 3) exactly. */
   private def deriveCells(corpus: DataFrame, cells: Int): Int =
     if (cells > 0) cells
-    else math.max(16L, (corpus.count() + 124) / 125).toInt
+    else math.max(16L, (Engine.memoCount(corpus) + 124) / 125).toInt
 
   private def deriveNprobe(cells: Int, nprobe: Int): Int =
     if (nprobe > 0) nprobe
@@ -329,7 +329,7 @@ object VectorSearch {
       targetBucket: Long = 128L): Int =
     if (planes > 0) planes
     else {
-      val n = math.max(1L, e.count())
+      val n = math.max(1L, Engine.memoCount(e))
       math.max(minPlanes,
         math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
     }
