@@ -111,38 +111,63 @@ object Engine {
     spark.sql(query)
   }
 
-  /** Corpus-size lookup memoized on the CANONICALIZED logical plan —
-    * the derived-density-knob functions (SemDeDup k, LSH planes, IVF
-    * cells; ARCHITECTURE principle 10) each need |corpus| at
-    * plan-build time, and without memoization every build (bench
-    * warm+timed runs, every PlanLint sweep, repeated model builds in
-    * one serving session) re-runs the count job. Keyed structurally
-    * (canonicalized plan), LRU-bounded, safe under this engine's
-    * immutable-Parquet write discipline — a table MUTATED in place
-    * under an identical plan would serve a stale count, which is the
-    * same staleness contract as Spark's own relation statistics. */
+  /** Corpus-size lookup memoized on the logical plan — the derived-
+    * density-knob functions (SemDeDup k, LSH planes, IVF cells;
+    * ARCHITECTURE principle 10) each need |corpus| at plan-build time,
+    * and without memoization every build (bench warm+timed runs, every
+    * PlanLint sweep, repeated model builds in one serving session)
+    * re-runs the count job.
+    *
+    * Key = the canonicalized plan's `semanticHash` (NOT its rendering —
+    * treeString output truncates per spark.sql.debug.maxToStringFields,
+    * so two plans differing only in elided fields would collide) + every
+    * file relation's root paths + a fingerprint of every file relation's
+    * LISTED FILES. The file fingerprint is what makes the cache correct
+    * under this engine's own write paths with NO explicit invalidation
+    * hooks: COPY-loaded tables, streaming micro-batch appends
+    * (DocsStreaming/EventsStreaming foreachBatch) and Layout compaction
+    * all add/replace parquet part files UNDER an unchanged root path —
+    * a post-write REBUILD of the frame lists the new files, fingerprints
+    * differently, and misses to a fresh count. (Purging from each write
+    * call site was rejected: ~20 sites to keep in sync, and a writer in
+    * ANOTHER session/JVM would still serve this session a stale count;
+    * the listing fingerprint catches both, at the cost of a driver-side
+    * file-status walk per call — metadata-only, no Spark job, the same
+    * cost class as Spark's own relation-statistics refresh.)
+    * A frame held from BEFORE the write still serves its old count —
+    * same staleness contract as the frame's own scan, which pinned its
+    * file list at construction. */
+  private final case class CountKey(
+      semHash: Int, paths: Seq[String], filesFp: Long)
+
   private val countCache =
-    new java.util.LinkedHashMap[Any, java.lang.Long](16, 0.75f, true) {
+    new java.util.LinkedHashMap[CountKey, java.lang.Long](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Any, java.lang.Long]): Boolean = size() > 64
+          e: java.util.Map.Entry[CountKey, java.lang.Long]): Boolean = size() > 64
     }
 
   def memoCount(df: DataFrame): Long = {
-    // Canonicalized-plan OBJECTS from two reads of the same path do not
-    // compare equal (HadoopFsRelation equality is instance-based), so
-    // the key is the canonicalized plan's rendering plus every file
-    // relation's root paths — same path + same plan shape => hit;
-    // different scale-factor dirs stay distinct.
     val plan = df.queryExecution.analyzed
-    val paths = plan.collect {
+    val locs = plan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.mkString(",")
-          case other => other.toString
+            Right(fs.location)
+          case other => Left(other.toString)
         }
-    }.mkString(";")
-    val k: Any = plan.canonicalized.toString + "|" + paths
+    }
+    val paths = locs.map {
+      case Right(loc) => loc.rootPaths.mkString(",")
+      case Left(s) => s
+    }
+    // FNV-1a over the sorted leaf-file names: parquet writers emit
+    // unique part names, so any append/overwrite/compaction changes it
+    val filesFp = locs.collect { case Right(loc) => loc }
+      .flatMap(_.inputFiles).sorted
+      .foldLeft(-3750763034362895579L) { (h, f) =>
+        (h ^ f.hashCode.toLong) * 1099511628211L
+      }
+    val k = CountKey(plan.canonicalized.semanticHash(), paths, filesFp)
     countCache.synchronized {
       val hit = countCache.get(k)
       if (hit != null) return hit.longValue()
@@ -151,6 +176,11 @@ object Engine {
     countCache.synchronized { countCache.put(k, n) }
     n
   }
+
+  /** Drop every memoized count (tests / explicit refresh). The normal
+    * write paths need no call here — see the memoCount key contract. */
+  def invalidateCounts(): Unit =
+    countCache.synchronized { countCache.clear() }
 
   // -------------------------------------------------------------------
   // Deterministic numeric helpers shared by the operator library.

@@ -79,10 +79,16 @@ object Cluster {
     * closure, the kmeans() route). One shuffle on cid for the
     * self-join; the drop set joins back as a shuffle anti join on
     * vec_id. */
+  /** The d10 density knob, exposed for the sf1 oracle generator and the
+    * memoCount staleness spec: k = max(8, ceil(N / targetCluster)) from
+    * one (memoized) count — equals the embedded-oracle constant 8 at
+    * both gate scale factors (N = 500 / 2000). */
+  def derivedK(e: DataFrame, targetCluster: Long = 250L): Int =
+    math.max(8L, (Engine.memoCount(e) + targetCluster - 1) / targetCluster).toInt
+
   def semanticDedup(e: DataFrame, k: Int = -1, tau: Double = 0.35,
       step: Int = 37, targetCluster: Long = 250L): DataFrame = {
-    val kk = if (k > 0) k
-      else math.max(8L, (Engine.memoCount(e) + targetCluster - 1) / targetCluster).toInt
+    val kk = if (k > 0) k else derivedK(e, targetCluster)
     val cents = seedCentroids(e, kk, step)
     // assignment arms by k: the oracle-expressible literal-array argmax
     // unrolls k cosines into the generated code — past ~16 centroids

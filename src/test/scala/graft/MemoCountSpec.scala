@@ -1,33 +1,83 @@
 package graft
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
 
 /** The derived-density-knob functions (SemDeDup k, LSH planes, IVF
   * cells) call Engine.memoCount at plan-build time; without a
   * cross-build cache hit every rebuild of the same query (bench
   * warm+timed, lint sweeps, repeated model builds) would re-run the
   * count job. Frame CONSTRUCTION itself may run a footer/listing job,
-  * so the probe isolates exactly the memoCount call. */
+  * so the probe isolates exactly the memoCount call — and the counting
+  * listener is scoped to a job group + removed in a finally block so
+  * concurrent suite activity cannot flake it and nothing leaks into
+  * the shared session. */
 class MemoCountSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("memoCount hits across separate builds of the same source") {
+  private val group = "memo-count-spec"
+
+  /** Run `body` and return how many jobs the shared session started IN
+    * THIS SPEC'S JOB GROUP while it ran (async listener bus drained
+    * via a sentinel job in a different group). */
+  private def jobsInGroup(body: => Unit): Int = {
     val jc = new java.util.concurrent.atomic.AtomicInteger(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jc.incrementAndGet()
-    })
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jc.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(group, "memoCount probe")
+      try body finally sc.clearJobGroup()
+      // drain the listener bus so body's events are all counted
+      org.apache.spark.GraftTestShim.drainListenerBus(sc)
+      jc.get()
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("memoCount hits across separate builds of the same source") {
     val a = Engine.table(spark, TestSpark.sf, "embeddings")
     val n1 = Engine.memoCount(a)
     val b = Engine.table(spark, TestSpark.sf, "embeddings") // fresh build
-    Thread.sleep(500)
-    val before = jc.get()
-    val n2 = Engine.memoCount(b) // must be a pure cache hit: zero jobs
-    Thread.sleep(500)
+    var n2 = -1L
+    val jobs = jobsInGroup { n2 = Engine.memoCount(b) }
     assert(n1 == n2 && n1 > 0)
-    assert(jc.get() == before,
-      s"memoCount MISSED on a rebuilt frame: ${jc.get() - before} job(s) ran")
+    assert(jobs == 0, s"memoCount MISSED on a rebuilt frame: $jobs job(s) ran")
     // different dirs must NOT collide (key includes root paths)
     val other = Engine.table(spark, "/root/testdata/sf0.01", "embeddings")
     assert(Engine.memoCount(other) != n1 || other.count() == n1)
+  }
+
+  test("an append under the same root invalidates on rebuild — derived k follows") {
+    val dir = java.nio.file.Files.createTempDirectory("memoinv").toString
+    val src = Engine.table(spark, TestSpark.sf, "embeddings").limit(400)
+    src.write.mode(SaveMode.Overwrite).parquet(s"$dir/corpus.parquet")
+
+    val before = Engine.table(spark, dir, "corpus")
+    assert(Engine.memoCount(before) == 400L)
+    // gate regime: ceil(400/100) < 8 -> derived k floors at 8
+    assert(operators.Cluster.derivedK(before, targetCluster = 100L) == 8)
+
+    // streaming-append shape: more part files land UNDER the same root
+    // (what DocsStreaming's foreachBatch / Layout compaction do) —
+    // no cache clear, no invalidation call anywhere
+    Engine.table(spark, TestSpark.sf, "embeddings")
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.mode(SaveMode.Append).parquet(s"$dir/corpus.parquet")
+
+    val after = Engine.table(spark, dir, "corpus")
+    assert(Engine.memoCount(after) == 900L,
+      "rebuilt frame served a stale memoized count after an append")
+    // the derived knob reflects the new corpus: ceil(900/100) = 9
+    assert(operators.Cluster.derivedK(after, targetCluster = 100L) == 9)
+
+    // and the pre-append FRAME still serves its own (old-listing) count —
+    // the documented staleness contract of the frame's own scan
+    assert(Engine.memoCount(before) == 400L)
   }
 }
