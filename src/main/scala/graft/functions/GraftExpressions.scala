@@ -551,9 +551,19 @@ object NearestCellsKernel {
     * fixed parameter (k-means-style coarse codebook), NOT a function of
     * corpus size — this is what keeps IVF assignment linear at 100 TB
     * (no row explosion, no per-row shuffle, no window).
+    *
+    * `round6` ranks by the 6dp-rounded cosine (Spark Round semantics:
+    * BigDecimal.valueOf + HALF_UP — the exact value `round(cos, 6)`
+    * yields) instead of the raw double: the arm-parity contract for
+    * operators whose SMALL-k arm is the oracle-expressible literal
+    * argmax over round(cos, 6) (d10's assignByCosine) — without it the
+    * two arms rank by different precision and assignments can shift
+    * discontinuously when a derived k crosses the arm switch.
+    * IVF/k-means keep round6 = false (their oracles restate the
+    * UNROUNDED kernel compare).
     */
   def topN(v: ArrayData, et: DataType,
-      cents: Array[Array[Double]], n: Int): ArrayData = {
+      cents: Array[Array[Double]], n: Int, round6: Boolean): ArrayData = {
     val get = VectorKernels.conv(et)
     val len = v.numElements()
     // query norm once
@@ -571,8 +581,11 @@ object NearestCellsKernel {
       var dot = 0.0; var nc = 0.0
       var t = 0
       while (t < m) { val x = get(v, t); dot += x * c(t); nc += c(t) * c(t); t += 1 }
-      val sim = if (nv == 0.0 || nc == 0.0) 0.0
+      val simRaw = if (nv == 0.0 || nc == 0.0) 0.0
         else dot / (java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc))
+      val sim = if (!round6) simRaw
+        else java.math.BigDecimal.valueOf(simRaw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       // insertion into the (tiny, best-first) kept list
       if (size < keep || sim > bestSim(size - 1)) {
         var p = math.min(size, keep - 1)
@@ -595,19 +608,20 @@ object NearestCellsKernel {
   * assignment uses n=1; query probing uses n=nprobe.
   */
 case class NearestCells(child: Expression,
-    centroids: Array[Array[Double]], n: Int)
+    centroids: Array[Array[Double]], n: Int, round6: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
   override def nullSafeEval(v: Any): Any =
-    NearestCellsKernel.topN(v.asInstanceOf[ArrayData], elemType, centroids, n)
+    NearestCellsKernel.topN(v.asInstanceOf[ArrayData], elemType, centroids, n,
+      round6)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val cents = ctx.addReferenceObj("cents", centroids, "double[][]")
       val et = ctx.addReferenceObj("et", elemType,
         classOf[DataType].getName)
-      s"${ev.value} = graft.functions.NearestCellsKernel.topN($v, $et, $cents, $n);"
+      s"${ev.value} = graft.functions.NearestCellsKernel.topN($v, $et, $cents, $n, $round6);"
     })
   override protected def withNewChildInternal(c: Expression): NearestCells =
     copy(child = c)
@@ -1254,10 +1268,13 @@ object GraftFunctions {
     * captures its own expression instance directly (GraftShim.column) —
     * no shared registry name, so two live blooms can never probe each
     * other's sketch. */
-  /** Indices (best first) of the `n` nearest codebook centroids to `v`. */
-  def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
+  /** Indices (best first) of the `n` nearest codebook centroids to `v`.
+    * `round6` ranks by round(cos, 6) — see [[NearestCellsKernel.topN]]'s
+    * arm-parity contract. */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int,
+      round6: Boolean = false): Column = {
     val shim = org.apache.spark.sql.GraftShim
-    shim.column(NearestCells(shim.expression(v), centroids, n))
+    shim.column(NearestCells(shim.expression(v), centroids, n, round6))
   }
 
   /** BPE tokenization under a learned merge table — the whole table in

@@ -96,11 +96,14 @@ object Cluster {
     // stage silently falls back to interpreted evaluation (measured:
     // 71 s literal vs 5 s kernel at k=80 on the sf1 probe). Large k uses the native
     // NearestCells kernel (centroid matrix in the task closure, one
-    // call per row); the gate regime (k = 8) keeps the literal form
-    // the DuckDB oracle restates bit-for-bit.
+    // call per row) with round6 = true, so BOTH arms rank by
+    // round(cos, 6) with ties to the lower cid — assignments cannot
+    // shift when the derived k crosses the switch, and the d10 oracle
+    // text (rounded rank) stays valid at ANY k, not just the gate's
+    // literal regime (ClusterSpec pins arm agreement at k = 20).
     val assign =
       if (kk <= 16) assignByCosine(col("embedding"), cents)
-      else GF.nearestCells(col("embedding"), cents, 1)(0)
+      else GF.nearestCells(col("embedding"), cents, 1, round6 = true)(0)
     val asg = e.select(col("vec_id"), col("embedding"), assign.as("cid"))
     val a = asg.select(col("cid").as("cid_a"), col("vec_id").as("id_a"),
       col("embedding").as("va"))

@@ -149,20 +149,34 @@ object VectorSearch {
     * cost dial: the probed fraction nprobe/cells.
     */
   /** Cell count / probe width derived from corpus size when the
-    * caller leaves them defaulted (<= 0): cells = max(16, ceil(N/125))
-    * holds expected CELL SIZE constant as the corpus grows (a fixed
-    * cell count means every cell — and so every probe — grows linearly
-    * with N), and nprobe scales with cells to keep the probed FRACTION
-    * (the recall dial) at its gate value. Same gate-stable discipline
-    * as d10's k and the LSH plane derivation: at sf0.01/sf0.1 these
-    * equal the embedded-oracle constants (16, 3) exactly. */
-  private def deriveCells(corpus: DataFrame, cells: Int): Int =
+    * caller leaves them defaulted (<= 0): cells ~ ceil(sqrt(N/8)) —
+    * the standard IVF regime. Cells LINEAR in N (the r11 form,
+    * ceil(N/125)) holds cell size constant but makes the driver-
+    * collected, task-closure-shipped codebook O(N) and the assignment
+    * pass O(N * cells) ~ quadratic index build; fixed cells makes every
+    * cell grow linearly. sqrt balances the two sides — codebook scan
+    * per row and probed-cell candidate volume per query BOTH grow as
+    * sqrt(N) — and keeps the codebook driver/broadcast-safe at any
+    * corpus (capped at 2^17 cells = 64 MB of doubles at dim 64; the
+    * sqrt of a 100 TB-scale corpus stays under it). nprobe grows
+    * ~ln(cells) — slowly, the recall dial decoupled from the probed
+    * FRACTION (a constant fraction keeps per-query work linear in N,
+    * the regime bug class). Same gate-stable discipline as d10's k and
+    * the LSH plane derivation: at sf0.01/sf0.1 (N = 500/2000) these
+    * equal the embedded-oracle constants (16, 3) exactly —
+    * ceil(sqrt(2000/8)) = 16, ceil(ln 16) = 3. All arithmetic in
+    * double/long before one guarded toInt: no Int overflow at any N. */
+  private[graft] def deriveCells(corpus: DataFrame, cells: Int): Int =
     if (cells > 0) cells
-    else math.max(16L, (Engine.memoCount(corpus) + 124) / 125).toInt
+    else {
+      val n = math.max(1L, Engine.memoCount(corpus))
+      math.min(131072L,
+        math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong)).toInt
+    }
 
-  private def deriveNprobe(cells: Int, nprobe: Int): Int =
+  private[graft] def deriveNprobe(cells: Int, nprobe: Int): Int =
     if (nprobe > 0) nprobe
-    else math.max(3, math.ceil(cells * 3.0 / 16).toInt)
+    else math.max(3, math.ceil(math.log(cells.toDouble)).toInt)
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -325,7 +339,7 @@ object VectorSearch {
     * values (4 for d07, 5 for s05/s10 at N = 500/2000), so the
     * hyperplane-literal oracles stay exact — same discipline as d10's
     * derived k. */
-  private def derivePlanes(e: DataFrame, planes: Int, minPlanes: Int,
+  private[graft] def derivePlanes(e: DataFrame, planes: Int, minPlanes: Int,
       targetBucket: Long = 128L): Int =
     if (planes > 0) planes
     else {
@@ -424,16 +438,20 @@ object VectorSearch {
     * planes -> coarser buckets -> per-table hit probability p^planes
     * stays high, more tables -> P(miss) = (1-p^planes)^tables
     * collapses. At this corpus's neighbor angles (~70 deg) that is
-    * ~98% per-neighbor recall. Growing the corpus, raise planes with
-    * log2(N) and re-size tables to hold the recall product — or skip
-    * the tuning entirely and serve the IVF index. */
+    * ~98% per-neighbor recall. Planes DERIVE from corpus size when
+    * defaulted (the [[derivePlanes]] discipline its own Scaladoc
+    * promised: +1 plane per corpus doubling past targetBucket=250,
+    * floored at 3 — the gate value at N = 500 AND 2000, so the s14
+    * embedded-plane oracle stays exact); 16 tables hold the recall
+    * product. Or skip the tuning entirely and serve the IVF index. */
   def knnClassifierAnn(e: DataFrame, k: Int = 5,
-      planes: Int = 3, tables: Int = 16, dim: Int = 64): DataFrame = {
+      planes: Int = -1, tables: Int = 16, dim: Int = 64): DataFrame = {
     val q = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("label").as("qlabel"))
     knnVote(e, q.select("qid", "qlabel"),
-      lshTopK(e, q.select("qid", "qv"), k, planes, tables, dim))
+      lshTopK(e, q.select("qid", "qv"), k,
+        derivePlanes(e, planes, 3, targetBucket = 250L), tables, dim))
   }
 
   /** s10 purity rollup over a supplied (qid, nid, sim) neighbor set:

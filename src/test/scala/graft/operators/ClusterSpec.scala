@@ -47,6 +47,27 @@ class ClusterSpec extends AnyFunSuite {
     assert(asg.filter(col("cid") >= 4).count() == 0)
   }
 
+  test("assignment arms agree past the k=16 switch (round6 kernel == literal argmax)") {
+    // semanticDedup ranks round(cos, 6) with ties to the lower cid in
+    // BOTH arms: the literal array argmax (k <= 16, oracle-expressible)
+    // and the native kernel with round6 = true (large k). A k = 20
+    // centroid set exercises the kernel arm against the literal form on
+    // the full corpus — any precision or tie divergence shifts a cid.
+    val cents = Cluster.seedCentroids(emb, 20, step = 11)
+    assert(cents.length == 20)
+    val lit = emb.select(col("vec_id"),
+      Cluster.assignByCosine(col("embedding"), cents).as("cid"))
+    val ker = emb.select(col("vec_id"),
+      graft.functions.GraftFunctions
+        .nearestCells(col("embedding"), cents, 1, round6 = true)(0).as("cid"))
+    val diff = lit.as("l").join(ker.as("k"), "vec_id")
+      .filter(col("l.cid") =!= col("k.cid"))
+    assert(diff.count() == 0, "kernel and literal arms disagree")
+    // and the rounded kernel differs from the RAW kernel's contract
+    // only via precision — sanity: both still produce in-range cids
+    assert(lit.filter(col("cid") < 0 || col("cid") >= 20).count() == 0)
+  }
+
   test("kmeans is deterministic and partitions the whole corpus") {
     val (asg1, c1) = Cluster.kmeans(emb, "embedding", k = 10, iters = 3)
     val (_, c2) = Cluster.kmeans(emb, "embedding", k = 10, iters = 3)
