@@ -138,7 +138,7 @@ object Engine {
     * same staleness contract as the frame's own scan, which pinned its
     * file list at construction. */
   private final case class CountKey(
-      semHash: Int, paths: Seq[String], filesFp: Long)
+      tag: String, semHash: Int, paths: Seq[String], filesFp: Long)
 
   private val countCache =
     new java.util.LinkedHashMap[CountKey, java.lang.Long](16, 0.75f, true) {
@@ -146,7 +146,14 @@ object Engine {
           e: java.util.Map.Entry[CountKey, java.lang.Long]): Boolean = size() > 64
     }
 
-  def memoCount(df: DataFrame): Long = {
+  def memoCount(df: DataFrame): Long = memoStat(df, "count")(df.count())
+
+  /** The generalized memo behind [[memoCount]]: any long-valued,
+    * plan-determined table statistic (row count, Skew's sampled
+    * max-key estimate) cached under the same key contract — one
+    * probe job per (statistic, plan, file listing), not one per
+    * operator EXECUTION. */
+  def memoStat(df: DataFrame, tag: String)(compute: => Long): Long = {
     val plan = df.queryExecution.analyzed
     val locs = plan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -167,12 +174,12 @@ object Engine {
       .foldLeft(-3750763034362895579L) { (h, f) =>
         (h ^ f.hashCode.toLong) * 1099511628211L
       }
-    val k = CountKey(plan.canonicalized.semanticHash(), paths, filesFp)
+    val k = CountKey(tag, plan.canonicalized.semanticHash(), paths, filesFp)
     countCache.synchronized {
       val hit = countCache.get(k)
       if (hit != null) return hit.longValue()
     }
-    val n = df.count()
+    val n = compute
     countCache.synchronized { countCache.put(k, n) }
     n
   }

@@ -246,7 +246,7 @@ object Blob {
                CAST((g.su // c.plo) % c.pw AS BIGINT) AS ckv
         FROM sigu g JOIN sig s USING (fid) CROSS JOIN chunkdef c),
       buck AS (SELECT i, ckv FROM ck GROUP BY i, ckv
-               HAVING COUNT(*) BETWEEN 2 AND 1000),
+               HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.Dedup.MaxBucket}),
       pairs AS (
         SELECT DISTINCT a.fid AS fa, b.fid AS fb,
                CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming

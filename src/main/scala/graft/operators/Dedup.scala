@@ -26,6 +26,18 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Degenerate-bucket cap shared by EVERY capped bucket-join scheme
+    * (minhash bands d02, simhash chunks d03, n-gram buckets, the LSH
+    * bucket self-joins in VectorSearch, perceptual-hash chunks m04) AND
+    * by their oracle texts: the cap is part of each operator's
+    * semantics (the documented recall trade of principle 6 — the first
+    * sf0.1 oracle sweep proved a capless oracle diverges exactly where
+    * a bucket tops the cap), so kernel default and oracle SQL must
+    * reference ONE constant — an edit to either alone cannot silently
+    * decouple them. */
+  val MaxBucket: Int = 1000
+
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Engine.table(s, d, "documents")
 
@@ -56,7 +68,7 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3,
       minEstJaccard: Double = 0.2,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): a non-dividing " +
         "split silently ignores the signature tail, and bands beyond the " +
@@ -119,7 +131,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming ($maxHamming) must be in [0, 63] for a 64-bit signature")
     val sig = documents
@@ -152,7 +164,7 @@ object Dedup {
     * (chunk, value); `maxBucket` caps degenerate buckets (constant
     * signatures) so no aggregation row is unbounded. */
   def hammingNeighborPairs(sig: DataFrame, maxHamming: Int,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming ($maxHamming) must be in [0, 63] for a 64-bit signature")
     val nChunks = maxHamming + 1
@@ -675,7 +687,7 @@ object Dedup {
         FROM bandrows a
         JOIN bsz ON bsz.band = a.band AND bsz.slice = a.slice
         JOIN bandrows b ON b.band = a.band AND b.slice = a.slice
-        WHERE a.doc_id < b.doc_id AND bsz.c BETWEEN 2 AND 1000),
+        WHERE a.doc_id < b.doc_id AND bsz.c BETWEEN 2 AND $MaxBucket),
       est AS (
         SELECT c.id_a, c.id_b,
                SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
@@ -744,7 +756,7 @@ object Dedup {
                  CAST((g.su // c.plo) % c.pw AS BIGINT) AS ckv
           FROM sigu g JOIN sig s USING (doc_id) CROSS JOIN chunkdef c),
         buck AS (SELECT i, ckv FROM ck GROUP BY i, ckv
-                 HAVING COUNT(*) BETWEEN 2 AND 1000),
+                 HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                           a.s AS sa, b.s AS sb

@@ -56,14 +56,20 @@ object Skew {
     * scan of `fraction` of the rows plus a sampled-size aggregation;
     * in a real deployment this number comes from table statistics or a
     * prior run's histogram, and this probe is the self-contained
-    * fallback when no stats exist. Returns 0 for an empty sample. */
+    * fallback when no stats exist. Returns 0 for an empty sample.
+    * Memoized through [[graft.Engine.memoStat]] (same key contract as
+    * memoCount: plan + file listing), so a stats-gated operator pays
+    * the sampling job once per (plan, table state), not once per
+    * EXECUTION — e09's repeated builds re-use the estimate, and a
+    * post-append rebuild re-probes. */
   def probeMaxKeyCount(df: DataFrame, key: String,
-      fraction: Double = 0.01, seed: Long = 42L): Long = {
-    val top = df.select(key).sample(withReplacement = false, fraction, seed)
-      .groupBy(key).agg(count(lit(1)).as("c"))
-      .agg(max("c").as("m")).head()
-    if (top.isNullAt(0)) 0L else (top.getLong(0) / fraction).toLong
-  }
+      fraction: Double = 0.01, seed: Long = 42L): Long =
+    graft.Engine.memoStat(df, s"maxKey:$key:$fraction:$seed") {
+      val top = df.select(key).sample(withReplacement = false, fraction, seed)
+        .groupBy(key).agg(count(lit(1)).as("c"))
+        .agg(max("c").as("m")).head()
+      if (top.isNullAt(0)) 0L else (top.getLong(0) / fraction).toLong
+    }
 
   /** [[saltedJoin]] behind the stats gate: salt only when the probe
     * estimates some right-side key above `hotKeyThreshold` rows (a

@@ -387,7 +387,7 @@ object VectorSearch {
     * mutual edge. */
   def mutualKnnGraph(e: DataFrame, k: Int,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim, maxBucket)
     val directed = pairs.select(explode(array(
         struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
@@ -493,7 +493,7 @@ object VectorSearch {
     * rollup. */
   def labelPurityLsh(e: DataFrame, k: Int = 5,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim, maxBucket)
     val directed = pairs.select(explode(array(
         struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
@@ -579,7 +579,7 @@ object VectorSearch {
     * dedup across tables, and the exact rounded cosine scores
     * candidates — identical semantics, engine-independent text. */
   private def oracleLshSims(planes: Int, tables: Int,
-      maxBucket: Int = 1000): String = {
+      maxBucket: Int = Dedup.MaxBucket): String = {
     val planeRows = (0 until planes * tables).map { p =>
       s"($p, [${hyperplane(p, 64).mkString(", ")}])"
     }.mkString(", ")
@@ -667,7 +667,7 @@ object VectorSearch {
     * degenerate buckets (see lshPairSims for the recall trade). */
   def cosineNearDupPairsLsh(e: DataFrame, threshold: Double,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
-      maxBucket: Int = 1000): DataFrame =
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
     lshPairSims(e, derivePlanes(e, planes, 4), tables, dim, maxBucket)
       .filter(col("sim") > threshold)
 

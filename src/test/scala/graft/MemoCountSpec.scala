@@ -15,30 +15,8 @@ import org.apache.spark.sql.functions._
 class MemoCountSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private val group = "memo-count-spec"
-
-  /** Run `body` and return how many jobs the shared session started IN
-    * THIS SPEC'S JOB GROUP while it ran (async listener bus drained
-    * via a sentinel job in a different group). */
-  private def jobsInGroup(body: => Unit): Int = {
-    val jc = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        if (js.properties != null &&
-            group == js.properties.getProperty("spark.jobGroup.id"))
-          jc.incrementAndGet()
-    }
-    val sc = spark.sparkContext
-    sc.addSparkListener(listener)
-    try {
-      sc.setJobGroup(group, "memoCount probe")
-      try body finally sc.clearJobGroup()
-      // drain the listener bus so body's events are all counted
-      org.apache.spark.GraftTestShim.drainListenerBus(sc)
-      jc.get()
-    } finally sc.removeSparkListener(listener)
-  }
+  private def jobsInGroup(body: => Unit): Int =
+    JobCounter.jobsInGroup(spark, "memo-count-spec")(body)
 
   test("memoCount hits across separate builds of the same source") {
     val a = Engine.table(spark, TestSpark.sf, "embeddings")

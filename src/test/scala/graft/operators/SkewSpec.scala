@@ -9,6 +9,25 @@ class SkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("probeMaxKeyCount memoizes: a rebuilt probe side runs zero jobs") {
+    val probeSide = () => graft.Engine.table(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "view").select(col("user_id"))
+    val v1 = Skew.probeMaxKeyCount(probeSide(), "user_id")
+    val rebuilt = probeSide() // fresh frame; construction may run a listing job
+    var v2 = -1L
+    val jobs = graft.JobCounter.jobsInGroup(spark, "skew-probe-memo") {
+      v2 = Skew.probeMaxKeyCount(rebuilt, "user_id")
+    }
+    assert(v1 == v2)
+    assert(jobs == 0, s"memoized probe re-ran $jobs sampling job(s)")
+    // a different key column is a different statistic — must NOT collide
+    val other = Skew.probeMaxKeyCount(
+      graft.Engine.table(spark, TestSpark.sf, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id")), "event_id")
+    assert(other != v1 || v1 == 0L)
+  }
+
   test("salted join equals plain join and actually scatters the hot key") {
     // hot key: 10k left rows on key=1 vs 3 right rows
     val left = (1 to 10000).map(i => (1L, i)) ++ Seq((2L, -1), (3L, -2))
