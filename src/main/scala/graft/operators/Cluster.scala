@@ -223,15 +223,15 @@ object Cluster {
     e.select(col("vec_id"), col("label"), pred.as("pred"))
   }
 
-  val defs: Seq[GQ] = Seq(
-
-    // LIMIT 8 is the DERIVED k at both gate scale factors:
-    // max(8, ceil(N/250)) = 8 for N = 500 (sf0.01) and 2000 (sf0.1).
-    // A larger corpus derives a larger k Spark-side (linear pair
-    // volume); the oracle pins the gate regime.
-    GQ("d10_semantic_dedup",
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8),
+  /** The d10 oracle, parameterized on the derived k: ranks round(cos, 6)
+    * with ties to the lower cid — valid at ANY k since the round6
+    * kernel arm orders identically to the literal arm (arm parity).
+    * defs pins the gate constant (k = 8 at N = 500/2000); the sf1
+    * derived-regime check (tools.DerivedOracles) regenerates it at the
+    * corpus's own derived k. */
+  private[graft] def oracleSemanticDedupSql(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $k),
         c AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid FROM c0),
         asg AS (SELECT vec_id, v, cid FROM (
             SELECT a.vec_id, a.v, c.cid,
@@ -242,7 +242,17 @@ object Cluster {
                   FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
                   WHERE round(${ocos("a.v", "b.v")}, 6) > 0.35)
         SELECT vec_id, cid FROM asg
-        WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""),
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+
+  val defs: Seq[GQ] = Seq(
+
+    // LIMIT 8 is the DERIVED k at both gate scale factors:
+    // max(8, ceil(N/250)) = 8 for N = 500 (sf0.01) and 2000 (sf0.1).
+    // A larger corpus derives a larger k Spark-side (linear pair
+    // volume); the committed text pins the gate regime and
+    // tools.DerivedOracles re-pins the derived regime at sf1.
+    GQ("d10_semantic_dedup",
+      Some(oracleSemanticDedupSql(8)),
       (s, d) => semanticDedup(emb(s, d))),
 
     // Full SQL oracle: the fixed-point centroid means and the rounded-

@@ -262,6 +262,50 @@ object Events {
           .agg(count(col("v_ts")).as("views_prior_hour"))
       }),
 
+    // e09's band join with a PLANTED bot user — the arm a 100 TB
+    // deployment actually runs. The fixture is uniform, so e09's stats
+    // gate always picks the plain join and the salted scatter was
+    // spec-only (r11 verdict); here user 0's views replicate 400x
+    // (fixture-derived, SQL-expressible), the 1% probe estimates the
+    // hot key far above the 1000-row threshold at EVERY scale factor,
+    // and the driver entry runs — and hash-gates — the salt-explode
+    // plan (EventsSpec pins the explode's presence; output is
+    // identical to the plain join by the saltedJoin multiplicity
+    // contract, which is what lets ONE oracle cover the arm).
+    GQ("e32_band_join_bot_skew",
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'),
+          v0 AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+          planted AS (SELECT v.user_id, v.ts FROM v0 v CROSS JOIN range(400) r
+                      WHERE v.user_id = 0),
+          v AS (SELECT * FROM v0 UNION ALL SELECT * FROM planted)
+        SELECT p.event_id AS purchase_id,
+               COUNT(v.ts) AS views_prior_hour
+        FROM p LEFT JOIN v ON v.user_id = p.user_id
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        GROUP BY p.event_id"""),
+      (s, d) => {
+        val e = ev(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        val v0 = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        // replicate via explode (no join — the salt-replication shape),
+        // not crossJoin(range): a cross join would plan a nested loop
+        val planted = v0.filter(col("v_user") === 0)
+          .withColumn("__r", explode(sequence(lit(1), lit(400)))).drop("__r")
+        val v = v0.unionByName(planted)
+        Skew.saltedJoinIfSkewed(p, v, "p_user", "v_user",
+            hotKeyThreshold = 1000L, saltFactor = 8,
+            leftScatter = Seq("purchase_id"),
+            extraCond = col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("v_ts") < col("p_ts"),
+            joinType = "left")
+          .groupBy("purchase_id")
+          .agg(count(col("v_ts")).as("views_prior_hour"))
+      }),
+
     // interval-overlap join WITHOUT an equi key — the case a naive plan
     // turns into a cross product. Scale path: explode each interval to
     // the hour buckets it spans (any overlapping pair shares the bucket

@@ -578,8 +578,10 @@ object VectorSearch {
     * (tbl, bucket) code with the same [2, maxBucket] size guard, pairs
     * dedup across tables, and the exact rounded cosine scores
     * candidates — identical semantics, engine-independent text. */
-  private def oracleLshSims(planes: Int, tables: Int,
-      maxBucket: Int = Dedup.MaxBucket): String = {
+  /** The bucket-membership prefix of [[oracleLshSims]] (planes/e/dots/
+    * buck CTEs) — also the candidate generator of the query-vs-corpus
+    * LSH oracles (s02's shape, reused by s14's serving arm). */
+  private def oracleLshBuckets(planes: Int, tables: Int): String = {
     val planeRows = (0 until planes * tables).map { p =>
       s"($p, [${hyperplane(p, 64).mkString(", ")}])"
     }.mkString(", ")
@@ -591,7 +593,12 @@ object VectorSearch {
       buck AS (
         SELECT vec_id, pid // $planes AS tbl,
                SUM(CASE WHEN d > 0.0 THEN CASE pid % $planes $bits END ELSE 0 END) AS bucket
-        FROM dots GROUP BY 1, 2),
+        FROM dots GROUP BY 1, 2)"""
+  }
+
+  private def oracleLshSims(planes: Int, tables: Int,
+      maxBucket: Int = Dedup.MaxBucket): String = {
+    s"""${oracleLshBuckets(planes, tables)},
       bsz AS (SELECT tbl, bucket, COUNT(*) AS c FROM buck GROUP BY 1, 2),
       pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -655,6 +662,36 @@ object VectorSearch {
           SELECT qid, nid, sim,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
           FROM directed) WHERE rn <= $k)"""
+
+  /** Parameterized derived-knob oracle texts — defs pins each at its
+    * gate constant (where derived == embedded), tools.DerivedOracles
+    * regenerates them at a larger corpus's own derived values so the
+    * derived REGIME is oracle-checked too (the d03-cap lesson: regimes
+    * no oracle ever ran are where divergence hides). */
+  private[graft] def oracleNearDupLshSql(planes: Int): String =
+    s"""WITH ${oracleLshSims(planes, tables = 8)}
+        SELECT id_a, id_b, sim FROM sims WHERE sim > 0.3"""
+
+  private[graft] def oracleMutualKnnSql(planes: Int): String =
+    s"""WITH ${oracleLshSims(planes, tables = 8)},
+        ${oracleDirectedTopK(5)}
+        SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b, MAX(sim) AS sim
+        FROM topk GROUP BY 1, 2 HAVING COUNT(*) = 2"""
+
+  private[graft] def oracleLabelPuritySql(planes: Int): String =
+    s"""WITH ${oracleLshSims(planes, tables = 8)},
+        ${oracleDirectedTopK(5)},
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        m AS (
+          SELECT t.qid, ql.label AS qlabel,
+                 SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS matches,
+                 COUNT(*) AS nn
+          FROM topk t JOIN lbl nl ON nl.vec_id = t.nid
+                      JOIN lbl ql ON ql.vec_id = t.qid
+          GROUP BY 1, 2)
+        SELECT qlabel AS label, COUNT(*) AS n_vecs,
+               CAST((SUM(matches) * 1000000) // SUM(nn) AS DOUBLE) / 1e6 AS mean_purity
+        FROM m GROUP BY 1"""
 
   /** Scale path for near-dup detection: capped multi-table LSH
     * candidates ([[lshPairSims]]) then exact cosine — replaces the
@@ -737,11 +774,121 @@ object VectorSearch {
     hybridRrfFuse(lexTop, vecTop)
   }
 
+  private[graft] def oracleIvfSql(cells: Int, nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
+        seeds AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
+                  ORDER BY mmv.mm, vec_id LIMIT $cells),
+        cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c FROM seeds),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
+            FROM e CROSS JOIN cents) WHERE rn = 1),
+        qprobe AS (
+          SELECT vec_id AS qid, cid FROM (
+            SELECT e.vec_id, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
+            FROM e CROSS JOIN cents WHERE e.vec_id % 100 = 0) WHERE rn <= $nprobe),
+        pairs AS (
+          SELECT DISTINCT q.qid, c.vec_id AS nid
+          FROM qprobe q JOIN asg c ON c.cid = q.cid
+          WHERE c.vec_id <> q.qid),
+        scored AS (
+          SELECT p.qid, p.nid, round($oracleCosine, 6) AS sim
+          FROM pairs p JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = p.nid)
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored) WHERE rn <= 10"""
+
+  private[graft] def oracleKnnAnnSql(planes: Int, tables: Int): String =
+    s"""WITH ${oracleLshBuckets(planes, tables)},
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+        scored AS (
+          SELECT cand.qid, cand.nid, round($oracleCosine, 6) AS sim
+          FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid),
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        top5 AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored) WHERE rn <= 5),
+        votes AS (SELECT t.qid, nl.label AS nlabel, COUNT(*) AS c
+                  FROM top5 t JOIN lbl nl ON nl.vec_id = t.nid GROUP BY 1, 2)
+        SELECT v.qid, ql.label AS label, v.nlabel AS pred FROM (
+          SELECT qid, nlabel,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rn
+          FROM votes) v JOIN lbl ql ON ql.vec_id = v.qid WHERE v.rn = 1"""
+
+  /** The s04 IVF-PQ oracle, factored out verbatim: the index-SERVED
+    * arm (s15) is semantically IDENTICAL to the inline arm — probed
+    * cells become a partition filter, nothing else changes — so one
+    * oracle text gates both. */
+  private[graft] def oracleIvfPqSql(cells: Int, nprobe: Int): String = s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
+        samp AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
+                 ORDER BY mmv.mm, vec_id LIMIT ${math.max(cells, 32)}),
+        s32 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sid, v FROM samp),
+        cents AS (SELECT sid AS cid, v AS c FROM s32 WHERE sid < $cells),
+        books AS (
+          SELECT j, sid AS c, v[j*8+1 : j*8+8] AS w
+          FROM s32 CROSS JOIN (SELECT unnest(range(8)) AS j) WHERE sid < 32),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
+            FROM e CROSS JOIN cents) WHERE rn = 1),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT e.vec_id, b.j, b.c,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.j
+                     ORDER BY ${oracleCosRaw("e.v[b.j*8+1 : b.j*8+8]", "b.w")} DESC, b.c) AS rn
+            FROM e CROSS JOIN books b) WHERE rn = 1),
+        qprobe AS (
+          SELECT vec_id AS qid, cid FROM (
+            SELECT e.vec_id, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
+            FROM e CROSS JOIN cents WHERE e.vec_id % 100 = 0) WHERE rn <= $nprobe),
+        adc AS (
+          SELECT e.vec_id AS qid, b.j, b.c,
+                 list_dot_product(e.v[b.j*8+1 : b.j*8+8], b.w) AS dot
+          FROM e CROSS JOIN books b WHERE e.vec_id % 100 = 0),
+        cand AS (
+          SELECT q.qid, a.vec_id AS nid
+          FROM qprobe q JOIN asg a ON a.cid = q.cid
+          WHERE a.vec_id <> q.qid),
+        adcscore AS (
+          SELECT cand.qid, cand.nid,
+                 list_reduce(list_prepend(0.0, list(adc.dot ORDER BY adc.j)),
+                   (x, y) -> x + y) AS sim
+          FROM cand
+          JOIN codes ON codes.vec_id = cand.nid
+          JOIN adc ON adc.qid = cand.qid AND adc.j = codes.j AND adc.c = codes.code
+          GROUP BY cand.qid, cand.nid),
+        shortlist AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM adcscore) WHERE rn <= 50),
+        exact AS (
+          SELECT s.qid, s.nid, round($oracleCosine, 6) AS sim
+          FROM shortlist s JOIN e a ON a.vec_id = s.qid JOIN e b ON b.vec_id = s.nid)
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM exact) WHERE rn <= 10"""
+
   val defs: Seq[GQ] = Seq(
 
     GQ("d07_embedding_neardup_lsh", // r10: full oracle via embedded planes
-      Some(s"""WITH ${oracleLshSims(planes = 4, tables = 8)}
-        SELECT id_a, id_b, sim FROM sims WHERE sim > 0.3"""),
+      Some(oracleNearDupLshSql(4)),
       (s, d) => cosineNearDupPairsLsh(emb(s, d), 0.3)),
 
     GQ("d06_embedding_neardup",
@@ -794,34 +941,7 @@ object VectorSearch {
     // cell assignment as rank-1 over the UNROUNDED kernel cosine (ties
     // to the lower cid, per NearestCellsKernel's strict insert), nprobe
     // probing as rank<=3, then the s02-style scored top-10 tail.
-    GQ("s03_ann_ivf", Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
-        seeds AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
-                  ORDER BY mmv.mm, vec_id LIMIT 16),
-        cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c FROM seeds),
-        asg AS (
-          SELECT vec_id, cid FROM (
-            SELECT e.vec_id, cents.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
-            FROM e CROSS JOIN cents) WHERE rn = 1),
-        qprobe AS (
-          SELECT vec_id AS qid, cid FROM (
-            SELECT e.vec_id, cents.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
-            FROM e CROSS JOIN cents WHERE e.vec_id % 100 = 0) WHERE rn <= 3),
-        pairs AS (
-          SELECT DISTINCT q.qid, c.vec_id AS nid
-          FROM qprobe q JOIN asg c ON c.cid = q.cid
-          WHERE c.vec_id <> q.qid),
-        scored AS (
-          SELECT p.qid, p.nid, round($oracleCosine, 6) AS sim
-          FROM pairs p JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = p.nid)
-        SELECT qid, nid, sim FROM (
-          SELECT qid, nid, sim,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-          FROM scored) WHERE rn <= 10"""),
+    GQ("s03_ann_ivf", Some(oracleIvfSql(16, 3)),
       (s, d) => {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") % 100 === 0)
@@ -836,61 +956,7 @@ object VectorSearch {
     // ADC score is an ORDER-SENSITIVE 8-term double sum, restated as an
     // ordered list_reduce fold over j; shortlist and final heaps are
     // the proven rank() forms (ADC shortlist UNROUNDED, rerank 6dp).
-    GQ("s04_ann_ivfpq", Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
-        samp AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
-                 ORDER BY mmv.mm, vec_id LIMIT 32),
-        s32 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS sid, v FROM samp),
-        cents AS (SELECT sid AS cid, v AS c FROM s32 WHERE sid < 16),
-        books AS (
-          SELECT j, sid AS c, v[j*8+1 : j*8+8] AS w
-          FROM s32 CROSS JOIN (SELECT unnest(range(8)) AS j)),
-        asg AS (
-          SELECT vec_id, cid FROM (
-            SELECT e.vec_id, cents.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
-            FROM e CROSS JOIN cents) WHERE rn = 1),
-        codes AS (
-          SELECT vec_id, j, c AS code FROM (
-            SELECT e.vec_id, b.j, b.c,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.j
-                     ORDER BY ${oracleCosRaw("e.v[b.j*8+1 : b.j*8+8]", "b.w")} DESC, b.c) AS rn
-            FROM e CROSS JOIN books b) WHERE rn = 1),
-        qprobe AS (
-          SELECT vec_id AS qid, cid FROM (
-            SELECT e.vec_id, cents.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
-            FROM e CROSS JOIN cents WHERE e.vec_id % 100 = 0) WHERE rn <= 3),
-        adc AS (
-          SELECT e.vec_id AS qid, b.j, b.c,
-                 list_dot_product(e.v[b.j*8+1 : b.j*8+8], b.w) AS dot
-          FROM e CROSS JOIN books b WHERE e.vec_id % 100 = 0),
-        cand AS (
-          SELECT q.qid, a.vec_id AS nid
-          FROM qprobe q JOIN asg a ON a.cid = q.cid
-          WHERE a.vec_id <> q.qid),
-        adcscore AS (
-          SELECT cand.qid, cand.nid,
-                 list_reduce(list_prepend(0.0, list(adc.dot ORDER BY adc.j)),
-                   (x, y) -> x + y) AS sim
-          FROM cand
-          JOIN codes ON codes.vec_id = cand.nid
-          JOIN adc ON adc.qid = cand.qid AND adc.j = codes.j AND adc.c = codes.code
-          GROUP BY cand.qid, cand.nid),
-        shortlist AS (
-          SELECT qid, nid FROM (
-            SELECT qid, nid,
-                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-            FROM adcscore) WHERE rn <= 50),
-        exact AS (
-          SELECT s.qid, s.nid, round($oracleCosine, 6) AS sim
-          FROM shortlist s JOIN e a ON a.vec_id = s.qid JOIN e b ON b.vec_id = s.nid)
-        SELECT qid, nid, sim FROM (
-          SELECT qid, nid, sim,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-          FROM exact) WHERE rn <= 10"""),
+    GQ("s04_ann_ivfpq", Some(oracleIvfPqSql(16, 3)),
       (s, d) => {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") % 100 === 0)
@@ -899,10 +965,7 @@ object VectorSearch {
       }),
 
     GQ("s05_mutual_knn_graph", // r10: full oracle via embedded planes
-      Some(s"""WITH ${oracleLshSims(planes = 5, tables = 8)},
-        ${oracleDirectedTopK(5)}
-        SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b, MAX(sim) AS sim
-        FROM topk GROUP BY 1, 2 HAVING COUNT(*) = 2"""),
+      Some(oracleMutualKnnSql(5)),
       (s, d) => mutualKnnGraph(emb(s, d), 5)),
 
     // exact fixed-radius retrieval: scan + filter, no heap, no window —
@@ -1036,19 +1099,7 @@ object VectorSearch {
     GQ("s10_label_purity", // r10: full oracle (reverses the r9 coverage
       // regression — the BENCHED bounded arm is now hash-gated, not
       // only spec-pinned against the exact arm)
-      Some(s"""WITH ${oracleLshSims(planes = 5, tables = 8)},
-        ${oracleDirectedTopK(5)},
-        lbl AS (SELECT vec_id, label FROM embeddings),
-        m AS (
-          SELECT t.qid, ql.label AS qlabel,
-                 SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS matches,
-                 COUNT(*) AS nn
-          FROM topk t JOIN lbl nl ON nl.vec_id = t.nid
-                      JOIN lbl ql ON ql.vec_id = t.qid
-          GROUP BY 1, 2)
-        SELECT qlabel AS label, COUNT(*) AS n_vecs,
-               CAST((SUM(matches) * 1000000) // SUM(nn) AS DOUBLE) / 1e6 AS mean_purity
-        FROM m GROUP BY 1"""),
+      Some(oracleLabelPuritySql(5)),
       (s, d) => labelPurityLsh(emb(s, d))),
 
     // Class-separability audit — s10's global companion: per label, the
@@ -1170,6 +1221,34 @@ object VectorSearch {
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         mmrRerank(e, q, k = 4, kCand = 8)
+      }),
+
+    // The SERVING arm of k-NN classification, promoted to a driver
+    // entry (r11 left it spec-only): neighbors from the multi-table
+    // LSH bucket join with DERIVED planes (= the embedded constant 3
+    // at both gate SFs — the d02 embedded-hyperplane discipline), 16
+    // tables, then the s09 vote tail. Full SQL oracle: the planes
+    // embed as literals, candidates are the s02 bucket-join shape,
+    // votes/argmax are integer counting. The benched plan here is the
+    // one a deployment actually serves (s09's brute |Q| x N arm stays
+    // the exact-oracle audit entry).
+    GQ("s14_knn_classifier_ann",
+      Some(oracleKnnAnnSql(3, 16)),
+      (s, d) => knnClassifierAnn(emb(s, d))),
+
+    // Index-SERVED IVF-PQ retrieval as a driver entry (r11 pinned it
+    // only in VectorSearchSpec/ServingPathSpec): encode once, search
+    // through the index frame with probed-cell pruning — semantically
+    // IDENTICAL to the inline s04 arm, so the factored s04 oracle text
+    // gates it; what the entry adds is per-round bench + hash tracking
+    // of the serving PLAN (isin partition filter, shortlist rerank).
+    GQ("s15_ann_ivfpq_indexed", Some(oracleIvfPqSql(16, 3)),
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val model = pqModel(e)
+        ivfPqTopKIndexed(encodeIvfPq(e, model), e, q, model, 10)
       })
   )
 

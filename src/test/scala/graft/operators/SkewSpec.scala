@@ -95,6 +95,17 @@ class SkewSpec extends AnyFunSuite {
     assert(!uniPlan.contains("__salt_l"))
   }
 
+  test("e32 driver entry engages the salted arm (plan carries the salt explode)") {
+    // the planted 400x bot user must trip the stats gate at the driver
+    // scale factors — otherwise the entry would silently hash-pass on
+    // the plain arm (output is identical by contract) and the salted
+    // plan would stay production-untested, the r11 gap
+    val df = graft.SparkEntry.queries("e32_band_join_bot_skew")(
+      spark, TestSpark.sf)
+    assert(df.queryExecution.optimizedPlan.toString.contains("__salt_l"),
+      "e32 ran the PLAIN arm: the planted skew did not trip the probe")
+  }
+
   test("e09's band join: salted arm equals the plain arm on real events") {
     import graft.Engine
     val e = Engine.table(spark, TestSpark.sf, "events")
