@@ -141,11 +141,15 @@ class PlanLintSpec extends AnyFunSuite {
     *    client here by definition; portal fetches are maxRows-capped.
     *  - Skew.scala 1: the ONE-row max-key-count probe aggregate gating
     *    the salted-join arm (sampled, scalar result).
+    *  - ClusterCheck.scala 1: the ONE-row (sum, count) fingerprint
+    *    aggregate of the multi-JVM parity harness — a scalar per
+    *    query, never rows.
     */
   private val collectBudget = Map(
     "Catalog.scala" -> 2, "Dedup.scala" -> 1, "Bpe.scala" -> 2,
     "Relational.scala" -> 1, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
-    "Layout.scala" -> 3, "WireServer.scala" -> 2, "Skew.scala" -> 1)
+    "Layout.scala" -> 3, "WireServer.scala" -> 2, "Skew.scala" -> 1,
+    "ClusterCheck.scala" -> 1)
 
   test("every driver-side collect in src/main is audited and budgeted") {
     import scala.jdk.CollectionConverters._
