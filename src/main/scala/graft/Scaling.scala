@@ -12,8 +12,51 @@ import org.apache.spark.sql.SparkSession
   * problem. Results feed SCALING.md.
   *
   * Usage: runMain graft.Scaling <sfDirA> <sfDirB> [query ...]
+  *        runMain graft.Scaling <sfDirA> <sfDirB> --gate [offset] [count]
+  *
+  * `--gate` is the committed REGRESSION GATE (r11 verdict #4: the
+  * d10/s05 regime bugs sat undetected for ten rounds of green fixed-SF
+  * benches — only a scale STEP exposes them): every query carries a
+  * scaling class in SCALING_BUDGET.json, each class a time-ratio cap
+  * for a 10x data step, and the run FAILS (exit 1) when a query's
+  * warm ratio leaves its class envelope. The allowance is
+  * max(classCap, 1.5 x outputGrowth): growth-tracking operators (near-
+  * dup miners whose PAIR OUTPUT genuinely explodes with the planted
+  * duplicate structure) are judged against their own output, everyone
+  * else against the class cap. ScalingBudgetSpec lints the budget
+  * file's completeness, so a new driver query cannot ship unclassified.
   */
 object Scaling {
+
+  /** Per-class time-ratio caps for a 10x data step (warm, local[32]).
+    * flat: value-domain-bounded state (d15/d16, percentile rollups) —
+    * data growth must not move them. sublinear: one-pass scans +
+    * key-bounded shuffles with parallel headroom — the suite default.
+    * linear: work honestly tracks the data (corpus-vs-corpus candidate
+    * generation feeding a bounded rollup) — 10x data may cost ~10x,
+    * the 13x cap adds warm-time noise margin. brute: DECLARED
+    * |Q| x N audit arms where both factors grow with SF (their scale
+    * twin is the gated one); capped loosely so a runaway still fails. */
+  val classCaps: Map[String, Double] =
+    Map("flat" -> 3.0, "sublinear" -> 6.0, "linear" -> 13.0, "brute" -> 50.0)
+
+  final case class Budget(default: String, queries: Map[String, String]) {
+    def classOf(q: String): String = queries.getOrElse(q, default)
+    def cap(q: String): Double = classCaps(classOf(q))
+  }
+
+  /** Parse SCALING_BUDGET.json (flat two-field schema, no JSON dep). */
+  def loadBudget(path: String = "SCALING_BUDGET.json"): Budget = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val entry = """"([A-Za-z0-9_]+)"\s*:\s*"([a-z]+)"""".r
+    val pairs = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toSeq
+    val default = pairs.collectFirst { case ("default", c) => c }.getOrElse("sublinear")
+    val qs = pairs.filterNot(_._1 == "default").toMap
+    val bad = qs.values.toSet.diff(classCaps.keySet)
+    require(bad.isEmpty, s"unknown scaling classes: $bad")
+    Budget(default, qs)
+  }
   private val headline = Seq(
     "q03_top_orders", "q05_nation_revenue", "q59_mad_outliers",
     "q69_market_basket", "d02_dedup_minhash_lsh",
@@ -29,14 +72,16 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val Array(dirA, dirB) = args.take(2)
+    val gateMode = args.length > 2 && args(2) == "--gate"
     val names =
-      if (args.length > 2 && args(2) == "--all")
+      if (gateMode || (args.length > 2 && args(2) == "--all"))
         SparkEntry.queries.keys.toSeq.sorted
           .filterNot(declaredQuadratic)
           .drop(if (args.length > 3) args(3).toInt else 0)
           .take(if (args.length > 4) args(4).toInt else Int.MaxValue)
       else if (args.length > 2) args.drop(2).toSeq
       else headline
+    val budget = if (gateMode) Some(loadBudget()) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,12 +99,26 @@ object Scaling {
       val rows = fn(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, rows)
     }
+    var failures = List.empty[String]
     for (name <- names) {
       val (ta, ra) = timed(name, dirA)
       val (tb, rb) = timed(name, dirB)
+      val ratio = tb / math.max(ta, 1e-9)
+      val gate = budget.map { b =>
+        val growth = rb.toDouble / math.max(ra, 1L)
+        val allowed = math.max(b.cap(name), 1.5 * growth)
+        val ok = ratio <= allowed
+        if (!ok) failures ::= f"$name ratio $ratio%.1f > allowed $allowed%.1f (${b.classOf(name)})"
+        s""","class":"${b.classOf(name)}","allowed":${f3(allowed)},"gate":"${if (ok) "PASS" else "FAIL"}""""
+      }.getOrElse("")
       println(s"""{"query":"$name","secsA":${f3(ta)},"secsB":${f3(tb)},""" +
-        s""""ratio":${f3(tb / math.max(ta, 1e-9))},"rowsA":$ra,"rowsB":$rb}""")
+        s""""ratio":${f3(ratio)},"rowsA":$ra,"rowsB":$rb$gate}""")
     }
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[scaling-gate] ${failures.size} FAILED:\n  " +
+        failures.reverse.mkString("\n  "))
+      sys.exit(1)
+    }
   }
 }
