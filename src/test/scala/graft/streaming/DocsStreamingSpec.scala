@@ -343,6 +343,88 @@ class DocsStreamingSpec extends AnyFunSuite {
     assert(spark.table("inv_doclens").count() == 5)
   }
 
+  test("chaos: index-ingest crash before checkpoint commit — BM25 serve equals uninterrupted twin") {
+    // the DocsStreaming half of the crash-window chaos (see
+    // EventsStreamingSpec's twin case for the window anatomy): the
+    // inverted-index ingest does TWO idempotentBatchAppend writes per
+    // batch (postings + doclens), so a crash between them leaves the
+    // index tables mutually inconsistent — exactly what the replay
+    // must heal. Batch 1's postings land, its doclens partition is
+    // mangled to one row, commits/1 is deleted; restart must replay
+    // and serve bit-identical BM25.
+    import java.nio.file.Files
+    import spark.implicits._
+    val src = Files.createTempDirectory("doc_chaos_src").toString
+    val ckpt = Files.createTempDirectory("doc_chaos_ckpt").toString
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir); f.delete(); ()
+    }
+    for (t <- Seq("chaos_postings", "chaos_doclens",
+        "twin_postings", "twin_doclens")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists) rmDir(loc)
+    }
+    val docsAll = Seq(
+      (1L, "hash join against the shuffle service"),
+      (2L, "sort merge join spills to disk"),
+      (3L, "broadcast hash join skips the shuffle"),
+      (4L, "adaptive execution re-plans the join"),
+      (5L, "columnar scan with predicate pushdown"))
+    def schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def start(pt: String, dt: String, cp: Option[String]) =
+      DocsStreaming.invertedIndexIngestQuery(
+        spark.readStream.schema(schema).parquet(src), pt, dt, cp)
+    docsAll.take(2).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    var q = start("chaos_postings", "chaos_doclens", Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    docsAll.drop(2).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    q = start("chaos_postings", "chaos_doclens", Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    val commit = new java.io.File(s"$ckpt/commits/1")
+    assert(commit.exists, "expected commits/1 in the checkpoint")
+    assert(commit.delete())
+    // the checksum FS shadows every log file with .N.crc; a stale crc
+    // makes the replay's atomic rename fail as "concurrent use"
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    spark.catalog.refreshTable("chaos_doclens")
+    val b1 = spark.table("chaos_doclens")
+      .filter(col("batch_id") === 1L).drop("batch_id").cache()
+    val b1Rows = b1.count()
+    assert(b1Rows == 3)
+    graft.Layout.idempotentBatchAppend(b1.limit(1), "chaos_doclens", 1L, Seq.empty)
+    b1.unpersist()
+
+    q = start("chaos_postings", "chaos_doclens", Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val tq = start("twin_postings", "twin_doclens", None)
+    tq.processAllAvailable(); tq.stop(); tq.awaitTermination()
+
+    val terms = Seq("hash", "shuffle", "join")
+    def serve(pt: String, dt: String) = {
+      spark.catalog.refreshTable(pt); spark.catalog.refreshTable(dt)
+      graft.operators.TextPipeline.bm25FromIndex(
+          spark.table(pt), spark.table(dt), terms)
+        .collect().map(r => r.getLong(0) ->
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+        .sortBy(_._1).toSeq
+    }
+    assert(serve("chaos_postings", "chaos_doclens") ==
+      serve("twin_postings", "twin_doclens"),
+      "post-crash BM25 serve diverged from the uninterrupted twin")
+    spark.catalog.refreshTable("chaos_doclens")
+    assert(spark.table("chaos_doclens")
+      .filter(col("batch_id") === 1L).count() == b1Rows)
+  }
+
   test("property: state-side editDistance == Spark's levenshtein") {
     // the streaming twin computes distances inside the state update (no
     // Column functions there); its DP must agree with the batch plan's

@@ -386,4 +386,84 @@ class EventsStreamingSpec extends AnyFunSuite {
       assert(math.abs(rankOf(p95) - 0.95) <= 0.03, s"$t p95=$p95 rank=${rankOf(p95)}")
     }
   }
+
+  test("chaos: crash between batch write and checkpoint commit — serve path equals uninterrupted twin") {
+    // r11 asserted replay idempotence by RE-RUNNING a batch; this
+    // induces the actual crash window. After batch 1's foreachBatch
+    // write lands, the checkpoint's commits/1 marker is deleted (the
+    // exact on-disk state of a crash between the table write and the
+    // commit) AND the landed batch-1 partition is mangled to one row
+    // (the on-disk state of a crash MIDWAY through the write, before
+    // dynamic partition overwrite swapped the full file set in). A
+    // restart from the checkpoint must replay batch 1, replace the
+    // partial partition, and serve EXACTLY what an uninterrupted run
+    // serves.
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("ev_chaos_src").toString
+    val ckpt = Files.createTempDirectory("ev_chaos_ckpt").toString
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir); f.delete(); ()
+    }
+    for (t <- Seq("ev_chaos_rollup", "ev_chaos_twin")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists) rmDir(loc)
+    }
+    val events = Engine.table(spark, TestSpark.sf, "events")
+    def start(table: String, cp: Option[String]) = {
+      val stream = spark.readStream
+        .schema(EventsStreaming.eventsSchema).parquet(src)
+      EventsStreaming.exactQuantileRollupQuery(stream, table,
+        Seq("event_type"), "value", cp)
+    }
+    // batch 0: even event_ids; batch 1: odd
+    events.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    var q = start("ev_chaos_rollup", Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    events.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(src)
+    q = start("ev_chaos_rollup", Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    // induce the crash window on batch 1
+    val commit = new java.io.File(s"$ckpt/commits/1")
+    assert(commit.exists, "expected commits/1 in the checkpoint")
+    assert(commit.delete())
+    // the checksum FS shadows every log file with .N.crc; a stale crc
+    // makes the replay's atomic rename fail as "concurrent use"
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    spark.catalog.refreshTable("ev_chaos_rollup")
+    val fullBatch1 = spark.table("ev_chaos_rollup")
+      .filter(col("batch_id") === 1L).drop("batch_id").cache()
+    val fullRows = fullBatch1.count()
+    assert(fullRows > 1)
+    graft.Layout.idempotentBatchAppend( // the half-written state
+      fullBatch1.limit(1), "ev_chaos_rollup", 1L, Seq.empty)
+    fullBatch1.unpersist()
+
+    // restart: the engine sees offsets/1 without commits/1 -> replays
+    q = start("ev_chaos_rollup", Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    // uninterrupted twin (single batch — a DIFFERENT batch split, which
+    // the serve-path rollup must be invariant to)
+    val tq = start("ev_chaos_twin", None)
+    tq.processAllAvailable(); tq.stop(); tq.awaitTermination()
+
+    def serve(t: String) = {
+      spark.catalog.refreshTable(t)
+      EventsStreaming.readExactQuantiles(spark.table(t),
+          Seq("event_type"), "value", Seq(0.5 -> "p50", 0.95 -> "p95"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toMap
+    }
+    assert(serve("ev_chaos_rollup") == serve("ev_chaos_twin"),
+      "post-crash replay diverged from the uninterrupted twin")
+    // and the mangled partition was fully replaced, not appended to
+    spark.catalog.refreshTable("ev_chaos_rollup")
+    assert(spark.table("ev_chaos_rollup")
+      .filter(col("batch_id") === 1L).count() == fullRows)
+  }
 }
