@@ -265,19 +265,24 @@ object Events {
     // e09's band join with a PLANTED bot user — the arm a 100 TB
     // deployment actually runs. The fixture is uniform, so e09's stats
     // gate always picks the plain join and the salted scatter was
-    // spec-only (r11 verdict); here user 0's views replicate 400x
-    // (fixture-derived, SQL-expressible), the 1% probe estimates the
-    // hot key far above the 1000-row threshold at EVERY scale factor,
-    // and the driver entry runs — and hash-gates — the salt-explode
-    // plan (EventsSpec pins the explode's presence; output is
-    // identical to the plain join by the saltedJoin multiplicity
-    // contract, which is what lets ONE oracle cover the arm).
+    // spec-only (r11 verdict); here user 0 gains 400 synthetic views
+    // 30 minutes before EACH of its purchases (fixture-derived,
+    // SQL-expressible bot behavior) — so the hot key both trips the 1%
+    // probe far above the 1000-row threshold at every scale factor AND
+    // genuinely multiplies rows inside the join (each bot purchase
+    // matches every planted view in its trailing hour: the row-
+    // multiplication failure AQE skew-split cannot touch). The driver
+    // entry runs — and hash-gates — the salt-explode plan (SkewSpec
+    // pins the explode's presence; output is identical to the plain
+    // join by the saltedJoin multiplicity contract, which is what lets
+    // ONE oracle cover the arm).
     GQ("e32_band_join_bot_skew",
       Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
                 WHERE event_type = 'purchase'),
           v0 AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
-          planted AS (SELECT v.user_id, v.ts FROM v0 v CROSS JOIN range(400) r
-                      WHERE v.user_id = 0),
+          planted AS (SELECT b.user_id, b.ts - INTERVAL 30 MINUTE AS ts
+                      FROM events b CROSS JOIN range(400) r
+                      WHERE b.event_type = 'purchase' AND b.user_id = 0),
           v AS (SELECT * FROM v0 UNION ALL SELECT * FROM planted)
         SELECT p.event_id AS purchase_id,
                COUNT(v.ts) AS views_prior_hour
@@ -293,7 +298,10 @@ object Events {
           .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
         // replicate via explode (no join — the salt-replication shape),
         // not crossJoin(range): a cross join would plan a nested loop
-        val planted = v0.filter(col("v_user") === 0)
+        val planted = e
+          .filter(col("event_type") === "purchase" && col("user_id") === 0)
+          .select(col("user_id").as("v_user"),
+            (col("ts") - expr("INTERVAL 30 MINUTES")).as("v_ts"))
           .withColumn("__r", explode(sequence(lit(1), lit(400)))).drop("__r")
         val v = v0.unionByName(planted)
         Skew.saltedJoinIfSkewed(p, v, "p_user", "v_user",
