@@ -601,6 +601,64 @@ object NearestCellsKernel {
   }
 }
 
+/** One-pass multi-table LSH bucket codes. */
+object LshBucketsKernel {
+  /** Bucket code of `v` under every table's hyperplane set: table t's
+    * code sets bit j when dot(v, planes[t*perTable + j]) > 0 — the
+    * EXACT per-plane semantics of the literal `graft_dot(v, h) > 0`
+    * form (same left-to-right IEEE accumulation over min-length), so
+    * swapping the unrolled-literal plan for this kernel changes no
+    * bucket anywhere. One call per row; the plane matrix rides the
+    * plan as a referenced object (the [[NearestCells]] lifecycle) —
+    * at tables x planes beyond a handful, the literal form's
+    * generated code grows past what Janino compiles cheaply (s14's 48
+    * embedded 64-double arrays), while this stays O(1) plan size. */
+  def buckets(v: ArrayData, et: DataType, planes: Array[Array[Double]],
+      tables: Int, perTable: Int): ArrayData = {
+    val get = VectorKernels.conv(et)
+    val len = v.numElements()
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0
+      var j = 0
+      while (j < perTable) {
+        val p = planes(t * perTable + j)
+        val n = math.min(len, p.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += get(v, i) * p(i); i += 1 }
+        if (d > 0.0) code |= (1 << j)
+        j += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_lsh_buckets(vec) -> array<int>: all `tables` bucket codes in
+  * one native pass (see [[LshBucketsKernel.buckets]]). */
+case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+    tables: Int, perTable: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any =
+    LshBucketsKernel.buckets(v.asInstanceOf[ArrayData], elemType, planes,
+      tables, perTable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[][]")
+      val et = ctx.addReferenceObj("et", elemType, classOf[DataType].getName)
+      s"${ev.value} = graft.functions.LshBucketsKernel.buckets($v, $et, $pl, $tables, $perTable);"
+    })
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+  override def prettyName: String = "graft_lsh_buckets"
+}
+
 /** graft_nearest_cells(vec) -> array<int>: indices of the `n` nearest
   * centroids (cosine, best first) from a driver-built codebook. The
   * codebook is captured in the expression (like [[BloomMightContain]]'s
@@ -1268,6 +1326,14 @@ object GraftFunctions {
     * captures its own expression instance directly (GraftShim.column) —
     * no shared registry name, so two live blooms can never probe each
     * other's sketch. */
+  /** All `tables` LSH bucket codes of `v` in one native pass —
+    * bit-identical to the per-plane `dot(v, h) > 0` literal form. */
+  def lshBuckets(v: Column, planes: Array[Array[Double]], tables: Int,
+      perTable: Int): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(LshBuckets(shim.expression(v), planes, tables, perTable))
+  }
+
   /** Indices (best first) of the `n` nearest codebook centroids to `v`.
     * `round6` ranks by round(cos, 6) — see [[NearestCellsKernel.topN]]'s
     * arm-parity contract. */

@@ -75,6 +75,20 @@ object VectorSearch {
       when(GF.dot(v, h) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** All `tables` bucket codes in ONE native kernel pass (plane matrix
+    * in the plan as a referenced object) — bit-identical to exploding
+    * `tables` [[lshBucket]] columns, but with O(1) plan/codegen size:
+    * the literal form embeds tables x planes 64-double arrays into the
+    * generated code, which at s14's 48 planes is Janino-compile cost
+    * paid on every build and a step toward the 64 KB fallback. Every
+    * multi-table call site (top-k, index encode/probe, pair self-join)
+    * goes through here; the single-table [[lshBucket]] stays as the
+    * oracle-documentation form and the kernel's parity pin. */
+  def lshBucketsAll(v: Column, planes: Int, tables: Int, dim: Int): Column =
+    GF.lshBuckets(v,
+      Array.tabulate(tables * planes)(p => hyperplane(p, dim).toArray),
+      tables, planes)
+
   /** Approximate top-k with the standard multi-table scheme: `tables`
     * independent hyperplane sets; a candidate qualifies if it shares ANY
     * table's bucket with the query (union of tables -> recall compounds:
@@ -85,8 +99,7 @@ object VectorSearch {
       planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
     def withBuckets(df: DataFrame, v: String): DataFrame = df.select(
       df.columns.toIndexedSeq.map(col) :+
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col(v), planes, dim, t)): _*)).as(Seq("tbl", "bucket")): _*)
+        posexplode(lshBucketsAll(col(v), planes, tables, dim)).as(Seq("tbl", "bucket")): _*)
     val c = withBuckets(corpus, "embedding")
     val q = withBuckets(queries, "qv")
     // duplicates across tables are exact (qid, nid, sim) repeats (sim is
@@ -110,8 +123,7 @@ object VectorSearch {
   def encodeLsh(corpus: DataFrame, planes: Int = 4, tables: Int = 8,
       dim: Int = 64): DataFrame =
     corpus.select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
+        posexplode(lshBucketsAll(col("embedding"), planes, tables, dim)).as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("embedding"),
         (col("tbl") * (1 << planes) + col("bucket")).as("pcode"))
 
@@ -124,8 +136,7 @@ object VectorSearch {
   def lshTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
     val q = queries.select(col("qid"), col("qv"),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col("qv"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
+        posexplode(lshBucketsAll(col("qv"), planes, tables, dim)).as(Seq("tbl", "bucket")))
       .select(col("qid"), col("qv"),
         (col("tbl") * (1 << planes) + col("bucket")).as("pcode"))
     val probed = q.select("pcode").distinct().collect().map(_.getInt(0)).sorted
@@ -351,8 +362,7 @@ object VectorSearch {
   private def lshPairSims(e: DataFrame, planes: Int, tables: Int,
       dim: Int, maxBucket: Int): DataFrame = {
     val withB = e.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("embedding"), planes, dim, t)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(lshBucketsAll(col("embedding"), planes, tables, dim)).as(Seq("tbl", "bucket")))
     val buckets = withB.groupBy("tbl", "bucket")
       .agg(collect_list(col("vec_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))

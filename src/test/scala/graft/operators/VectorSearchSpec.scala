@@ -135,6 +135,26 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(buckets(0) != buckets(1))
   }
 
+  test("multi-table bucket kernel == the per-table literal form, every table") {
+    // the r12 kernel swap must not move a single bucket: the embedded-
+    // plane oracles restate the literal dot(v, h) > 0 semantics, so
+    // kernel/literal parity IS oracle validity for the whole LSH family
+    val e = Engine.table(spark, TestSpark.sf, "embeddings")
+    for ((planes, tables) <- Seq((4, 8), (5, 8), (3, 16))) {
+      val kernel = e.select(col("vec_id"),
+          VectorSearch.lshBucketsAll(col("embedding"), planes, tables, 64).as("bs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+      for (t <- 0 until tables) {
+        val lit = e.select(col("vec_id"),
+            VectorSearch.lshBucket(col("embedding"), planes, 64, t).as("b"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        lit.foreach { case (id, b) =>
+          assert(kernel(id)(t) == b, s"planes=$planes t=$t vec=$id")
+        }
+      }
+    }
+  }
+
   test("LSH near-dup pairs recall a large fraction of the exact pair set") {
     val e = Engine.table(spark, TestSpark.sf, "embeddings")
     val exact = VectorSearch.cosineNearDupPairs(e, 0.3).collect()
