@@ -900,9 +900,15 @@ object TextPipeline {
     // double fed through the decimal-sum cast was observed to split
     // engines by an ulp, and round(a/b, 6) can land on true halfway
     // ties since a/b is rational); the only float math is the final
-    // corr expression over exact integers < 2^53, identical text both
-    // sides, emitted via tie-free floor. |langs| rows; one scan + one
-    // tiny aggregate.
+    // corr expression, identical text both sides, emitted via tie-free
+    // floor — with every n*moment PRODUCT taken in double (r12: the
+    // long product n*syy overflows 2^63 at sf1's 5000 docs/lang with
+    // micro-unit y — both engines' integer multiply ERRORS there;
+    // double-first is overflow-free at any corpus and bit-identical at
+    // gate scale, where the products sat below 2^53 and the double
+    // product of two exactly-represented factors is the same correctly
+    // rounded value the long-then-cast path produced). |langs| rows;
+    // one scan + one tiny aggregate.
     GQ("t36_length_diversity_corr",
       Some(s"""WITH tok AS (SELECT lang, n_chars, $oracleTokens AS t FROM documents),
           v AS (SELECT lang, n_chars AS x,
@@ -914,9 +920,9 @@ object TextPipeline {
                   CAST(SUM(x * y) AS BIGINT) AS sxy
                 FROM v GROUP BY 1)
         SELECT lang, n,
-               CAST(floor((CAST(n * sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
-                 (sqrt(CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                  * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+               CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
                  * 1000000) AS DOUBLE) / 1e6 AS corr_len_diversity
         FROM g"""),
       (s, d) => {
@@ -933,11 +939,11 @@ object TextPipeline {
           sum(col("y") * col("y")).cast(LongType).as("syy"),
           sum(col("x") * col("y")).cast(LongType).as("sxy"))
         g.select(col("lang"), col("n"),
-          (floor(((col("n") * col("sxy")).cast(DoubleType)
+          (floor((col("n").cast(DoubleType) * col("sxy")
               - col("sx").cast(DoubleType) * col("sy")) /
-            (sqrt((col("n") * col("sxx")).cast(DoubleType)
+            (sqrt(col("n").cast(DoubleType) * col("sxx")
               - col("sx").cast(DoubleType) * col("sx"))
-              * sqrt((col("n") * col("syy")).cast(DoubleType)
+              * sqrt(col("n").cast(DoubleType) * col("syy")
                 - col("sy").cast(DoubleType) * col("sy")))
             * 1000000).cast(DoubleType) / 1e6)
             .as("corr_len_diversity"))
