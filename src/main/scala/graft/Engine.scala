@@ -195,19 +195,38 @@ object Engine {
   // DECIMAL(38,10) is exact, therefore deterministic under ANY partition
   // count (a 100 TB re-aggregation requirement) and bit-identical to an
   // oracle using the same cast. The OUTPUT type is DOUBLE: emit via an
-  // exact decimal round to scale 6 followed by a decimal->double cast,
-  // which both Spark (BigDecimal compact path) and DuckDB evaluate as
-  // (double)unscaled / 1e6 — bit-identical while |unscaled| < 2^52.
-  // (Emitting the wide decimal itself breaks downstream consumers that
-  // read parquet decimals as exact Decimal objects while the SQL oracle
-  // returns binary doubles.) Averages are small-magnitude; they are
-  // emitted as round(double, 6).
+  // exact decimal round to scale 6, extract the (integral) unscaled
+  // value as a LONG, and convert as (double)unscaled / 1e6 — the exact
+  // operation DuckDB's decimal->double cast performs, so the emission
+  // is bit-identical at ANY magnitude the long holds (+-9.2e12 at 6dp).
+  // r12: the previous plain decimal->double cast went through
+  // BigDecimal.doubleValue, which is CORRECTLY rounded — one ulp off
+  // DuckDB's two-step division once |unscaled| crosses 2^52, exactly
+  // where the first full sf1 run caught q01's 5.2e10 sum_charge
+  // splitting engines. Below 2^52 the two paths are identical (the
+  // long->double conversion is exact there), so every gate hash is
+  // unchanged. (Emitting the wide decimal itself breaks downstream
+  // consumers that read parquet decimals as exact Decimal objects while
+  // the SQL oracle returns binary doubles.) Averages are
+  // small-magnitude; they are emitted as round(double, 6), where a
+  // 1-ulp numerator difference dies in the 6dp round.
   // -------------------------------------------------------------------
   val DEC: DecimalType = DecimalType(38, 10)
   val DEC6: DecimalType = DecimalType(38, 6)
 
-  /** Exact decimal -> DOUBLE emission (see block comment above). */
-  def decOut(c: Column): Column = c.cast(DEC6).cast(DoubleType)
+  /** Exact decimal -> DOUBLE emission (see block comment above).
+    * Values whose 6dp unscaled form exceeds a long (|v| >= 9e12 —
+    * q55's 7.4e19 sum of squares) keep the plain decimal->double
+    * cast: at those magnitudes the emission grain (1e-6) sits many
+    * orders below one double ulp, where the correctly-rounded and
+    * divide-through conversions have always hash-agreed (q55 was
+    * green at every SF before this path split). */
+  def decOut(c: Column): Column = {
+    val d = c.cast(DEC6)
+    when(abs(d) < lit(9.0e12),
+        (d * lit(1000000L)).cast(LongType).cast(DoubleType) / lit(1e6))
+      .otherwise(d.cast(DoubleType))
+  }
 
   /** Exact, order-independent sum of a double column (double result). */
   def dsum(c: Column): Column = decOut(sum(c.cast(DEC)))

@@ -22,6 +22,12 @@ object GQ {
   /** Average, oracle side (see Engine.davg). */
   def oavg(e: String): String =
     s"round(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE) / COUNT($e), 6)"
+  /** Exact-decimal sum of (6dp-rounded) terms as a BIGINT of
+    * MICRO-units — the integer numerator of the tie-free trunc-mean
+    * emission shared by t18/t22 (Spark twin: the sm column in
+    * TextPipeline.dsirWeights). */
+  def omicros(e: String): String =
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DECIMAL(38,6)) * 1000000 AS BIGINT)"
   /** Signed-zero normalization, oracle side (see Engine.zeroNorm): DuckDB's
     * float-space round keeps the sign of a tiny negative that rounds to
     * zero (-0.0); Spark's BigDecimal round cannot. Equal under `=`,

@@ -63,13 +63,27 @@ object TextPipeline {
 
   /** t18 body over the factored term stream (see the GQ comment for the
     * determinism contract; spec: TextPipelineSpec "t18 boundary"). */
+  /** Mean-of-rounded-terms at 4dp via exact integer TRUNCATING
+    * division — the r12 emission shared by t18/t22: the sum of
+    * 6dp-rounded terms is an exact decimal (multiple of 1e-6), its
+    * unscaled micros extract exactly into a BIGINT, and
+    * trunc(sm / (100 n)) / 1e4 is pure integer arithmetic both engines
+    * evaluate identically (`div` and `//` both truncate toward zero —
+    * verified on negatives). The previous round(sum/n, 4) put a
+    * rational quotient through each engine's own double-round: the
+    * first full sf1 run caught three documents whose quotients sat on
+    * a 4dp half and split the engines — a tie CLASS no fixture can pin
+    * away, so the emission is now tie-free by construction. (Also
+    * retires t18's signed-zero normalization: integer zero has no
+    * sign.) */
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     dsirTerms(s, d)
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
-        Engine.zeroNorm(
-          round(Engine.dsum(round(col("term_raw"), 6)) / count(lit(1)), 4))
-          .as("dsir_weight"))
+      .agg(count(lit(1)).as("nt"),
+        (sum(round(col("term_raw"), 6).cast(Engine.DEC)).cast(Engine.DEC6)
+          * lit(1000000L)).cast(LongType).as("sm"))
+      .select(col("doc_id"), col("nt").cast(IntegerType).as("n_tokens"),
+        (expr("sm div (100 * nt)").cast(DoubleType) / 1e4).as("dsir_weight"))
 
   /** Oracle twin of TextFunctions.langScore over a `tok` list column. */
   private def oracleLangScore(l: String): String = {
@@ -622,10 +636,11 @@ object TextPipeline {
         st AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
                       (SELECT COUNT(*) FROM raw) AS b,
                       (SELECT SUM(ct) FROM tgt) AS tt)
-        SELECT doc_id, n_tokens, ${GQ.ozeroNorm("dsir_weight")} AS dsir_weight FROM (
-        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
-               round(${GQ.osum("round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + b)) " +
-                 "- ln(CAST(cr + 1 AS DOUBLE) / (tr + b)), 6)")} / COUNT(*), 4) AS dsir_weight
+        SELECT doc_id, n_tokens,
+               CAST(sm // (100 * nt) AS DOUBLE) / 1e4 AS dsir_weight FROM (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens, COUNT(*) AS nt,
+               ${GQ.omicros("round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + b)) " +
+                 "- ln(CAST(cr + 1 AS DOUBLE) / (tr + b)), 6)")} AS sm
         FROM tok JOIN raw USING (token) LEFT JOIN tgt USING (token) CROSS JOIN st
         GROUP BY doc_id)"""),
       (s, d) => dsirWeights(s, d)),
@@ -728,11 +743,12 @@ object TextPipeline {
           uni AS (SELECT token, COUNT(*) AS c1 FROM w1s GROUP BY token),
           bc AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
           v AS (SELECT COUNT(*) AS nv FROM uni)
-        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
-          round(${GQ.osum("round(ln((CAST(c2 AS DOUBLE) + 1) / (c1 + nv)), 6)")}
-            / COUNT(*), 4) AS avg_logprob
+        SELECT doc_id, n_bigrams,
+          CAST(sm // (100 * nt) AS DOUBLE) / 1e4 AS avg_logprob FROM (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams, COUNT(*) AS nt,
+          ${GQ.omicros("round(ln((CAST(c2 AS DOUBLE) + 1) / (c1 + nv)), 6)")} AS sm
         FROM bg JOIN bc USING (bigram) JOIN uni ON bg.w1 = uni.token CROSS JOIN v
-        GROUP BY doc_id"""),
+        GROUP BY doc_id)"""),
       (s, d) => {
         val tok = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
         val bg = tok.filter(size(col("t")) >= 2).select(col("doc_id"),
@@ -749,13 +765,17 @@ object TextPipeline {
         bg.join(bc, "bigram").join(uni, col("w1") === col("token"))
           .crossJoin(broadcast(v))
           .groupBy("doc_id")
-          .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
-            // same order-independent mean as t18: AVG(double) is the
-            // summation-order hazard that broke t18's hash in r7
-            round(Engine.dsum(round(log(
-              (col("c2").cast(DoubleType) + 1) / (col("c1") + col("nv"))), 6))
-              / count(lit(1)), 4)
-              .as("avg_logprob"))
+          .agg(count(lit(1)).as("nt"),
+            // same order-independent mean as t18 — and, r12, the same
+            // exact trunc-micros emission (see dsirWeights: the
+            // round(sum/n, 4) quotient split engines on a 4dp half at
+            // sf1; AVG(double) was the original r7 summation-order
+            // hazard)
+            (sum(round(log((col("c2").cast(DoubleType) + 1)
+                / (col("c1") + col("nv"))), 6).cast(Engine.DEC))
+              .cast(Engine.DEC6) * lit(1000000L)).cast(LongType).as("sm"))
+          .select(col("doc_id"), col("nt").cast(IntegerType).as("n_bigrams"),
+            (expr("sm div (100 * nt)").cast(DoubleType) / 1e4).as("avg_logprob"))
       }),
 
     // temperature-based mixture resampling (the multilingual balancing
