@@ -245,14 +245,76 @@ object Engine {
     * GQ.ozeroNorm on the oracle side. */
   def zeroNorm(c: Column): Column = when(c === 0, lit(0.0)).otherwise(c)
 
-  /** Drop the cached blocks behind a localCheckpoint'd frame once a
-    * downstream materialization supersedes it (iterative operators cut
-    * lineage every round; without the release each round's blocks pin
-    * storage memory for the life of the session). */
+  // -------------------------------------------------------------------
+  // Lineage cut — THE funnel for every iterative operator's per-round
+  // materialization (graph fixpoints, MMR greedy rounds, BPE merges,
+  // connected components, k-means). Strategy is session-configured:
+  //
+  //   graft.checkpoint.mode = local (default)
+  //     `localCheckpoint()` — blocks cached on executors, lineage
+  //     truncated. Fastest (no durable write), and on local[*] (one
+  //     JVM, no executor loss) exactly correct. NOT executor-loss-safe
+  //     on a real cluster: localCheckpoint stores unreplicated blocks
+  //     AND truncates lineage, so losing one executor (preemption,
+  //     spot reclaim, OOM kill) makes the RDD unrecoverable and fails
+  //     the query terminally — worst in exactly the long-running
+  //     iterative jobs a 100 TB run cares about.
+  //
+  //   graft.checkpoint.mode = reliable
+  //     `checkpoint()` to a durable dir (graft.checkpoint.dir; HDFS/
+  //     object store on a cluster). Each round's frame is written once
+  //     to reliable storage and re-read from there on any task retry —
+  //     the query survives the loss of ANY number of executors
+  //     (proven by the executor-kill chaos arm in tools/ClusterCheck).
+  //     Cost: one durable write + read per round — the classic
+  //     Pregel/GraphX trade, paid only when the deployment opts in.
+  //
+  // `persist(MEMORY_AND_DISK_2)` was considered and rejected as the
+  // cluster strategy: it does not truncate lineage (fixpoint plans and
+  // RDD DAGs then grow per round — the plan-size blowup cut() exists to
+  // stop), and 2-replica loss (two preempted nodes) is still terminal;
+  // reliable checkpoint is O(1) plan depth and survives any loss.
+  // -------------------------------------------------------------------
+
+  /** Cut lineage + materialize `df` via the configured strategy. Every
+    * former `.localCheckpoint()` site routes through here
+    * (`.transform(Engine.cut)`); both strategies are eager, so call
+    * sites keep run-the-plan-once semantics. */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("graft.checkpoint.mode").getOrElse("local") match {
+      case "reliable" =>
+        val sc = spark.sparkContext
+        val dir = spark.conf.getOption("graft.checkpoint.dir")
+          .getOrElse(sys.props("java.io.tmpdir") + "/graft-checkpoint")
+        // setCheckpointDir appends a per-call UUID subdir — re-point only
+        // when the configured root actually changed
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case "local" => df.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        s"graft.checkpoint.mode=$other (expected local|reliable)")
+    }
+  }
+
+  /** Drop the storage behind a cut() frame once a downstream
+    * materialization supersedes it (iterative operators cut lineage
+    * every round; without the release each local-mode round's blocks
+    * pin storage memory — and each reliable-mode round's files pin
+    * durable storage — for the life of the session). */
   def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
+        // reliable cut: the superseded round's files under
+        // <ckptDir>/<uuid>/rdd-<id> are dead weight — delete eagerly
+        // rather than waiting for ContextCleaner GC
+        l.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
       case _ => ()
     }
 }

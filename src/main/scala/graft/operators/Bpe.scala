@@ -61,7 +61,7 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("wc"))
     var syms = words
       .select(col("wc"), split(col("w"), "").as("s"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (rank <- 1 to numMerges if !done) {
@@ -77,7 +77,7 @@ object Bpe {
         merges += ((rank, l, r, c))
         val next = syms
           .select(col("wc"), applyMerge(col("s"), l, r).as("s"))
-          .localCheckpoint()
+          .transform(Engine.cut)
         Engine.releaseCheckpoint(syms)
         syms = next
       }

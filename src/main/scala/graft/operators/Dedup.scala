@@ -331,7 +331,7 @@ object Dedup {
     // materialize the (possibly expensive) pair source ONCE, then derive
     // the symmetric edge list from the materialized form — a union of
     // two references to the raw plan would execute it twice
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val p = pairs.select(col("id_a"), col("id_b")).transform(Engine.cut)
     val idType = p.schema.head.dataType
     // adaptive execution, sized from the (already materialized) edge
     // count — the same runtime-statistics reasoning AQE applies within
@@ -390,7 +390,7 @@ object Dedup {
       graphRows / 50000L, p.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(nParts, col("src")).localCheckpoint()
+      .repartition(nParts, col("src")).transform(Engine.cut)
     releaseCheckpoint(p) // edges (eagerly materialized) supersedes p
     // iterate ONLY over nodes that occur in the graph: an isolated node
     // can never adopt a neighbor's label, so dragging the full corpus
@@ -405,7 +405,7 @@ object Dedup {
     // persisted RDD; `labels` is the (id, lbl) view over it
     var labelsCp = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .repartition(nParts, col("id")).localCheckpoint()
+      .repartition(nParts, col("id")).transform(Engine.cut)
     var labels = labelsCp
     var changed = 1L
     while (changed > 0) {
@@ -425,7 +425,7 @@ object Dedup {
           least(col("old"),
             coalesce(col("nlbl"), col("old")),
             coalesce(col("hlbl"), col("old"))).as("lbl"))
-        .localCheckpoint()
+        .transform(Engine.cut)
       changed = next.filter(col("lbl") =!= col("old")).count()
       releaseCheckpoint(labelsCp) // next (eagerly materialized) supersedes it
       labelsCp = next

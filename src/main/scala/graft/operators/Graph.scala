@@ -59,11 +59,11 @@ object Graph {
     // the adjacency plan references `edges` twice (degree + join), so
     // materialize the edge source first — otherwise the edge-producing
     // plan executes once per reference (the d05 lesson)
-    val e = edges.localCheckpoint()
+    val e = edges.transform(Engine.cut)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = e.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(e)
     var ranks = nodes.select(col("id"), lit(1000000L).as("micros"))
     for (_ <- 1 to iters) {
@@ -78,7 +78,7 @@ object Graph {
     }
     val out = ranks
       .select(col("id"), (col("micros").cast(DoubleType) / 1e6).as("rank"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(adj)
     out
   }
@@ -112,11 +112,11 @@ object Graph {
     * micros/1e6 conversion. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.transform(Engine.cut)
     val deg = e.groupBy("dst").agg(count(lit(1)).as("deg"))
     val adj = e.join(deg, "dst")
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(e)
     var scores = seeds.select(col("id"), col("micros").cast(LongType).as("micros"))
     for (_ <- 1 to iters) {
@@ -130,7 +130,7 @@ object Graph {
           floor((lit(2L) * col("micros")
             + lit(8L) * coalesce(col("m"), col("micros"))).cast(DoubleType) / 10)
             .cast(LongType).as("micros"))
-        .localCheckpoint()
+        .transform(Engine.cut)
       Engine.releaseCheckpoint(scores)
       scores = next
     }
@@ -162,7 +162,7 @@ object Graph {
     * upstream) pair graph plus one count exchange; no iteration, no
     * driver state. */
   def triangleCounts(pairs: DataFrame, nodes: DataFrame): DataFrame = {
-    val p = pairs.localCheckpoint() // referenced 5x below; run its plan once
+    val p = pairs.transform(Engine.cut) // referenced 5x below; run its plan once
     val deg = p.select(col("id_a").as("id"))
       .unionAll(p.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -173,7 +173,7 @@ object Graph {
       .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
       .select(when(aFirst, col("id_a")).otherwise(col("id_b")).as("u"),
         when(aFirst, col("id_b")).otherwise(col("id_a")).as("v"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(p)
     val e1 = e.select(col("u").as("a"), col("v").as("b"))
     val e2 = e.select(col("u").as("b"), col("v").as("c"))
@@ -186,7 +186,7 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
     val out = nodes.join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(e)
     out
   }
@@ -210,20 +210,20 @@ object Graph {
     * two joins and the next round). */
   def kCorePeel(edges: DataFrame, nodes: DataFrame, k: Int,
       rounds: Int): DataFrame = {
-    var e = edges.localCheckpoint()
+    var e = edges.transform(Engine.cut)
     for (_ <- 1 to rounds) {
       val alive = e.groupBy("src").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select(col("src").as("id"))
       val next = e.join(alive.select(col("id").as("src")), "src")
         .join(alive.select(col("id").as("dst")), "dst")
-        .select("src", "dst").localCheckpoint()
+        .select("src", "dst").transform(Engine.cut)
       Engine.releaseCheckpoint(e)
       e = next
     }
     val deg = e.groupBy("src").agg(count(lit(1)).as("core_deg"))
     val out = nodes.join(deg, col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("core_deg"), lit(0L)).as("core_deg"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(e)
     out
   }
@@ -242,13 +242,13 @@ object Graph {
     * row per reached node), materialized per round with the previous
     * round's blocks released. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    var dist = seeds.select(col("id"), lit(0).as("dist")).localCheckpoint()
+    var dist = seeds.select(col("id"), lit(0).as("dist")).transform(Engine.cut)
     for (r <- 1 to rounds) {
       val next = dist.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), lit(r).as("dist"))
         .unionByName(dist)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .transform(Engine.cut)
       Engine.releaseCheckpoint(dist)
       dist = next
     }
@@ -625,7 +625,7 @@ object Graph {
     * graphs). One wedge shuffle keyed on b, one anti join against the
     * edge set, one (a, c) aggregate. */
   def adamicAdar(pairs: DataFrame, maxMidDegree: Int): DataFrame = {
-    val p = pairs.localCheckpoint() // referenced 4x below; run its plan once
+    val p = pairs.transform(Engine.cut) // referenced 4x below; run its plan once
     val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val mid = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -643,7 +643,7 @@ object Graph {
       .agg(count(lit(1)).cast(IntegerType).as("n_common"),
         Engine.dsum(round(lit(1.0) / log(col("deg").cast(DoubleType)), 6))
           .as("aa_score"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(p)
     out
   }
@@ -656,7 +656,7 @@ object Graph {
     * coefficient itself is an exact integer floor division emitted as
     * micros/1e6 (no float rounding, any partitioning). */
   def localClustering(pairs: DataFrame, nodes: DataFrame): DataFrame = {
-    val p = pairs.localCheckpoint() // feeds both the tri pass and deg
+    val p = pairs.transform(Engine.cut) // feeds both the tri pass and deg
     val tri = triangleCounts(p, nodes)
     val deg = p.select(col("id_a").as("id"))
       .unionAll(p.select(col("id_b").as("id")))
@@ -669,7 +669,7 @@ object Graph {
           expr("(2 * triangles * 1000000) div (deg * (deg - 1))")
             .cast(DoubleType) / 1e6)
           .otherwise(lit(0.0)).as("clustering"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(p)
     out
   }
@@ -692,8 +692,8 @@ object Graph {
     * broadcasts back — score tables stay one row per node, lineage cut
     * per round like pageRank. */
   def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint()
-    val n = nodes.localCheckpoint()
+    val e = edges.transform(Engine.cut)
+    val n = nodes.transform(Engine.cut)
     def half(scores: DataFrame, edgeKey: String, groupKey: String): DataFrame = {
       val raw = e.join(scores, e(edgeKey) === scores("id"))
         .groupBy(e(groupKey).as("rid"))
@@ -711,15 +711,15 @@ object Graph {
     // pageRank shape); the tiny per-round tables release at the end
     val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to iters) {
-      auth = half(hub, "src", "dst").localCheckpoint()
-      hub = half(auth, "dst", "src").localCheckpoint()
+      auth = half(hub, "src", "dst").transform(Engine.cut)
+      hub = half(auth, "dst", "src").transform(Engine.cut)
       rounds += auth += hub
     }
     val out = auth.select(col("id"),
         (col("micros").cast(DoubleType) / 1e6).as("authority"))
       .join(hub.select(col("id"),
         (col("micros").cast(DoubleType) / 1e6).as("hub")), "id")
-      .localCheckpoint()
+      .transform(Engine.cut)
     rounds.foreach(Engine.releaseCheckpoint)
     Engine.releaseCheckpoint(e)
     Engine.releaseCheckpoint(n)

@@ -1287,7 +1287,7 @@ object VectorSearch {
       .join(corpusV, "nid")
       .select(col("qid"), col("nid"),
         expr("CAST(round(sim * 1000000) AS BIGINT)").as("simq_m"), col("nv"))
-      .localCheckpoint() // candidate scan runs once, not once per step
+      .transform(Engine.cut) // candidate scan runs once, not once per step
     var selected = cand.groupBy("qid")
       .agg(max(struct(col("simq_m"), (-col("nid")).as("nn"))).as("b"))
       .select(col("qid"), (-col("b.nn")).as("nid"), lit(1).as("rank"),
@@ -1309,11 +1309,11 @@ object VectorSearch {
         .groupBy("qid").agg(max("cand").as("b"))
         .select(col("qid"), (-col("b.nn")).as("nid"), lit(r).as("rank"),
           col("b.num").as("num"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = selected.unionByName(pick).transform(Engine.cut)
     }
     val out = selected.select(col("qid"), col("rank").cast(IntegerType).as("rank"),
         col("nid"), (col("num").cast(DoubleType) / 1e7).as("mmr"))
-      .localCheckpoint()
+      .transform(Engine.cut)
     Engine.releaseCheckpoint(cand)
     out
   }

@@ -1,23 +1,45 @@
 package graft.tools
 
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Engine, SparkEntry}
 
-/** Multi-JVM execution check (r11 verdict #3): local[32] shares ONE JVM,
-  * so closure serialization, real broadcast transport, and executor-side
-  * classloading of the native kernels (NearestCells codebooks, PQ books,
-  * bloom sketches, BPE merge tables ride the plan as referenced objects)
-  * are never exercised by the test suite. Spark's `local-cluster[2,4,
-  * 2048]` mode launches REAL separate executor JVMs through the
-  * standalone scheduler — the closest a single box gets to cluster
-  * execution. This main runs the headline query family plus a streaming
-  * micro-pipeline under local-cluster and compares every result
-  * fingerprint against a plain local[32] run of the same build.
+/** Multi-JVM execution + fault-tolerance check (r11 verdict #3, r12
+  * verdict #1/#2): local[32] shares ONE JVM, so closure serialization,
+  * real broadcast transport, executor-side classloading of the native
+  * kernels — and above all EXECUTOR LOSS — are never exercised by the
+  * test suite. Spark's `local-cluster[2,4,2048]` mode launches REAL
+  * separate executor JVMs through the standalone scheduler — the
+  * closest a single box gets to cluster execution.
+  *
+  * Three phases, emitted as the per-round CLUSTERCHECK.json artifact:
+  *
+  *  1. PARITY — a 22-query family (one per operator family: relational,
+  *     LSH dedup, graph fixpoints, BPE trainer, packing, k-means, NB
+  *     model, multimodal, recursive CTE, salted-skew arm, ANN serving)
+  *     plus a streaming dedup pipeline and a streaming CRASH-WINDOW
+  *     replay, fingerprint-compared between local[32] and
+  *     local-cluster.
+  *
+  *  2. CHAOS/reliable — g08's HITS fixpoint under local-cluster with
+  *     `graft.checkpoint.mode=reliable` while a listener kill -9s one
+  *     executor JVM at job #3 (mid-fixpoint). The standalone master
+  *     relaunches the executor; retried tasks re-read each round's
+  *     frame from the durable checkpoint dir; the query must COMPLETE
+  *     with the fingerprint of an undisturbed local[32] run.
+  *
+  *  3. CHAOS/local — the same kill under the default localCheckpoint
+  *     strategy. The dead executor's unreplicated checkpoint blocks are
+  *     unrecoverable (lineage is truncated), so the query must FAIL —
+  *     proving the chaos arm bites and that phase 2's survival is the
+  *     strategy, not luck.
   *
   * Usage: SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
-  *          runMain graft.tools.ClusterCheck [sfDir]
+  *          runMain graft.tools.ClusterCheck [sfDir] [--no-chaos]
   * (SPARK_HOME must point at a Spark distribution so the standalone
   * worker can launch executor JVMs; SPARK_SCALA_VERSION because the
   * release layout lacks the source-build dirs the launcher probes;
@@ -26,15 +48,26 @@ import graft.{Engine, SparkEntry}
   */
 object ClusterCheck {
 
-  /** Headline family: the per-operator-family representatives the r11
-    * verdict named, plus the two new serving/skew entries. */
+  val clusterMaster = "local-cluster[2,4,2048]"
+
+  /** Parity family: the r11 headline representatives plus the r12
+    * widening — graph fixpoints, the BPE trainer, packing, k-means,
+    * the NB classifier model, multimodal phash, recursive CTE. */
   val family: Seq[String] = Seq(
-    "q03_top_orders", "q05_nation_revenue", "q59_mad_outliers",
-    "q69_market_basket", "d02_dedup_minhash_lsh",
+    "q03_top_orders", "q05_nation_revenue", "q44_recursive_cte",
+    "q59_mad_outliers", "q69_market_basket", "d02_dedup_minhash_lsh",
     "d07_embedding_neardup_lsh", "d10_semantic_dedup", "s03_ann_ivf",
     "t14_span_dedup", "d16_entity_clusters", "e09_time_band_join",
     "e32_band_join_bot_skew", "s14_knn_classifier_ann",
-    "s15_ann_ivfpq_indexed")
+    "s15_ann_ivfpq_indexed",
+    "g01_pagerank", "g08_hits", "t24_bpe_merges",
+    "c01_kmeans_embeddings", "p01_sequence_packing",
+    "t28_nb_lang_classifier", "m04_phash_neardup")
+
+  final case class Entry(fp: String, rows: Long, sec: Double)
+
+  final case class ArmResult(mode: String, outcome: String, detail: String,
+      killedPid: Long, jobsSeen: Int, sec: Double)
 
   /** Order-independent content fingerprint: per-row xxhash64 of the
     * name-sorted column struct rendered to JSON, summed in DECIMAL(38,0)
@@ -70,16 +103,28 @@ object ClusterCheck {
     s
   }
 
-  private def runFamily(master: String, dir: String): Map[String, (String, Long)] = {
+  private def runFamily(master: String, dir: String): Seq[(String, Entry)] = {
     val spark = session(master)
     try {
+      val tag = if (master.startsWith("local-cluster")) "lc" else "l32"
       family.map { n =>
         val t0 = System.nanoTime()
         val fp = fingerprint(SparkEntry.queries(n)(spark, dir))
-        println(f"[cluster-check] $master%-24s $n%-28s fp=${fp._1}%22s rows=${fp._2}%7d ${(System.nanoTime() - t0) / 1e9}%6.1f s")
-        n -> fp
-      }.toMap ++ Map("streaming_dedup" -> streamingSmoke(spark))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[cluster-check] $master%-24s $n%-28s fp=${fp._1}%22s rows=${fp._2}%7d $sec%6.1f s")
+        n -> Entry(fp._1, fp._2, sec)
+      } ++ Seq(
+        timed("streaming_dedup", master)(streamingSmoke(spark)),
+        timed("streaming_crash_window", master)(streamingCrashWindow(spark, dir, tag)))
     } finally spark.stop()
+  }
+
+  private def timed(name: String, master: String)(f: => (String, Long)): (String, Entry) = {
+    val t0 = System.nanoTime()
+    val fp = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[cluster-check] $master%-24s $name%-28s fp=${fp._1}%22s rows=${fp._2}%7d $sec%6.1f s")
+    name -> Entry(fp._1, fp._2, sec)
   }
 
   /** Streaming micro-pipeline under the same master: file-source stream
@@ -104,9 +149,193 @@ object ClusterCheck {
     in.addData((4L, "fresh one"), (5L, "second fresh"))
     q.processAllAvailable()
     q.stop()
-    val fp = fingerprint(spark.table(name).select("doc_id"))
-    println(s"[cluster-check] streaming_dedup fp=$fp")
-    fp
+    fingerprint(spark.table(name).select("doc_id"))
+  }
+
+  /** The EventsStreamingSpec crash-window chaos, run under the target
+    * master (r12 verdict #2 asked for it in the cluster family): crash
+    * induced between batch 1's table write and its checkpoint commit
+    * (commits/1 + .crc deleted, landed partition mangled to one row),
+    * restart must replay + replace, and the served quantiles must equal
+    * an uninterrupted twin's. Returns the post-crash serve fingerprint
+    * (master-independent, so it also parity-checks across masters). */
+  private def streamingCrashWindow(spark: SparkSession, dir: String,
+      tag: String): (String, Long) = {
+    import graft.streaming.EventsStreaming
+    val src = java.nio.file.Files.createTempDirectory(s"cc_crash_src_$tag").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"cc_crash_ckpt_$tag").toString
+    val rollup = s"cc_crash_rollup_$tag"
+    val twin = s"cc_crash_twin_$tag"
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir); f.delete(); ()
+    }
+    for (t <- Seq(rollup, twin)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists) rmDir(loc)
+    }
+    val events = Engine.table(spark, dir, "events")
+    def start(table: String, cp: Option[String]) = {
+      val stream = spark.readStream
+        .schema(EventsStreaming.eventsSchema).parquet(src)
+      EventsStreaming.exactQuantileRollupQuery(stream, table,
+        Seq("event_type"), "value", cp)
+    }
+    events.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    var q = start(rollup, Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    events.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(src)
+    q = start(rollup, Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    // induce the crash window on batch 1 (delete the commit marker AND
+    // its checksum twin — a stale .crc fails the replay's rename)
+    val commit = new java.io.File(s"$ckpt/commits/1")
+    require(commit.exists && commit.delete(), s"no commits/1 under $ckpt")
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    spark.catalog.refreshTable(rollup)
+    val fullBatch1 = spark.table(rollup)
+      .filter(col("batch_id") === 1L).drop("batch_id").cache()
+    require(fullBatch1.count() > 1)
+    graft.Layout.idempotentBatchAppend( // the half-written state
+      fullBatch1.limit(1), rollup, 1L, Seq.empty)
+    fullBatch1.unpersist()
+    // restart: offsets/1 without commits/1 -> replay batch 1
+    q = start(rollup, Some(ckpt))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val tq = start(twin, None)
+    tq.processAllAvailable(); tq.stop(); tq.awaitTermination()
+    def serve(t: String): DataFrame = {
+      spark.catalog.refreshTable(t)
+      EventsStreaming.readExactQuantiles(spark.table(t),
+        Seq("event_type"), "value", Seq(0.5 -> "p50", 0.95 -> "p95"))
+    }
+    val (fpR, nR) = fingerprint(serve(rollup))
+    val (fpT, nT) = fingerprint(serve(twin))
+    require(fpR == fpT && nR == nT,
+      s"post-crash replay diverged from the uninterrupted twin ($fpR/$nR vs $fpT/$nT)")
+    (fpR, nR)
+  }
+
+  // -----------------------------------------------------------------
+  // Chaos: executor-kill arms.
+  // -----------------------------------------------------------------
+
+  /** The query whose per-round cut() frames the kill targets — HITS is
+    * the longest fixpoint chain in the suite (2 half-steps x iters,
+    * every one a lineage cut). */
+  val chaosQuery = "g08_hits"
+
+  /** Job index (1-based, onJobStart) at which the killer fires: job 3
+    * is mid-materialization — the first cut() frames exist, spread
+    * across both executors, and many more rounds still need them. */
+  val killAtJob = 3
+
+  /** kill -9 one executor JVM of THIS app (matched by
+    * CoarseGrainedExecutorBackend + the app id in /proc cmdline) —
+    * the closest local simulation of a preempted / OOM-killed node.
+    * Returns the pid, or -1 if none found. */
+  private def killOneExecutor(appId: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val victim = ProcessHandle.allProcesses().iterator().asScala.find { p =>
+      p.info().commandLine()
+        .map[java.lang.Boolean](c =>
+          c.contains("CoarseGrainedExecutorBackend") && c.contains(appId))
+        .orElse(java.lang.Boolean.FALSE)
+    }
+    victim match {
+      case Some(p) =>
+        val pid = p.pid()
+        p.destroyForcibly()
+        println(s"[cluster-check] CHAOS killed executor JVM pid=$pid")
+        pid
+      case None =>
+        println(s"[cluster-check] CHAOS found no executor JVM for $appId")
+        -1L
+    }
+  }
+
+  private def chaosArm(dir: String, mode: String,
+      expectFp: Option[String]): ArmResult = {
+    val spark = session(clusterMaster)
+    try {
+      spark.conf.set("graft.checkpoint.mode", mode)
+      spark.conf.set("graft.checkpoint.dir",
+        new java.io.File(s"target/cc-chaos-ckpt-$mode").getAbsolutePath)
+      val jobsSeen = new AtomicInteger
+      val killedPid = new AtomicLong(-1L)
+      val appId = spark.sparkContext.applicationId
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit =
+          if (jobsSeen.incrementAndGet() == killAtJob)
+            killedPid.set(killOneExecutor(appId))
+      })
+      val t0 = System.nanoTime()
+      val res =
+        try {
+          val (fp, rows) = fingerprint(SparkEntry.queries(chaosQuery)(spark, dir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val outcome =
+            if (killedPid.get() == -1L) "kill_not_fired"
+            else if (expectFp.forall(_ == fp)) "completed"
+            else "completed_wrong_result"
+          ArmResult(mode, outcome, s"fp=$fp rows=$rows", killedPid.get(),
+            jobsSeen.get(), sec)
+        } catch {
+          case t: Throwable =>
+            val sec = (System.nanoTime() - t0) / 1e9
+            val msg = Option(t.getMessage).getOrElse("").linesIterator
+              .take(1).mkString.take(200)
+            val outcome =
+              if (killedPid.get() == -1L) "kill_not_fired" else "failed"
+            ArmResult(mode, outcome, s"${t.getClass.getSimpleName}: $msg",
+              killedPid.get(), jobsSeen.get(), sec)
+        }
+      println(s"[cluster-check] CHAOS mode=$mode -> ${res.outcome} " +
+        s"(pid=${res.killedPid}, jobs=${res.jobsSeen}, ${res.detail})")
+      res
+    } finally spark.stop()
+  }
+
+  // -----------------------------------------------------------------
+
+  private def writeArtifact(dir: String, local: Seq[(String, Entry)],
+      cluster: Seq[(String, Entry)], chaos: Seq[ArmResult],
+      ok: Boolean): Unit = {
+    val cl = cluster.toMap
+    val entries = local.map { case (n, e) =>
+      val c = cl(n)
+      Json.obj(Seq(
+        "name" -> Json.str(n),
+        "fp" -> Json.str(e.fp),
+        "rows" -> e.rows.toString,
+        "sec_local32" -> Json.num(e.sec),
+        "sec_cluster" -> Json.num(c.sec),
+        "match" -> (e.fp == c.fp && e.rows == c.rows).toString))
+    }
+    val chaosJson = chaos.map { a =>
+      Json.obj(Seq(
+        "checkpoint_mode" -> Json.str(a.mode),
+        "outcome" -> Json.str(a.outcome),
+        "detail" -> Json.str(a.detail),
+        "killed_pid" -> a.killedPid.toString,
+        "jobs_seen" -> a.jobsSeen.toString,
+        "sec" -> Json.num(a.sec)))
+    }
+    val out = Json.obj(Seq(
+      "sf_dir" -> Json.str(dir),
+      "masters" -> Json.arr(Seq(Json.str("local[32]"), Json.str(clusterMaster))),
+      "chaos_query" -> Json.str(chaosQuery),
+      "kill_at_job" -> killAtJob.toString,
+      "entries" -> Json.arr(entries),
+      "chaos" -> Json.arr(chaosJson),
+      "ok" -> ok.toString))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("CLUSTERCHECK.json"), out + "\n")
+    println(s"[cluster-check] CLUSTERCHECK.json written " +
+      s"(${entries.size} parity entries, ${chaos.size} chaos arms, ok=$ok)")
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,17 +343,38 @@ object ClusterCheck {
       sys.env.contains("SPARK_SCALA_VERSION"),
       "local-cluster mode needs SPARK_HOME and SPARK_SCALA_VERSION set " +
         "(see Scaladoc) — without them executor launch fails mid-run")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val dir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
+    val withChaos = !args.contains("--no-chaos")
+
     val local = runFamily("local[32]", dir)
-    val cluster = runFamily("local-cluster[2,4,2048]", dir)
-    val bad = local.keys.toSeq.sorted.filter(k => local(k) != cluster(k))
-    if (bad.isEmpty)
-      println(s"[cluster-check] OK: ${local.size} entries identical across " +
-        "local[32] and local-cluster[2,4,2048]")
-    else {
-      bad.foreach(k => println(
-        s"[cluster-check] MISMATCH $k local=${local(k)} cluster=${cluster(k)}"))
-      sys.exit(1)
-    }
+    val cluster = runFamily(clusterMaster, dir)
+    val cl = cluster.toMap
+    val bad = local.collect { case (n, e) if cl(n) != e => n }
+    bad.foreach(n => println(
+      s"[cluster-check] MISMATCH $n local=${local.toMap.apply(n)} cluster=${cl(n)}"))
+
+    val chaos =
+      if (!withChaos) Seq.empty
+      else {
+        val refFp = local.toMap.apply(chaosQuery).fp
+        Seq(chaosArm(dir, "reliable", Some(refFp)),
+          chaosArm(dir, "local", None))
+      }
+    // gate: parity exact; reliable arm must complete with the reference
+    // fingerprint AFTER a real kill; the local arm must fail after a
+    // real kill (if localCheckpoint ever survives, the chaos test no
+    // longer bites — surface that as a failure too, so the trigger gets
+    // re-tuned rather than silently proving nothing)
+    val chaosOk = !withChaos || (
+      chaos.exists(a => a.mode == "reliable" && a.outcome == "completed"
+        && a.killedPid != -1L) &&
+      chaos.exists(a => a.mode == "local" && a.outcome == "failed"
+        && a.killedPid != -1L))
+    val ok = bad.isEmpty && chaosOk
+    writeArtifact(dir, local, cluster, chaos, ok)
+    if (ok)
+      println(s"[cluster-check] OK: ${local.size} parity entries identical, " +
+        (if (withChaos) "chaos arms behaved per strategy" else "chaos skipped"))
+    else sys.exit(1)
   }
 }

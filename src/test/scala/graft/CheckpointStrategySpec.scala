@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.ClusterCheck.fingerprint
+
+/** The cut() strategy contract (r12 verdict #1): every iterative
+  * operator funnels its per-round lineage cut through Engine.cut, whose
+  * strategy is session-configured — `local` (localCheckpoint; the
+  * local-mode default) vs `reliable` (durable checkpoint(); the
+  * cluster mode that survives executor loss — the LOSS itself is
+  * proven by tools/ClusterCheck's chaos arm under local-cluster with a
+  * real executor JVM kill; this spec pins the strategy's semantics
+  * where the full suite runs: results identical, files managed).
+  */
+class CheckpointStrategySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def withMode[A](mode: String, dir: Option[String] = None)(f: => A): A = {
+    spark.conf.set("graft.checkpoint.mode", mode)
+    dir.foreach(d => spark.conf.set("graft.checkpoint.dir", d))
+    try f
+    finally {
+      spark.conf.set("graft.checkpoint.mode", "local")
+      spark.conf.unset("graft.checkpoint.dir")
+    }
+  }
+
+  private def ckptRoot: String = {
+    val d = Files.createTempDirectory(Paths.get("target"), "ckpt-spec-")
+    d.toString
+  }
+
+  private def listRddDirs(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala
+        .filter(q => q.getFileName.toString.startsWith("rdd-"))
+        .map(_.toString).toSeq
+    }
+  }
+
+  test("reliable cut produces fingerprint-identical results on iterative operators") {
+    // the three fixpoint shapes: pagerank (per-round join+agg), connected
+    // components (min-label propagation), BPE trainer (driver-bounded
+    // merge table + per-round symbol rewrite)
+    def runs(): Map[String, (String, Long)] = Map(
+      "g01" -> fingerprint(SparkEntry.queries("g01_pagerank")(spark, sf)),
+      "d05" -> fingerprint(SparkEntry.queries("d05_neardup_clusters")(spark, sf)),
+      "t24" -> fingerprint(SparkEntry.queries("t24_bpe_merges")(spark, sf)))
+    val local = runs()
+    val root = ckptRoot
+    val reliable = withMode("reliable", Some(root))(runs())
+    assert(local == reliable,
+      s"strategy changed results: local=$local reliable=$reliable")
+  }
+
+  test("reliable cut writes to the configured dir and releaseCheckpoint deletes superseded rounds") {
+    val root = ckptRoot
+    withMode("reliable", Some(root)) {
+      val df = Engine.table(spark, sf, "nation").transform(Engine.cut)
+      val dirs = listRddDirs(root)
+      assert(dirs.nonEmpty, s"no rdd-* checkpoint dir under $root")
+      assert(df.count() == 25)
+      Engine.releaseCheckpoint(df)
+      assert(listRddDirs(root).isEmpty,
+        s"superseded checkpoint files not deleted: ${listRddDirs(root)}")
+    }
+  }
+
+  test("unknown mode fails loudly") {
+    intercept[IllegalArgumentException] {
+      withMode("durable")(Engine.table(spark, sf, "nation").transform(Engine.cut))
+    }
+  }
+}
