@@ -136,9 +136,28 @@ object Engine {
     * cost class as Spark's own relation-statistics refresh.)
     * A frame held from BEFORE the write still serves its old count —
     * same staleness contract as the frame's own scan, which pinned its
-    * file list at construction. */
+    * file list at construction.
+    *
+    * Two r12-review hardenings:
+    *  - the plan discriminator is semanticHash PLUS the canonicalized
+    *    plan's hashCode (two independent 32-bit functions — a collision
+    *    needs both to collide on the same file set), and the listing
+    *    fold covers full path bytes + length + modificationTime instead
+    *    of String.hashCode;
+    *  - Layout-managed / streaming tables (anything partitioned on
+    *    batch_id) use a COMMIT-VERSION token — the partition directory
+    *    set, i.e. the batch_id high-water + epoch markers — instead of
+    *    the leaf-file listing. O(partitions) per call, not O(files):
+    *    at 100 TB a corpus table holds millions of part files and the
+    *    per-call listing fold itself becomes a driver stall. Sound
+    *    under Layout's write discipline ONLY (appends create NEW
+    *    batch_id partitions; a replayed batch REPLACES its partition
+    *    with identical rows — the exactly-once contract; compaction
+    *    collapses partitions into the batch_id=-1 epoch, changing the
+    *    set), which is why raw roots keep the listing fingerprint. */
   private final case class CountKey(
-      tag: String, semHash: Int, paths: Seq[String], filesFp: Long)
+      tag: String, semHash: Int, planHash: Int, paths: Seq[String],
+      filesFp: Long)
 
   private val countCache =
     new java.util.LinkedHashMap[CountKey, java.lang.Long](16, 0.75f, true) {
@@ -154,6 +173,8 @@ object Engine {
     * probe job per (statistic, plan, file listing), not one per
     * operator EXECUTION. */
   def memoStat(df: DataFrame, tag: String)(compute: => Long): Long = {
+    import org.apache.spark.sql.execution.datasources.{
+      CatalogFileIndex, FileIndex, PartitioningAwareFileIndex}
     val plan = df.queryExecution.analyzed
     val locs = plan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -167,14 +188,41 @@ object Engine {
       case Right(loc) => loc.rootPaths.mkString(",")
       case Left(s) => s
     }
-    // FNV-1a over the sorted leaf-file names: parquet writers emit
-    // unique part names, so any append/overwrite/compaction changes it
+    def fnvS(h: Long, s: String): Long =
+      s.foldLeft(h)((a, c) => (a ^ c.toLong) * 1099511628211L)
+    def fnvL(h: Long, v: Long): Long = (h ^ v) * 1099511628211L
+    def isBatchTable(loc: FileIndex): Boolean =
+      loc.partitionSchema.fieldNames.contains("batch_id")
+    // invalidation token per relation (see the key contract above):
+    // commit-version (partition set) for batch_id tables, full listing
+    // (path + length + mtime) for raw roots
     val filesFp = locs.collect { case Right(loc) => loc }
-      .flatMap(_.inputFiles).sorted
-      .foldLeft(-3750763034362895579L) { (h, f) =>
-        (h ^ f.hashCode.toLong) * 1099511628211L
+      .foldLeft(-3750763034362895579L) { (h0, loc) =>
+        loc match {
+          case c: CatalogFileIndex if isBatchTable(c) =>
+            // partition names straight from the catalog — no file listing
+            val id = c.table.identifier
+            val parts = df.sparkSession.sessionState.catalog.externalCatalog
+              .listPartitionNames(id.database.getOrElse("default"), id.table)
+              .sorted
+            parts.foldLeft(fnvL(h0, parts.size.toLong))(fnvS)
+          case p: PartitioningAwareFileIndex if isBatchTable(p) =>
+            // path-read batch table: partition dirs from the (cached)
+            // partition spec — O(partitions), no leaf-file fold
+            val parts = p.partitionSpec().partitions
+              .map(_.path.toString).sorted
+            parts.foldLeft(fnvL(h0, parts.size.toLong))(fnvS)
+          case other =>
+            other.listFiles(Nil, Nil).flatMap(_.files)
+              .sortBy(_.getPath.toString)
+              .foldLeft(h0) { (h, f) =>
+                fnvL(fnvL(fnvS(h, f.getPath.toString), f.getLen),
+                  f.getModificationTime)
+              }
+        }
       }
-    val k = CountKey(tag, plan.canonicalized.semanticHash(), paths, filesFp)
+    val canon = plan.canonicalized
+    val k = CountKey(tag, canon.semanticHash(), canon.hashCode(), paths, filesFp)
     countCache.synchronized {
       val hit = countCache.get(k)
       if (hit != null) return hit.longValue()
@@ -220,7 +268,14 @@ object Engine {
     * cast: at those magnitudes the emission grain (1e-6) sits many
     * orders below one double ulp, where the correctly-rounded and
     * divide-through conversions have always hash-agreed (q55 was
-    * green at every SF before this path split). */
+    * green at every SF before this path split). NOTE (r12 review):
+    * the above-threshold branch is EMPIRICALLY gated, not proven —
+    * Spark's correctly-rounded BigDecimal cast and DuckDB's two-step
+    * (double)unscaled/1e6 could in principle split by one ulp on some
+    * magnitude; every observed sum at sf0.01-sf10 agrees, and the
+    * sf-sweep re-checks it each round. If a future corpus ever splits
+    * here, route this branch through the integer-numerator scheme at a
+    * coarser scale (millis) so both engines do the identical two-step. */
   def decOut(c: Column): Column = {
     val d = c.cast(DEC6)
     when(abs(d) < lit(9.0e12),

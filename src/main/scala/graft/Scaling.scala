@@ -55,11 +55,23 @@ object Scaling {
   def loadBudget(path: String = "SCALING_BUDGET.json"): Budget = {
     val txt = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    val entry = """"([A-Za-z0-9_]+)"\s*:\s*"([a-z]+)"""".r
-    val pairs = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toSeq
+    // r12 ADVICE: parse per LINE, anchored — a whole-file regex sweep
+    // silently ingested any lowercase string field as a classification.
+    // Every line must be structural ({, }, blank) or exactly one
+    // "key": "value" pair; underscore-prefixed keys are doc fields;
+    // anything else is schema drift and fails loudly here, not at gate
+    // evaluation.
+    val entry = """^\s*"([A-Za-z0-9_]+)"\s*:\s*"([^"]*)"\s*,?\s*$""".r
+    val pairs = txt.linesIterator.flatMap {
+      case l if l.trim.isEmpty || l.trim == "{" || l.trim == "}" => None
+      case entry(k, _) if k.startsWith("_") => None
+      case entry(k, v) => Some(k -> v)
+      case other => throw new IllegalArgumentException(
+        s"$path: unparseable line (one \"key\": \"value\" pair per line): $other")
+    }.toSeq
     val default = pairs.collectFirst { case ("default", c) => c }.getOrElse("sublinear")
     val qs = pairs.filterNot(_._1 == "default").toMap
-    val bad = qs.values.toSet.diff(classCaps.keySet)
+    val bad = (qs.values.toSet + default).diff(classCaps.keySet)
     require(bad.isEmpty, s"unknown scaling classes: $bad")
     Budget(default, qs)
   }

@@ -228,33 +228,52 @@ object ClusterCheck {
     * every one a lineage cut). */
   val chaosQuery = "g08_hits"
 
-  /** Job index (1-based, onJobStart) at which the killer fires: job 3
-    * is mid-materialization — the first cut() frames exist, spread
-    * across both executors, and many more rounds still need them. */
-  val killAtJob = 3
+  /** Job index (1-based, onJobStart) at which the killer fires. The
+    * g08 run is ~45 jobs (adjacency + node cuts, then 2 cut jobs per
+    * HITS half-step); job 20 is mid-fixpoint — the e/n adjacency cuts
+    * (needed by EVERY remaining round) and the current round's frames
+    * all exist as checkpoint state by then. Firing too early is
+    * vacuous (found empirically: at job 3 no cut had materialized yet,
+    * executors relaunched, and even the localCheckpoint arm sailed
+    * through) — the gate catches that as outcome drift if the job
+    * count ever changes. */
+  val killAtJob = 20
 
-  /** kill -9 one executor JVM of THIS app (matched by
+  /** kill -9 EVERY executor JVM of THIS app (matched by
     * CoarseGrainedExecutorBackend + the app id in /proc cmdline) —
-    * the closest local simulation of a preempted / OOM-killed node.
-    * Returns the pid, or -1 if none found. */
-  private def killOneExecutor(appId: String): Long = {
+    * the local simulation of a preempted node set. Killing ALL of them
+    * makes both arms deterministic: at gate scale AQE coalesces the
+    * tiny per-round frames to ~1 partition, so a single-executor kill
+    * is a coin flip on where that block happened to live (found
+    * empirically: the localCheckpoint arm survived a 1-of-2 kill).
+    * With every executor dead, every localCheckpoint block is gone
+    * (the local arm MUST fail) while reliable checkpoint files are on
+    * durable storage (the reliable arm MUST complete after the
+    * standalone master relaunches executors). Returns killed pids.
+    *
+    * Reads /proc/<pid>/cmdline DIRECTLY: ProcessHandle.info()
+    * .commandLine() truncates long command lines, and the executor's
+    * starts with the multi-hundred-KB -cp inherited from
+    * spark.executor.extraClassPath — the main class name never survives
+    * the truncation (found empirically: the first chaos run matched
+    * nothing). */
+  private def killAllExecutors(appId: String): Seq[Long] = {
     import scala.jdk.CollectionConverters._
-    val victim = ProcessHandle.allProcesses().iterator().asScala.find { p =>
-      p.info().commandLine()
-        .map[java.lang.Boolean](c =>
-          c.contains("CoarseGrainedExecutorBackend") && c.contains(appId))
-        .orElse(java.lang.Boolean.FALSE)
-    }
-    victim match {
-      case Some(p) =>
-        val pid = p.pid()
-        p.destroyForcibly()
-        println(s"[cluster-check] CHAOS killed executor JVM pid=$pid")
-        pid
-      case None =>
-        println(s"[cluster-check] CHAOS found no executor JVM for $appId")
-        -1L
-    }
+    val victims = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .filter { d =>
+        try {
+          val cmd = new String(
+            java.nio.file.Files.readAllBytes(d.resolve("cmdline")), "UTF-8")
+          cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(appId)
+        } catch { case _: java.io.IOException => false }
+      }
+      .map(_.getFileName.toString.toLong).toSeq
+    victims.foreach(pid => ProcessHandle.of(pid).ifPresent(_.destroyForcibly()))
+    println(s"[cluster-check] CHAOS killed executor JVMs: " +
+      (if (victims.isEmpty) "NONE FOUND" else victims.mkString(", ")))
+    victims
   }
 
   private def chaosArm(dir: String, mode: String,
@@ -265,12 +284,12 @@ object ClusterCheck {
       spark.conf.set("graft.checkpoint.dir",
         new java.io.File(s"target/cc-chaos-ckpt-$mode").getAbsolutePath)
       val jobsSeen = new AtomicInteger
-      val killedPid = new AtomicLong(-1L)
+      val killedPid = new AtomicLong(-1L) // any one of the killed set
       val appId = spark.sparkContext.applicationId
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit =
           if (jobsSeen.incrementAndGet() == killAtJob)
-            killedPid.set(killOneExecutor(appId))
+            killAllExecutors(appId).headOption.foreach(killedPid.set)
       })
       val t0 = System.nanoTime()
       val res =
@@ -345,11 +364,31 @@ object ClusterCheck {
         "(see Scaladoc) — without them executor launch fails mid-run")
     val dir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
     val withChaos = !args.contains("--no-chaos")
+    val chaosOnly = args.contains("--chaos-only")
+
+    if (chaosOnly) { // fast iteration on the kill arms alone
+      val spark = session("local[32]")
+      val refFp =
+        try fingerprint(SparkEntry.queries(chaosQuery)(spark, dir))._1
+        finally spark.stop()
+      val chaos = Seq(chaosArm(dir, "reliable", Some(refFp)),
+        chaosArm(dir, "local", None))
+      val ok = chaos.exists(a => a.mode == "reliable" &&
+          a.outcome == "completed" && a.killedPid != -1L) &&
+        chaos.exists(a => a.mode == "local" && a.outcome == "failed" &&
+          a.killedPid != -1L)
+      println(s"[cluster-check] chaos-only ok=$ok")
+      sys.exit(if (ok) 0 else 1)
+    }
 
     val local = runFamily("local[32]", dir)
     val cluster = runFamily(clusterMaster, dir)
     val cl = cluster.toMap
-    val bad = local.collect { case (n, e) if cl(n) != e => n }
+    // parity = content (fingerprint + rows); seconds ride along for the
+    // artifact but are not compared
+    val bad = local.collect {
+      case (n, e) if cl(n).fp != e.fp || cl(n).rows != e.rows => n
+    }
     bad.foreach(n => println(
       s"[cluster-check] MISMATCH $n local=${local.toMap.apply(n)} cluster=${cl(n)}"))
 

@@ -62,10 +62,11 @@ object DerivedOracles {
         .write.mode("overwrite").parquet(s"$out/$name")
       println(f"[derived] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // shared escape (graft.tools.Json): covers ALL control chars, not
+    // just the 4-case subset (r12 ADVICE — a CR in builder-authored SQL
+    // would have produced invalid JSON for tools/drivercheck.py)
     val json = fam.map { case (n, sql) =>
-      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\t", "\\t")
-      s""""$n": "$esc""""
+      s"${Json.str(n)}: ${Json.str(sql)}"
     }.mkString("{", ", ", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
       json.getBytes("UTF-8"))

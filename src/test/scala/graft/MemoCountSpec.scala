@@ -58,4 +58,37 @@ class MemoCountSpec extends AnyFunSuite {
     // the documented staleness contract of the frame's own scan
     assert(Engine.memoCount(before) == 400L)
   }
+
+  test("Layout batch tables use the commit-version token: new batch invalidates, replay hits") {
+    val table = "memo_batch_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("source"))
+    Layout.idempotentBatchAppend(docs.limit(50), table, 0L, Seq.empty)
+    spark.catalog.refreshTable(table)
+    val n0 = Engine.memoCount(spark.table(table))
+    assert(n0 == 50L)
+    // zero-job hit on a rebuilt frame (the key is the partition set —
+    // the batch_id high-water — not the leaf listing)
+    val jobs = jobsInGroup {
+      assert(Engine.memoCount(spark.table(table)) == 50L)
+    }
+    assert(jobs == 0, s"memoCount MISSED on a rebuilt batch table: $jobs job(s)")
+    // a NEW batch is a new partition -> token moves -> fresh count
+    Layout.idempotentBatchAppend(docs.limit(30), table, 1L, Seq.empty)
+    spark.catalog.refreshTable(table)
+    assert(Engine.memoCount(spark.table(table)) == 80L,
+      "stale count after a new streaming batch landed")
+    // an idempotent REPLAY of batch 1 rewrites the same partition with
+    // the same rows — same commit version, so the memo may (and does)
+    // keep serving without a job
+    Layout.idempotentBatchAppend(docs.limit(30), table, 1L, Seq.empty)
+    spark.catalog.refreshTable(table)
+    val replayJobs = jobsInGroup {
+      assert(Engine.memoCount(spark.table(table)) == 80L)
+    }
+    assert(replayJobs == 0,
+      s"replayed batch (same commit version) re-ran the count: $replayJobs job(s)")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
