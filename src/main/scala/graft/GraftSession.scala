@@ -230,7 +230,14 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
 
   private def showGuc(name: String): DataFrame = name match {
     case "all" => result(localGucs.toSeq.sorted, ("name", "setting"))
-    case n if localGucs.contains(n) => result(Seq((n, localGucs(n))), ("name", "setting"))
+    case n if localGucs.contains(n) =>
+      // reference shape (utility.rs:40-44 + lib.rs:391-409
+      // write_str_response): ONE varchar column NAMED the guc, one row
+      // with its canonical value — what psql renders for SHOW x.
+      // (The first real-client conformance pass caught this: the old
+      // (name, setting) pair row is PG's SHOW ALL shape, not SHOW's.)
+      import spark.implicits._
+      Seq(localGucs(n)).toDF(n)
     case n => throw new GraftArgError(Errors.UndefinedObject,
       s"unrecognized configuration parameter \"$n\"")
   }
@@ -460,6 +467,76 @@ class GraftSession(val spark: SparkSession, val dataDir: Option[String] = None) 
 object GraftSession {
   private val sessionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   private def nextSessionId(): Long = sessionCounter.incrementAndGet()
+
+  /** Split a simple-Query string into its top-level statements — the
+    * PG exec_simple_query contract a real client (psql -c) relies on.
+    * The reference parses ONE statement per Query message (lib.rs:
+    * 439-447 — a multi-statement string is a syntax error there); this
+    * engine exceeds that surface the same way it does for COPY TO,
+    * because libpq clients legitimately send "a; b" in one message.
+    * Respects: '...' (with '' escape), E'...' (backslash escapes),
+    * "..." identifiers, -- line comments, nested block comments,
+    * $tag$...$tag$ dollar quoting. Empty segments (bare or trailing
+    * ';') are dropped — PG sends EmptyQueryResponse only when the
+    * WHOLE string is empty. */
+  def splitStatements(sql: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    val n = sql.length
+    def flush(): Unit = {
+      val s = cur.toString.trim
+      if (s.nonEmpty && s != ";") out += s
+      cur.clear()
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      def startsWith(s: String) = sql.regionMatches(true, i, s, 0, s.length)
+      if (c == ';') { flush(); i += 1 }
+      else if (c == '\'' || ((c == 'e' || c == 'E') && i + 1 < n && sql.charAt(i + 1) == '\'')) {
+        // string literal; E'' honors backslash escapes, '' honors ''
+        val escaped = c != '\''
+        if (escaped) { cur += c; i += 1 }
+        cur += '\''; i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val ch = sql.charAt(i)
+          if (escaped && ch == '\\' && i + 1 < n) { cur += ch += sql.charAt(i + 1); i += 2 }
+          else if (ch == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') { cur ++= "''"; i += 2 }
+          else if (ch == '\'') { cur += ch; i += 1; closed = true }
+          else { cur += ch; i += 1 }
+        }
+      } else if (c == '"') {
+        cur += c; i += 1
+        while (i < n && sql.charAt(i) != '"') { cur += sql.charAt(i); i += 1 }
+        if (i < n) { cur += '"'; i += 1 }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') { cur += sql.charAt(i); i += 1 }
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        var depth = 0
+        var go = true
+        while (i < n && go) {
+          if (startsWith("/*")) { depth += 1; cur ++= "/*"; i += 2 }
+          else if (startsWith("*/")) { depth -= 1; cur ++= "*/"; i += 2; go = depth > 0 }
+          else { cur += sql.charAt(i); i += 1 }
+        }
+      } else if (c == '$') {
+        // $tag$ ... $tag$ (tag = [A-Za-z_][A-Za-z0-9_]* or empty)
+        val m = """\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$""".r
+          .findPrefixOf(sql.substring(i))
+        m match {
+          case Some(open) =>
+            cur ++= open; i += open.length
+            val end = sql.indexOf(open, i)
+            val stop = if (end == -1) n else end + open.length
+            cur ++= sql.substring(i, stop); i = stop
+          case None => cur += c; i += 1
+        }
+      } else { cur += c; i += 1 }
+    }
+    flush()
+    out.toSeq
+  }
 
   /** Process-wide lock table enforcing PG's 8x8 table-lock conflict
     * matrix — the lmgr analogue (reference src/access/lmgr.rs:32-68

@@ -299,30 +299,47 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
           }
         } else if (msgType == 'Q') {
           val (query, _) = readCstr(body, 0)
-          try {
-            // every Spark job of this statement runs under the session's
-            // job group so a CancelRequest can interrupt it mid-flight
-            spark.sparkContext.setJobGroup(jobGroupOf(sid),
-              s"wire session $sid", interruptOnCancel = true)
-            sess.copyInTarget(query) match {
-              case Some((rel, schema, opts)) =>
-                handleCopyIn(in, out, sess, rel, schema, opts)
-              case None => sess.copyOutSource(query) match {
-                case Some((rel, schema, opts)) =>
-                  handleCopyOut(out, sess, rel, schema, opts)
-                case None =>
-                  val df = sess.execute(query)
-                  writeResult(out, df)
-              }
+          // PG simple-protocol contract (and what psql -c sends): the
+          // Query string may hold SEVERAL statements — execute each in
+          // order, one result per statement, ONE ReadyForQuery at the
+          // end; the first error discards the rest of the string. An
+          // all-empty string answers EmptyQueryResponse ('I').
+          val statements = graft.GraftSession.splitStatements(query)
+          if (statements.isEmpty) send(out, 'I')
+          else {
+            val it = statements.iterator
+            var failed = false
+            while (it.hasNext && !failed) {
+              val stmt = it.next()
+              try {
+                // every Spark job of this statement runs under the
+                // session's job group so a CancelRequest can interrupt
+                // it mid-flight
+                spark.sparkContext.setJobGroup(jobGroupOf(sid),
+                  s"wire session $sid", interruptOnCancel = true)
+                sess.copyInTarget(stmt) match {
+                  case Some((rel, schema, opts)) =>
+                    handleCopyIn(in, out, sess, rel, schema, opts)
+                  case None => sess.copyOutSource(stmt) match {
+                    case Some((rel, schema, opts)) =>
+                      handleCopyOut(out, sess, rel, schema, opts)
+                    case None =>
+                      val df = sess.execute(stmt)
+                      writeResult(out, df)
+                  }
+                }
+              } catch {
+                case e: Exception =>
+                  // a lazy (execution-time) failure must abort a
+                  // transaction block exactly like an analysis-time one
+                  // (lib.rs:468-473)
+                  sess.onStatementError()
+                  sendError(out, sqlStateOf(e),
+                    Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+                  failed = true
+              } finally spark.sparkContext.clearJobGroup()
             }
-          } catch {
-            case e: Exception =>
-              // a lazy (execution-time) failure must abort a transaction
-              // block exactly like an analysis-time one (lib.rs:468-473)
-              sess.onStatementError()
-              sendError(out, sqlStateOf(e),
-                Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
-          } finally spark.sparkContext.clearJobGroup()
+          }
           sendReady = true
         } else try {
           msgType match {
@@ -627,7 +644,11 @@ class WireServer(spark: SparkSession, dataDir: Option[String] = None,
     val schema = df.schema
     if (schema.length == 1 && schema.head.name == "command_status") {
       val tagValue = df.head().getString(0)
-      send(out, 'C', cstr(tagValue))
+      // the session API renders an empty statement as this pseudo-tag;
+      // on the wire it is its own message type ('I'), not a
+      // CommandComplete (protocol.rs EmptyQueryResponse)
+      if (tagValue == "EmptyQueryResponse") send(out, 'I')
+      else send(out, 'C', cstr(tagValue))
       return
     }
     val fmts = resolveFmts(resFmts, df.schema.fields)

@@ -20,10 +20,31 @@ class GraftSessionSpec extends AnyFunSuite {
       "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").count() == 3)
   }
 
+  test("splitStatements: top-level semicolons only, quotes/comments/dollar respected") {
+    import GraftSession.splitStatements
+    assert(splitStatements("SELECT 1; SELECT 2") == Seq("SELECT 1", "SELECT 2"))
+    assert(splitStatements("SELECT 1;") == Seq("SELECT 1"))
+    assert(splitStatements("  ;  ; ") == Seq.empty)
+    assert(splitStatements("") == Seq.empty)
+    assert(splitStatements("SELECT 'a;b'; SELECT 2") ==
+      Seq("SELECT 'a;b'", "SELECT 2"))
+    assert(splitStatements("SELECT 'it''s; fine'") == Seq("SELECT 'it''s; fine'"))
+    assert(splitStatements("SELECT E'x\\';y'; SELECT 9") ==
+      Seq("SELECT E'x\\';y'", "SELECT 9"))
+    assert(splitStatements("SELECT \"a;b\" FROM t; SELECT 2") ==
+      Seq("SELECT \"a;b\" FROM t", "SELECT 2"))
+    assert(splitStatements("SELECT 1 -- c;omment\n; SELECT 2") ==
+      Seq("SELECT 1 -- c;omment", "SELECT 2"))
+    assert(splitStatements("SELECT 1 /* a;b /* nest;ed */ x */; SELECT 2") ==
+      Seq("SELECT 1 /* a;b /* nest;ed */ x */", "SELECT 2"))
+    assert(splitStatements("SELECT $$a;b$$; SELECT $t$c;d$t$") ==
+      Seq("SELECT $$a;b$$", "SELECT $t$c;d$t$"))
+  }
+
   test("SET / SHOW round-trip GUCs with reference defaults") {
-    assert(sess.execute("SHOW batch_size").head.getString(1) == "1024")
+    assert(sess.execute("SHOW batch_size").head.getString(0) == "1024")
     sess.execute("SET batch_size = 2048")
-    assert(sess.execute("SHOW batch_size").head.getString(1) == "2048")
+    assert(sess.execute("SHOW batch_size").head.getString(0) == "2048")
     assert(sess.execute("SHOW all").count() >= 10)
     intercept[IllegalArgumentException](sess.execute("SHOW no_such_guc"))
     intercept[IllegalArgumentException](sess.execute("SET nope = 1"))
@@ -33,13 +54,13 @@ class GraftSessionSpec extends AnyFunSuite {
     val s = new GraftSession(spark)
     // all 22 reference GUCs exist with their boot_vals (gucdef.yaml)
     assert(s.execute("SHOW all").count() == 22)
-    assert(s.execute("SHOW port").head.getString(1) == "1218")
-    assert(s.execute("SHOW search_path").head.getString(1) == "public,kb_catalog")
-    assert(s.execute("SHOW enable_cs_wal").head.getString(1) == "false")
-    assert(s.execute("SHOW server_version").head.getString(1) == "0.0.1")
-    assert(s.execute("SHOW log_min_messages").head.getString(1) == "DEBUG2")
-    assert(s.execute("SHOW xid_stop_limit").head.getString(1) == "2000000000")
-    assert(s.execute("SHOW seq_page_cost").head.getString(1) == "1.0")
+    assert(s.execute("SHOW port").head.getString(0) == "1218")
+    assert(s.execute("SHOW search_path").head.getString(0) == "public,kb_catalog")
+    assert(s.execute("SHOW enable_cs_wal").head.getString(0) == "false")
+    assert(s.execute("SHOW server_version").head.getString(0) == "0.0.1")
+    assert(s.execute("SHOW log_min_messages").head.getString(0) == "DEBUG2")
+    assert(s.execute("SHOW xid_stop_limit").head.getString(0) == "2000000000")
+    assert(s.execute("SHOW seq_page_cost").head.getString(0) == "1.0")
     // vartype enforcement (utility.rs to_i32/to_f64/to_bool): a mistyped
     // value errors instead of storing a string
     intercept[IllegalArgumentException](s.execute("SET port = 'abc'"))
@@ -48,13 +69,13 @@ class GraftSessionSpec extends AnyFunSuite {
     // typed store: SHOW renders the canonical form, not the raw spelling
     // (the reference stores the to_bool/to_i32 result, not the string)
     s.execute("SET enable_cs_wal = on")
-    assert(s.execute("SHOW enable_cs_wal").head.getString(1) == "true")
+    assert(s.execute("SHOW enable_cs_wal").head.getString(0) == "true")
     s.execute("SET enable_cs_wal = 'no'")
-    assert(s.execute("SHOW enable_cs_wal").head.getString(1) == "false")
+    assert(s.execute("SHOW enable_cs_wal").head.getString(0) == "false")
     s.execute("SET port = '+5432'")
-    assert(s.execute("SHOW port").head.getString(1) == "5432")
+    assert(s.execute("SHOW port").head.getString(0) == "5432")
     s.execute("SET seq_page_cost = 2.5")
-    assert(s.execute("SHOW seq_page_cost").head.getString(1) == "2.5")
+    assert(s.execute("SHOW seq_page_cost").head.getString(0) == "2.5")
     // REPORT-flagged set = what the wire front-end sends as ParameterStatus
     assert(s.reportGucs.map(_._1) ==
       Seq("server_version", "server_encoding", "client_encoding", "is_superuser"))

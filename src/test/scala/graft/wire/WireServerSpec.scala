@@ -355,7 +355,9 @@ class WireServerSpec extends AnyFunSuite {
 
       c.query("SHOW batch_size")
       val (showMsgs, _) = c.drain()
-      assert(c.dataRows(showMsgs) == Seq(Seq("batch_size", "4096")))
+      // reference shape: one column NAMED the guc, one value row
+      // (utility.rs:40-44 + lib.rs:391-409 write_str_response)
+      assert(c.dataRows(showMsgs) == Seq(Seq("4096")))
 
       c.query("BEGIN")
       val (_, st2) = c.drain()

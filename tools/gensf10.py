@@ -115,33 +115,47 @@ emit("embeddings", " UNION ALL ".join(
   FROM '{SRC}/embeddings.parquet'""")
     for k in range(K)))
 
-# documents: fresh per-copy vocabulary permutation (seed 4200+k)
+# documents: fresh per-copy vocabulary permutation (seed 4200+k).
+# Implementation note: gensf.py's map_from_entries-in-a-lambda form went
+# superlinear at this volume (DuckDB rebuilds the literal map per token;
+# fine at 4.5M tokens, pathological at 45M) — the same permutation is
+# applied here as a token-level JOIN against a 31-row mapping table,
+# which streams.
 vocab = sorted(r[0] for r in con.execute(
     f"SELECT DISTINCT unnest(string_split(text, ' ')) "
     f"FROM '{SRC}/documents.parquet'").fetchall())
-parts = []
 perms = {}
-for k in range(K):
-    if k == 0:
-        parts.append(f"SELECT doc_id, text, lang, source, n_chars "
-                     f"FROM '{SRC}/documents.parquet'")
-        continue
+con.execute("CREATE TEMP TABLE vocab_map (k INT, w VARCHAR, nw VARCHAR)")
+for k in range(1, K):
     rnd = random.Random(4200 + k)
     perm = vocab[:]
     rnd.shuffle(perm)
     perms[k] = dict(zip(vocab, perm))
-    pairs = ", ".join(
-        f"('{a}', '{b}')" for a, b in zip(vocab, perm))
+    con.executemany("INSERT INTO vocab_map VALUES (?, ?, ?)",
+                    [(k, a, b) for a, b in zip(vocab, perm)])
+parts = [f"SELECT doc_id, text, lang, source, n_chars "
+         f"FROM '{SRC}/documents.parquet'"]
+for k in range(1, K):
     parts.append(f"""
-      SELECT doc_id + {k}*{DOC} AS doc_id, t2 AS text, lang, source,
-             CAST(length(t2) AS BIGINT) AS n_chars
+      SELECT doc_id + {k}*{DOC} AS doc_id,
+             string_agg(m.nw, ' ' ORDER BY t.i) AS text,
+             any_value(lang) AS lang, any_value(source) AS source,
+             CAST(length(string_agg(m.nw, ' ' ORDER BY t.i)) AS BIGINT)
+               AS n_chars
       FROM (
         SELECT doc_id, lang, source,
-               list_aggr(list_transform(string_split(text, ' '),
-                 w -> map_from_entries([{pairs}])[w]),
-                 'string_agg', ' ') AS t2
-        FROM '{SRC}/documents.parquet')""")
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM '{SRC}/documents.parquet') t
+      JOIN vocab_map m ON m.k = {k} AND m.w = t.w
+      GROUP BY doc_id""")
 emit("documents", " UNION ALL ".join(parts))
+# every token must have mapped (inner join drops none): row count check
+ndoc = con.execute(
+    f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+ngen = con.execute(
+    f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
+assert ngen == K * ndoc, f"documents rows {ngen} != {K}*{ndoc}"
 
 # spot-check the no-collision claims of the docstring
 sf1_perms = {}
