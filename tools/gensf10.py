@@ -133,10 +133,17 @@ for k in range(1, K):
     perms[k] = dict(zip(vocab, perm))
     con.executemany("INSERT INTO vocab_map VALUES (?, ?, ?)",
                     [(k, a, b) for a, b in zip(vocab, perm)])
-parts = [f"SELECT doc_id, text, lang, source, n_chars "
-         f"FROM '{SRC}/documents.parquet'"]
+# Stage each copy to its own parquet and concatenate at the end: the
+# one-query UNION form ran all K token-level GROUP BYs concurrently and
+# OOM'd DuckDB at this volume (K x 45M in-flight string_agg states);
+# sequential staging bounds peak memory at ONE copy regardless of K.
+stage = os.path.join(DST, "_documents_stage")
+os.makedirs(stage, exist_ok=True)
+con.execute(f"""COPY (SELECT doc_id, text, lang, source, n_chars
+  FROM '{SRC}/documents.parquet')
+  TO '{stage}/copy0.parquet' (FORMAT PARQUET)""")
 for k in range(1, K):
-    parts.append(f"""
+    con.execute(f"""COPY (
       SELECT doc_id + {k}*{DOC} AS doc_id,
              string_agg(m.nw, ' ' ORDER BY t.i) AS text,
              any_value(lang) AS lang, any_value(source) AS source,
@@ -148,8 +155,13 @@ for k in range(1, K):
                generate_subscripts(string_split(text, ' '), 1) AS i
         FROM '{SRC}/documents.parquet') t
       JOIN vocab_map m ON m.k = {k} AND m.w = t.w
-      GROUP BY doc_id""")
-emit("documents", " UNION ALL ".join(parts))
+      GROUP BY doc_id)
+      TO '{stage}/copy{k}.parquet' (FORMAT PARQUET)""")
+    print(f"documents copy {k}: staged")
+emit("documents", f"SELECT * FROM '{stage}/copy*.parquet'")
+for f in os.listdir(stage):
+    os.remove(os.path.join(stage, f))
+os.rmdir(stage)
 # every token must have mapped (inner join drops none): row count check
 ndoc = con.execute(
     f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
