@@ -93,13 +93,25 @@ object VectorSearch {
     * independent hyperplane sets; a candidate qualifies if it shares ANY
     * table's bucket with the query (union of tables -> recall compounds:
     * P(miss) = (1-p)^tables). One shuffle on (table, bucket); cross-
-    * table duplicates dedup inside the bounded heap. */
+    * table duplicates dedup inside the bounded heap.
+    *
+    * `planes` DERIVES from corpus size when defaulted — the same
+    * [[derivePlanes]] discipline as the pair self-join family, on the
+    * query side's cost axis: with FIXED planes the per-query candidate
+    * count is bucket density = N/2^planes, so total work |Q| x N/2^planes
+    * goes QUADRATIC per scale decade when the query set grows with the
+    * corpus (the sf1->sf10 probe measured fixed-planes s02 at 63x on 10x
+    * data — the s05/d10 regime class, one decade later; decade 1's 4.3x
+    * just absorbed density 1250 into one box's headroom). At the gate
+    * scale factors the derivation yields the embedded-oracle value 4
+    * (N = 500 and 2000), so the plane-literal oracle stays exact. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+      planes: Int = -1, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val p = derivePlanes(corpus, planes, 4)
     def withBuckets(df: DataFrame, v: String): DataFrame = df.select(
       df.columns.toIndexedSeq.map(col) :+
-        posexplode(lshBucketsAll(col(v), planes, tables, dim)).as(Seq("tbl", "bucket")): _*)
+        posexplode(lshBucketsAll(col(v), p, tables, dim)).as(Seq("tbl", "bucket")): _*)
     val c = withBuckets(corpus, "embedding")
     val q = withBuckets(queries, "qv")
     // duplicates across tables are exact (qid, nid, sim) repeats (sim is
@@ -678,6 +690,28 @@ object VectorSearch {
     * regenerates them at a larger corpus's own derived values so the
     * derived REGIME is oracle-checked too (the d03-cap lesson: regimes
     * no oracle ever ran are where divergence hides). */
+  /** s02's oracle, parameterized on the derived plane count (builder
+    * shared by the committed def at the gate value 4 and
+    * tools.DerivedOracles at the corpus's own derived value). Unlike
+    * the pair-mining oracles this one has NO maxBucket clause: lshTopK
+    * probes every bucket its query lands in (a capped bucket would
+    * silently drop a query's whole candidate set, not bound a
+    * quadratic), so the oracle's candidate CTE is the plain bucket
+    * equi-join. */
+  private[graft] def oracleAnnLshSql(planes: Int): String =
+    s"""WITH ${oracleLshBuckets(planes, tables = 8)},
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        scored AS (
+          SELECT cand.qid, cand.nid, round($oracleCosine, 6) AS sim
+          FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid)
+        SELECT qid, nid, sim FROM (
+          SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored) WHERE rn <= 10"""
+
   private[graft] def oracleNearDupLshSql(planes: Int): String =
     s"""WITH ${oracleLshSims(planes, tables = 8)}
         SELECT id_a, id_b, sim FROM sims WHERE sim > 0.3"""
@@ -926,18 +960,7 @@ object VectorSearch {
       }),
 
     GQ("s02_ann_lsh", // r10: full oracle via embedded planes (d02 discipline)
-      Some(s"""WITH ${oracleLshSims(planes = 4, tables = 8)},
-        cand AS (
-          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-          FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
-          WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
-        scored AS (
-          SELECT cand.qid, cand.nid, round($oracleCosine, 6) AS sim
-          FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid)
-        SELECT qid, nid, sim FROM (
-          SELECT qid, nid, sim,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-          FROM scored) WHERE rn <= 10"""),
+      Some(oracleAnnLshSql(4)), // == derivePlanes at the gate SFs
       (s, d) => {
         val e = emb(s, d)
         val q = e.filter(col("vec_id") % 100 === 0)

@@ -36,6 +36,7 @@ object DerivedOracles {
       s"planes(s05/s10)=$p5 planes(s14)=$p3 cells=$cells nprobe=$np")
     Seq(
       "d10_semantic_dedup" -> Cluster.oracleSemanticDedupSql(k),
+      "s02_ann_lsh" -> VectorSearch.oracleAnnLshSql(p4),
       "d07_embedding_neardup_lsh" -> VectorSearch.oracleNearDupLshSql(p4),
       "s05_mutual_knn_graph" -> VectorSearch.oracleMutualKnnSql(p5),
       "s10_label_purity" -> VectorSearch.oracleLabelPuritySql(p5),

@@ -6,6 +6,7 @@ import graft.GraftSession
 object Probe {
   def main(args: Array[String]): Unit = {
     if (args.length >= 2 && args(0) == "t18") { t18diag(args(1), args(2)); return }
+    if (args.length >= 2 && args(0) == "lsh") { lshDiag(args(1)); return }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -23,6 +24,44 @@ object Probe {
     run("CREATE TABLE probe_t (a int, b smallint, c varchar(10))")
     run(s"COPY probe_t FROM '$csv' WITH CSV HEADER DELIMITERS '|' NULL ''")
     run("SELECT * FROM probe_t ORDER BY a")
+    spark.stop()
+  }
+
+  /** Stage-volume diagnostic for the embedding-LSH family (d07/s05
+    * regime analysis at a new scale decade): bucket-size distribution,
+    * capped-bucket losses, in-bucket pair volume (pre-distinct explode
+    * rows), post-distinct candidates, and threshold survivors, at the
+    * corpus's own derived planes. */
+  def lshDiag(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val n = e.count()
+    val planes = graft.operators.VectorSearch.derivePlanes(e, -1, 4)
+    val tables = 8
+    println(s"[lsh-diag] N=$n planes=$planes tables=$tables buckets/table=${1 << planes}")
+    val withB = e.select(col("vec_id"),
+      posexplode(graft.operators.VectorSearch.lshBucketsAll(
+        col("embedding"), planes, tables, 64)).as(Seq("tbl", "bucket")))
+    val sizes = withB.groupBy("tbl", "bucket").agg(count(lit(1)).as("m"))
+    sizes.agg(count(lit(1)).as("nonempty_buckets"), max("m").as("max_m"),
+        sum("m").as("sum_m"),
+        sum(col("m") * (col("m") - 1) / 2).as("pair_volume_uncapped"),
+        sum(when(col("m").between(2, 1000), col("m") * (col("m") - 1) / 2))
+          .as("pair_volume_kept"),
+        sum(when(col("m") > 1000, 1).otherwise(0)).as("buckets_over_cap"),
+        sum(when(col("m") > 1000, col("m"))).as("rows_in_capped"))
+      .show(false)
+    sizes.orderBy(desc("m")).show(20, false)
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.VectorSearch
+      .cosineNearDupPairsLsh(e, 0.3)
+    val out = pairs.count()
+    println(f"[lsh-diag] d07 output=$out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 
