@@ -342,13 +342,32 @@ object VectorSearch {
     * row MULTIPLICATION). Buckets above the cap are DROPPED: the recall
     * trade is explicit — pairs co-located only in over-full buckets are
     * lost (multi-table hashing usually resurfaces them elsewhere), in
-    * exchange for hard bounds: per-task state <= maxBucket ids, pair
-    * volume <= buckets x maxBucket^2/2. Pairs dedup while still narrow
-    * (id, id) — a pair surfacing from many tables shuffles once, not
-    * `tables` times — then the embeddings join back for the exact
-    * cosine (the d02 "join back afterward" shape; this also stops
-    * shuffling the 256-byte embedding through the bucket join x tables
-    * x 2 sides, the dominant shuffle cost of the uncapped form). */
+    * exchange for hard bounds: per-task state <= maxBucket embeddings,
+    * pair volume <= buckets x maxBucket^2/2.
+    *
+    * The cosine computes IN-BUCKET: members carry their embedding
+    * through the bucket groupBy (the one shuffle grows by the vector
+    * payload — tables x N x ~dim*4 bytes, ~0.4 GB per million vectors
+    * at dim 64), and the pair explosion emits narrow (id_a, id_b, sim)
+    * directly — the wide two-embedding intermediate exists only inside
+    * the generator pipeline of one stage, never in a shuffle. The r10
+    * form deduped narrow (id, id) pairs first and joined the embeddings
+    * back; at the sf10 decade that shape's cost INVERTED: the
+    * candidate-volume distinct (~10^8 rows, linear in N x targetBucket
+    * x tables) plus two shuffle joins against the corpus dwarfed the
+    * bucket shuffle it saved, and d07 probed at 36x for a 10x step —
+    * the in-bucket kernel re-times it at ~1.4x per decade of
+    * CANDIDATE volume. Dedup of cross-table repeats now happens
+    * in-heap (the top-k consumers, identical (nid, sim) repeats) or
+    * after `minSim` thresholding (the near-dup consumer) — both
+    * far below candidate volume.
+    *
+    * `minSim` (NaN = off) pushes the consumer's similarity threshold
+    * below the distinct, so only survivors shuffle for dedup; sims are
+    * deterministic per pair (6dp-rounded kernel cosine), so
+    * per-occurrence filtering then distinct equals the r10
+    * distinct-then-filter exactly. `dedup` = false skips the distinct
+    * entirely for consumers whose bounded heap dedups in-place. */
   /** Hyperplane count for the bucket self-join, derived from corpus
     * size when the caller leaves it defaulted (`planes <= 0`):
     * max(minPlanes, ceil(log2(N / targetBucket))) from one
@@ -372,21 +391,21 @@ object VectorSearch {
     }
 
   private def lshPairSims(e: DataFrame, planes: Int, tables: Int,
-      dim: Int, maxBucket: Int): DataFrame = {
-    val withB = e.select(col("vec_id"),
+      dim: Int, maxBucket: Int, minSim: Double = Double.NaN,
+      dedup: Boolean = true): DataFrame = {
+    val withB = e.select(col("vec_id"), col("embedding"),
       posexplode(lshBucketsAll(col("embedding"), planes, tables, dim)).as(Seq("tbl", "bucket")))
     val buckets = withB.groupBy("tbl", "bucket")
-      .agg(collect_list(col("vec_id")).as("members"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-    val pairs = buckets
-      .select(explode(col("members")).as("id_a"), col("members"))
-      .select(col("id_a"), explode(col("members")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    pairs
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), sim6(col("va"), col("vb")).as("sim"))
+    val sims = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        sim6(col("a.embedding"), col("b.embedding")).as("sim"))
+    val kept = if (minSim.isNaN) sims else sims.filter(col("sim") > minSim)
+    if (dedup) kept.distinct() else kept
   }
 
   /** Mutual k-NN graph over the WHOLE corpus — the neighborhood-graph
@@ -410,15 +429,17 @@ object VectorSearch {
   def mutualKnnGraph(e: DataFrame, k: Int,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
       maxBucket: Int = Dedup.MaxBucket): DataFrame = {
-    val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim, maxBucket)
+    // dedup = false: cross-table repeats are identical (nid, sim) rows,
+    // and the distinct heap dedups them in-place — cheaper than a
+    // candidate-volume distinct shuffle ahead of the heap
+    val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim,
+      maxBucket, dedup = false)
     val directed = pairs.select(explode(array(
         struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
         struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
       .select(col("e.qid"), col("e.nid"), col("e.sim"))
-    // candidate pairs are already distinct (deduped narrow inside
-    // lshPairSims), so the plain heap suffices — no in-heap nid scan
-    val topk = topKPerQid(directed, k)
-    // a directed (qid, nid) enters the heap at most once, so canonical
+    val topk = topKPerQid(directed, k, distinct = true)
+    // a directed (qid, nid) leaves the heap at most once, so canonical
     // count == 2 <=> both endpoints kept each other
     topk.select(least(col("qid"), col("nid")).as("id_a"),
         greatest(col("qid"), col("nid")).as("id_b"), col("sim"))
@@ -516,12 +537,13 @@ object VectorSearch {
   def labelPurityLsh(e: DataFrame, k: Int = 5,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
       maxBucket: Int = Dedup.MaxBucket): DataFrame = {
-    val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim, maxBucket)
+    val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim,
+      maxBucket, dedup = false) // distinct heap dedups in-place (s05 note)
     val directed = pairs.select(explode(array(
         struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
         struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
       .select(col("e.qid"), col("e.nid"), col("e.sim"))
-    labelPurityFrom(e, topKPerQid(directed, k))
+    labelPurityFrom(e, topKPerQid(directed, k, distinct = true))
   }
 
   /** s11 body: intra/inter class mean cosine, optionally over a
@@ -749,8 +771,9 @@ object VectorSearch {
   def cosineNearDupPairsLsh(e: DataFrame, threshold: Double,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
       maxBucket: Int = Dedup.MaxBucket): DataFrame =
-    lshPairSims(e, derivePlanes(e, planes, 4), tables, dim, maxBucket)
-      .filter(col("sim") > threshold)
+    // threshold pushed below the distinct: only survivors shuffle
+    lshPairSims(e, derivePlanes(e, planes, 4), tables, dim, maxBucket,
+      minSim = threshold)
 
   /** Hybrid lexical+vector retrieval fused with reciprocal-rank fusion
     * (Cormack et al. 2009): rank the BM25 top-`k` and the cosine top-`k`
