@@ -228,16 +228,23 @@ object Cluster {
     * kernel arm orders identically to the literal arm (arm parity).
     * defs pins the gate constant (k = 8 at N = 500/2000); the sf1
     * derived-regime check (tools.DerivedOracles) regenerates it at the
-    * corpus's own derived k. */
+    * corpus's own derived k.
+    *
+    * The assignment window ranks SCALARS only (vec_id, cid, rn) and
+    * joins the vectors back afterwards: at sf10's derived regime
+    * (N=200k x k=800 = 160M window rows) carrying the two DOUBLE[]
+    * operands through the window materialized ~130 GB and OOM-killed
+    * DuckDB; the scalar window is ~5 GB for the identical ranking. */
   private[graft] def oracleSemanticDedupSql(k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $k),
         c AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid FROM c0),
-        asg AS (SELECT vec_id, v, cid FROM (
-            SELECT a.vec_id, a.v, c.cid,
+        asg0 AS (SELECT vec_id, cid FROM (
+            SELECT a.vec_id, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                      ORDER BY round(${ocos("a.v", "c.v")}, 6) DESC, c.cid) AS rn
             FROM e a CROSS JOIN c) WHERE rn = 1),
+        asg AS (SELECT a.vec_id, e.v, a.cid FROM asg0 a JOIN e ON a.vec_id = e.vec_id),
         drops AS (SELECT DISTINCT b.vec_id
                   FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
                   WHERE round(${ocos("a.v", "b.v")}, 6) > 0.35)
