@@ -562,11 +562,105 @@ object NearestCellsKernel {
     * IVF/k-means keep round6 = false (their oracles restate the
     * UNROUNDED kernel compare).
     */
+  /** Per-centroid sqrt(sum c^2), accumulated in the same index order as
+    * the legacy per-row loop so sim arithmetic stays bit-identical.
+    * Built once per [[NearestCells]] expression (driver), shipped with
+    * the plan — the per-(row, centroid) norm recompute was a third of
+    * the assignment kernel's work at k = 800. */
+  def sqrtNorms(cents: Array[Array[Double]]): Array[Double] =
+    cents.map { c =>
+      var nc = 0.0; var t = 0
+      while (t < c.length) { nc += c(t) * c(t); t += 1 }
+      java.lang.Math.sqrt(nc)
+    }
+
+  /** round6 ranking gap below which raw-sim order is not provably the
+    * rounded-sim order: HALF_UP moves a value by at most 5e-7, so two
+    * sims more than 1e-6 apart can never swap or tie after rounding;
+    * 1.1e-6 adds ulp headroom. */
+  private final val Round6Margin = 1.1e-6
+
   def topN(v: ArrayData, et: DataType,
-      cents: Array[Array[Double]], n: Int, round6: Boolean): ArrayData = {
+      cents: Array[Array[Double]], sqrtNc: Array[Double], n: Int,
+      round6: Boolean): ArrayData = {
     val get = VectorKernels.conv(et)
     val len = v.numElements()
     // query norm once
+    var nv = 0.0
+    var i = 0
+    while (i < len) { val x = get(v, i); nv += x * x; i += 1 }
+    val sqrtNv = java.lang.Math.sqrt(nv)
+    val keep = math.min(n, cents.length)
+    val bestIdx = new Array[Int](keep)
+    val bestSim = new Array[Double](keep)
+    var size = 0
+    // round6 close-call tracking: if any ranking decision anywhere near
+    // the kept list was within Round6Margin, raw order is not provably
+    // the rounded order and the row reruns on the exact legacy loop.
+    var closeCall = false
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val sim = if (len != c.length) {
+        // ragged row/centroid dims: legacy partial-overlap semantics
+        val m = math.min(len, c.length)
+        var dot = 0.0; var nc = 0.0
+        var t = 0
+        while (t < m) { val x = get(v, t); dot += x * c(t); nc += c(t) * c(t); t += 1 }
+        if (nv == 0.0 || nc == 0.0) 0.0
+        else dot / (java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc))
+      } else {
+        var dot = 0.0
+        var t = 0
+        while (t < len) { dot += get(v, t) * c(t); t += 1 }
+        if (nv == 0.0 || sqrtNc(j) == 0.0) 0.0
+        else dot / (sqrtNv * sqrtNc(j))
+      }
+      // insertion into the (tiny, best-first) kept list, raw compare.
+      // Every ranking comparison that lands inside the margin flags a
+      // close call: the displaced bottom, each element shifted below
+      // the insertion, the kept neighbor above it, and the drop
+      // decision — together with the final adjacent scan this covers
+      // every pair whose raw order could differ from rounded order.
+      if (size < keep || sim > bestSim(size - 1)) {
+        var p = math.min(size, keep - 1)
+        if (round6 && size == keep &&
+            sim - bestSim(size - 1) < Round6Margin) closeCall = true
+        while (p > 0 && bestSim(p - 1) < sim) {
+          if (round6 && sim - bestSim(p - 1) < Round6Margin) closeCall = true
+          bestIdx(p) = bestIdx(p - 1); bestSim(p) = bestSim(p - 1); p -= 1
+        }
+        if (round6 && p > 0 && sim > bestSim(p - 1) - Round6Margin)
+          closeCall = true
+        bestIdx(p) = j; bestSim(p) = sim
+        if (size < keep) size += 1
+      } else if (round6 && bestSim(size - 1) - sim < Round6Margin) {
+        closeCall = true
+      }
+      j += 1
+    }
+    if (round6) {
+      // adjacent kept sims within the margin can reorder under rounding
+      // (equal rounded values tie-break by INDEX, raw compare by value)
+      var p = 1
+      while (p < size && !closeCall) {
+        if (bestSim(p - 1) - bestSim(p) < Round6Margin) closeCall = true
+        p += 1
+      }
+      if (closeCall) return topNExact(v, et, cents, n)
+    }
+    new GenericArrayData(bestIdx.take(size).map(x => x: Any))
+  }
+
+  /** The exact round6 ranking (rank by BigDecimal HALF_UP 6dp, ties to
+    * lower index) — the legacy loop, now the slow path [[topN]] falls
+    * back to when raw-sim gaps are inside [[Round6Margin]], and the
+    * reference arm the kernel property spec checks the fast path
+    * against. */
+  def topNExact(v: ArrayData, et: DataType,
+      cents: Array[Array[Double]], n: Int): ArrayData = {
+    val get = VectorKernels.conv(et)
+    val len = v.numElements()
     var nv = 0.0
     var i = 0
     while (i < len) { val x = get(v, i); nv += x * x; i += 1 }
@@ -583,10 +677,8 @@ object NearestCellsKernel {
       while (t < m) { val x = get(v, t); dot += x * c(t); nc += c(t) * c(t); t += 1 }
       val simRaw = if (nv == 0.0 || nc == 0.0) 0.0
         else dot / (java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc))
-      val sim = if (!round6) simRaw
-        else java.math.BigDecimal.valueOf(simRaw)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      // insertion into the (tiny, best-first) kept list
+      val sim = java.math.BigDecimal.valueOf(simRaw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       if (size < keep || sim > bestSim(size - 1)) {
         var p = math.min(size, keep - 1)
         while (p > 0 && bestSim(p - 1) < sim) {
@@ -671,15 +763,19 @@ case class NearestCells(child: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
+  // centroid norms once per expression (driver), shipped with the plan
+  @transient private lazy val sqrtNc: Array[Double] =
+    NearestCellsKernel.sqrtNorms(centroids)
   override def nullSafeEval(v: Any): Any =
-    NearestCellsKernel.topN(v.asInstanceOf[ArrayData], elemType, centroids, n,
-      round6)
+    NearestCellsKernel.topN(v.asInstanceOf[ArrayData], elemType, centroids,
+      sqrtNc, n, round6)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val cents = ctx.addReferenceObj("cents", centroids, "double[][]")
+      val norms = ctx.addReferenceObj("norms", sqrtNc, "double[]")
       val et = ctx.addReferenceObj("et", elemType,
         classOf[DataType].getName)
-      s"${ev.value} = graft.functions.NearestCellsKernel.topN($v, $et, $cents, $n, $round6);"
+      s"${ev.value} = graft.functions.NearestCellsKernel.topN($v, $et, $cents, $norms, $n, $round6);"
     })
   override protected def withNewChildInternal(c: Expression): NearestCells =
     copy(child = c)

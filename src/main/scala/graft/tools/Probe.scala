@@ -7,6 +7,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     if (args.length >= 2 && args(0) == "t18") { t18diag(args(1), args(2)); return }
     if (args.length >= 2 && args(0) == "lsh") { lshDiag(args(1)); return }
+    if (args.length >= 2 && args(0) == "d10") { d10Diag(args(1)); return }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -62,6 +63,51 @@ object Probe {
       .cosineNearDupPairsLsh(e, 0.3)
     val out = pairs.count()
     println(f"[lsh-diag] d07 output=$out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+
+  /** Stage-split diagnostic for d10 at a new scale decade: times the
+    * nearest-centroid ASSIGNMENT pass (N x k cosines — the stage whose
+    * cost is N^2/targetCluster once k derives as N/250) separately from
+    * the within-cluster pairwise pass (bounded by cluster-size skew),
+    * and prints the cluster-size distribution that governs the latter. */
+  def d10Diag(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val k = graft.operators.Cluster.derivedK(e)
+    val n = e.count()
+    println(s"[d10-diag] N=$n k=$k (assignment = ${n * k / 1e6}M cosines)")
+    val cents = graft.operators.Cluster.seedCentroids(e, k)
+    val t0 = System.nanoTime()
+    val asg = e.select(col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions
+        .nearestCells(col("embedding"), cents, 1, round6 = true)(0).as("cid"))
+    asg.write.mode("overwrite")
+      .parquet(spark.conf.get("spark.local.dir", "/tmp") + "/d10diag_asg")
+    println(f"[d10-diag] assignment pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val asg2 = spark.read
+      .parquet(spark.conf.get("spark.local.dir", "/tmp") + "/d10diag_asg")
+    asg2.groupBy("cid").agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("nonempty"), max("m").as("max_m"),
+        avg("m").as("avg_m"),
+        sum(col("m") * (col("m") - 1) / 2).as("pair_volume"))
+      .show(false)
+    val t1 = System.nanoTime()
+    val a = asg2.select(col("cid").as("cid_a"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = asg2.select(col("cid").as("cid_b"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val drops = a.join(b, col("cid_a") === col("cid_b") &&
+        col("id_a") < col("id_b"))
+      .filter(round(graft.functions.GraftFunctions
+        .cosine(col("va"), col("vb")), 6) > 0.35)
+      .select(col("id_b")).distinct().count()
+    println(f"[d10-diag] pairwise pass: ${(System.nanoTime() - t1) / 1e9}%.1f s, drops=$drops")
     spark.stop()
   }
 

@@ -125,6 +125,76 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCells fast path == exact round6 ranking, incl. forced near-ties") {
+    // The margin-gated fast path (raw-sim ranking + per-centroid norm
+    // reuse) must be indistinguishable from the legacy loop that ranks
+    // every centroid by BigDecimal-rounded cosine: d10's arm-parity
+    // contract rests on it. Adversarial shapes force the close-call
+    // fallback: duplicate centroids (gap 0), scaled copies (cosine
+    // identical under scaling), and 1e-7-perturbed clones (raw gap
+    // under the 1.1e-6 margin).
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(4242)
+    def vec(dim: Int): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    for (trial <- 0 until 200) {
+      val dim = 8 + rnd.nextInt(9)
+      val k = 3 + rnd.nextInt(38)
+      val base = Array.fill(k)(vec(dim))
+      val cents: Array[Array[Double]] = trial % 4 match {
+        case 0 => base
+        case 1 => // duplicates: rounded ties must break by INDEX
+          base.zipWithIndex.map { case (c, i) => if (i % 3 == 0) base(0) else c }
+        case 2 => // scaled copies: same cosine, different vectors
+          base.zipWithIndex.map { case (c, i) =>
+            if (i % 2 == 0) base(i / 2 % k).map(_ * (1.0 + i)) else c }
+        case _ => // sub-margin perturbations of one direction
+          base.zipWithIndex.map { case (c, i) =>
+            if (i % 2 == 0) {
+              val a = base(0).clone(); a(0) += i * 1e-7; a
+            } else c }
+      }
+      val v = new GenericArrayData(vec(dim).map(x => x: Any))
+      val norms = NearestCellsKernel.sqrtNorms(cents)
+      for (n <- Seq(1, 3, k)) {
+        val fast = NearestCellsKernel
+          .topN(v, DoubleType, cents, norms, n, round6 = true)
+          .toIntArray().toSeq
+        val exact = NearestCellsKernel.topNExact(v, DoubleType, cents, n)
+          .toIntArray().toSeq
+        assert(fast == exact,
+          s"trial=$trial n=$n k=$k dim=$dim: fast $fast != exact $exact")
+      }
+    }
+  }
+
+  test("NearestCells raw ranking (round6=false) unchanged by the norm hoist") {
+    // IVF/k-means rank by RAW cosine; the precomputed sqrt-norm must be
+    // arithmetic-identical (same accumulation order, same divide shape)
+    // to the per-row recompute it replaced.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 100) {
+      val dim = 4 + rnd.nextInt(13)
+      val k = 2 + rnd.nextInt(30)
+      val cents = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val v = new GenericArrayData(raw.map(x => x: Any))
+      val norms = NearestCellsKernel.sqrtNorms(cents)
+      val got = NearestCellsKernel
+        .topN(v, DoubleType, cents, norms, 2, round6 = false).toIntArray().toSeq
+      // reference: rank by dot/(sqrt(nv)*sqrt(nc)) exactly as written
+      val nv = math.sqrt(raw.map(x => x * x).sum)
+      val sims = cents.map { c =>
+        val dot = raw.zip(c).map { case (a, b) => a * b }.sum
+        val nc = math.sqrt(c.map(x => x * x).sum)
+        if (nv == 0 || nc == 0) 0.0 else dot / (nv * nc)
+      }
+      val want = sims.zipWithIndex
+        .sortBy { case (s, i) => (-s, i) }.take(2).map(_._2).toSeq
+      assert(got == want, s"raw ranking diverged: $got != $want")
+    }
+  }
+
   test("Tokens participates in whole-stage codegen (no CodegenFallback boxing)") {
     // r8 flag: a CodegenFallback tokenizer broke the codegen span of
     // every text-family scan — the hottest loop in the pipeline at
