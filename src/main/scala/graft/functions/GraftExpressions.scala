@@ -1065,11 +1065,31 @@ case class TopKPairsAgg(nid: Expression, sim: Expression, k: Int,
     StructField("sim", DoubleType, nullable = false))), containsNull = false)
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k, distinct)
+  // The update path runs INTERPRETED per candidate row (Typed-
+  // ImperativeAggregate is outside whole-stage codegen), and
+  // Expression.eval boxes every Long/Double — at 15M candidates per
+  // query the allocation churn measured ~5x the codegen'd scan that
+  // produced the stream. After optimization both children are plain
+  // bound references (the narrow (qid, nid, sim) projection feeds the
+  // aggregate), so read the primitives directly; any other shape keeps
+  // the general eval path.
+  @transient private[functions] lazy val primitiveOrds: Array[Int] = (nid, sim) match {
+    case (nr: BoundReference, sr: BoundReference)
+        if nr.dataType == LongType && sr.dataType == DoubleType =>
+      Array(nr.ordinal, sr.ordinal)
+    case _ => null
+  }
   override def update(b: TopKHeap, input: org.apache.spark.sql.catalyst.InternalRow): TopKHeap = {
-    val n = nid.eval(input)
-    val s = sim.eval(input)
-    if (n != null && s != null)
-      b.insert(n.asInstanceOf[Long], s.asInstanceOf[Double])
+    val ords = primitiveOrds
+    if (ords != null) {
+      if (!input.isNullAt(ords(0)) && !input.isNullAt(ords(1)))
+        b.insert(input.getLong(ords(0)), input.getDouble(ords(1)))
+    } else {
+      val n = nid.eval(input)
+      val s = sim.eval(input)
+      if (n != null && s != null)
+        b.insert(n.asInstanceOf[Long], s.asInstanceOf[Double])
+    }
     b
   }
   override def merge(b: TopKHeap, o: TopKHeap): TopKHeap = { b.absorb(o); b }

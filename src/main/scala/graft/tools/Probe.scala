@@ -8,6 +8,7 @@ object Probe {
     if (args.length >= 2 && args(0) == "t18") { t18diag(args(1), args(2)); return }
     if (args.length >= 2 && args(0) == "lsh") { lshDiag(args(1)); return }
     if (args.length >= 2 && args(0) == "d10") { d10Diag(args(1)); return }
+    if (args.length >= 2 && args(0) == "s04") { s04Diag(args(1)); return }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -108,6 +109,74 @@ object Probe {
         .cosine(col("va"), col("vb")), 6) > 0.35)
       .select(col("id_b")).distinct().count()
     println(f"[d10-diag] pairwise pass: ${(System.nanoTime() - t1) / 1e9}%.1f s, drops=$drops")
+    spark.stop()
+  }
+
+  /** Stage-split diagnostic for s04 (IVF-PQ) at a new scale decade:
+    * times model build, corpus encode, probed-query/ADC build, the
+    * candidate ADC scan + shortlist heap, and the full query, so a
+    * regression localizes to a stage instead of a total. */
+  def s04Diag(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorSearch
+    import graft.functions.{GraftFunctions => GF}
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val q0 = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[s04-diag] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val model = timed("pqModel (codebook sample)") {
+      VectorSearch.pqModel(e)
+    }
+    println(s"[s04-diag] cells=${model.centroids.length} nprobe=${model.nprobe}")
+    val index = VectorSearch.encodeIvfPq(e, model)
+    timed("corpus encode (assign + pq codes)") { index.count() }
+    val q = q0
+      .withColumn("cid",
+        explode(GF.nearestCells(col("qv"), model.centroids, model.nprobe)))
+      .withColumn("adc", GF.pqAdcTable(col("qv"), model.books))
+      .select("qid", "cid", "adc")
+    timed("probed queries + ADC tables") { q.count() }
+    val cand = index.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
+    timed("candidate volume (count only)") { println("  candidates=" + cand.count()) }
+    def heapStage(): Long = cand.groupBy("qid")
+      .agg(GF.topKPairs(col("nid").cast("long"), col("sim"), model.rerank).as("t"))
+      .select(col("qid"), explode(col("t"))).count()
+    val candSorted = index.sortWithinPartitions("cid").join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
+    val candOne = index.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        element_at(col("adc"), 1).as("sim"))
+    val indexMat = index.persist()
+    timed("index materialize (persist + count)") { indexMat.count() }
+    val candMat = indexMat.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
+    for (run <- 1 to 3) {
+      timed(s"sum(pqAdcSum) computed index, run $run") {
+        cand.agg(sum(col("sim"))).collect()
+      }
+      timed(s"heap topKPairs(${model.rerank}) same stream, run $run") {
+        heapStage()
+      }
+    }
     spark.stop()
   }
 

