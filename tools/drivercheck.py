@@ -26,9 +26,13 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     # spill instead of OOM on big-regime oracles (the sf10 d10 k=800
-    # window hit the kernel OOM-killer at 130 GB without a temp dir)
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='80GB'")
+    # window hit the kernel OOM-killer at 130 GB without a temp dir);
+    # env-tunable so two checks can share the box without the kernel
+    # OOM-killing the second
+    con.execute("SET temp_directory='%s'"
+                % os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill"))
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("DUCKDB_MEM", "80GB"))
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
