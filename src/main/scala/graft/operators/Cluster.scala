@@ -230,25 +230,35 @@ object Cluster {
     * derived-regime check (tools.DerivedOracles) regenerates it at the
     * corpus's own derived k.
     *
-    * The assignment window ranks SCALARS only (vec_id, cid, rn) and
-    * joins the vectors back afterwards: at sf10's derived regime
-    * (N=200k x k=800 = 160M window rows) carrying the two DOUBLE[]
-    * operands through the window materialized ~130 GB and OOM-killed
-    * DuckDB; the scalar window is ~5 GB for the identical ranking. */
+    * Every wide (DOUBLE[]) payload stays OUT of the bulky
+    * intermediates (the d07-oracle discipline, applied twice):
+    * the assignment window ranks a pre-projected SCALAR sim (the
+    * 160M-row window at sf10's k=800 regime is (vec_id, cid, sim) ~
+    * 5 GB; the first form carried both vector operands and
+    * OOM-killed DuckDB at ~130 GB), and the within-cluster pair
+    * stage self-joins NARROW (cid, vec_id) assignments first, then
+    * joins `e` twice so the cosine + threshold evaluate inline on
+    * the pair stream (the vector-carrying self-join spilled > 77 GB
+    * at 50M pairs; the narrow form's hash builds are one 100 MB
+    * corpus relation). */
   private[graft] def oracleSemanticDedupSql(k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $k),
         c AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid FROM c0),
+        scored AS (SELECT a.vec_id, c.cid, round(${ocos("a.v", "c.v")}, 6) AS sim
+                   FROM e a CROSS JOIN c),
         asg0 AS (SELECT vec_id, cid FROM (
-            SELECT a.vec_id, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                     ORDER BY round(${ocos("a.v", "c.v")}, 6) DESC, c.cid) AS rn
-            FROM e a CROSS JOIN c) WHERE rn = 1),
-        asg AS (SELECT a.vec_id, e.v, a.cid FROM asg0 a JOIN e ON a.vec_id = e.vec_id),
-        drops AS (SELECT DISTINCT b.vec_id
-                  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-                  WHERE round(${ocos("a.v", "b.v")}, 6) > 0.35)
-        SELECT vec_id, cid FROM asg
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cid) AS rn
+            FROM scored) WHERE rn = 1),
+        cpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM asg0 a JOIN asg0 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        drops AS (SELECT DISTINCT p.id_b AS vec_id
+                  FROM cpairs p JOIN e ea ON ea.vec_id = p.id_a
+                                JOIN e eb ON eb.vec_id = p.id_b
+                  WHERE round(${ocos("ea.v", "eb.v")}, 6) > 0.35)
+        SELECT vec_id, cid FROM asg0
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
 
   val defs: Seq[GQ] = Seq(
