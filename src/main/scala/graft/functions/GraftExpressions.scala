@@ -870,6 +870,55 @@ object PqKernels {
   }
 }
 
+/** Spark-Round-exact 6dp rounding without the per-value BigDecimal.
+  * Spark's Round(double, 6) evaluates
+  * BigDecimal.valueOf(d).setScale(6, HALF_UP).doubleValue() —
+  * BigDecimal.valueOf is a Double.toString + parse, a string-format
+  * allocation per value. On the ANN candidate streams (round(cos, 6)
+  * per candidate) that was the dominant per-row cost at 15M candidates
+  * per query. The kernel rounds in double space and falls back to the
+  * exact BigDecimal form only inside a guard band around the half-way
+  * boundary (and for non-finite / large-magnitude inputs), where
+  * double-space nearest and decimal-string HALF_UP could disagree:
+  * for |d| <= 1e3 the absolute error between d*1e6 and the decimal
+  * value BigDecimal.valueOf sees is < 1e-6 ulps-scaled, so any value
+  * whose fractional part is further than 1e-4 from 0.5 rounds
+  * identically in both spaces. Property-pinned against Spark round
+  * on crafted halves, near-halves, negatives, and random magnitudes. */
+object Round6Kernel {
+  def round6(d: Double): Double = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return d
+    if (d == 0.0) return 0.0 // BigDecimal has no signed zero: -0.0 -> +0.0
+    val ad = if (d < 0) -d else d
+    if (ad > 1e3) return exact(d)
+    val y = d * 1e6
+    val f = java.lang.Math.floor(y)
+    val frac = y - f
+    if (frac > 0.4999 && frac < 0.5001) return exact(d)
+    val r = if (frac > 0.5) f + 1.0 else f
+    r / 1e6
+  }
+  /** Spark Round's own arithmetic — the fallback and test reference. */
+  def exact(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
+/** graft_round6(x) -> double: Spark round(x, 6) semantics through
+  * [[Round6Kernel]] (fast double-space path + exact boundary
+  * fallback). */
+case class Round6(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    Round6Kernel.round6(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Round6Kernel.round6($v);")
+  override protected def withNewChildInternal(c: Expression): Round6 =
+    copy(child = c)
+  override def prettyName: String = "graft_round6"
+}
+
 /** graft_pq_encode(vec) -> array<int>: per-subspace codeword ids. */
 /** graft_bpe_encode(text) -> array<string>: tokenize under an ENTIRE
   * learned BPE merge table in one native expression. Semantics are
@@ -1471,6 +1520,13 @@ object GraftFunctions {
   def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column = {
     val shim = org.apache.spark.sql.GraftShim
     shim.column(PqEncode(shim.expression(v), books))
+  }
+
+  /** Spark round(x, 6) semantics without the per-value BigDecimal —
+    * see [[Round6Kernel]]. The hot-path form of the sim6 emission. */
+  def round6(c: Column): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(Round6(shim.expression(c)))
   }
 
   /** Flattened per-query ADC lookup table for `q` (computed once/row). */

@@ -29,7 +29,7 @@ object Cluster {
 
   /** Rounded cosine (6dp): robust to last-ulp engine differences while
     * keeping full discrimination — the d06-proven oracle contract. */
-  private def sim6(a: Column, b: Column): Column = round(GF.cosine(a, b), 6)
+  private def sim6(a: Column, b: Column): Column = GF.round6(GF.cosine(a, b))
 
   /** Deterministic, oracle-expressible seed centroids: the `k` lowest
     * vec_ids on a fixed stride (`vec_id % step = 0`), ordered by vec_id

@@ -28,7 +28,7 @@ object VectorSearch {
 
   /** Rounded cosine — rounding (6dp) makes ranking robust to last-ulp
     * differences vs an oracle while keeping full discrimination. */
-  private def sim6(a: Column, b: Column): Column = round(GF.cosine(a, b), 6)
+  private def sim6(a: Column, b: Column): Column = GF.round6(GF.cosine(a, b))
 
   /** Per-query exact top-k over a (qid, nid, sim) candidate set via the
     * bounded-heap aggregate (functions/GraftExpressions TopKPairsAgg):
@@ -313,8 +313,18 @@ object VectorSearch {
       cells: Int = -1, nprobe: Int = -1, m: Int = 8, codebookSize: Int = 32,
       rerank: Int = 50, dim: Int = 64): DataFrame = {
     val model = pqModel(corpus, cells, m, codebookSize, dim, nprobe, rerank)
-    pqSearch(encodeIvfPq(corpus, model), corpus, queries,
-      probedQueries(queries, model), k, rerank)
+    // Exchange the computed index on cid BEFORE the candidate join.
+    // Whole-stage codegen defers stream-side projection columns that
+    // only the join's PARENT consumes into the per-match loop, so
+    // without a materialization barrier `codes = pqEncode(...)`
+    // re-evaluates once per CANDIDATE (join fan-out amplification:
+    // 15M pqEncode calls instead of 200k at sf10 — measured 36.5 s vs
+    // 1.5 s for the same scan). The exchange writes each index row —
+    // codes evaluated exactly once — and co-locates the index by cell,
+    // the same layout `Layout.writeIvfIndex` persists; it is the
+    // inline-index twin of the serving path's on-disk partitioning.
+    pqSearch(encodeIvfPq(corpus, model).repartition(col("cid")),
+      corpus, queries, probedQueries(queries, model), k, rerank)
   }
 
   /** IVF-PQ over a PERSISTED index table (written by
@@ -328,7 +338,13 @@ object VectorSearch {
       queries: DataFrame, model: PqModel, k: Int): DataFrame = {
     val q = probedQueries(queries, model)
     val probed = q.select("cid").distinct().collect().map(_.getInt(0)).sorted
-    pqSearch(index.filter(col("cid").isin(probed.toIndexedSeq: _*)),
+    // same exchange barrier as ivfPqTopK: when the caller passes an
+    // INLINE-encoded index (the no-table case), the deferred projection
+    // would re-encode per candidate; for a persisted Layout index the
+    // probed rows arrive cid-clustered from partition pruning and the
+    // exchange is a near-no-op narrow shuffle of the selected cells.
+    pqSearch(index.filter(col("cid").isin(probed.toIndexedSeq: _*))
+        .repartition(col("cid")),
       corpus, queries, q, k, model.rerank)
   }
 

@@ -163,18 +163,26 @@ object Probe {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         element_at(col("adc"), 1).as("sim"))
-    val indexMat = index.persist()
-    timed("index materialize (persist + count)") { indexMat.count() }
-    val candMat = indexMat.join(broadcast(q), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
-    for (run <- 1 to 3) {
-      timed(s"sum(pqAdcSum) computed index, run $run") {
+    // the REAL composition, stepwise: shortlist heap -> broadcast ->
+    // exact rerank -> final heap (mirrors pqSearch)
+    val shortTk = cand.groupBy("qid")
+      .agg(GF.topKPairs(col("nid").cast("long"), col("sim"), model.rerank).as("t"))
+      .select(col("qid"), explode(col("t")).as("p"))
+      .select(col("qid"), col("p.nid").as("nid"))
+    val exact = e
+      .join(broadcast(shortTk), col("vec_id") === col("nid"))
+      .join(broadcast(q0), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        round(GF.cosine(col("qv"), col("embedding")), 6).as("sim"))
+    val finalTk = exact.groupBy("qid")
+      .agg(GF.topKPairs(col("nid"), col("sim"), 10).as("t"))
+      .select(col("qid"), explode(col("t")))
+    for (run <- 1 to 2) {
+      timed(s"A cand scan sum (deferred-projection amplified), run $run") {
         cand.agg(sum(col("sim"))).collect()
       }
-      timed(s"heap topKPairs(${model.rerank}) same stream, run $run") {
-        heapStage()
+      timed(s"B full ivfPqTopK (exchange barrier), run $run") {
+        graft.operators.VectorSearch.ivfPqTopK(e, q0, 10).count()
       }
     }
     spark.stop()

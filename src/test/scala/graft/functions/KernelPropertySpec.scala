@@ -232,6 +232,60 @@ class KernelPropertySpec extends AnyFunSuite {
       s"primitive path did not bind: children were ${partials.map(_.children)}")
   }
 
+  test("Round6Kernel == BigDecimal HALF_UP 6dp on boundaries, negatives, extremes") {
+    // The fast double-space path must be indistinguishable from Spark
+    // Round's BigDecimal arithmetic — the sim6 emission and both d10
+    // assignment arms rank on these values, so a single divergent ulp
+    // is a hash-grade oracle failure. Adversarial inputs: exact 6dp
+    // halves (decimal-string .5 exactly), band edges, negatives, tiny
+    // values rounding to zero (sign of zero!), magnitudes near the 1e3
+    // cutoff, and bulk random cosines.
+    def chk(d: Double): Unit = {
+      val fast = Round6Kernel.round6(d)
+      val exact = if (d.isNaN || d.isInfinite) d else Round6Kernel.exact(d)
+      assert(java.lang.Double.compare(fast, exact) == 0,
+        s"round6($d): fast $fast != exact $exact")
+    }
+    val rnd = new scala.util.Random(99)
+    for (n <- -20 to 20) {
+      chk((n + 0.5) / 1e6)          // exact decimal halves
+      chk((n + 0.5 + 1e-5) / 1e6)   // just outside the band, above
+      chk((n + 0.5 - 1e-5) / 1e6)   // just outside the band, below
+      chk((n + 0.5 + 1e-7) / 1e6)   // inside the band
+      chk(n / 1e6)                  // exact 6dp values
+    }
+    Seq(0.0, -0.0, 1e-9, -1e-9, 1e-12, -1e-12, 0.1234565, -0.1234565,
+      0.9999995, -0.9999995, 1.0, -1.0, 999.9999995, -999.9999995,
+      1000.0000005, 1e6 + 0.1234565, -1e6 - 0.1234565,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, -Double.MinPositiveValue).foreach(chk)
+    var i = 0
+    while (i < 2000000) {
+      chk(rnd.nextDouble() * 2 - 1) // the cosine domain
+      i += 1
+    }
+    i = 0
+    while (i < 200000) {
+      chk(rnd.nextGaussian() * math.pow(10, rnd.nextInt(12) - 8))
+      i += 1
+    }
+  }
+
+  test("GF.round6 column == Spark round(col, 6) end-to-end") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(5000)(rnd.nextDouble() * 2 - 1) ++
+      (-9 to 9).map(n => (n + 0.5) / 1e6) ++ Seq(0.0, -1e-9, 0.1234565)
+    val rows = vals.toDF("x")
+      .select(col("x"), GraftFunctions.round6(col("x")).as("fast"),
+        round(col("x"), 6).as("spark"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+        s"column round6 diverged on x=${r.getDouble(0)}")
+    }
+  }
+
   test("Tokens participates in whole-stage codegen (no CodegenFallback boxing)") {
     // r8 flag: a CodegenFallback tokenizer broke the codegen span of
     // every text-family scan — the hottest loop in the pipeline at
