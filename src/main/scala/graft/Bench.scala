@@ -166,14 +166,41 @@ object Bench {
     val guardMap = guardLog.sortBy(_._1).map { case (n, a, b) =>
       "\"" + n + "\":[" + f3(a) + "," + f3(b) + "]"
     }.mkString("{", ",", "}")
-    val detail = "{\"total\":" + f3(total) + ",\"sf\":\"" + sfDir +
-      "\",\"queries\":" + secsMap + ",\"jobs\":" + jobsMap +
-      ",\"load\":" + loadMap + ",\"retimed\":" + retimedArr +
-      ",\"guard\":" + guardMap + "}"
-    try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(detail) finally w.close()
-    } catch { case _: Throwable => } // detail file is best-effort; stdout line is the contract
+    // BASELINE.md record-merge (r13 verdict #2): the committed
+    // BENCH_DETAIL.json is the per-query RECORD, and an unattended run on
+    // a loaded host must not regress it. Per query: a job-count change
+    // means the plan changed, so the new timing stands whether faster or
+    // slower; an unchanged job count keeps min(record, new) — host drift
+    // can only improve the record, never poison it. Errors always stand
+    // (a failing query must not hide behind an old record). The raw,
+    // unmerged run is written to BENCH_RAW.json (and is what stdout — and
+    // so the driver's BENCH_r{N} artifact — reports).
+    val mergedSecs: Seq[(String, Either[String, Double])] = results.map {
+      case (k, Right((t, j)), _) =>
+        val rec =
+          if (priorJobs.get(k).contains(j.toDouble))
+            priorSecs.get(k).map(math.min(_, t)).getOrElse(t)
+          else t
+        k -> Right(rec)
+      case (k, Left(e), _) => k -> Left(e)
+    }
+    val mergedMap = mergedSecs.map {
+      case (k, Right(t)) => "\"" + k + "\":" + f3(t)
+      case (k, Left(e)) => "\"" + k + "\":\"err:" + e + "\""
+    }.mkString("{", ",", "}")
+    val mergedTotal = mergedSecs.collect { case (_, Right(t)) => t }.sum
+    def detailJson(tot: Double, qs: String) =
+      "{\"total\":" + f3(tot) + ",\"sf\":\"" + sfDir +
+        "\",\"queries\":" + qs + ",\"jobs\":" + jobsMap +
+        ",\"load\":" + loadMap + ",\"retimed\":" + retimedArr +
+        ",\"guard\":" + guardMap + "}"
+    def writeFile(path: String, body: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(path)
+        try w.println(body) finally w.close()
+      } catch { case _: Throwable => } // files are best-effort; stdout line is the contract
+    writeFile("BENCH_DETAIL.json", detailJson(mergedTotal, mergedMap))
+    writeFile("BENCH_RAW.json", detailJson(total, secsMap))
     spark.stop() // stop BEFORE printing: nothing may log after the JSON line
     println(out)
     System.out.flush()

@@ -343,9 +343,18 @@ object Engine {
         val dir = spark.conf.getOption("graft.checkpoint.dir")
           .getOrElse(sys.props("java.io.tmpdir") + "/graft-checkpoint")
         // setCheckpointDir appends a per-call UUID subdir — re-point only
-        // when the configured root actually changed
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
+        // when the configured ROOT actually changed. Compare the current
+        // dir's resolved parent path against the configured root (a
+        // substring test would let `/ckpt` match a current `/ckpt2/uuid`
+        // and skip the re-point).
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        val qualifiedRoot = fs.makeQualified(root)
+        val sameRoot = sc.getCheckpointDir.exists { cur =>
+          val parent = new org.apache.hadoop.fs.Path(cur).getParent
+          parent != null && fs.makeQualified(parent) == qualifiedRoot
+        }
+        if (!sameRoot) sc.setCheckpointDir(dir)
         df.checkpoint()
       case "local" => df.localCheckpoint()
       case other => throw new IllegalArgumentException(

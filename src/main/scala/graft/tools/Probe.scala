@@ -152,19 +152,9 @@ object Probe {
       .select(col("qid"), col("vec_id").as("nid"),
         GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
     timed("candidate volume (count only)") { println("  candidates=" + cand.count()) }
-    def heapStage(): Long = cand.groupBy("qid")
-      .agg(GF.topKPairs(col("nid").cast("long"), col("sim"), model.rerank).as("t"))
-      .select(col("qid"), explode(col("t"))).count()
-    val candSorted = index.sortWithinPartitions("cid").join(broadcast(q), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
-    val candOne = index.join(broadcast(q), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        element_at(col("adc"), 1).as("sim"))
     // the REAL composition, stepwise: shortlist heap -> broadcast ->
-    // exact rerank -> final heap (mirrors pqSearch)
+    // exact rerank -> final heap (mirrors pqSearch); each stage is
+    // executed inside a timed() block so a regression localizes
     val shortTk = cand.groupBy("qid")
       .agg(GF.topKPairs(col("nid").cast("long"), col("sim"), model.rerank).as("t"))
       .select(col("qid"), explode(col("t")).as("p"))
@@ -181,7 +171,12 @@ object Probe {
       timed(s"A cand scan sum (deferred-projection amplified), run $run") {
         cand.agg(sum(col("sim"))).collect()
       }
-      timed(s"B full ivfPqTopK (exchange barrier), run $run") {
+      timed(s"B shortlist heap (ADC scan + topKPairs), run $run") {
+        shortTk.count()
+      }
+      timed(s"C shortlist -> exact rerank, run $run") { exact.count() }
+      timed(s"D final heap (rerank + topK), run $run") { finalTk.count() }
+      timed(s"E full ivfPqTopK (exchange barrier), run $run") {
         graft.operators.VectorSearch.ivfPqTopK(e, q0, 10).count()
       }
     }

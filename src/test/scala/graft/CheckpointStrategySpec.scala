@@ -74,6 +74,30 @@ class CheckpointStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("re-points the checkpoint dir when the configured root is a prefix of the old one") {
+    // r13 verdict #3: the substring check `cur.contains(dir)` let a
+    // configured `/ckpt` match a current `/ckpt2/<uuid>` and skip the
+    // re-point. The fix compares the resolved PARENT path.
+    val base = ckptRoot
+    val long = s"$base/ckpt2" // configured first
+    val short = s"$base/ckpt" // then its prefix — must still re-point
+    withMode("reliable", Some(long)) {
+      Engine.table(spark, sf, "nation").transform(Engine.cut).count()
+    }
+    withMode("reliable", Some(short)) {
+      val df = Engine.table(spark, sf, "region").transform(Engine.cut)
+      assert(df.count() == 5)
+      val cur = spark.sparkContext.getCheckpointDir.get
+      val fs = new org.apache.hadoop.fs.Path(short)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parent = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(cur).getParent)
+      assert(parent == fs.makeQualified(new org.apache.hadoop.fs.Path(short)),
+        s"checkpoint dir not re-pointed: $cur (expected parent $short)")
+      Engine.releaseCheckpoint(df)
+    }
+  }
+
   test("unknown mode fails loudly") {
     intercept[IllegalArgumentException] {
       withMode("durable")(Engine.table(spark, sf, "nation").transform(Engine.cut))

@@ -6,7 +6,7 @@ This is the hash-grade gate: Decimal('1.5') != 1.5, int64 != float64.
 
 Usage: python3 tools/drivercheck.py <sfDir> <outDir> [query ...]
 """
-import sys, os, glob, json
+import sys, os, glob, json, re
 import pandas as pd
 import duckdb
 
@@ -29,10 +29,21 @@ def main():
     # window hit the kernel OOM-killer at 130 GB without a temp dir);
     # env-tunable so two checks can share the box without the kernel
     # OOM-killing the second
-    con.execute("SET temp_directory='%s'"
-                % os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill"))
-    con.execute("SET memory_limit='%s'"
-                % os.environ.get("DUCKDB_MEM", "80GB"))
+    # DuckDB's SET does not accept prepared-statement parameters, so the
+    # env values are validated against a strict pattern before they are
+    # interpolated — a stray quote (or anything else outside the
+    # path/size alphabet) falls back to the default instead of breaking
+    # or injecting into the SQL
+    def setting(stmt, env, default, pattern):
+        v = os.environ.get(env, default)
+        if not re.fullmatch(pattern, v):
+            print(f"[drivercheck] ignoring invalid {env}={v!r}, using {default!r}")
+            v = default
+        con.execute(stmt % v)
+    setting("SET temp_directory='%s'", "DUCKDB_TMP", "/tmp/duckdb_spill",
+            r"[A-Za-z0-9_/.\-]+")
+    setting("SET memory_limit='%s'", "DUCKDB_MEM", "80GB",
+            r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
