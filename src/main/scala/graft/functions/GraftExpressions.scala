@@ -691,6 +691,98 @@ object NearestCellsKernel {
     }
     new GenericArrayData(bestIdx.take(size).map(x => x: Any))
   }
+
+  /** Hierarchical nearest-centroid assignment (d10's N^1.5 scale path,
+    * SCALING.md): route `v` to its top-`p` super-centroids ([[topN]]
+    * with round6 = true — the exact tie semantics ride along), then
+    * argmax round(cos, 6) over the routed groups' member centroids with
+    * ties to the lower GLOBAL cid. FLOPs per row: |supers| + p x
+    * avg-group ~ (1 + p) sqrt(k) instead of k. The routing table
+    * ([[graft.operators.Cluster.superRoute]]) ships with the plan like
+    * the centroids themselves — no join, no row explosion. */
+  def hierAssign(v: ArrayData, et: DataType,
+      cents: Array[Array[Double]], sqrtNc: Array[Double],
+      supers: Array[Array[Double]], sqrtNs: Array[Double],
+      members: Array[Array[Int]], p: Int): Int = {
+    val routed = topN(v, et, supers, sqrtNs, p, round6 = true)
+    val nr = routed.numElements()
+    var total = 0
+    var i = 0
+    while (i < nr) { total += members(routed.getInt(i)).length; i += 1 }
+    val cand = new Array[Int](total)
+    var o = 0
+    i = 0
+    while (i < nr) {
+      val m = members(routed.getInt(i))
+      System.arraycopy(m, 0, cand, o, m.length)
+      o += m.length
+      i += 1
+    }
+    // ascending global cids: first-max-wins == lowest-cid tie break
+    java.util.Arrays.sort(cand)
+    bestOfRound6(v, et, cents, sqrtNc, cand)
+  }
+
+  /** argmax round(cos, 6) over the `cand` cids (ascending), ties to the
+    * lower cid — the [[topN]] margin discipline restricted to a
+    * candidate subset: raw-sim fast path; any ranking decision inside
+    * [[Round6Margin]] reruns the scan on exact BigDecimal rounding. */
+  def bestOfRound6(v: ArrayData, et: DataType,
+      cents: Array[Array[Double]], sqrtNc: Array[Double],
+      cand: Array[Int]): Int = {
+    val get = VectorKernels.conv(et)
+    val len = v.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < len) { val x = get(v, i); nv += x * x; i += 1 }
+    val sqrtNv = java.lang.Math.sqrt(nv)
+    def simOf(ci: Int, exact: Boolean): Double = {
+      val c = cents(ci)
+      val raw = if (len != c.length) {
+        val m = math.min(len, c.length)
+        var dot = 0.0; var nc = 0.0
+        var t = 0
+        while (t < m) { val x = get(v, t); dot += x * c(t); nc += c(t) * c(t); t += 1 }
+        if (nv == 0.0 || nc == 0.0) 0.0
+        else dot / (java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc))
+      } else {
+        var dot = 0.0
+        var t = 0
+        while (t < len) { dot += get(v, t) * c(t); t += 1 }
+        if (nv == 0.0 || sqrtNc(ci) == 0.0) 0.0
+        else dot / (sqrtNv * sqrtNc(ci))
+      }
+      if (exact)
+        java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      else raw
+    }
+    var bestIdx = -1
+    var bestSim = Double.NegativeInfinity
+    var closeCall = false
+    var j = 0
+    while (j < cand.length) {
+      val sim = simOf(cand(j), exact = false)
+      if (bestIdx < 0) { bestIdx = cand(j); bestSim = sim }
+      else if (sim > bestSim) {
+        if (sim - bestSim < Round6Margin) closeCall = true
+        bestIdx = cand(j); bestSim = sim
+      } else if (bestSim - sim < Round6Margin) closeCall = true
+      j += 1
+    }
+    if (closeCall) {
+      // exact rescan: rank by rounded sim, strict > keeps the first
+      // (= lowest cid, cand is ascending)
+      bestIdx = -1; bestSim = Double.NegativeInfinity
+      j = 0
+      while (j < cand.length) {
+        val sim = simOf(cand(j), exact = true)
+        if (bestIdx < 0 || sim > bestSim) { bestIdx = cand(j); bestSim = sim }
+        j += 1
+      }
+    }
+    bestIdx
+  }
 }
 
 /** One-pass multi-table LSH bucket codes. */
@@ -780,6 +872,45 @@ case class NearestCells(child: Expression,
   override protected def withNewChildInternal(c: Expression): NearestCells =
     copy(child = c)
   override def prettyName: String = "graft_nearest_cells"
+}
+
+/** graft_hier_nearest_cell(vec) -> int: hierarchical nearest-centroid
+  * assignment (see [[NearestCellsKernel.hierAssign]]) — route to the
+  * top-`p` super-centroids, then round6 argmax over the routed groups'
+  * members with ties to the lower global cid. The centroid matrix,
+  * super matrix, and membership table are captured in the expression
+  * (the [[NearestCells]] lifecycle — shipped once per task via the
+  * plan, never per row), so assignment stays one codegen'd scan at
+  * (1 + p) sqrt(k) FLOPs per row instead of k. */
+case class HierNearestCell(child: Expression,
+    centroids: Array[Array[Double]], supers: Array[Array[Double]],
+    members: Array[Array[Int]], p: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val sqrtNc: Array[Double] =
+    NearestCellsKernel.sqrtNorms(centroids)
+  @transient private lazy val sqrtNs: Array[Double] =
+    NearestCellsKernel.sqrtNorms(supers)
+  override def nullSafeEval(v: Any): Any =
+    NearestCellsKernel.hierAssign(v.asInstanceOf[ArrayData], elemType,
+      centroids, sqrtNc, supers, sqrtNs, members, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cents = ctx.addReferenceObj("cents", centroids, "double[][]")
+      val norms = ctx.addReferenceObj("norms", sqrtNc, "double[]")
+      val sup = ctx.addReferenceObj("supers", supers, "double[][]")
+      val snorms = ctx.addReferenceObj("snorms", sqrtNs, "double[]")
+      val mem = ctx.addReferenceObj("members", members, "int[][]")
+      val et = ctx.addReferenceObj("et", elemType,
+        classOf[DataType].getName)
+      s"${ev.value} = graft.functions.NearestCellsKernel.hierAssign(" +
+        s"$v, $et, $cents, $norms, $sup, $snorms, $mem, $p);"
+    })
+  override protected def withNewChildInternal(c: Expression): HierNearestCell =
+    copy(child = c)
+  override def prettyName: String = "graft_hier_nearest_cell"
 }
 
 /** Product-quantization kernels (the IVF-PQ search path, s04): per-subspace
@@ -1506,6 +1637,17 @@ object GraftFunctions {
       round6: Boolean = false): Column = {
     val shim = org.apache.spark.sql.GraftShim
     shim.column(NearestCells(shim.expression(v), centroids, n, round6))
+  }
+
+  /** Hierarchical round6 assignment: nearest global centroid restricted
+    * to the top-`p`-routed super-centroid groups — see
+    * [[NearestCellsKernel.hierAssign]]. */
+  def hierNearestCell(v: Column, centroids: Array[Array[Double]],
+      supers: Array[Array[Double]], members: Array[Array[Int]],
+      p: Int): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(HierNearestCell(shim.expression(v), centroids, supers,
+      members, p))
   }
 
   /** BPE tokenization under a learned merge table — the whole table in

@@ -395,32 +395,55 @@ object Analytics {
     // Mergeable-sketch approximate percentiles (the 100 TB companion to
     // q28's exact interpolated percentiles): partial sketches combine
     // associatively, so the same query re-aggregates under any partition
-    // count. Estimates are algorithm-specific -> rows-only gate; the
-    // error bound vs the exact percentile is asserted in AnalyticsSpec.
-    // NOTE: no array-typed output columns — the driver's comparison sorts
-    // the result via pandas, which crashes on ndarray cells (round-2 a02
-    // err). The sketch result is unpacked into scalar columns instead.
-    GQ("a02_approx_percentiles", None,
-      // the exact arm runs through the count-by-value rollup
-      // (Percentiles) like q28 — the sketch side stays mergeable, the
-      // exact side stays bounded-state; both reduce to |flags| rows
+    // count. The ESTIMATES are sketch-internal (no SQL engine restates
+    // them) — but their published guarantee is driver-gateable (r13
+    // verdict #4): approx_percentile's Greenwald-Khanna bound is
+    // rank(est) within 1/accuracy of the target rank, so the query
+    // emits per-quantile booleans bracketing each estimate's exact rank
+    // (from the q28-style count-by-value rollup) against that bound,
+    // plus the oracle-matchable exact p50. The oracle emits the exact
+    // p50 and TRUE — a hash match certifies the bound held, upgrading
+    // the former rows-only entry to a bounded driver-grade check.
+    GQ("a02_approx_percentiles",
+      Some("""SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+          TRUE AS p25_bounded, TRUE AS p50_bounded, TRUE AS p75_bounded
+        FROM lineitem GROUP BY l_returnflag"""),
       (s, d) => {
+        val acc = 10000
+        val eps = 1.0 / acc // the documented GK rank-error guarantee
         val li = t(s, d, "lineitem")
         val sk = li.groupBy("l_returnflag")
           .agg(expr(
-            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+            s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), $acc)")
             .as("pcts"))
         val pc = li.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
           .agg(count(lit(1)).as("c"))
         val ex = Percentiles.percentilesFromCounts(pc, Seq("l_returnflag"),
           "v", "c", Seq(0.5 -> "exact_p50"))
-        sk.join(broadcast(ex.select(col("l_returnflag"), col("exact_p50"))),
+        // exact rank bracket of each estimate over the bounded-state
+        // rollup: lt/n and le/n delimit rank(est); the guarantee is
+        // [lt/n, le/n] intersects [q - eps, q + eps]
+        val aggs = Seq(sum(col("c")).as("n")) ++ (1 to 3).flatMap(i => Seq(
+          sum(when(col("v") < element_at(col("pcts"), i), col("c"))
+            .otherwise(0L)).as(s"lt$i"),
+          sum(when(col("v") <= element_at(col("pcts"), i), col("c"))
+            .otherwise(0L)).as(s"le$i")))
+        val br = pc.join(broadcast(sk), "l_returnflag")
+          .groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+        // compare in ROW space with a one-row tolerance: GK ranks are
+        // integers, and the measured error sits exactly AT eps on this
+        // corpus (Probe2: max err = 1.0 x 1/acc), where the double
+        // division would tip an inclusive bound on rounding alone
+        def bounded(i: Int, q: Double) =
+          (col(s"lt$i").cast(DoubleType) <= lit(q + eps) * col("n") + 1.0) &&
+            (col(s"le$i").cast(DoubleType) >= lit(q - eps) * col("n") - 1.0)
+        br.join(broadcast(ex.select(col("l_returnflag"), col("exact_p50"))),
             "l_returnflag")
-          .select(col("l_returnflag"),
-            element_at(col("pcts"), 1).as("approx_p25"),
-            element_at(col("pcts"), 2).as("approx_p50"),
-            element_at(col("pcts"), 3).as("approx_p75"),
-            col("exact_p50"))
+          .select(col("l_returnflag"), col("exact_p50"),
+            bounded(1, 0.25).as("p25_bounded"),
+            bounded(2, 0.50).as("p50_bounded"),
+            bounded(3, 0.75).as("p75_bounded"))
       }),
 
     // recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4.x): a
@@ -430,15 +453,38 @@ object Analytics {
     GQ("q44_recursive_cte", Some(recursiveMonthsSql),
       (s, d) => Engine.sql(s, d, recursiveMonthsSql)),
 
-    // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin).
-    // Estimates are sketch-library-specific -> rows-only gate; relative
-    // error vs exact is asserted in AnalyticsSpec.
-    GQ("a01_hll_distinct", None,
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("approx_parts"),
-          expr("approx_count_distinct(l_suppkey)").as("approx_supps"),
-          countDistinct(col("l_partkey")).as("exact_parts")))
+    // Mergeable-sketch distinct count (HLL, Apache DataSketches builtin
+    // + Spark's HLL++). The ESTIMATES are sketch-internal — but their
+    // published error bounds are driver-gateable (r13 verdict #4): the
+    // query emits the Spark-exact distinct counts (oracle-matchable)
+    // plus booleans asserting each estimate sits within 3x its
+    // published error of that exact (DataSketches HLL at the default
+    // lgK = 12: rse = 1.04/sqrt(2^12) ~ 1.63%; approx_count_distinct
+    // default rsd = 5%). The oracle emits the same exacts and TRUE — a
+    // hash match certifies the bounds held. Partition-invariance of the
+    // sketch estimates stays pinned in AnalyticsSpec (merge test).
+    GQ("a01_hll_distinct",
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          COUNT(DISTINCT l_suppkey) AS exact_supps,
+          TRUE AS parts_bounded, TRUE AS supps_bounded
+        FROM lineitem GROUP BY l_returnflag"""),
+      (s, d) => {
+        val hllBound = 3 * 1.04 / math.sqrt(4096.0) // 3 x rse at lgK = 12
+        val acdBound = 3 * 0.05 // 3 x default rsd
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
+              .as("approx_parts"),
+            expr("approx_count_distinct(l_suppkey)").as("approx_supps"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_supps"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * hllBound).as("parts_bounded"),
+            (abs(col("approx_supps") - col("exact_supps")) <=
+              col("exact_supps") * acdBound).as("supps_bounded"))
+      })
   )
 }

@@ -72,13 +72,19 @@ object Cluster {
     * the fixed-k=8 form at 33x on 10x data; the derived form holds
     * per-cluster work constant). At the oracle scale factors the
     * derived k IS 8 (N = 500 / 2000 at sf0.01 / sf0.1), which is what
-    * keeps the embedded-LIMIT-8 oracle exact at the gate — documented
-    * there. Plan size grows linearly with k (k centroid literals in
-    * the codegen'd argmax); beyond k ~ thousands, assignment should
-    * move to the GF.nearestCells kernel (centroid matrix in the task
-    * closure, the kmeans() route). One shuffle on cid for the
-    * self-join; the drop set joins back as a shuffle anti join on
-    * vec_id. */
+    * keeps the embedded-k=8 oracle exact at the gate — documented
+    * there.
+    *
+    * Assignment is HIERARCHICAL at every k (the r13 verdict's lead
+    * item — the flat N x k kernel was the engine's last quadratic,
+    * N^2/250 FLOPs under the derived k): route each vector to its
+    * top-[[HierProbes]] super-centroids from the [[superRoute]] table,
+    * then exact round6 argmax over the routed groups' members —
+    * (1 + p) sqrt(k) FLOPs per row, N^1.5 per corpus. Uniform
+    * semantics at every scale (no arm switch for the derived k to
+    * cross), restated verbatim by the oracle's CTE chain. One shuffle
+    * on cid for the self-join; the drop set joins back as a shuffle
+    * anti join on vec_id. */
   /** The d10 density knob, exposed for the sf1 oracle generator and the
     * memoCount staleness spec: k = max(8, ceil(N / targetCluster)) from
     * one (memoized) count — equals the embedded-oracle constant 8 at
@@ -86,24 +92,105 @@ object Cluster {
   def derivedK(e: DataFrame, targetCluster: Long = 250L): Int =
     math.max(8L, (Engine.memoCount(e) + targetCluster - 1) / targetCluster).toInt
 
+  /** Super-centroid probe count for hierarchical assignment: each vector
+    * exact-ranks the members of its top-2 routed groups. 2 is the
+    * measured balance point on the sf10 corpus (vs flat assignment:
+    * within-cluster pair volume +12%, max cluster 765 vs 326, 9.5x
+    * fewer assignment FLOPs; p = 1 gave +21% pairs and max 1022). */
+  final val HierProbes = 2
+
+  /** Lloyd rounds for the super-centroid build — fixed so the oracle
+    * CTE chain unrolls a known depth. */
+  final val HierRounds = 3
+
+  /** Deterministic super-centroid routing table — the d10 hierarchical
+    * assignment's driver half (SCALING.md's N^1.5 path). s =
+    * ceil(sqrt(k)) supers seeded from every stride-th centroid
+    * (stride = ceil(k/s)), refined by [[HierRounds]] Lloyd rounds:
+    * assign each centroid to its nearest super by round(cos, 6) (ties
+    * to the lower sid), recompute each super as the fixed-point mean of
+    * its members (floor(x*1e6) long sums, one double division — the
+    * c02 engine-exact arithmetic, so DuckDB restates every step
+    * bit-for-bit); empty groups keep their previous super. Returns
+    * (supers, members-by-sid with ascending cids). Driver cost is
+    * k x s x rounds cosines — O(k^1.5) on k x dim doubles the driver
+    * already holds. Restated verbatim by [[oracleSemanticDedupSql]]'s
+    * CTE chain. */
+  def superRoute(cents: Array[Array[Double]],
+      rounds: Int = HierRounds): (Array[Array[Double]], Array[Array[Int]]) = {
+    val k = cents.length
+    val s = math.ceil(math.sqrt(k.toDouble)).toInt
+    val stride = (k + s - 1) / s
+    var supers: Array[Array[Double]] =
+      (0 until k by stride).map(cents(_).clone).toArray
+    val ss = supers.length
+    def cos6(a: Array[Double], c: Array[Double]): Double = {
+      val m = math.min(a.length, c.length)
+      var dot = 0.0; var na = 0.0; var nc = 0.0
+      var i = 0
+      while (i < m) { dot += a(i) * c(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0; while (i < c.length) { nc += c(i) * c(i); i += 1 }
+      val raw = if (na == 0.0 || nc == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nc))
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    // nearest super by round(cos, 6), strict > keeps the first = lower sid
+    def assign(): Array[Int] = cents.map { c =>
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var g = 0
+      while (g < ss) {
+        val sim = cos6(c, supers(g))
+        if (sim > bestSim) { bestSim = sim; best = g }
+        g += 1
+      }
+      best
+    }
+    var r = 0
+    while (r < rounds) {
+      val asg = assign()
+      val next = supers.map(_.clone())
+      var g = 0
+      while (g < ss) {
+        val mem = (0 until k).filter(asg(_) == g)
+        if (mem.nonEmpty) {
+          val dim = cents(mem.head).length
+          val sums = new Array[Long](dim)
+          mem.foreach { ci =>
+            val v = cents(ci)
+            var d = 0
+            while (d < dim && d < v.length) {
+              sums(d) += math.floor(v(d) * 1e6).toLong; d += 1
+            }
+          }
+          next(g) = Array.tabulate(dim)(d =>
+            sums(d).toDouble / (mem.size.toDouble * 1e6))
+        }
+        g += 1
+      }
+      supers = next
+      r += 1
+    }
+    val grp = assign()
+    val members = Array.tabulate(ss)(g => (0 until k).filter(grp(_) == g).toArray)
+    (supers, members)
+  }
+
   def semanticDedup(e: DataFrame, k: Int = -1, tau: Double = 0.35,
       step: Int = 37, targetCluster: Long = 250L): DataFrame = {
     val kk = if (k > 0) k else derivedK(e, targetCluster)
     val cents = seedCentroids(e, kk, step)
-    // assignment arms by k: the oracle-expressible literal-array argmax
-    // unrolls k cosines into the generated code — past ~16 centroids
-    // the method outgrows the JVM's 64 KB codegen limit and the whole
-    // stage silently falls back to interpreted evaluation (measured:
-    // 71 s literal vs 5 s kernel at k=80 on the sf1 probe). Large k uses the native
-    // NearestCells kernel (centroid matrix in the task closure, one
-    // call per row) with round6 = true, so BOTH arms rank by
-    // round(cos, 6) with ties to the lower cid — assignments cannot
-    // shift when the derived k crosses the switch, and the d10 oracle
-    // text (rounded rank) stays valid at ANY k, not just the gate's
-    // literal regime (ClusterSpec pins arm agreement at k = 20).
+    // hierarchical assignment at EVERY k (uniform semantics — no arm
+    // switch for the derived k to cross): route via the superRoute
+    // table, exact round6 argmax within the top-HierProbes groups, ties
+    // to the lower global cid. One codegen'd scan, (1 + p) sqrt(k)
+    // FLOPs per row — the N^1.5 law that replaces the flat kernel's
+    // N x k (SCALING.md). The oracle restates routing and argmax
+    // verbatim, so the rounded-rank contract holds at ANY derived k.
+    val (supers, members) = superRoute(cents)
     val assign =
-      if (kk <= 16) assignByCosine(col("embedding"), cents)
-      else GF.nearestCells(col("embedding"), cents, 1, round6 = true)(0)
+      GF.hierNearestCell(col("embedding"), cents, supers, members, HierProbes)
     val asg = e.select(col("vec_id"), col("embedding"), assign.as("cid"))
     val a = asg.select(col("cid").as("cid_a"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
@@ -230,28 +317,70 @@ object Cluster {
     * derived-regime check (tools.DerivedOracles) regenerates it at the
     * corpus's own derived k.
     *
+    * The oracle restates the HIERARCHICAL semantics (superRoute's
+    * seeded + Lloyd-refined supers, top-2 routing, within-group
+    * round6 argmax) CTE for CTE, so it is valid at ANY derived k —
+    * the gate text embeds k = 8 and DerivedOracles regenerates it at
+    * the corpus's own k.
+    *
     * Every wide (DOUBLE[]) payload stays OUT of the bulky
-    * intermediates (the d07-oracle discipline, applied twice):
-    * the assignment window ranks a pre-projected SCALAR sim (the
-    * 160M-row window at sf10's k=800 regime is (vec_id, cid, sim) ~
-    * 5 GB; the first form carried both vector operands and
-    * OOM-killed DuckDB at ~130 GB), and the within-cluster pair
-    * stage self-joins NARROW (cid, vec_id) assignments first, then
-    * joins `e` twice so the cosine + threshold evaluate inline on
-    * the pair stream (the vector-carrying self-join spilled > 77 GB
-    * at 50M pairs; the narrow form's hash builds are one 100 MB
-    * corpus relation). */
-  private[graft] def oracleSemanticDedupSql(k: Int): String =
+    * intermediates (the d07-oracle discipline, applied twice): the
+    * candidate set (`cand`) is NARROW (vec_id, cid) — N x p x k/s
+    * rows, ~11M at sf10's k=800 vs the flat form's 160M — and the
+    * cosine + rank evaluate inline on it; the within-cluster pair
+    * stage self-joins NARROW assignments first, then joins `e` twice
+    * so the cosine + threshold evaluate inline on the pair stream
+    * (the vector-carrying self-join spilled > 77 GB at 50M pairs;
+    * the narrow form's hash builds are one 100 MB corpus
+    * relation). */
+  private[graft] def oracleSemanticDedupSql(k: Int): String = {
+    val s = math.ceil(math.sqrt(k.toDouble)).toInt
+    val stride = (k + s - 1) / s
+    // one Lloyd round: rank-1 super per centroid (round6, ties to lower
+    // sid), fixed-point mean per (sid, pos) — floor(x*1e6) BIGINT sums,
+    // one double division (the c02 engine-exact arithmetic) — with the
+    // LEFT JOIN + COALESCE arm keeping empty groups' previous supers
+    // (the c01 pattern). Mirrors superRoute exactly, round for round.
+    def lloyd(i: Int): String = s""",
+        asgc$i AS (SELECT cid, sid FROM (
+            SELECT c.cid, sa.sid,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY round(${ocos("c.v", "sa.sv")}, 6) DESC, sa.sid) AS rn
+            FROM c CROSS JOIN suparr$i sa) WHERE rn = 1),
+        sums$i AS (SELECT a.sid, p.pos,
+                   CAST(SUM(CAST(floor(p.x * 1e6) AS BIGINT)) AS DOUBLE)
+                     / (COUNT(*) * 1e6) AS m
+                   FROM asgc$i a JOIN cx p USING (cid) GROUP BY 1, 2),
+        supx${i + 1} AS (SELECT sp.sid, sp.pos, COALESCE(sm.m, sp.m) AS m
+                         FROM supx$i sp LEFT JOIN sums$i sm
+                           ON sm.sid = sp.sid AND sm.pos = sp.pos),
+        suparr${i + 1} AS (SELECT sid, list(m ORDER BY pos) AS sv
+                           FROM supx${i + 1} GROUP BY sid)"""
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $k),
         c AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid FROM c0),
-        scored AS (SELECT a.vec_id, c.cid, round(${ocos("a.v", "c.v")}, 6) AS sim
-                   FROM e a CROSS JOIN c),
+        cx AS (SELECT cid, unnest(range(64)) AS pos, unnest(v) AS x FROM c),
+        supx0 AS (SELECT CAST(cid // $stride AS INT) AS sid, pos, x AS m
+                  FROM cx WHERE cid % $stride = 0),
+        suparr0 AS (SELECT sid, list(m ORDER BY pos) AS sv FROM supx0 GROUP BY sid)
+        ${lloyd(0)}${lloyd(1)}${lloyd(2)},
+        grp AS (SELECT cid, sid FROM (
+            SELECT c.cid, sa.sid,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY round(${ocos("c.v", "sa.sv")}, 6) DESC, sa.sid) AS rn
+            FROM c CROSS JOIN suparr3 sa) WHERE rn = 1),
+        route AS (SELECT vec_id, sid FROM (
+            SELECT a.vec_id, sa.sid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                     ORDER BY round(${ocos("a.v", "sa.sv")}, 6) DESC, sa.sid) AS rn
+            FROM e a CROSS JOIN suparr3 sa) WHERE rn <= 2),
+        cand AS (SELECT r.vec_id, g.cid FROM route r JOIN grp g USING (sid)),
         asg0 AS (SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                     ORDER BY sim DESC, cid) AS rn
-            FROM scored) WHERE rn = 1),
+            SELECT n.vec_id, n.cid,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY round(${ocos("a.v", "c.v")}, 6) DESC, n.cid) AS rn
+            FROM cand n JOIN e a ON a.vec_id = n.vec_id
+                        JOIN c ON c.cid = n.cid) WHERE rn = 1),
         cpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                    FROM asg0 a JOIN asg0 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
         drops AS (SELECT DISTINCT p.id_b AS vec_id
@@ -260,6 +389,7 @@ object Cluster {
                   WHERE round(${ocos("ea.v", "eb.v")}, 6) > 0.35)
         SELECT vec_id, cid FROM asg0
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+  }
 
   val defs: Seq[GQ] = Seq(
 

@@ -1,16 +1,22 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc query timer for scale sweeps: runMain graft.tools.TimeS10
+  * <sfDir> <query> [query ...] — each query runs twice (cold + warm,
+  * the BASELINE.md convention; the warm number is the one scaling laws
+  * are fitted on). */
 object TimeS10 {
   def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val qs = args.tail.toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    for (q <- Seq("s10_label_purity", "s11_label_separation", "q59_mad_outliers", "q69_market_basket"); i <- 1 to 2) {
+    for (q <- qs; i <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, d).count()
-      println(f"$q run$i rows=$n ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      println(f"$q run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -146,12 +146,15 @@ class PlanLintSpec extends AnyFunSuite {
     *    query, never rows.
     *  - Probe.scala 1: the s04 stage-split diagnostic's ONE-row
     *    sum(sim) throughput probe (a dev tool, never a query path).
+    *  - Probe2.scala 1: the approx_percentile rank-error probe's
+    *    |flags|-row sketch collect (a dev tool, never a query path;
+    *    its measurement is cited by a02's bound comment).
     */
   private val collectBudget = Map(
     "Catalog.scala" -> 2, "Dedup.scala" -> 1, "Bpe.scala" -> 2,
     "Relational.scala" -> 1, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
     "Layout.scala" -> 3, "WireServer.scala" -> 2, "Skew.scala" -> 1,
-    "ClusterCheck.scala" -> 1, "Probe.scala" -> 1)
+    "ClusterCheck.scala" -> 1, "Probe.scala" -> 1, "Probe2.scala" -> 1)
 
   test("every driver-side collect in src/main is audited and budgeted") {
     import scala.jdk.CollectionConverters._

@@ -195,6 +195,56 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hierAssign fast path == exact rank reference, incl. forced near-ties") {
+    // d10's hierarchical assignment: route top-p supers (round6 exact
+    // via topN), then bestOfRound6's raw-sim scan with the margin
+    // fallback. Reference recomputes the whole decision with BigDecimal
+    // rounding at every rank. Adversarial shapes: duplicated centroids
+    // (rounded ties -> lowest global cid), scaled copies, sub-margin
+    // perturbations — each must route AND resolve identically.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(9292)
+    def vec(dim: Int): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    def cos6(a: Array[Double], c: Array[Double]): Double = {
+      val m = math.min(a.length, c.length)
+      var dot = 0.0; var i = 0
+      while (i < m) { dot += a(i) * c(i); i += 1 }
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      val raw = if (na == 0 || nc == 0) 0.0 else dot / (na * nc)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (trial <- 0 until 200) {
+      val dim = 8 + rnd.nextInt(9)
+      val k = 6 + rnd.nextInt(35)
+      val base = Array.fill(k)(vec(dim))
+      val cents: Array[Array[Double]] = trial % 4 match {
+        case 0 => base
+        case 1 => base.zipWithIndex.map { case (c, i) =>
+          if (i % 3 == 0) base(0) else c }
+        case 2 => base.zipWithIndex.map { case (c, i) =>
+          if (i % 2 == 0) base(i / 2 % k).map(_ * (1.0 + i)) else c }
+        case _ => base.zipWithIndex.map { case (c, i) =>
+          if (i % 2 == 0) { val a = base(0).clone(); a(0) += i * 1e-7; a }
+          else c }
+      }
+      val (supers, members) = graft.operators.Cluster.superRoute(cents)
+      val raw = vec(dim)
+      val v = new GenericArrayData(raw.map(x => x: Any))
+      val p = graft.operators.Cluster.HierProbes
+      val got = NearestCellsKernel.hierAssign(v, DoubleType, cents,
+        NearestCellsKernel.sqrtNorms(cents), supers,
+        NearestCellsKernel.sqrtNorms(supers), members, p)
+      val routed = supers.indices
+        .sortBy(g => (-cos6(raw, supers(g)), g)).take(p)
+      val cand = routed.flatMap(members(_)).sorted
+      val want = cand.map(ci => (ci, cos6(raw, cents(ci))))
+        .reduceLeft((a, b) => if (b._2 > a._2) b else a)._1
+      assert(got == want,
+        s"trial=$trial k=$k dim=$dim: hierAssign $got != ref $want")
+    }
+  }
+
   test("TopKPairsAgg's primitive update path binds on the canonical plan shape") {
     // The interpreted update path reads getLong/getDouble directly when
     // both children bind to plain references — assert that the canonical

@@ -11,12 +11,24 @@ class AnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("HLL estimate within 5% of exact distinct") {
+  test("HLL estimate within its published bound of exact distinct") {
+    // a01 emits exact counts + bound booleans (the driver-gateable
+    // form); the spec asserts every bound held AND recomputes the raw
+    // estimate-vs-exact gap directly for the tighter 5% sanity check
     val rows = SparkEntry.queries("a01_hll_distinct")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      assert(r.getBoolean(3), s"parts_bounded false: $r")
+      assert(r.getBoolean(4), s"supps_bounded false: $r")
+    }
+    val direct = graft.Engine.table(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    direct.foreach { r =>
       val est = r.getLong(1).toDouble
-      val exact = r.getLong(3).toDouble
+      val exact = r.getLong(2).toDouble
       assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
     }
   }
@@ -58,16 +70,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.getString(0) == "v_eq")
   }
 
-  test("approx percentiles stay within 1% of exact and merge across partitions") {
+  test("approx percentiles stay within the GK rank bound and within 1% of exact") {
+    // a02 emits exact_p50 + per-quantile rank-bound booleans (the
+    // driver-gateable form); assert every bound held, then recompute
+    // the raw p50 estimate for the tighter 1% value check
     val rows = graft.SparkEntry.queries("a02_approx_percentiles")(spark, graft.TestSpark.sf)
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // columns: l_returnflag, approx_p25, approx_p50, approx_p75, exact_p50
-      val approxP50 = r.getDouble(2)
-      val exactP50 = r.getDouble(4)
-      assert(math.abs(approxP50 - exactP50) <= 0.01 * exactP50,
-        s"approx p50 $approxP50 vs exact $exactP50")
+      // columns: l_returnflag, exact_p50, p25_bounded, p50_bounded, p75_bounded
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"rank bound violated: $r")
+    }
+    val direct = graft.Engine.table(spark, graft.TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .collect()
+    direct.foreach { r =>
+      val approx = r.getDouble(1)
+      val exact = r.getDouble(2)
+      assert(math.abs(approx - exact) <= 0.01 * exact,
+        s"approx p50 $approx vs exact $exact")
     }
   }
 }

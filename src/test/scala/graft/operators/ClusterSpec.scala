@@ -9,32 +9,84 @@ class ClusterSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def emb = Engine.table(spark, TestSpark.sf, "embeddings")
 
+  /** Exact round(cos, 6), BigDecimal HALF_UP — the oracle arithmetic. */
+  private def cos6(a: Array[Double], b: Array[Double]): Double = {
+    val m = math.min(a.length, b.length)
+    var dot = 0.0; var i = 0
+    while (i < m) { dot += a(i) * b(i); i += 1 }
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    val raw = if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Pure-Scala hierarchical assignment reference: top-[[Cluster.HierProbes]]
+    * supers by (round6 desc, sid asc), then argmax over routed members by
+    * (round6 desc, global cid asc) — the oracle's rank semantics. */
+  private def refHierAssign(v: Array[Double], cents: Array[Array[Double]],
+      supers: Array[Array[Double]], members: Array[Array[Int]]): Int = {
+    val routed = supers.indices
+      .sortBy(g => (-cos6(v, supers(g)), g)).take(Cluster.HierProbes)
+    val cand = routed.flatMap(members(_)).sorted
+    cand.map(ci => (ci, cos6(v, cents(ci))))
+      .reduceLeft((a, b) => if (b._2 > a._2) b else a)._1
+  }
+
   test("semanticDedup keeps the minimum id of every near-dup group") {
     val kept = Cluster.semanticDedup(emb, k = 8, tau = 0.35)
     val keptIds = kept.collect().map(_.getLong(0)).toSet
     assert(keptIds.nonEmpty && keptIds.size < emb.count())
     // survivor rule: a kept row has NO kept-or-dropped lower-id neighbor
-    // above tau in its own cluster — verify on the raw pair set
+    // above tau in its own (hierarchically assigned) cluster — verify
+    // against the pure-Scala reference on the raw pair set
     val cents = Cluster.seedCentroids(emb, 8)
-    val asg = emb.select(col("vec_id"),
-        Cluster.assignByCosine(col("embedding"), cents).as("cid"),
-        col("embedding"))
-      .collect().map(r => r.getLong(0) ->
-        (r.getInt(1), r.getSeq[Number](2).map(_.doubleValue).toArray)).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
-    }
+    val (supers, members) = Cluster.superRoute(cents)
+    val asg = emb.select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        val v = r.getSeq[Number](1).map(_.doubleValue).toArray
+        r.getLong(0) -> (refHierAssign(v, cents, supers, members), v)
+      }.toMap
     for (id <- keptIds) {
       val (cid, v) = asg(id)
       val lowerDup = asg.exists { case (oid, (ocid, ov)) =>
-        oid < id && ocid == cid && cos(ov, v) > 0.35
+        oid < id && ocid == cid && cos6(ov, v) > 0.35
       }
       assert(!lowerDup, s"kept $id has a lower-id near-dup in cluster $cid")
     }
+  }
+
+  test("hierNearestCell kernel equals the pure-Scala rank reference") {
+    // the kernel's fast path (raw sims + margin, exact-BigDecimal
+    // fallback) against the oracle's rank semantics, at the gate k and
+    // at a k that forces multi-member groups
+    for (k <- Seq(8, 20)) {
+      val cents = Cluster.seedCentroids(emb, k, step = if (k == 8) 37 else 11)
+      assert(cents.length == k)
+      val (supers, members) = Cluster.superRoute(cents)
+      val got = emb.select(col("vec_id"),
+          graft.functions.GraftFunctions.hierNearestCell(col("embedding"),
+            cents, supers, members, Cluster.HierProbes).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      emb.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Number](1).map(_.doubleValue).toArray
+        val ref = refHierAssign(v, cents, supers, members)
+        assert(got(id) == ref, s"k=$k vec $id: kernel ${got(id)} != ref $ref")
+      }
+    }
+  }
+
+  test("superRoute is deterministic and partitions the centroid set") {
+    val cents = Cluster.seedCentroids(emb, 20, step = 11)
+    val (s1, m1) = Cluster.superRoute(cents)
+    val (s2, m2) = Cluster.superRoute(cents)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    // s = ceil(sqrt(20)) = 5 groups; members partition 0..19, each
+    // ascending (the kernel's lowest-cid tie-break rests on it)
+    assert(s1.length == 5)
+    assert(m1.flatten.sorted.toSeq == (0 until 20).toSeq)
+    m1.foreach(g => assert(g.sorted.toSeq == g.toSeq))
   }
 
   test("semanticDedup assignment ties break to the lower cid") {
@@ -47,11 +99,11 @@ class ClusterSpec extends AnyFunSuite {
     assert(asg.filter(col("cid") >= 4).count() == 0)
   }
 
-  test("assignment arms agree past the k=16 switch (round6 kernel == literal argmax)") {
-    // semanticDedup ranks round(cos, 6) with ties to the lower cid in
-    // BOTH arms: the literal array argmax (k <= 16, oracle-expressible)
-    // and the native kernel with round6 = true (large k). A k = 20
-    // centroid set exercises the kernel arm against the literal form on
+  test("round6 kernel agrees with the literal argmax form") {
+    // hierAssign's within-group scan and the routing topN both rank
+    // round(cos, 6) with ties to the lower index — the same contract
+    // the oracle-expressible literal array argmax states. A k = 20
+    // centroid set exercises the kernel against the literal form on
     // the full corpus — any precision or tie divergence shifts a cid.
     val cents = Cluster.seedCentroids(emb, 20, step = 11)
     assert(cents.length == 20)
