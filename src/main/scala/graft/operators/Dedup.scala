@@ -328,6 +328,14 @@ object Dedup {
     */
   private def componentsByMinLabel(pairs: DataFrame, nodes: DataFrame,
       driverMaxEdges: Long): DataFrame = {
+    // the regime switch is session-tunable: `graft.dedup.driverMaxEdges`
+    // overrides the call-site default (0 forces the distributed arm —
+    // how the ClusterCheck chaos harness executor-kills the min-label
+    // fixpoint at gate scale, where the LSH residue would otherwise
+    // always fit the driver)
+    val maxEdges = pairs.sparkSession.conf
+      .getOption("graft.dedup.driverMaxEdges").map(_.toLong)
+      .getOrElse(driverMaxEdges)
     // materialize the (possibly expensive) pair source ONCE, then derive
     // the symmetric edge list from the materialized form — a union of
     // two references to the raw plan would execute it twice
@@ -344,7 +352,7 @@ object Dedup {
     //  - larger: the distributed min-label fixpoint below, whose
     //    partitioning is itself sized from the edge count.
     val graphRows = p.count()
-    if (graphRows <= driverMaxEdges) {
+    if (graphRows <= maxEdges) {
       val edgeRows = p.collect()
       releaseCheckpoint(p)
       // ordering must agree with the distributed arm's min()/least():

@@ -66,8 +66,8 @@ object ClusterCheck {
 
   final case class Entry(fp: String, rows: Long, sec: Double)
 
-  final case class ArmResult(mode: String, outcome: String, detail: String,
-      killedPid: Long, jobsSeen: Int, sec: Double)
+  final case class ArmResult(query: String, mode: String, outcome: String,
+      detail: String, killedPid: Long, jobsSeen: Int, sec: Double)
 
   /** Order-independent content fingerprint: per-row xxhash64 of the
     * name-sorted column struct rendered to JSON, summed in DECIMAL(38,0)
@@ -223,21 +223,31 @@ object ClusterCheck {
   // Chaos: executor-kill arms.
   // -----------------------------------------------------------------
 
-  /** The query whose per-round cut() frames the kill targets — HITS is
-    * the longest fixpoint chain in the suite (2 half-steps x iters,
-    * every one a lineage cut). */
-  val chaosQuery = "g08_hits"
-
-  /** Job index (1-based, onJobStart) at which the killer fires. The
-    * g08 run is ~45 jobs (adjacency + node cuts, then 2 cut jobs per
-    * HITS half-step); job 20 is mid-fixpoint — the e/n adjacency cuts
-    * (needed by EVERY remaining round) and the current round's frames
-    * all exist as checkpoint state by then. Firing too early is
-    * vacuous (found empirically: at job 3 no cut had materialized yet,
+  /** One executor-kill chaos target: the query, the 1-based job index
+    * (onJobStart) at which the killer fires, and session confs forcing
+    * the regime under test. Firing too early is vacuous (found
+    * empirically on g08: at job 3 no cut had materialized yet,
     * executors relaunched, and even the localCheckpoint arm sailed
-    * through) — the gate catches that as outcome drift if the job
-    * count ever changes. */
-  val killAtJob = 20
+    * through) — the gate catches that as outcome drift if a query's
+    * job count ever changes. */
+  final case class ChaosSpec(query: String, killAtJob: Int,
+      conf: Map[String, String] = Map.empty)
+
+  /** The kill matrix (r13 verdict #2 widened it from g08 alone). Kill
+    * points sit mid-fixpoint, tuned from graft.tools.JobCount totals:
+    *  - g08 HITS: the longest fixpoint chain (2 cut half-steps x
+    *    iters, ~45 jobs) — kill at 20, past the adjacency cuts.
+    *  - d05 near-dup components with the DISTRIBUTED min-label arm
+    *    forced (driverMaxEdges=0; 159 jobs at sf0.01) — kill at 60,
+    *    inside the label-propagation rounds.
+    *  - t24 BPE trainer (8 merge ranks, 29 jobs) — kill at 12,
+    *    mid-merge-loop, between one rank's cut and the next's
+    *    pair-count. */
+  val chaosSpecs: Seq[ChaosSpec] = Seq(
+    ChaosSpec("g08_hits", 20),
+    ChaosSpec("d05_neardup_clusters", 60,
+      Map("graft.dedup.driverMaxEdges" -> "0")),
+    ChaosSpec("t24_bpe_merges", 12))
 
   /** kill -9 EVERY executor JVM of THIS app (matched by
     * CoarseGrainedExecutorBackend + the app id in /proc cmdline) —
@@ -276,32 +286,33 @@ object ClusterCheck {
     victims
   }
 
-  private def chaosArm(dir: String, mode: String,
+  private def chaosArm(dir: String, spec: ChaosSpec, mode: String,
       expectFp: Option[String]): ArmResult = {
     val spark = session(clusterMaster)
     try {
       spark.conf.set("graft.checkpoint.mode", mode)
       spark.conf.set("graft.checkpoint.dir",
         new java.io.File(s"target/cc-chaos-ckpt-$mode").getAbsolutePath)
+      spec.conf.foreach { case (k, v) => spark.conf.set(k, v) }
       val jobsSeen = new AtomicInteger
       val killedPid = new AtomicLong(-1L) // any one of the killed set
       val appId = spark.sparkContext.applicationId
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit =
-          if (jobsSeen.incrementAndGet() == killAtJob)
+          if (jobsSeen.incrementAndGet() == spec.killAtJob)
             killAllExecutors(appId).headOption.foreach(killedPid.set)
       })
       val t0 = System.nanoTime()
       val res =
         try {
-          val (fp, rows) = fingerprint(SparkEntry.queries(chaosQuery)(spark, dir))
+          val (fp, rows) = fingerprint(SparkEntry.queries(spec.query)(spark, dir))
           val sec = (System.nanoTime() - t0) / 1e9
           val outcome =
             if (killedPid.get() == -1L) "kill_not_fired"
             else if (expectFp.forall(_ == fp)) "completed"
             else "completed_wrong_result"
-          ArmResult(mode, outcome, s"fp=$fp rows=$rows", killedPid.get(),
-            jobsSeen.get(), sec)
+          ArmResult(spec.query, mode, outcome, s"fp=$fp rows=$rows",
+            killedPid.get(), jobsSeen.get(), sec)
         } catch {
           case t: Throwable =>
             val sec = (System.nanoTime() - t0) / 1e9
@@ -309,14 +320,156 @@ object ClusterCheck {
               .take(1).mkString.take(200)
             val outcome =
               if (killedPid.get() == -1L) "kill_not_fired" else "failed"
-            ArmResult(mode, outcome, s"${t.getClass.getSimpleName}: $msg",
+            ArmResult(spec.query, mode, outcome,
+              s"${t.getClass.getSimpleName}: $msg",
               killedPid.get(), jobsSeen.get(), sec)
         }
-      println(s"[cluster-check] CHAOS mode=$mode -> ${res.outcome} " +
-        s"(pid=${res.killedPid}, jobs=${res.jobsSeen}, ${res.detail})")
+      println(s"[cluster-check] CHAOS ${spec.query} mode=$mode -> " +
+        s"${res.outcome} (pid=${res.killedPid}, jobs=${res.jobsSeen}, ${res.detail})")
       res
     } finally spark.stop()
   }
+
+  /** Streaming executor-kill arm (r13 verdict #2b): the events exact-
+    * quantile rollup under local-cluster, with EVERY executor JVM
+    * killed while micro-batch 1 is in flight (the listener fires on
+    * that batch's first job — depending on the race, the kill lands
+    * mid-write or in the write-to-commit gap; both are the windows the
+    * commit protocol must survive). The standalone master relaunches
+    * executors, failed tasks retry, batch 2 then streams MORE data
+    * through the relaunched set, and the served quantiles must equal
+    * an undisturbed twin over the same input. No local/reliable pair
+    * here BY DESIGN: the streaming path takes no Engine.cut — its
+    * durability is the offsets/commits checkpoint + Layout
+    * .idempotentBatchAppend, so checkpoint strategy cannot bite; the
+    * crash-window parity entry separately proves the commit protocol
+    * against a torn batch. */
+  private def chaosStreamingArm(dir: String): ArmResult = {
+    import graft.streaming.EventsStreaming
+    val spark = session(clusterMaster)
+    val t0 = System.nanoTime()
+    val jobsSeen = new AtomicInteger
+    val killedPid = new AtomicLong(-1L)
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      val appId = spark.sparkContext.applicationId
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          jobsSeen.incrementAndGet()
+          if (armed.compareAndSet(true, false))
+            killAllExecutors(appId).headOption.foreach(killedPid.set)
+        }
+      })
+      val src = java.nio.file.Files.createTempDirectory("cc_kill_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("cc_kill_ckpt").toString
+      val rollup = "cc_kill_rollup"
+      val twin = "cc_kill_twin"
+      def rmDir(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmDir); f.delete(); ()
+      }
+      for (t <- Seq(rollup, twin)) {
+        // drop catalog entry AND its warehouse dir: a fresh in-memory
+        // catalog does not know a previous session's managed-table
+        // location, and the create would fail LOCATION_ALREADY_EXISTS
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists) rmDir(loc)
+      }
+      val events = Engine.table(spark, dir, "events")
+      def start(table: String, cp: Option[String]) = {
+        val stream = spark.readStream
+          .schema(EventsStreaming.eventsSchema).parquet(src)
+        EventsStreaming.exactQuantileRollupQuery(stream, table,
+          Seq("event_type"), "value", cp)
+      }
+      // batch 0 lands undisturbed
+      events.filter(col("event_id") % 3 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      var q = start(rollup, Some(ckpt))
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      // batch 1: arm the killer, then stream the second slice — the
+      // kill fires on the batch's first job
+      events.filter(col("event_id") % 3 === 1)
+        .coalesce(1).write.mode("append").parquet(src)
+      armed.set(true)
+      q = start(rollup, Some(ckpt))
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      // batch 2: the relaunched executors must carry fresh data through
+      events.filter(col("event_id") % 3 === 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      q = start(rollup, Some(ckpt))
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      val tq = start(twin, None)
+      tq.processAllAvailable(); tq.stop(); tq.awaitTermination()
+      def serve(t: String): DataFrame = {
+        spark.catalog.refreshTable(t)
+        EventsStreaming.readExactQuantiles(spark.table(t),
+          Seq("event_type"), "value", Seq(0.5 -> "p50", 0.95 -> "p95"))
+      }
+      val (fpR, nR) = fingerprint(serve(rollup))
+      val (fpT, nT) = fingerprint(serve(twin))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val outcome =
+        if (killedPid.get() == -1L) "kill_not_fired"
+        else if (fpR == fpT && nR == nT) "completed"
+        else "completed_wrong_result"
+      val res = ArmResult("streaming_quantile_rollup", "commit_protocol",
+        outcome, s"fp=$fpR rows=$nR twin=$fpT/$nT", killedPid.get(),
+        jobsSeen.get(), sec)
+      println(s"[cluster-check] CHAOS streaming -> ${res.outcome} " +
+        s"(pid=${res.killedPid}, jobs=${res.jobsSeen}, ${res.detail})")
+      res
+    } catch {
+      case t: Throwable =>
+        val sec = (System.nanoTime() - t0) / 1e9
+        val msg = Option(t.getMessage).getOrElse("").linesIterator
+          .take(1).mkString.take(200)
+        val res = ArmResult("streaming_quantile_rollup", "commit_protocol",
+          "failed", s"${t.getClass.getSimpleName}: $msg", killedPid.get(),
+          jobsSeen.get(), sec)
+        println(s"[cluster-check] CHAOS streaming -> failed (${res.detail})")
+        res
+    } finally spark.stop()
+  }
+
+  /** Both kill arms (reliable completes / localCheckpoint fails) for
+    * every spec. Reference fingerprints come from ONE undisturbed
+    * local[32] session with each spec's conf applied. */
+  private def runChaosMatrix(dir: String,
+      specs: Seq[ChaosSpec]): Seq[ArmResult] = {
+    val refs: Map[String, String] = {
+      val spark = session("local[32]")
+      try specs.map { s =>
+        s.conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        val fp = fingerprint(SparkEntry.queries(s.query)(spark, dir))._1
+        s.conf.keys.foreach(spark.conf.unset)
+        s.query -> fp
+      }.toMap
+      finally spark.stop()
+    }
+    specs.flatMap { s =>
+      Seq(chaosArm(dir, s, "reliable", Some(refs(s.query))),
+        chaosArm(dir, s, "local", None))
+    }
+  }
+
+  /** Gate: every spec's reliable arm completes with the reference
+    * fingerprint AFTER a real kill, and its local arm fails after a
+    * real kill (if localCheckpoint ever survives, the kill point no
+    * longer bites — surface that so it gets re-tuned rather than
+    * silently proving nothing); the streaming arm completes after a
+    * real kill. */
+  private def chaosMatrixOk(chaos: Seq[ArmResult], specs: Seq[ChaosSpec],
+      withStreaming: Boolean): Boolean =
+    specs.forall { s =>
+      chaos.exists(a => a.query == s.query && a.mode == "reliable" &&
+        a.outcome == "completed" && a.killedPid != -1L) &&
+      chaos.exists(a => a.query == s.query && a.mode == "local" &&
+        a.outcome == "failed" && a.killedPid != -1L)
+    } && (!withStreaming || chaos.exists(a =>
+      a.query == "streaming_quantile_rollup" && a.outcome == "completed" &&
+        a.killedPid != -1L))
 
   // -----------------------------------------------------------------
 
@@ -336,6 +489,7 @@ object ClusterCheck {
     }
     val chaosJson = chaos.map { a =>
       Json.obj(Seq(
+        "query" -> Json.str(a.query),
         "checkpoint_mode" -> Json.str(a.mode),
         "outcome" -> Json.str(a.outcome),
         "detail" -> Json.str(a.detail),
@@ -346,8 +500,8 @@ object ClusterCheck {
     val out = Json.obj(Seq(
       "sf_dir" -> Json.str(dir),
       "masters" -> Json.arr(Seq(Json.str("local[32]"), Json.str(clusterMaster))),
-      "chaos_query" -> Json.str(chaosQuery),
-      "kill_at_job" -> killAtJob.toString,
+      "chaos_kill_points" -> Json.obj(chaosSpecs.map(s =>
+        s.query -> s.killAtJob.toString)),
       "entries" -> Json.arr(entries),
       "chaos" -> Json.arr(chaosJson),
       "ok" -> ok.toString))
@@ -367,16 +521,16 @@ object ClusterCheck {
     val chaosOnly = args.contains("--chaos-only")
 
     if (chaosOnly) { // fast iteration on the kill arms alone
-      val spark = session("local[32]")
-      val refFp =
-        try fingerprint(SparkEntry.queries(chaosQuery)(spark, dir))._1
-        finally spark.stop()
-      val chaos = Seq(chaosArm(dir, "reliable", Some(refFp)),
-        chaosArm(dir, "local", None))
-      val ok = chaos.exists(a => a.mode == "reliable" &&
-          a.outcome == "completed" && a.killedPid != -1L) &&
-        chaos.exists(a => a.mode == "local" && a.outcome == "failed" &&
-          a.killedPid != -1L)
+      val only = args.collectFirst {
+        case a if a.startsWith("--query=") => a.stripPrefix("--query=") }
+      val specs = chaosSpecs.filter(s => only.forall(_ == s.query))
+      val withStreaming =
+        only.isEmpty || only.contains("streaming_quantile_rollup")
+      require(specs.nonEmpty || withStreaming,
+        s"--query=${only.get} matches no chaos spec")
+      val chaos = runChaosMatrix(dir, specs) ++
+        (if (withStreaming) Seq(chaosStreamingArm(dir)) else Seq.empty)
+      val ok = chaosMatrixOk(chaos, specs, withStreaming)
       println(s"[cluster-check] chaos-only ok=$ok")
       sys.exit(if (ok) 0 else 1)
     }
@@ -394,21 +548,9 @@ object ClusterCheck {
 
     val chaos =
       if (!withChaos) Seq.empty
-      else {
-        val refFp = local.toMap.apply(chaosQuery).fp
-        Seq(chaosArm(dir, "reliable", Some(refFp)),
-          chaosArm(dir, "local", None))
-      }
-    // gate: parity exact; reliable arm must complete with the reference
-    // fingerprint AFTER a real kill; the local arm must fail after a
-    // real kill (if localCheckpoint ever survives, the chaos test no
-    // longer bites — surface that as a failure too, so the trigger gets
-    // re-tuned rather than silently proving nothing)
-    val chaosOk = !withChaos || (
-      chaos.exists(a => a.mode == "reliable" && a.outcome == "completed"
-        && a.killedPid != -1L) &&
-      chaos.exists(a => a.mode == "local" && a.outcome == "failed"
-        && a.killedPid != -1L))
+      else runChaosMatrix(dir, chaosSpecs) :+ chaosStreamingArm(dir)
+    val chaosOk = !withChaos ||
+      chaosMatrixOk(chaos, chaosSpecs, withStreaming = true)
     val ok = bad.isEmpty && chaosOk
     writeArtifact(dir, local, cluster, chaos, ok)
     if (ok)
