@@ -324,10 +324,14 @@ object Cluster {
     * the corpus's own k.
     *
     * Every wide (DOUBLE[]) payload stays OUT of the bulky
-    * intermediates (the d07-oracle discipline, applied twice): the
-    * candidate set (`cand`) is NARROW (vec_id, cid) — N x p x k/s
-    * rows, ~11M at sf10's k=800 vs the flat form's 160M — and the
-    * cosine + rank evaluate inline on it; the within-cluster pair
+    * intermediates (the d07-oracle discipline, applied three times):
+    * the candidate set (`cand`) is NARROW (vec_id, cid) — N x p x k/s
+    * rows, ~11M at sf10's k=800 / ~356M at sf100's k=8000 vs the flat
+    * form's N x k — BOTH ranking windows read a PRE-PROJECTED scalar
+    * sim (rscored/cscored CTEs: DuckDB materializes a window-sort's
+    * input including its ORDER BY operands, so the inline-cosine form
+    * carried two 512-byte vectors through the 356M-row sort at sf100
+    * and filled the disk with spill), and the within-cluster pair
     * stage self-joins NARROW assignments first, then joins `e` twice
     * so the cosine + threshold evaluate inline on the pair stream
     * (the vector-carrying self-join spilled > 77 GB at 50M pairs;
@@ -369,18 +373,24 @@ object Cluster {
                    ROW_NUMBER() OVER (PARTITION BY c.cid
                      ORDER BY round(${ocos("c.v", "sa.sv")}, 6) DESC, sa.sid) AS rn
             FROM c CROSS JOIN suparr3 sa) WHERE rn = 1),
+        rscored AS (SELECT a.vec_id, sa.sid,
+                           round(${ocos("a.v", "sa.sv")}, 6) AS sim
+                    FROM e a CROSS JOIN suparr3 sa),
         route AS (SELECT vec_id, sid FROM (
-            SELECT a.vec_id, sa.sid,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                     ORDER BY round(${ocos("a.v", "sa.sv")}, 6) DESC, sa.sid) AS rn
-            FROM e a CROSS JOIN suparr3 sa) WHERE rn <= 2),
+            SELECT vec_id, sid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, sid) AS rn
+            FROM rscored) WHERE rn <= 2),
         cand AS (SELECT r.vec_id, g.cid FROM route r JOIN grp g USING (sid)),
+        cscored AS (SELECT n.vec_id, n.cid,
+                           round(${ocos("a.v", "c.v")}, 6) AS sim
+                    FROM cand n JOIN e a ON a.vec_id = n.vec_id
+                                JOIN c ON c.cid = n.cid),
         asg0 AS (SELECT vec_id, cid FROM (
-            SELECT n.vec_id, n.cid,
-                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                     ORDER BY round(${ocos("a.v", "c.v")}, 6) DESC, n.cid) AS rn
-            FROM cand n JOIN e a ON a.vec_id = n.vec_id
-                        JOIN c ON c.cid = n.cid) WHERE rn = 1),
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cid) AS rn
+            FROM cscored) WHERE rn = 1),
         cpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                    FROM asg0 a JOIN asg0 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
         drops AS (SELECT DISTINCT p.id_b AS vec_id

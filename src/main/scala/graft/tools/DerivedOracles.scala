@@ -48,6 +48,9 @@ object DerivedOracles {
 
   def main(args: Array[String]): Unit = {
     val Array(dir, out) = args.take(2)
+    // --sql-only regenerates oracle_sql.json against existing dumps
+    // (oracle-text refactors do not change the Spark side)
+    val sqlOnly = args.contains("--sql-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,7 +60,7 @@ object DerivedOracles {
     spark.sparkContext.setLogLevel("ERROR")
     Engine.prepare(spark)
     val fam = derivedFamily(spark, dir)
-    for ((name, _) <- fam) {
+    for ((name, _) <- fam if !sqlOnly) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").parquet(s"$out/$name")

@@ -9,6 +9,7 @@ object Probe {
     if (args.length >= 2 && args(0) == "lsh") { lshDiag(args(1)); return }
     if (args.length >= 2 && args(0) == "d10") { d10Diag(args(1)); return }
     if (args.length >= 2 && args(0) == "s04") { s04Diag(args(1)); return }
+    if (args.length >= 2 && args(0) == "q69") { q69Diag(args(1)); return }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -202,6 +203,52 @@ object Probe {
         round(first("term_raw"), 6).as("term6"))
       .coalesce(1)
       .write.mode("overwrite").parquet(outDir)
+    spark.stop()
+  }
+
+  /** q69 stage split (r13 verdict stretch item — the costliest decade-2
+    * entry at 53.3 s sf10): attribute the time among (A) the
+    * lineitem x part join + distinct that builds the (order, brand)
+    * rows, (B) the basket build (cap anti-join + support semi-join +
+    * collect_set), and (C) the full pipeline incl. the array-local pair
+    * explode + final count. Run twice; the second (warm) split is the
+    * attribution. */
+  def q69Diag(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q69-diag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val li = graft.Engine.table(spark, sfDir, "lineitem")
+    val part = graft.Engine.table(spark, sfDir, "part")
+    for (run <- 1 to 2) {
+      println(s"[q69-diag] --- run $run ---")
+      val b = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      timed("A join+distinct (order,brand) rows") { println("  rows=" + b.count()) }
+      val bad = b.groupBy("l_orderkey").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 100).select("l_orderkey")
+      val freq = b.groupBy("p_brand").agg(count(lit(1)).as("bf"))
+        .filter(col("bf") >= 3).select("p_brand")
+      val baskets = b
+        .join(broadcast(bad), Seq("l_orderkey"), "left_anti")
+        .join(broadcast(freq), Seq("p_brand"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      timed("B baskets built (A recomputed + cap/support + collect_set)") {
+        println("  baskets=" + baskets.count())
+      }
+      timed("C full q69 (A+B recomputed + pair explode + count)") {
+        println("  pairs=" + graft.SparkEntry.queries("q69_market_basket")(spark, sfDir).count())
+      }
+    }
     spark.stop()
   }
 }

@@ -46,7 +46,17 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q59_mad_outliers" -> 9,       // one (brand,pc) rollup x3 consumers (statically
                                    // re-planned, runtime-reused) + 2 cum windows +
                                    // dev rollup + final agg
-    "q69_market_basket" -> 7,      // distinct x3 consumers + size/freq aggs + basket + pair
+    "q69_market_basket" -> 10,     // r14: the distinct (order,brand) frame is
+                                   // DISK_ONLY-persisted (it feeds 3 consumers;
+                                   // exchange reuse deduped only the shuffle
+                                   // write, each consumer re-ran the 55M-row
+                                   // distinct agg — Probe q69Diag). The cached
+                                   // relation's BUILD plan (join+distinct
+                                   // exchange) now prints inside every
+                                   // consumer's InMemoryTableScan, so the
+                                   // static count rises 7 -> 10 while runtime
+                                   // executes the build ONCE (warm 53 -> 27 s
+                                   // at sf10)
     // r10 percentile-rollup family (Percentiles.scala): each = value
     // rollup + cumulative window + final agg, plus the query's own
     // joins; pinned so the bounded-state shapes cannot silently grow
