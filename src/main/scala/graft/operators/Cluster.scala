@@ -323,20 +323,25 @@ object Cluster {
     * the gate text embeds k = 8 and DerivedOracles regenerates it at
     * the corpus's own k.
     *
-    * Every wide (DOUBLE[]) payload stays OUT of the bulky
-    * intermediates (the d07-oracle discipline, applied three times):
-    * the candidate set (`cand`) is NARROW (vec_id, cid) — N x p x k/s
-    * rows, ~11M at sf10's k=800 / ~356M at sf100's k=8000 vs the flat
-    * form's N x k — BOTH ranking windows read a PRE-PROJECTED scalar
-    * sim (rscored/cscored CTEs: DuckDB materializes a window-sort's
-    * input including its ORDER BY operands, so the inline-cosine form
-    * carried two 512-byte vectors through the 356M-row sort at sf100
-    * and filled the disk with spill), and the within-cluster pair
-    * stage self-joins NARROW assignments first, then joins `e` twice
-    * so the cosine + threshold evaluate inline on the pair stream
-    * (the vector-carrying self-join spilled > 77 GB at 50M pairs;
-    * the narrow form's hash builds are one 100 MB corpus
-    * relation). */
+    * Decade-3 (sf100, k=8000) oracle-shape lessons, each found by a
+    * disk-filling spill and fixed structurally:
+    *  - BOTH ranking windows read a PRE-PROJECTED scalar sim
+    *    (rscored/cscored): DuckDB materializes a window-sort's input
+    *    including its ORDER BY operands, so an inline-cosine rank
+    *    carried two 512-byte vectors through the 356M-row candidate
+    *    sort.
+    *  - The stage outputs (c, grp, route, asg0, av) are AS
+    *    MATERIALIZED: fully inlined, the planner mis-sides the hash
+    *    joins of the monolithic chain (staged in temp tables every
+    *    phase runs in seconds with zero spill; inlined it spilled
+    *    ~70 GB before asg0 ever completed).
+    *  - The drops stage is ONE cluster-local self-join of the
+    *    materialized (vec_id, cid, v) frame with the cosine threshold
+    *    inline — the filter pipelines, so the 306M-pair stream never
+    *    materializes with payloads (the prior narrow-cpairs-then-
+    *    rejoin form let the planner build a hash table over the pair
+    *    stream carrying vectors: ~160 GB projected, died at sf100;
+    *    measured one-step: 262 s, zero spill). */
   private[graft] def oracleSemanticDedupSql(k: Int): String = {
     val s = math.ceil(math.sqrt(k.toDouble)).toInt
     val stride = (k + s - 1) / s
@@ -362,13 +367,13 @@ object Cluster {
                            FROM supx${i + 1} GROUP BY sid)"""
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $k),
-        c AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid FROM c0),
+        c AS MATERIALIZED (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid FROM c0),
         cx AS (SELECT cid, unnest(range(64)) AS pos, unnest(v) AS x FROM c),
         supx0 AS (SELECT CAST(cid // $stride AS INT) AS sid, pos, x AS m
                   FROM cx WHERE cid % $stride = 0),
         suparr0 AS (SELECT sid, list(m ORDER BY pos) AS sv FROM supx0 GROUP BY sid)
         ${lloyd(0)}${lloyd(1)}${lloyd(2)},
-        grp AS (SELECT cid, sid FROM (
+        grp AS MATERIALIZED (SELECT cid, sid FROM (
             SELECT c.cid, sa.sid,
                    ROW_NUMBER() OVER (PARTITION BY c.cid
                      ORDER BY round(${ocos("c.v", "sa.sv")}, 6) DESC, sa.sid) AS rn
@@ -376,7 +381,7 @@ object Cluster {
         rscored AS (SELECT a.vec_id, sa.sid,
                            round(${ocos("a.v", "sa.sv")}, 6) AS sim
                     FROM e a CROSS JOIN suparr3 sa),
-        route AS (SELECT vec_id, sid FROM (
+        route AS MATERIALIZED (SELECT vec_id, sid FROM (
             SELECT vec_id, sid,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                      ORDER BY sim DESC, sid) AS rn
@@ -386,17 +391,16 @@ object Cluster {
                            round(${ocos("a.v", "c.v")}, 6) AS sim
                     FROM cand n JOIN e a ON a.vec_id = n.vec_id
                                 JOIN c ON c.cid = n.cid),
-        asg0 AS (SELECT vec_id, cid FROM (
+        asg0 AS MATERIALIZED (SELECT vec_id, cid FROM (
             SELECT vec_id, cid,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                      ORDER BY sim DESC, cid) AS rn
             FROM cscored) WHERE rn = 1),
-        cpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                   FROM asg0 a JOIN asg0 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-        drops AS (SELECT DISTINCT p.id_b AS vec_id
-                  FROM cpairs p JOIN e ea ON ea.vec_id = p.id_a
-                                JOIN e eb ON eb.vec_id = p.id_b
-                  WHERE round(${ocos("ea.v", "eb.v")}, 6) > 0.35)
+        av AS MATERIALIZED (SELECT a.vec_id, a.cid, e2.v
+                            FROM asg0 a JOIN e e2 ON e2.vec_id = a.vec_id),
+        drops AS (SELECT DISTINCT b.vec_id
+                  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                  WHERE round(${ocos("a.v", "b.v")}, 6) > 0.35)
         SELECT vec_id, cid FROM asg0
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
   }
