@@ -21,6 +21,21 @@ import org.apache.spark.sql.SparkSession
   * printed as the LAST output after spark.stop().
   */
 object Bench {
+
+  /** One per-query record-merge decision (BASELINE.md protocol, r13
+    * verdict #2 — pinned by BenchMergeSpec): an unchanged job count
+    * means the plan is the same, so host drift can only IMPROVE the
+    * record — keep min(prior, new); a changed job count means the plan
+    * changed, so the new timing stands whether faster or slower; no
+    * prior entry takes the new timing. Errors never reach here — a
+    * failing query records its error marker at the call site, so a
+    * failure cannot hide behind an old record. */
+  def mergeRecord(name: String, secs: Double, jobs: Int,
+      priorSecs: Map[String, Double], priorJobs: Map[String, Double]): Double =
+    if (priorJobs.get(name).contains(jobs.toDouble))
+      priorSecs.get(name).map(math.min(_, secs)).getOrElse(secs)
+    else secs
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -177,11 +192,7 @@ object Bench {
     // so the driver's BENCH_r{N} artifact — reports).
     val mergedSecs: Seq[(String, Either[String, Double])] = results.map {
       case (k, Right((t, j)), _) =>
-        val rec =
-          if (priorJobs.get(k).contains(j.toDouble))
-            priorSecs.get(k).map(math.min(_, t)).getOrElse(t)
-          else t
-        k -> Right(rec)
+        k -> Right(Bench.mergeRecord(k, t, j, priorSecs, priorJobs))
       case (k, Left(e), _) => k -> Left(e)
     }
     val mergedMap = mergedSecs.map {

@@ -887,15 +887,27 @@ object VectorSearch {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
           FROM scored) WHERE rn <= 10"""
 
+  // the bucket join carries BOTH vector operands pre-materialized
+  // (bq/bc) and projects the rounded sim inline — the earlier
+  // narrow-cand-then-rejoin form let DuckDB's planner build a hash
+  // table over the multi-hundred-million-row candidate stream carrying
+  // vectors at the sf100 regime and fill the disk with spill (the d10
+  // decade-3 oracle lesson, applied here); DISTINCT on (qid, nid, sim)
+  // equals DISTINCT on (qid, nid) since sim is functionally determined
   private[graft] def oracleKnnAnnSql(planes: Int, tables: Int): String =
     s"""WITH ${oracleLshBuckets(planes, tables)},
-        cand AS (
-          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-          FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
-          WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+        bq AS MATERIALIZED (
+          SELECT b.tbl, b.bucket, b.vec_id, e.v
+          FROM buck b JOIN e ON e.vec_id = b.vec_id
+          WHERE b.vec_id % 20 = 0),
+        bc AS MATERIALIZED (
+          SELECT b.tbl, b.bucket, b.vec_id, e.v
+          FROM buck b JOIN e ON e.vec_id = b.vec_id),
         scored AS (
-          SELECT cand.qid, cand.nid, round($oracleCosine, 6) AS sim
-          FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.nid),
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid,
+                 round(${oracleCosRaw("q.v", "c.v")}, 6) AS sim
+          FROM bq q JOIN bc c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                             AND c.vec_id <> q.vec_id),
         lbl AS (SELECT vec_id, label FROM embeddings),
         top5 AS (SELECT qid, nid FROM (
           SELECT qid, nid,

@@ -69,6 +69,7 @@ object DerivedOracles {
     // shared escape (graft.tools.Json): covers ALL control chars, not
     // just the 4-case subset (r12 ADVICE — a CR in builder-authored SQL
     // would have produced invalid JSON for tools/drivercheck.py)
+    new java.io.File(out).mkdirs() // --sql-only may target a fresh dir
     val json = fam.map { case (n, sql) =>
       s"${Json.str(n)}: ${Json.str(sql)}"
     }.mkString("{", ", ", "}")
