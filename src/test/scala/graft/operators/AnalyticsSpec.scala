@@ -70,6 +70,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.getString(0) == "v_eq")
   }
 
+  test("a02's gate output is partition-invariant") {
+    // the GK sketch's internal estimate may shift with partitioning;
+    // the QUERY's gate output (exact_p50 + rank-bound booleans) must
+    // not — exact_p50 is decimal-exact and the booleans hold at any
+    // partitioning by the published guarantee, so the driver's hash
+    // stays stable whatever parallelism it runs at
+    def run(parts: Int): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.SparkEntry.queries("a02_approx_percentiles")(spark, graft.TestSpark.sf)
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset("spark.sql.shuffle.partitions")
+    }
+    assert(run(3) == run(17))
+  }
+
   test("approx percentiles stay within the GK rank bound and within 1% of exact") {
     // a02 emits exact_p50 + per-quantile rank-bound booleans (the
     // driver-gateable form); assert every bound held, then recompute
