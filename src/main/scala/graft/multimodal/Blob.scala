@@ -199,7 +199,12 @@ object Blob {
     // and, r11, MIRRORS the chunk-bucket scheme including maxBucket
     // (the d03 lesson: a brute-force oracle diverges the moment any
     // bucket tops the cap; non-binding at today's gate SFs but part of
-    // the operator's semantics, so the oracle models it).
+    // the operator's semantics, so the oracle models it). The signature
+    // chain's stage outputs (sigu/sig/ck/buck) are AS MATERIALIZED:
+    // fully inlined, DuckDB recomputes the aggregation chain per
+    // reference and mis-sides the pairs join's hash build, OOMing at
+    // sf1 where the materialized form runs in 71 s (the d10 decade-3
+    // oracle lesson; values identical, 4702 rows either way).
     GQ("m04_phash_neardup", Some(s"""WITH
       ${graft.operators.Dedup.oracleSimhashChunks(maxHamming = 4)} fr AS (
         SELECT doc_id AS media_id, frame_no,
@@ -229,23 +234,23 @@ object Blob {
         SELECT fid,
                list_reduce(list_prepend(0.0, list(m ORDER BY j)), (a, c) -> a + c) / 64 AS g
         FROM means GROUP BY fid),
-      sigu AS (
+      sigu AS MATERIALIZED (
         SELECT means.fid,
                COALESCE(SUM(CASE WHEN means.m > gm.g
                  THEN (2::HUGEINT ^ means.j)::HUGEINT ELSE 0::HUGEINT END),
                  0::HUGEINT) AS su
         FROM means JOIN gm ON gm.fid = means.fid
         GROUP BY means.fid),
-      sig AS (
+      sig AS MATERIALIZED (
         SELECT fid,
                CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
                     THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS s
         FROM sigu),
-      ck AS (
+      ck AS MATERIALIZED (
         SELECT g.fid, s.s, c.i,
                CAST((g.su // c.plo) % c.pw AS BIGINT) AS ckv
         FROM sigu g JOIN sig s USING (fid) CROSS JOIN chunkdef c),
-      buck AS (SELECT i, ckv FROM ck GROUP BY i, ckv
+      buck AS MATERIALIZED (SELECT i, ckv FROM ck GROUP BY i, ckv
                HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.Dedup.MaxBucket}),
       pairs AS (
         SELECT DISTINCT a.fid AS fa, b.fid AS fb,
