@@ -53,6 +53,17 @@ object Engine {
     // selective side of a shuffle join and push it into the other side's
     // scan — at 100 TB this prunes fact-table rows before the exchange
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // NOTE on ObjectHashAggregate's sort fallback (default threshold:
+    // 128 groups per task): every TypedImperativeAggregate past it —
+    // including the bounded top-k heaps — degrades to an EXTERNAL SORT
+    // of its remaining input, so a heap aggregate is only scale-safe
+    // when its input stream is already volume-capped (the r15 decade-3
+    // stage split watched the flat s05 emission's 3.28B-row fallback
+    // sort fill a 43 GB disk and die). The threshold is deliberately
+    // NOT raised globally: it equally governs collect_list/collect_set
+    // buffers (a bucket group holds ~36 KB of member vectors — 256k
+    // in-memory groups OOMed a 32-task JVM in one stage). Cap the
+    // stream, don't uncap the map.
     // Driver parquet writes timestamps as not-UTC-adjusted; read them as
     // TimestampType (instant, session TZ = UTC) so timestamp arithmetic
     // and the DuckDB oracle agree on wall-clock values.

@@ -709,6 +709,12 @@ object NearestCellsKernel {
     var total = 0
     var i = 0
     while (i < nr) { total += members(routed.getInt(i)).length; i += 1 }
+    // the caller routes only non-empty groups (Cluster.semanticDedup
+    // compacts the superRoute table), so a routed vector always has
+    // candidates; fail loudly rather than emit cid = -1 as a cluster
+    require(total > 0,
+      s"hierAssign: all $nr routed super groups empty — caller must " +
+        "compact empty groups out of the routing table")
     val cand = new Array[Int](total)
     var o = 0
     i = 0
@@ -1301,6 +1307,136 @@ case class TopKPairsAgg(nid: Expression, sim: Expression, k: Int,
   override def prettyName: String = "graft_topk_pairs"
 }
 
+/** Per-member in-bucket top-k for the LSH candidate-graph family
+  * (s05/s10's scale path, SCALING.md decade-3). One call per capped
+  * bucket: converts the members' embeddings to primitive double[] ONCE
+  * (the generic per-pair cosine re-read both ArrayData operands and both
+  * norms per pair — 3x the FLOPs and a virtual call per element),
+  * precomputes each member's sqrt-norm (bit-identical to the fused
+  * cosine's accumulation: each norm is an independent sequential
+  * addition chain), then runs the m^2/2 pair loop with SYMMETRIC heap
+  * updates — each member keeps its k best in-bucket neighbors under the
+  * [[TopKHeap]] total order (sim desc, nid asc).
+  *
+  * Exactness vs the flat all-pairs emission: per-group top-k under a
+  * strict total order DISTRIBUTES over candidate-set union — a
+  * candidate in the global distinct top-k has < k better-ranked
+  * distinct rivals overall, hence < k in every bucket it shares with
+  * the query, so every bucket that contains it emits it; conversely a
+  * candidate cut in every bucket had >= k better rivals in each, all
+  * of which are global rivals. The downstream distinct heap therefore
+  * sees every global-top-k candidate and nothing it would rank
+  * differently (cross-bucket repeats are identical (nid, sim) rows).
+  * Pinned against the flat emission by BucketTopKSpec. What this buys
+  * at scale: the heap/aggregate stage consumes m x k rows per bucket
+  * instead of m^2/2 pairs x 2 directions — at sf100 (density ~122,
+  * k = 5) ~25x less row traffic through the per-qid hash aggregate,
+  * which the decade-3 stage split measured as the family's dominant
+  * cost (SCALING.md). */
+object BucketTopKKernel {
+  def eval(members: ArrayData, idType: DataType, vecType: DataType,
+      k: Int): GenericArrayData = {
+    val m = members.numElements()
+    val get = VectorKernels.conv(vecType)
+    val ids = new Array[Long](m)
+    val vecs = new Array[Array[Double]](m)
+    val norms = new Array[Double](m)
+    var sameLen = true
+    var i = 0
+    while (i < m) {
+      val row = members.getStruct(i, 2)
+      ids(i) = idType match {
+        case LongType => row.getLong(0)
+        case IntegerType => row.getInt(0).toLong
+        case ShortType => row.getShort(0).toLong
+        case other =>
+          throw new IllegalArgumentException(s"non-integral vec_id: $other")
+      }
+      val a = row.getArray(1)
+      val len = a.numElements()
+      val v = new Array[Double](len)
+      var na = 0.0
+      var t = 0
+      while (t < len) { val x = get(a, t); v(t) = x; na += x * x; t += 1 }
+      vecs(i) = v
+      norms(i) = java.lang.Math.sqrt(na)
+      if (len != vecs(0).length) sameLen = false
+      i += 1
+    }
+    val heaps = new Array[TopKHeap](m)
+    i = 0
+    while (i < m) { heaps(i) = new TopKHeap(k); i += 1 }
+    i = 0
+    while (i < m) {
+      val va = vecs(i)
+      var j = i + 1
+      while (j < m) {
+        val raw = if (sameLen) {
+          val vb = vecs(j)
+          var dot = 0.0
+          var t = 0
+          while (t < va.length) { dot += va(t) * vb(t); t += 1 }
+          if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+          else dot / (norms(i) * norms(j))
+        } else cosTrunc(va, vecs(j))
+        val sim = Round6Kernel.round6(raw)
+        heaps(i).insert(ids(j), sim)
+        heaps(j).insert(ids(i), sim)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m * math.min(k, m))
+    i = 0
+    while (i < m) {
+      val kept = heaps(i).toArrayData
+      var j = 0
+      while (j < kept.numElements()) {
+        val p = kept.getStruct(j, 2)
+        out += new GenericInternalRow(
+          Array[Any](ids(i), p.getLong(0), p.getDouble(1)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Unequal-length fallback: the fused min-length accumulation
+    * [[VectorKernels.cosine]] runs, on the pre-converted doubles. */
+  private def cosTrunc(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var t = 0
+    while (t < n) {
+      dot += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t); t += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+}
+
+/** graft_bucket_topk(members, k) -> array<struct<qid,nid,sim>>: each
+  * bucket member's k best in-bucket neighbors by (round6-cosine desc,
+  * nid asc) — see [[BucketTopKKernel]]. */
+case class BucketTopK(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("qid", LongType, nullable = false),
+    StructField("nid", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+  @transient private lazy val memberType = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  @transient private lazy val idType = memberType.fields(0).dataType
+  @transient private lazy val vecType = memberType.fields(1).dataType
+    .asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(m: Any): Any =
+    BucketTopKKernel.eval(m.asInstanceOf[ArrayData], idType, vecType, k)
+  override protected def withNewChildInternal(c: Expression): BucketTopK =
+    copy(child = c)
+  override def prettyName: String = "graft_bucket_topk"
+}
+
 /** Registry — the fmgr analogue (reference src/utils/fmgr.rs:44-53 wires 6
   * functions by oid; we wire ours by name into Catalyst's FunctionRegistry
   * so both the Column API (call_function) and plain SQL can use them).
@@ -1690,6 +1826,13 @@ object GraftFunctions {
     val shim = org.apache.spark.sql.GraftShim
     shim.column(TopKPairsAgg(shim.expression(nid), shim.expression(sim), k)
       .toAggregateExpression())
+  }
+
+  /** Per-member in-bucket top-k (array<struct<qid,nid,sim>>) under the
+    * heap's (sim desc, nid asc) order — see [[BucketTopKKernel]]. */
+  def bucketTopK(members: Column, k: Int): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(BucketTopK(shim.expression(members), k))
   }
 
   /** [[topKPairs]] with in-heap dedup by nid — for candidate streams

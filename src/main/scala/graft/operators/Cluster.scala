@@ -188,7 +188,19 @@ object Cluster {
     // FLOPs per row — the N^1.5 law that replaces the flat kernel's
     // N x k (SCALING.md). The oracle restates routing and argmax
     // verbatim, so the rounded-rank contract holds at ANY derived k.
-    val (supers, members) = superRoute(cents)
+    val (supersAll, membersAll) = superRoute(cents)
+    // route only over NON-EMPTY super groups (r15, ADVICE): Lloyd keeps
+    // a stale super position for an emptied group, so a vector could
+    // rank an empty group into its top-p — it then drew candidates
+    // from fewer groups, and when BOTH routed groups were empty the
+    // kernel emitted cid = -1 as a real cluster while the oracle's
+    // route JOIN grp dropped the row. Order-preserving compaction
+    // keeps tie-breaks identical (lower compacted index = lower
+    // original sid); the oracle restricts its routing CTE to the sids
+    // present in grp — the same set — CTE for CTE.
+    val ne = membersAll.indices.filter(membersAll(_).nonEmpty).toArray
+    val supers = ne.map(supersAll(_))
+    val members = ne.map(membersAll(_))
     val assign =
       GF.hierNearestCell(col("embedding"), cents, supers, members, HierProbes)
     val asg = e.select(col("vec_id"), col("embedding"), assign.as("cid"))
@@ -380,7 +392,8 @@ object Cluster {
             FROM c CROSS JOIN suparr3 sa) WHERE rn = 1),
         rscored AS (SELECT a.vec_id, sa.sid,
                            round(${ocos("a.v", "sa.sv")}, 6) AS sim
-                    FROM e a CROSS JOIN suparr3 sa),
+                    FROM e a CROSS JOIN suparr3 sa
+                    WHERE sa.sid IN (SELECT sid FROM grp)),
         route AS MATERIALIZED (SELECT vec_id, sid FROM (
             SELECT vec_id, sid,
                    ROW_NUMBER() OVER (PARTITION BY vec_id

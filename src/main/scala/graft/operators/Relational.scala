@@ -118,24 +118,42 @@ object Relational {
     // loss recomputes — this is a DAG, not a fixpoint, so checkpoint
     // durability semantics are not needed). The eager count forces the
     // write so all three consumers read, never race to compute.
+    //
+    // The persist must NOT outlive this call (r14 verdict: the leaked
+    // DISK_ONLY frame accumulated one corpus-sized block set per
+    // invocation for the session lifetime, and CacheManager's
+    // analyzed-plan matching let a warm bench run read the previous
+    // run's blocks — flattering the recorded time by the input build
+    // it prices at 3x the basket stage). The OUTPUT is value-domain
+    // bounded — at most |brands|^2/2 rows survive the support filter,
+    // and p_brand is a ~25-value domain — so it materializes eagerly
+    // to a local relation (the k-/domain-bounded collect class) and
+    // the input blocks release in a finally: every invocation honestly
+    // pays one write + three reads, and no cache entry survives the
+    // call (pinned by Q69CacheSpec).
     val bc = b.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    bc.count()
-    val bad = bc.groupBy("l_orderkey").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBasket).select("l_orderkey")
-    val freq = bc.groupBy("p_brand").agg(count(lit(1)).as("bf"))
-      .filter(col("bf") >= minSupport).select("p_brand")
-    val baskets = bc
-      .join(broadcast(bad), Seq("l_orderkey"), "left_anti")
-      .join(broadcast(freq), Seq("p_brand"))
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-    baskets
-      .select(explode(flatten(transform(col("bs"), (x, i) =>
-        transform(slice(col("bs"), (i + lit(2)).cast(IntegerType), size(col("bs"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= minSupport)
+    try {
+      bc.count()
+      val bad = bc.groupBy("l_orderkey").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBasket).select("l_orderkey")
+      val freq = bc.groupBy("p_brand").agg(count(lit(1)).as("bf"))
+        .filter(col("bf") >= minSupport).select("p_brand")
+      val baskets = bc
+        .join(broadcast(bad), Seq("l_orderkey"), "left_anti")
+        .join(broadcast(freq), Seq("p_brand"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      val pairs = baskets
+        .select(explode(flatten(transform(col("bs"), (x, i) =>
+          transform(slice(col("bs"), (i + lit(2)).cast(IntegerType), size(col("bs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= minSupport)
+      val rows = pairs.collect()
+      pairs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), pairs.schema)
+    } finally bc.unpersist(blocking = false)
   }
 
   /** Revenue expression: l_extendedprice * (1 - l_discount). Per-row double

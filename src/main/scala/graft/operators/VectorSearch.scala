@@ -38,7 +38,7 @@ object VectorSearch {
     * every query's full candidate list in one task (the round-3 verdict's
     * named scale-killer).
     */
-  private def topKPerQid(pairs: DataFrame, k: Int,
+  private[graft] def topKPerQid(pairs: DataFrame, k: Int,
       distinct: Boolean = false): DataFrame = {
     // distinct=true: in-heap dedup by nid (exact when duplicates are
     // identical (nid, sim) repeats — the multi-table LSH case), saving
@@ -406,14 +406,26 @@ object VectorSearch {
         math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
     }
 
-  private def lshPairSims(e: DataFrame, planes: Int, tables: Int,
+  /** Deterministic bucket-sample predicate (r15, the sf100 partial-
+    * verification path): keep only buckets whose combined key
+    * tbl * 2^planes + bucket is divisible by `mod` — pure integer
+    * arithmetic both engines restate identically, so a DuckDB oracle
+    * re-derives the SAME ~1/mod bucket subset and hash-pins the exact
+    * result restricted to it at a scale where the full oracle is
+    * cost-bound. 0 = off (the production path). */
+  private def bucketSampled(buckets: DataFrame, planes: Int, mod: Int): DataFrame =
+    if (mod <= 0) buckets
+    else buckets.filter(
+      (col("tbl") * lit(1 << planes) + col("bucket")) % mod === 0)
+
+  private[graft] def lshPairSims(e: DataFrame, planes: Int, tables: Int,
       dim: Int, maxBucket: Int, minSim: Double = Double.NaN,
-      dedup: Boolean = true): DataFrame = {
+      dedup: Boolean = true, sampleMod: Int = 0): DataFrame = {
     val withB = e.select(col("vec_id"), col("embedding"),
       posexplode(lshBucketsAll(col("embedding"), planes, tables, dim)).as(Seq("tbl", "bucket")))
-    val buckets = withB.groupBy("tbl", "bucket")
+    val buckets = bucketSampled(withB.groupBy("tbl", "bucket")
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .filter(size(col("members")).between(2, maxBucket)), planes, sampleMod)
     val sims = buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
@@ -422,6 +434,32 @@ object VectorSearch {
         sim6(col("a.embedding"), col("b.embedding")).as("sim"))
     val kept = if (minSim.isNaN) sims else sims.filter(col("sim") > minSim)
     if (dedup) kept.distinct() else kept
+  }
+
+  /** Directed per-node top-k over the capped LSH bucket candidate set —
+    * the s05/s10 candidate-graph stage. Same buckets as [[lshPairSims]],
+    * but the in-bucket work runs through [[GF.bucketTopK]]: each bucket
+    * emits every member's k best in-bucket neighbors (m x k rows)
+    * instead of all m^2/2 cosine pairs exploded in both directions, and
+    * the global distinct heap merges the per-bucket lists. EXACTLY the
+    * per-qid distinct top-k of the flat pair emission (per-group top-k
+    * under the heap's strict (sim desc, nid asc) total order distributes
+    * over candidate-set union — argument + parity pin in
+    * [[graft.functions.BucketTopKKernel]]/BucketTopKSpec). The decade-3
+    * stage split (SCALING.md) measured the flat emission's ~1.6B-row
+    * heap feed as the family's dominant cost at sf100; this caps the
+    * feed at N x tables x k. */
+  private[graft] def lshDirectedTopK(e: DataFrame, k: Int, planes: Int,
+      tables: Int, dim: Int, maxBucket: Int, sampleMod: Int = 0): DataFrame = {
+    val withB = e.select(col("vec_id"), col("embedding"),
+      posexplode(lshBucketsAll(col("embedding"), planes, tables, dim)).as(Seq("tbl", "bucket")))
+    val buckets = bucketSampled(withB.groupBy("tbl", "bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket)), planes, sampleMod)
+    val cand = buckets
+      .select(explode(GF.bucketTopK(col("members"), k)).as("e"))
+      .select(col("e.qid"), col("e.nid"), col("e.sim"))
+    topKPerQid(cand, k, distinct = true)
   }
 
   /** Mutual k-NN graph over the WHOLE corpus — the neighborhood-graph
@@ -444,17 +482,9 @@ object VectorSearch {
     * mutual edge. */
   def mutualKnnGraph(e: DataFrame, k: Int,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
-    // dedup = false: cross-table repeats are identical (nid, sim) rows,
-    // and the distinct heap dedups them in-place — cheaper than a
-    // candidate-volume distinct shuffle ahead of the heap
-    val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim,
-      maxBucket, dedup = false)
-    val directed = pairs.select(explode(array(
-        struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
-        struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
-      .select(col("e.qid"), col("e.nid"), col("e.sim"))
-    val topk = topKPerQid(directed, k, distinct = true)
+      maxBucket: Int = Dedup.MaxBucket, sampleMod: Int = 0): DataFrame = {
+    val topk = lshDirectedTopK(e, k, derivePlanes(e, planes, 5), tables,
+      dim, maxBucket, sampleMod)
     // a directed (qid, nid) leaves the heap at most once, so canonical
     // count == 2 <=> both endpoints kept each other
     topk.select(least(col("qid"), col("nid")).as("id_a"),
@@ -552,14 +582,10 @@ object VectorSearch {
     * rollup. */
   def labelPurityLsh(e: DataFrame, k: Int = 5,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
-    val pairs = lshPairSims(e, derivePlanes(e, planes, 5), tables, dim,
-      maxBucket, dedup = false) // distinct heap dedups in-place (s05 note)
-    val directed = pairs.select(explode(array(
-        struct(col("id_a").as("qid"), col("id_b").as("nid"), col("sim")),
-        struct(col("id_b").as("qid"), col("id_a").as("nid"), col("sim")))).as("e"))
-      .select(col("e.qid"), col("e.nid"), col("e.sim"))
-    labelPurityFrom(e, topKPerQid(directed, k, distinct = true))
+      maxBucket: Int = Dedup.MaxBucket, sampleMod: Int = 0): DataFrame = {
+    labelPurityFrom(e,
+      lshDirectedTopK(e, k, derivePlanes(e, planes, 5), tables, dim,
+        maxBucket, sampleMod))
   }
 
   /** s11 body: intra/inter class mean cosine, optionally over a
@@ -656,8 +682,14 @@ object VectorSearch {
         FROM dots GROUP BY 1, 2)"""
   }
 
+  /** `sampleMod` > 0 restricts the pair mining to the deterministic
+    * bucket subset (tbl * 2^planes + bucket) % mod = 0 — the r15
+    * partial-verification predicate, integer-identical to the Spark
+    * side's [[bucketSampled]]. */
   private def oracleLshSims(planes: Int, tables: Int,
-      maxBucket: Int = Dedup.MaxBucket): String = {
+      maxBucket: Int = Dedup.MaxBucket, sampleMod: Int = 0): String = {
+    val sample = if (sampleMod <= 0) ""
+      else s" AND (a.tbl * ${1 << planes} + a.bucket) % $sampleMod = 0"
     s"""${oracleLshBuckets(planes, tables)},
       bsz AS (SELECT tbl, bucket, COUNT(*) AS c FROM buck GROUP BY 1, 2),
       pairs AS (
@@ -665,7 +697,7 @@ object VectorSearch {
         FROM buck a
         JOIN bsz ON bsz.tbl = a.tbl AND bsz.bucket = a.bucket
         JOIN buck b ON b.tbl = a.tbl AND b.bucket = a.bucket
-        WHERE a.vec_id < b.vec_id AND bsz.c BETWEEN 2 AND $maxBucket),
+        WHERE a.vec_id < b.vec_id AND bsz.c BETWEEN 2 AND $maxBucket$sample),
       sims AS (
         SELECT p.id_a, p.id_b, round($oracleCosine, 6) AS sim
         FROM pairs p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b)"""
@@ -750,18 +782,18 @@ object VectorSearch {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
           FROM scored) WHERE rn <= 10"""
 
-  private[graft] def oracleNearDupLshSql(planes: Int): String =
-    s"""WITH ${oracleLshSims(planes, tables = 8)}
+  private[graft] def oracleNearDupLshSql(planes: Int, sampleMod: Int = 0): String =
+    s"""WITH ${oracleLshSims(planes, tables = 8, sampleMod = sampleMod)}
         SELECT id_a, id_b, sim FROM sims WHERE sim > 0.3"""
 
-  private[graft] def oracleMutualKnnSql(planes: Int): String =
-    s"""WITH ${oracleLshSims(planes, tables = 8)},
+  private[graft] def oracleMutualKnnSql(planes: Int, sampleMod: Int = 0): String =
+    s"""WITH ${oracleLshSims(planes, tables = 8, sampleMod = sampleMod)},
         ${oracleDirectedTopK(5)}
         SELECT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b, MAX(sim) AS sim
         FROM topk GROUP BY 1, 2 HAVING COUNT(*) = 2"""
 
-  private[graft] def oracleLabelPuritySql(planes: Int): String =
-    s"""WITH ${oracleLshSims(planes, tables = 8)},
+  private[graft] def oracleLabelPuritySql(planes: Int, sampleMod: Int = 0): String =
+    s"""WITH ${oracleLshSims(planes, tables = 8, sampleMod = sampleMod)},
         ${oracleDirectedTopK(5)},
         lbl AS (SELECT vec_id, label FROM embeddings),
         m AS (
@@ -786,10 +818,10 @@ object VectorSearch {
     * degenerate buckets (see lshPairSims for the recall trade). */
   def cosineNearDupPairsLsh(e: DataFrame, threshold: Double,
       planes: Int = -1, tables: Int = 8, dim: Int = 64,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+      maxBucket: Int = Dedup.MaxBucket, sampleMod: Int = 0): DataFrame =
     // threshold pushed below the distinct: only survivors shuffle
     lshPairSims(e, derivePlanes(e, planes, 4), tables, dim, maxBucket,
-      minSim = threshold)
+      minSim = threshold, sampleMod = sampleMod)
 
   /** Hybrid lexical+vector retrieval fused with reciprocal-rank fusion
     * (Cormack et al. 2009): rank the BM25 top-`k` and the cosine top-`k`

@@ -10,6 +10,9 @@ object Probe {
     if (args.length >= 2 && args(0) == "d10") { d10Diag(args(1)); return }
     if (args.length >= 2 && args(0) == "s04") { s04Diag(args(1)); return }
     if (args.length >= 2 && args(0) == "q69") { q69Diag(args(1)); return }
+    if (args.length >= 2 && args(0) == "s05") { s05Diag(args(1)); return }
+    if (args.length >= 2 && args(0) == "s14") { s14Diag(args(1)); return }
+    if (args.length >= 2 && args(0) == "d10sup") { d10Supers(args(1)); return }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -179,6 +182,126 @@ object Probe {
       timed(s"D final heap (rerank + topK), run $run") { finalTk.count() }
       timed(s"E full ivfPqTopK (exchange barrier), run $run") {
         graft.operators.VectorSearch.ivfPqTopK(e, q0, 10).count()
+      }
+    }
+    spark.stop()
+  }
+
+  /** Does the corpus's derived-k superRoute table contain EMPTY groups?
+    * Decides whether the r15 routing compaction changes d10's results
+    * at that scale factor (no empties -> compaction is a no-op -> the
+    * committed derived artifacts remain valid verbatim). */
+  def d10Supers(sfDir: String): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val k = graft.operators.Cluster.derivedK(e)
+    val cents = graft.operators.Cluster.seedCentroids(e, k)
+    val (supers, members) = graft.operators.Cluster.superRoute(cents)
+    val empty = members.count(_.isEmpty)
+    println(s"[d10sup] $sfDir k=$k supers=${supers.length} empty=$empty" +
+      (if (empty > 0) s" (empty sids: ${members.indices.filter(members(_).isEmpty).mkString(",")})"
+       else " — compaction is a no-op at this SF"))
+    spark.stop()
+  }
+
+  /** Stage-split diagnostic for the s05/s10 candidate-graph family at a
+    * new scale decade (r14 verdict: 15.6x/15.8x on the 10x sf10->sf100
+    * step — the engine's last super-linear law). Attributes the total
+    * among (A) the bucket build (explode + collect_list groupBy + cap
+    * filter), (B) the in-bucket pair explosion + cosine emission (the
+    * m^2/2 stream), (C) the directed explode + per-qid distinct-heap
+    * top-k, and (D) the full mutual-kNN graph. Run twice; the warm
+    * split is the attribution. */
+  def s05Diag(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorSearch
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[s05-diag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val n = e.count()
+    val planes = VectorSearch.derivePlanes(e, -1, 5)
+    val tables = 8
+    println(s"[s05-diag] N=$n planes=$planes tables=$tables")
+    for (run <- 1 to 2) {
+      println(s"[s05-diag] --- run $run ---")
+      val withB = e.select(col("vec_id"), col("embedding"),
+        posexplode(VectorSearch.lshBucketsAll(col("embedding"), planes, tables, 64))
+          .as(Seq("tbl", "bucket")))
+      val buckets = withB.groupBy("tbl", "bucket")
+        .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+        .filter(size(col("members")).between(2, graft.operators.Dedup.MaxBucket))
+      timed("A bucket build (explode+collect_list+cap)") {
+        println("  buckets=" + buckets.count())
+      }
+      val pairs = VectorSearch.lshPairSims(e, planes, tables, 64,
+        graft.operators.Dedup.MaxBucket, dedup = false)
+      timed("B A + pair explosion + cosine (m^2/2 stream)") {
+        println("  pair rows=" + pairs.count())
+      }
+      // The FLAT heap stage (B exploded x2 into the per-qid distinct
+      // heap) is not timed here: at sf100 its ObjectHashAggregate
+      // falls back to sort-based aggregation (default threshold 128
+      // groups) and the external sort of the 3.28B-row directed
+      // stream filled a 43 GB disk and died (2026-08-15 probe log) —
+      // that failure IS the decade-3 attribution. C times the r15
+      // replacement: per-bucket top-k kernel + the same global heap.
+      timed("C bucketTopK candidates + distinct-heap top-k") {
+        println("  topk rows=" + VectorSearch.lshDirectedTopK(e, 5, planes, tables,
+          64, graft.operators.Dedup.MaxBucket).count())
+      }
+      timed("D full s05 mutual-kNN graph") {
+        println("  edges=" + VectorSearch.mutualKnnGraph(e, 5).count())
+      }
+    }
+    spark.stop()
+  }
+
+  /** Stage-split for s14 at a new decade (r14 verdict stretch item:
+    * 94.1 s at sf100, 3.1x sub-linear — apportion between the bucket
+    * build, the candidate join + heap, and the vote tail). */
+  def s14Diag(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorSearch
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[s14-diag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val n = e.count()
+    val planes = VectorSearch.derivePlanes(e, -1, 3, targetBucket = 250L)
+    println(s"[s14-diag] N=$n planes=$planes tables=16 |Q|=${n / 20}")
+    for (run <- 1 to 2) {
+      println(s"[s14-diag] --- run $run ---")
+      val q = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val topk = VectorSearch.lshTopK(e, q.select("qid", "qv"), 5,
+        planes, 16, 64)
+      timed("A lshTopK (bucket join + heap)") {
+        println("  topk rows=" + topk.count())
+      }
+      timed("B full s14 (A recomputed + vote tail)") {
+        println("  preds=" + VectorSearch.knnClassifierAnn(e).count())
       }
     }
     spark.stop()

@@ -46,17 +46,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q59_mad_outliers" -> 9,       // one (brand,pc) rollup x3 consumers (statically
                                    // re-planned, runtime-reused) + 2 cum windows +
                                    // dev rollup + final agg
-    "q69_market_basket" -> 10,     // r14: the distinct (order,brand) frame is
-                                   // DISK_ONLY-persisted (it feeds 3 consumers;
-                                   // exchange reuse deduped only the shuffle
-                                   // write, each consumer re-ran the 55M-row
-                                   // distinct agg — Probe q69Diag). The cached
-                                   // relation's BUILD plan (join+distinct
-                                   // exchange) now prints inside every
-                                   // consumer's InMemoryTableScan, so the
-                                   // static count rises 7 -> 10 while runtime
-                                   // executes the build ONCE (warm 53 -> 27 s
-                                   // at sf10)
+    "q69_market_basket" -> 0,      // r15: the pipeline (DISK_ONLY input frame
+                                   // x3 consumers, r14's static 10) now runs
+                                   // EAGERLY inside the builder so the persist
+                                   // can be released in a finally (the r14
+                                   // leak), and the returned frame is the
+                                   // value-domain-bounded local result
+                                   // (<= |brands|^2/2 rows) — 0 shuffles by
+                                   // construction; Q69CacheSpec pins that no
+                                   // cache entry survives the call
     // r10 percentile-rollup family (Percentiles.scala): each = value
     // rollup + cumulative window + final agg, plus the query's own
     // joins; pinned so the bounded-state shapes cannot silently grow

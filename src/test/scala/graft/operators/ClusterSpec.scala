@@ -21,15 +21,24 @@ class ClusterSpec extends AnyFunSuite {
   }
 
   /** Pure-Scala hierarchical assignment reference: top-[[Cluster.HierProbes]]
-    * supers by (round6 desc, sid asc), then argmax over routed members by
-    * (round6 desc, global cid asc) — the oracle's rank semantics. */
+    * NON-EMPTY supers by (round6 desc, sid asc), then argmax over routed
+    * members by (round6 desc, global cid asc) — the oracle's rank
+    * semantics (routing restricted to sids present in grp, r15). */
   private def refHierAssign(v: Array[Double], cents: Array[Array[Double]],
       supers: Array[Array[Double]], members: Array[Array[Int]]): Int = {
-    val routed = supers.indices
+    val routed = supers.indices.filter(members(_).nonEmpty)
       .sortBy(g => (-cos6(v, supers(g)), g)).take(Cluster.HierProbes)
     val cand = routed.flatMap(members(_)).sorted
     cand.map(ci => (ci, cos6(v, cents(ci))))
       .reduceLeft((a, b) => if (b._2 > a._2) b else a)._1
+  }
+
+  /** The operator's routing-table compaction (order-preserving drop of
+    * empty groups) — what semanticDedup hands the kernel. */
+  private def compact(supers: Array[Array[Double]], members: Array[Array[Int]])
+      : (Array[Array[Double]], Array[Array[Int]]) = {
+    val ne = members.indices.filter(members(_).nonEmpty).toArray
+    (ne.map(supers(_)), ne.map(members(_)))
   }
 
   test("semanticDedup keeps the minimum id of every near-dup group") {
@@ -62,7 +71,8 @@ class ClusterSpec extends AnyFunSuite {
     for (k <- Seq(8, 20)) {
       val cents = Cluster.seedCentroids(emb, k, step = if (k == 8) 37 else 11)
       assert(cents.length == k)
-      val (supers, members) = Cluster.superRoute(cents)
+      val (s0, m0) = Cluster.superRoute(cents)
+      val (supers, members) = compact(s0, m0)
       val got = emb.select(col("vec_id"),
           graft.functions.GraftFunctions.hierNearestCell(col("embedding"),
             cents, supers, members, Cluster.HierProbes).as("cid"))
@@ -74,6 +84,37 @@ class ClusterSpec extends AnyFunSuite {
         assert(got(id) == ref, s"k=$k vec $id: kernel ${got(id)} != ref $ref")
       }
     }
+  }
+
+  test("empty super groups are routed around, never emitted as cid -1") {
+    // r15 ADVICE regression: Lloyd keeps a stale super for an emptied
+    // group; a vector ranking that super top-2 used to draw candidates
+    // from ONE group (or none -> cid -1, silently diverging from the
+    // oracle's route JOIN grp). Hand-built instance: s1 is empty and
+    // ranks top-2 for v — compaction must route v to {s0, s2} so the
+    // group-2 centroid (the true argmax) wins.
+    import spark.implicits._
+    val supers = Array(Array(1.0, 0.0), Array(0.9, 0.43), Array(0.5, 0.87))
+    val members = Array(Array(0), Array.empty[Int], Array(1))
+    val cents = Array(Array(0.97, -0.26), Array(0.71, 0.71))
+    val v = Seq((1L, Seq(0.94, 0.34))).toDF("vec_id", "embedding")
+    // raw ranking for v: s1 (0.992) > s0 (0.94) > s2 (0.766) — the
+    // empty s1 is top-2; compacted routing = {s0, s2}
+    val (cs, cm) = compact(supers, members)
+    assert(cs.length == 2 && cm.map(_.toSeq).toSeq == Seq(Seq(0), Seq(1)))
+    val cid = v.select(graft.functions.GraftFunctions.hierNearestCell(
+      col("embedding"), cents, cs, cm, Cluster.HierProbes)).collect()(0).getInt(0)
+    assert(cid == 1, s"expected the group-2 centroid to win, got $cid")
+    // and the kernel fails LOUDLY (not cid -1) if a caller ever routes
+    // only empty groups again
+    val bad = intercept[Exception] {
+      v.select(graft.functions.GraftFunctions.hierNearestCell(
+        col("embedding"), cents,
+        Array(Array(1.0, 0.0), Array(0.9, 0.43)),
+        Array(Array.empty[Int], Array.empty[Int]),
+        Cluster.HierProbes)).collect()
+    }
+    assert(bad.getMessage != null)
   }
 
   test("superRoute is deterministic and partitions the centroid set") {

@@ -61,10 +61,16 @@ def s100(i, m):
     return 0 if m == 0 else ((i * 37 + m * 23) % 101) % 2
 
 
+# the SQL applies the sign at DuckDB's list_transform lambda index,
+# which is 1-BASED — so the signs actually applied are at i = 1..64;
+# the guard must test exactly that window (r15 ADVICE: a range(64)
+# guard validated a shifted window — collision-free by luck, not
+# by the check)
 composites = set()
 for m in range(K):
     for k in range(K):
-        composites.add(tuple((s100(i, m) + s10(i, k)) % 2 for i in range(64)))
+        composites.add(tuple((s100(i, m) + s10(i, k)) % 2
+                             for i in range(1, 65)))
 assert len(composites) == K * K, \
     f"sign composition collision: {len(composites)} distinct of {K*K}"
 print(f"sign compositions distinct: {len(composites)}/{K*K}")
