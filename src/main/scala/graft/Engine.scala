@@ -342,6 +342,11 @@ object Engine {
   // reliable checkpoint is O(1) plan depth and survives any loss.
   // -------------------------------------------------------------------
 
+  /** Job-description tag carried by every job a reliable-mode [[cut]]
+    * submits — the chaos harness keys its mid-checkpoint-write kill
+    * off it (see ClusterCheck). */
+  val CutJobDescription = "graft.cut.reliable"
+
   /** Cut lineage + materialize `df` via the configured strategy. Every
     * former `.localCheckpoint()` site routes through here
     * (`.transform(Engine.cut)`); both strategies are eager, so call
@@ -363,10 +368,22 @@ object Engine {
         val qualifiedRoot = fs.makeQualified(root)
         val sameRoot = sc.getCheckpointDir.exists { cur =>
           val parent = new org.apache.hadoop.fs.Path(cur).getParent
-          parent != null && fs.makeQualified(parent) == qualifiedRoot
+          // a current dir on a DIFFERENT FileSystem (scheme change, e.g.
+          // file: -> slowfs: when a session re-points mid-life) makes
+          // makeQualified throw "Wrong FS" — that is precisely "not the
+          // same root", not an error
+          parent != null && (try fs.makeQualified(parent) == qualifiedRoot
+          catch { case _: IllegalArgumentException => false })
         }
         if (!sameRoot) sc.setCheckpointDir(dir)
-        df.checkpoint()
+        // Tag the jobs this call submits (the materializing action AND
+        // ReliableRDDCheckpointData's separate write-files job) so the
+        // ClusterCheck mid-write chaos arm can aim its executor kill at
+        // a task INSIDE the checkpoint write rather than a job boundary.
+        val prevDesc = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(CutJobDescription)
+        try df.checkpoint()
+        finally sc.setLocalProperty("spark.job.description", prevDesc)
       case "local" => df.localCheckpoint()
       case other => throw new IllegalArgumentException(
         s"graft.checkpoint.mode=$other (expected local|reliable)")

@@ -106,6 +106,9 @@ object Layout {
       case Some(v) => spark.conf.set(mode, v)
       case None => spark.conf.unset(mode)
     }
+    // the batch's files are on disk, the commit log entry is not yet —
+    // the exact window the dynamic-overwrite replay protocol exists for
+    Chaos.afterBatchWrite(spark, batchId)
   }
 
   /** Pre-aggregated distinct-count sketch table: one row per fine-grain

@@ -201,9 +201,20 @@ object VectorSearch {
     if (nprobe > 0) nprobe
     else math.max(3, math.ceil(math.log(cells.toDouble)).toInt)
 
+  /** Deterministic corpus-row sample for partial sf100 verification
+    * (the IVF twin of [[bucketSampled]]): restrict the ASSIGNED corpus
+    * to vec_id % mod = 0 while the model (centroids / PQ books) still
+    * derives from the FULL corpus — cell and code assignment are
+    * per-row independent, so any row-local divergence class (all the
+    * r13/r14 finds were) reproduces inside the sample, and the
+    * sub-problem's top-k is exactly defined and oracle-hashable at
+    * ~1/mod of the assignment-restatement cost. 0 = off. */
+  private def rowSampled(corpus: DataFrame, mod: Int): DataFrame =
+    if (mod <= 0) corpus else corpus.filter(col("vec_id") % mod === 0)
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = -1, nprobe: Int = -1): DataFrame = {
+      cells: Int = -1, nprobe: Int = -1, sampleMod: Int = 0): DataFrame = {
     val cc = deriveCells(corpus, cells)
     val np = deriveNprobe(cc, nprobe)
     // Deterministic spread sample of the codebook: the `cells` corpus
@@ -214,7 +225,7 @@ object VectorSearch {
     val centroids: Array[Array[Double]] = picked.sortBy(_.getLong(0)).map(r =>
       r.getSeq[Number](1).map(_.doubleValue).toArray)
 
-    val c = corpus.withColumn(
+    val c = rowSampled(corpus, sampleMod).withColumn(
       "cid", GF.nearestCells(col("embedding"), centroids, 1)(0))
     val q = queries.withColumn(
       "cid", explode(GF.nearestCells(col("qv"), centroids, np)))
@@ -311,7 +322,7 @@ object VectorSearch {
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       cells: Int = -1, nprobe: Int = -1, m: Int = 8, codebookSize: Int = 32,
-      rerank: Int = 50, dim: Int = 64): DataFrame = {
+      rerank: Int = 50, dim: Int = 64, sampleMod: Int = 0): DataFrame = {
     val model = pqModel(corpus, cells, m, codebookSize, dim, nprobe, rerank)
     // Exchange the computed index on cid BEFORE the candidate join.
     // Whole-stage codegen defers stream-side projection columns that
@@ -323,7 +334,7 @@ object VectorSearch {
     // codes evaluated exactly once — and co-locates the index by cell,
     // the same layout `Layout.writeIvfIndex` persists; it is the
     // inline-index twin of the serving path's on-disk partitioning.
-    pqSearch(encodeIvfPq(corpus, model).repartition(col("cid")),
+    pqSearch(encodeIvfPq(rowSampled(corpus, sampleMod), model).repartition(col("cid")),
       corpus, queries, probedQueries(queries, model), k, rerank)
   }
 
@@ -889,7 +900,11 @@ object VectorSearch {
     hybridRrfFuse(lexTop, vecTop)
   }
 
-  private[graft] def oracleIvfSql(cells: Int, nprobe: Int): String =
+  /** `sampleMod` > 0 restricts the ASSIGNED corpus to the deterministic
+    * vec_id % mod = 0 row subset (model still derived full-corpus) —
+    * the partial-verification twin of the Spark side's [[rowSampled]]. */
+  private[graft] def oracleIvfSql(cells: Int, nprobe: Int, sampleMod: Int = 0): String = {
+    val sample = if (sampleMod <= 0) "" else s" WHERE e.vec_id % $sampleMod = 0"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
         seeds AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
@@ -900,7 +915,7 @@ object VectorSearch {
             SELECT e.vec_id, cents.cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                      ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
-            FROM e CROSS JOIN cents) WHERE rn = 1),
+            FROM e CROSS JOIN cents$sample) WHERE rn = 1),
         qprobe AS (
           SELECT vec_id AS qid, cid FROM (
             SELECT e.vec_id, cents.cid,
@@ -918,6 +933,7 @@ object VectorSearch {
           SELECT qid, nid, sim,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
           FROM scored) WHERE rn <= 10"""
+  }
 
   // the bucket join carries BOTH vector operands pre-materialized
   // (bq/bc) and projects the rounded sim inline — the earlier
@@ -956,7 +972,9 @@ object VectorSearch {
     * arm (s15) is semantically IDENTICAL to the inline arm — probed
     * cells become a partition filter, nothing else changes — so one
     * oracle text gates both. */
-  private[graft] def oracleIvfPqSql(cells: Int, nprobe: Int): String = s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private[graft] def oracleIvfPqSql(cells: Int, nprobe: Int, sampleMod: Int = 0): String = {
+    val sample = if (sampleMod <= 0) "" else s" WHERE e.vec_id % $sampleMod = 0"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
         samp AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
                  ORDER BY mmv.mm, vec_id LIMIT ${math.max(cells, 32)}),
@@ -970,13 +988,13 @@ object VectorSearch {
             SELECT e.vec_id, cents.cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                      ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
-            FROM e CROSS JOIN cents) WHERE rn = 1),
+            FROM e CROSS JOIN cents$sample) WHERE rn = 1),
         codes AS (
           SELECT vec_id, j, c AS code FROM (
             SELECT e.vec_id, b.j, b.c,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.j
                      ORDER BY ${oracleCosRaw("e.v[b.j*8+1 : b.j*8+8]", "b.w")} DESC, b.c) AS rn
-            FROM e CROSS JOIN books b) WHERE rn = 1),
+            FROM e CROSS JOIN books b$sample) WHERE rn = 1),
         qprobe AS (
           SELECT vec_id AS qid, cid FROM (
             SELECT e.vec_id, cents.cid,
@@ -1011,6 +1029,7 @@ object VectorSearch {
           SELECT qid, nid, sim,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
           FROM exact) WHERE rn <= 10"""
+  }
 
   val defs: Seq[GQ] = Seq(
 

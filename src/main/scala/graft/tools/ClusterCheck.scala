@@ -2,7 +2,7 @@ package graft.tools
 
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -231,7 +231,8 @@ object ClusterCheck {
     * through) — the gate catches that as outcome drift if a query's
     * job count ever changes. */
   final case class ChaosSpec(query: String, killAtJob: Int,
-      conf: Map[String, String] = Map.empty)
+      conf: Map[String, String] = Map.empty,
+      insideCutWrite: Boolean = false)
 
   /** The kill matrix (r13 verdict #2 widened it from g08 alone). Kill
     * points sit mid-fixpoint, tuned from graft.tools.JobCount totals:
@@ -247,7 +248,14 @@ object ClusterCheck {
     ChaosSpec("g08_hits", 20),
     ChaosSpec("d05_neardup_clusters", 60,
       Map("graft.dedup.driverMaxEdges" -> "0")),
-    ChaosSpec("t24_bpe_merges", 12))
+    ChaosSpec("t24_bpe_merges", 12),
+    // r14 verdict missing #6a: the kill lands INSIDE the durability
+    // machinery itself — on the 2nd task of the 6th Engine.cut-tagged
+    // job (mid-fixpoint, strictly inside a reliable checkpoint
+    // materialization: some checkpoint part-files written, others'
+    // tasks in flight). Reliable-only by construction: local mode
+    // tags no jobs, so there is no local twin to fail.
+    ChaosSpec("g08_hits", 6, insideCutWrite = true))
 
   /** kill -9 EVERY executor JVM of THIS app (matched by
     * CoarseGrainedExecutorBackend + the app id in /proc cmdline) —
@@ -297,11 +305,38 @@ object ClusterCheck {
       val jobsSeen = new AtomicInteger
       val killedPid = new AtomicLong(-1L) // any one of the killed set
       val appId = spark.sparkContext.applicationId
-      spark.sparkContext.addSparkListener(new SparkListener {
+      if (spec.insideCutWrite) {
+        // aim at a TASK inside the Nth Engine.cut-tagged job: the kill
+        // fires once a task of that job is RUNNING executor-side, so it
+        // lands strictly inside the reliable materialization (its write
+        // tasks die mid-flight and must be retried on relaunched
+        // executors), not at a job boundary. First task, not a later
+        // one: at gate scale AQE coalesces the per-round frames to
+        // single-task stages, so a later task never starts.
+        val tagged = new AtomicInteger
+        val tasksInTarget = new AtomicInteger
+        val targetStages =
+          java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(e: SparkListenerJobStart): Unit = {
+            jobsSeen.incrementAndGet()
+            val desc = Option(e.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+            if (desc.contains(Engine.CutJobDescription) &&
+                tagged.incrementAndGet() == spec.killAtJob)
+              e.stageIds.foreach(targetStages.add(_))
+          }
+          override def onTaskStart(e: SparkListenerTaskStart): Unit =
+            if (targetStages.contains(e.stageId) &&
+                tasksInTarget.incrementAndGet() == 1)
+              killAllExecutors(appId).headOption.foreach(killedPid.set)
+        })
+      } else spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit =
           if (jobsSeen.incrementAndGet() == spec.killAtJob)
             killAllExecutors(appId).headOption.foreach(killedPid.set)
       })
+      val label = if (spec.insideCutWrite) s"${mode}_midwrite" else mode
       val t0 = System.nanoTime()
       val res =
         try {
@@ -311,7 +346,7 @@ object ClusterCheck {
             if (killedPid.get() == -1L) "kill_not_fired"
             else if (expectFp.forall(_ == fp)) "completed"
             else "completed_wrong_result"
-          ArmResult(spec.query, mode, outcome, s"fp=$fp rows=$rows",
+          ArmResult(spec.query, label, outcome, s"fp=$fp rows=$rows",
             killedPid.get(), jobsSeen.get(), sec)
         } catch {
           case t: Throwable =>
@@ -320,11 +355,11 @@ object ClusterCheck {
               .take(1).mkString.take(200)
             val outcome =
               if (killedPid.get() == -1L) "kill_not_fired" else "failed"
-            ArmResult(spec.query, mode, outcome,
+            ArmResult(spec.query, label, outcome,
               s"${t.getClass.getSimpleName}: $msg",
               killedPid.get(), jobsSeen.get(), sec)
         }
-      println(s"[cluster-check] CHAOS ${spec.query} mode=$mode -> " +
+      println(s"[cluster-check] CHAOS ${spec.query} mode=$label -> " +
         s"${res.outcome} (pid=${res.killedPid}, jobs=${res.jobsSeen}, ${res.detail})")
       res
     } finally spark.stop()
@@ -433,6 +468,120 @@ object ClusterCheck {
     } finally spark.stop()
   }
 
+  /** Launch graft.tools.TornBatch in a separate JVM — the torn-batch
+    * arm's subject must be able to DIE without taking the harness with
+    * it. Inherits the forked run's real classpath and --add-opens set.
+    * Returns (exitCode, pid); exitCode -1 on a hung child (killed). */
+  private def runChild(args: Seq[String]): (Int, Long) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin =
+      new java.io.File(sys.props("java.home"), "bin/java").getAbsolutePath
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val opens = in.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" || a == "--add-exports" =>
+        Seq(a, in(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") ||
+        a.startsWith("--add-exports=") => Seq(a)
+      case _ => Seq.empty
+    }
+    val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx3g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"), "graft.tools.TornBatch") ++ args
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val pid = p.pid()
+    if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+      p.destroyForcibly(); (-1, pid)
+    } else (p.exitValue(), pid)
+  }
+
+  /** LIVE torn-batch chaos (r14 verdict missing #6b): a child JVM runs
+    * the streaming rollup and `Runtime.halt`s ITSELF the instant batch
+    * 1's table write lands — before the engine appends commits/1 — via
+    * the [[graft.Chaos]] injection point; a restarted child resumes
+    * from the checkpoint over the same on-disk state (fresh in-memory
+    * catalog, table re-registered over its own files — the persistent-
+    * metastore analogue) and must replay batch 1 through
+    * `Layout.idempotentBatchAppend`'s dynamic-overwrite reconciliation,
+    * then carry fresh batch-2 data through. EventsStreamingSpec's
+    * crash-window test SIMULATES this state by hand-mangling the log;
+    * this arm produces it with a real process death and asserts the
+    * window live: exit 137, offsets/1 present, commits/1 absent,
+    * batch-1 partition files on disk. */
+  private def chaosTornBatchArm(dir: String): ArmResult = {
+    import graft.streaming.EventsStreaming
+    val t0 = System.nanoTime()
+    val killedPid = new AtomicLong(-1L)
+    val spark = session("local[8]")
+    try {
+      val src = java.nio.file.Files.createTempDirectory("cc_torn_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("cc_torn_ckpt").toString
+      val wh = java.nio.file.Files.createTempDirectory("cc_torn_wh").toString
+      val table = "cc_torn_rollup"
+      val twin = "cc_torn_twin"
+      def rmDir(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmDir); f.delete(); ()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $twin")
+      val twinLoc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), twin)
+      if (twinLoc.exists) rmDir(twinLoc)
+      val events = Engine.table(spark, dir, "events")
+      def slice(k: Int): Unit = events.filter(col("event_id") % 3 === k)
+        .coalesce(1).write.mode("append").parquet(src)
+
+      slice(0)
+      val r0 = runChild(Seq(src, ckpt, wh, table, "-1"))
+      require(r0._1 == 0, s"child batch-0 run exited ${r0._1}")
+      slice(1)
+      val (code, pid) = runChild(Seq(src, ckpt, wh, table, "1"))
+      killedPid.set(pid)
+      val offsets1 = new java.io.File(s"$ckpt/offsets/1").exists
+      val commits1 = new java.io.File(s"$ckpt/commits/1").exists
+      val batch1Dir = new java.io.File(s"$wh/$table/batch_id=1").exists
+      require(code == 137, s"halt child exited $code, expected 137")
+      require(offsets1 && !commits1 && batch1Dir,
+        s"kill missed the window: offsets/1=$offsets1 commits/1=$commits1 " +
+          s"batch1files=$batch1Dir")
+      slice(2)
+      val r2 = runChild(Seq(src, ckpt, wh, table, "-1"))
+      require(r2._1 == 0, s"restart child exited ${r2._1}")
+
+      // twin: one uninterrupted in-session run over the same source
+      val tq = EventsStreaming.exactQuantileRollupQuery(
+        spark.readStream.schema(EventsStreaming.eventsSchema).parquet(src),
+        twin, Seq("event_type"), "value", None)
+      tq.processAllAvailable(); tq.stop(); tq.awaitTermination()
+      def serve(df: DataFrame): DataFrame =
+        EventsStreaming.readExactQuantiles(df,
+          Seq("event_type"), "value", Seq(0.5 -> "p50", 0.95 -> "p95"))
+      val (fpR, nR) = fingerprint(serve(spark.read.parquet(s"$wh/$table")))
+      spark.catalog.refreshTable(twin)
+      val (fpT, nT) = fingerprint(serve(spark.table(twin)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val outcome =
+        if (fpR == fpT && nR == nT) "completed" else "completed_wrong_result"
+      val res = ArmResult("streaming_torn_batch", "live_halt", outcome,
+        s"fp=$fpR rows=$nR twin=$fpT/$nT exit=137 window=offsets1+nocommits1",
+        killedPid.get(), 0, sec)
+      println(s"[cluster-check] CHAOS torn-batch -> ${res.outcome} " +
+        s"(pid=${res.killedPid}, ${res.detail})")
+      res
+    } catch {
+      case t: Throwable =>
+        val sec = (System.nanoTime() - t0) / 1e9
+        val msg = Option(t.getMessage).getOrElse("").linesIterator
+          .take(1).mkString.take(200)
+        val res = ArmResult("streaming_torn_batch", "live_halt", "failed",
+          s"${t.getClass.getSimpleName}: $msg", killedPid.get(), 0, sec)
+        println(s"[cluster-check] CHAOS torn-batch -> failed (${res.detail})")
+        res
+    } finally spark.stop()
+  }
+
   /** Both kill arms (reliable completes / localCheckpoint fails) for
     * every spec. Reference fingerprints come from ONE undisturbed
     * local[32] session with each spec's conf applied. */
@@ -449,7 +598,12 @@ object ClusterCheck {
       finally spark.stop()
     }
     specs.flatMap { s =>
-      Seq(chaosArm(dir, s, "reliable", Some(refs(s.query))),
+      // insideCutWrite arms are reliable-only: local mode tags no cut
+      // jobs, so a local twin's kill would never fire (vacuous, not
+      // failing) — the strategy contrast is already proven by the
+      // job-boundary specs on the same queries
+      if (s.insideCutWrite) Seq(chaosArm(dir, s, "reliable", Some(refs(s.query))))
+      else Seq(chaosArm(dir, s, "reliable", Some(refs(s.query))),
         chaosArm(dir, s, "local", None))
     }
   }
@@ -461,14 +615,22 @@ object ClusterCheck {
     * silently proving nothing); the streaming arm completes after a
     * real kill. */
   private def chaosMatrixOk(chaos: Seq[ArmResult], specs: Seq[ChaosSpec],
-      withStreaming: Boolean): Boolean =
+      withStreaming: Boolean, withTorn: Boolean): Boolean =
     specs.forall { s =>
-      chaos.exists(a => a.query == s.query && a.mode == "reliable" &&
-        a.outcome == "completed" && a.killedPid != -1L) &&
-      chaos.exists(a => a.query == s.query && a.mode == "local" &&
-        a.outcome == "failed" && a.killedPid != -1L)
-    } && (!withStreaming || chaos.exists(a =>
+      if (s.insideCutWrite)
+        chaos.exists(a => a.query == s.query && a.mode == "reliable_midwrite" &&
+          a.outcome == "completed" && a.killedPid != -1L)
+      else
+        chaos.exists(a => a.query == s.query && a.mode == "reliable" &&
+          a.outcome == "completed" && a.killedPid != -1L) &&
+        chaos.exists(a => a.query == s.query && a.mode == "local" &&
+          a.outcome == "failed" && a.killedPid != -1L)
+    } &&
+    (!withStreaming || chaos.exists(a =>
       a.query == "streaming_quantile_rollup" && a.outcome == "completed" &&
+        a.killedPid != -1L)) &&
+    (!withTorn || chaos.exists(a =>
+      a.query == "streaming_torn_batch" && a.outcome == "completed" &&
         a.killedPid != -1L))
 
   // -----------------------------------------------------------------
@@ -501,7 +663,8 @@ object ClusterCheck {
       "sf_dir" -> Json.str(dir),
       "masters" -> Json.arr(Seq(Json.str("local[32]"), Json.str(clusterMaster))),
       "chaos_kill_points" -> Json.obj(chaosSpecs.map(s =>
-        s.query -> s.killAtJob.toString)),
+        (if (s.insideCutWrite) s"${s.query}:midwrite" else s.query) ->
+          s.killAtJob.toString)),
       "entries" -> Json.arr(entries),
       "chaos" -> Json.arr(chaosJson),
       "ok" -> ok.toString))
@@ -526,11 +689,13 @@ object ClusterCheck {
       val specs = chaosSpecs.filter(s => only.forall(_ == s.query))
       val withStreaming =
         only.isEmpty || only.contains("streaming_quantile_rollup")
-      require(specs.nonEmpty || withStreaming,
+      val withTorn = only.isEmpty || only.contains("streaming_torn_batch")
+      require(specs.nonEmpty || withStreaming || withTorn,
         s"--query=${only.get} matches no chaos spec")
       val chaos = runChaosMatrix(dir, specs) ++
-        (if (withStreaming) Seq(chaosStreamingArm(dir)) else Seq.empty)
-      val ok = chaosMatrixOk(chaos, specs, withStreaming)
+        (if (withStreaming) Seq(chaosStreamingArm(dir)) else Seq.empty) ++
+        (if (withTorn) Seq(chaosTornBatchArm(dir)) else Seq.empty)
+      val ok = chaosMatrixOk(chaos, specs, withStreaming, withTorn)
       println(s"[cluster-check] chaos-only ok=$ok")
       sys.exit(if (ok) 0 else 1)
     }
@@ -548,9 +713,10 @@ object ClusterCheck {
 
     val chaos =
       if (!withChaos) Seq.empty
-      else runChaosMatrix(dir, chaosSpecs) :+ chaosStreamingArm(dir)
+      else runChaosMatrix(dir, chaosSpecs) :+
+        chaosStreamingArm(dir) :+ chaosTornBatchArm(dir)
     val chaosOk = !withChaos ||
-      chaosMatrixOk(chaos, chaosSpecs, withStreaming = true)
+      chaosMatrixOk(chaos, chaosSpecs, withStreaming = true, withTorn = true)
     val ok = bad.isEmpty && chaosOk
     writeArtifact(dir, local, cluster, chaos, ok)
     if (ok)

@@ -20,8 +20,12 @@ import org.apache.spark.sql.SparkSession
   * premium grows with write latency; the local-disk number is the
   * FLOOR of that premium.
   *
-  * Usage: runMain graft.tools.PriceReliable <sfDir>
-  * Prints a markdown table (for SCALING.md) + one JSON line.
+  * Usage: runMain graft.tools.PriceReliable <sfDir> [--slow]
+  *        [--rtt-ms=40] [--mbps=100]
+  * `--slow` adds a third column: reliable mode with the checkpoint dir
+  * on [[SlowFs]] (latency-injected local fs) — the object-store price,
+  * not the NVMe floor (r14's pricing caveat). Prints a markdown table
+  * (for SCALING.md) + one JSON line.
   */
 object PriceReliable {
 
@@ -39,15 +43,33 @@ object PriceReliable {
     "s13_mmr_rerank" -> Map.empty)
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+    def intArg(name: String, default: Long): Long = args.collectFirst {
+      case a if a.startsWith(s"--$name=") => a.stripPrefix(s"--$name=").toLong
+    }.getOrElse(default)
+    val slow = args.contains("--slow")
+    val rttMs = intArg("rtt-ms", 40L)
+    val mbps = intArg("mbps", 100L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Engine.prepare(spark)
+    val slowDir = {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.slowfs.impl", classOf[SlowFs].getName)
+      hc.setLong("fs.slowfs.rtt.ms", rttMs)
+      hc.setLong("fs.slowfs.bytes.per.sec", mbps * 1024 * 1024)
+      "slowfs:" + sys.props("java.io.tmpdir") + "/graft-ckpt-slow"
+    }
     def warm(q: String, mode: String, conf: Map[String, String]): Double = {
-      spark.conf.set("graft.checkpoint.mode", mode)
+      mode match {
+        case "reliable_slow" =>
+          spark.conf.set("graft.checkpoint.mode", "reliable")
+          spark.conf.set("graft.checkpoint.dir", slowDir)
+        case m => spark.conf.set("graft.checkpoint.mode", m)
+      }
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         var last = 0.0
@@ -59,26 +81,36 @@ object PriceReliable {
         last
       } finally {
         spark.conf.unset("graft.checkpoint.mode")
+        spark.conf.unset("graft.checkpoint.dir")
         conf.keys.foreach(spark.conf.unset)
       }
     }
     val rows = family.map { case (q, conf) =>
       val l = warm(q, "local", conf)
       val r = warm(q, "reliable", conf)
-      println(f"[price] $q%-24s local=$l%6.2f s reliable=$r%6.2f s x${r / l}%.2f")
-      (q, l, r)
+      val s = if (slow) warm(q, "reliable_slow", conf) else Double.NaN
+      val sTxt = if (slow) f" slow=$s%6.2f s x${s / l}%.2f" else ""
+      println(f"[price] $q%-24s local=$l%6.2f s reliable=$r%6.2f s x${r / l}%.2f$sTxt")
+      (q, l, r, s)
     }
-    println(s"\n| query | local s | reliable s | premium |")
-    println(s"|---|---|---|---|")
-    rows.foreach { case (q, l, r) =>
-      println(f"| $q | $l%.2f | $r%.2f | ${r / l}%.2fx |")
+    val slowHdr = if (slow) s" slow(rtt=${rttMs}ms,${mbps}MB/s) s | slow premium |" else ""
+    println(s"\n| query | local s | reliable s | premium |$slowHdr")
+    println(s"|---|---|---|---|" + (if (slow) "---|---|" else ""))
+    rows.foreach { case (q, l, r, s) =>
+      val sCol = if (slow) f" $s%.2f | ${s / l}%.2fx |" else ""
+      println(f"| $q | $l%.2f | $r%.2f | ${r / l}%.2fx |$sCol")
     }
     val totL = rows.map(_._2).sum
     val totR = rows.map(_._3).sum
-    println(f"| TOTAL | $totL%.2f | $totR%.2f | ${totR / totL}%.2fx |")
-    val json = rows.map { case (q, l, r) =>
-      s"""${Json.str(q)}: {"local": ${f"$l%.3f"}, "reliable": ${f"$r%.3f"}}"""
-    }.mkString("{\"sf\": " + Json.str(dir) + ", ", ", ", "}")
+    val totS = rows.map(_._4).sum
+    val sTot = if (slow) f" $totS%.2f | ${totS / totL}%.2fx |" else ""
+    println(f"| TOTAL | $totL%.2f | $totR%.2f | ${totR / totL}%.2fx |$sTot")
+    val json = rows.map { case (q, l, r, s) =>
+      val sPart = if (slow) s""", "reliable_slow": ${f"$s%.3f"}""" else ""
+      s"""${Json.str(q)}: {"local": ${f"$l%.3f"}, "reliable": ${f"$r%.3f"}$sPart}"""
+    }.mkString("{\"sf\": " + Json.str(dir) +
+      (if (slow) s""", "rtt_ms": $rttMs, "mbps": $mbps""" else "") + ", ",
+      ", ", "}")
     println(json)
     spark.stop()
   }

@@ -27,15 +27,25 @@ object SampledOracles {
     val e = Engine.table(spark, dir, "embeddings")
     val p4 = VectorSearch.derivePlanes(e, -1, 4) // d07
     val p5 = VectorSearch.derivePlanes(e, -1, 5) // s05 / s10
+    val cc = VectorSearch.deriveCells(e, -1) // s03 / s04 / s15
+    val np = VectorSearch.deriveNprobe(cc, -1)
     println(s"[sampled] N=${Engine.memoCount(e)} planes(d07)=$p4 " +
-      s"planes(s05/s10)=$p5 mod=$mod")
+      s"planes(s05/s10)=$p5 cells=$cc nprobe=$np mod=$mod")
     Seq(
       "d07_embedding_neardup_lsh" ->
         VectorSearch.oracleNearDupLshSql(p4, sampleMod = mod),
       "s05_mutual_knn_graph" ->
         VectorSearch.oracleMutualKnnSql(p5, sampleMod = mod),
       "s10_label_purity" ->
-        VectorSearch.oracleLabelPuritySql(p5, sampleMod = mod))
+        VectorSearch.oracleLabelPuritySql(p5, sampleMod = mod),
+      // IVF family: corpus-ROW sampled (model full-corpus; assignment
+      // is per-row independent, so the sample covers every semantic)
+      "s03_ann_ivf" ->
+        VectorSearch.oracleIvfSql(cc, np, sampleMod = mod),
+      "s04_ann_ivfpq" ->
+        VectorSearch.oracleIvfPqSql(cc, np, sampleMod = mod),
+      "s15_ann_ivfpq_indexed" ->
+        VectorSearch.oracleIvfPqSql(cc, np, sampleMod = mod))
   }
 
   def main(args: Array[String]): Unit = {
@@ -50,13 +60,26 @@ object SampledOracles {
     spark.sparkContext.setLogLevel("ERROR")
     Engine.prepare(spark)
     val e = Engine.table(spark, dir, "embeddings")
+    import org.apache.spark.sql.functions.col
+    def q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val sparkSide = Map(
       "d07_embedding_neardup_lsh" ->
         (() => VectorSearch.cosineNearDupPairsLsh(e, 0.3, sampleMod = mod)),
       "s05_mutual_knn_graph" ->
         (() => VectorSearch.mutualKnnGraph(e, 5, sampleMod = mod)),
       "s10_label_purity" ->
-        (() => VectorSearch.labelPurityLsh(e, sampleMod = mod)))
+        (() => VectorSearch.labelPurityLsh(e, sampleMod = mod)),
+      "s03_ann_ivf" ->
+        (() => VectorSearch.ivfTopK(e, q, 10, sampleMod = mod)),
+      "s04_ann_ivfpq" ->
+        (() => VectorSearch.ivfPqTopK(e, q, 10, sampleMod = mod)),
+      "s15_ann_ivfpq_indexed" -> (() => {
+        val model = VectorSearch.pqModel(e)
+        VectorSearch.ivfPqTopKIndexed(
+          VectorSearch.encodeIvfPq(e.filter(col("vec_id") % mod === 0), model),
+          e, q, model, 10)
+      }))
     val fam = family(spark, dir, mod)
     for ((name, _) <- fam) {
       val t0 = System.nanoTime()

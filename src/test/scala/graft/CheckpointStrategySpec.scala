@@ -98,6 +98,35 @@ class CheckpointStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("re-points across FILESYSTEMS (file: -> slowfs:) instead of throwing Wrong FS") {
+    // r15: PriceReliable's slow-store pricing re-points the checkpoint
+    // dir from the default local path to the latency-injected slowfs
+    // scheme mid-session; the sameRoot check must treat a current dir
+    // on a different FileSystem as "not the same root" (makeQualified
+    // throws Wrong FS for a foreign scheme) rather than propagating.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.slowfs.impl", classOf[graft.tools.SlowFs].getName)
+    hc.setLong("fs.slowfs.rtt.ms", 0L) // no artificial latency in specs
+    val base = ckptRoot
+    withMode("reliable", Some(s"$base/plain")) {
+      Engine.table(spark, sf, "nation").transform(Engine.cut).count()
+    }
+    withMode("reliable", Some(s"slowfs:${Paths.get(base).toAbsolutePath}/slow")) {
+      val df = Engine.table(spark, sf, "region").transform(Engine.cut)
+      assert(df.count() == 5)
+      val cur = spark.sparkContext.getCheckpointDir.get
+      assert(cur.startsWith("slowfs:"), s"not re-pointed to slowfs: $cur")
+      Engine.releaseCheckpoint(df)
+    }
+    // and back to a local path (slowfs -> file must also re-point)
+    withMode("reliable", Some(s"$base/plain2")) {
+      val df = Engine.table(spark, sf, "nation").transform(Engine.cut)
+      assert(df.count() == 25)
+      assert(!spark.sparkContext.getCheckpointDir.get.startsWith("slowfs:"))
+      Engine.releaseCheckpoint(df)
+    }
+  }
+
   test("unknown mode fails loudly") {
     intercept[IllegalArgumentException] {
       withMode("durable")(Engine.table(spark, sf, "nation").transform(Engine.cut))
