@@ -1634,8 +1634,16 @@ object TextPipeline {
     val tf = base.select(col("doc_id"),
         explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // broadcast the MODEL: ct is |classes| x |vocab| rows — bounded by
+    // the vocabulary, not the corpus — but it sits behind an explode+
+    // aggregate whose Catalyst size estimate is corpus-scaled, so
+    // without the hint the planner sort-merge-joins it against the
+    // (tf x classes) stream: at sf100 that exchanged AND sorted 750M
+    // wide rows on a ~200-value key (measured 11.7x on the 10x
+    // sf10->sf100 step, the round-15 decade-3 find); the broadcast
+    // keeps the stream pipelined straight into the partial aggregate
     val ds = tf.crossJoin(broadcast(classes))
-      .join(ct, Seq("clang", "token"), "left")
+      .join(broadcast(ct), Seq("clang", "token"), "left")
       .groupBy("doc_id", "clang")
       .agg(sum(col("tf") * round(log(
         (coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)

@@ -116,7 +116,21 @@ object VectorSearch {
     val q = withBuckets(queries, "qv")
     // duplicates across tables are exact (qid, nid, sim) repeats (sim is
     // deterministic per pair) — the distinct heap dedups them in-place,
-    // so the full candidate set is never shuffled for a dropDuplicates
+    // so the full candidate set is never shuffled for a dropDuplicates.
+    //
+    // The FLAT join is a MEASURED choice at decade 3 (r15 stage split,
+    // SCALING.md): a bucket-collect + per-bucket query-vs-members kernel
+    // (the s05/s10 cure, implemented and proven row-identical at sf100)
+    // re-timed s14 142 -> 203 s and s02 14 -> 44 s — the query side has
+    // only ~2-12 queries per bucket, so collecting the corpus into
+    // bucket lists pays a WIDER external sort (members carry vectors)
+    // than the narrow candidate sort it removes; the self-join family
+    // wins that trade only because m^2/2 pairs amortize m collected
+    // members. Raising the 128-group ObjectHashAggregate fallback
+    // threshold (1M) bought just 27% (147 -> 107 s): the dominant cost
+    // is the honest |Q| x tables x density candidate volume through the
+    // codegen'd cosine, and derived planes already hold THAT sub-linear
+    // (3.1x on the 10x sf10->sf100 step).
     val pairs = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),

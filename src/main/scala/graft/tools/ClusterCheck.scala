@@ -232,7 +232,8 @@ object ClusterCheck {
     * job count ever changes. */
   final case class ChaosSpec(query: String, killAtJob: Int,
       conf: Map[String, String] = Map.empty,
-      insideCutWrite: Boolean = false)
+      insideCutWrite: Boolean = false,
+      tag: String = "")
 
   /** The kill matrix (r13 verdict #2 widened it from g08 alone). Kill
     * points sit mid-fixpoint, tuned from graft.tools.JobCount totals:
@@ -255,7 +256,14 @@ object ClusterCheck {
     // materialization: some checkpoint part-files written, others'
     // tasks in flight). Reliable-only by construction: local mode
     // tags no jobs, so there is no local twin to fail.
-    ChaosSpec("g08_hits", 6, insideCutWrite = true))
+    ChaosSpec("g08_hits", 6, insideCutWrite = true),
+    // r15 checkpoint-every-k: kill every executor mid-fixpoint while
+    // only every 3rd cut is durable — the lost INTERMEDIATE rounds'
+    // cached partitions must recompute through kept lineage back to
+    // the last durable boundary (reliable-only: local mode reads no
+    // everyK and its twin is the standard local arm above)
+    ChaosSpec("g08_hits", 20,
+      Map("graft.checkpoint.everyK" -> "3"), tag = "_k3"))
 
   /** kill -9 EVERY executor JVM of THIS app (matched by
     * CoarseGrainedExecutorBackend + the app id in /proc cmdline) —
@@ -336,7 +344,8 @@ object ClusterCheck {
           if (jobsSeen.incrementAndGet() == spec.killAtJob)
             killAllExecutors(appId).headOption.foreach(killedPid.set)
       })
-      val label = if (spec.insideCutWrite) s"${mode}_midwrite" else mode
+      val label =
+        (if (spec.insideCutWrite) s"${mode}_midwrite" else mode) + spec.tag
       val t0 = System.nanoTime()
       val res =
         try {
@@ -618,12 +627,13 @@ object ClusterCheck {
       withStreaming: Boolean, withTorn: Boolean): Boolean =
     specs.forall { s =>
       if (s.insideCutWrite)
-        chaos.exists(a => a.query == s.query && a.mode == "reliable_midwrite" &&
+        chaos.exists(a => a.query == s.query &&
+          a.mode == s"reliable_midwrite${s.tag}" &&
           a.outcome == "completed" && a.killedPid != -1L)
       else
-        chaos.exists(a => a.query == s.query && a.mode == "reliable" &&
+        chaos.exists(a => a.query == s.query && a.mode == s"reliable${s.tag}" &&
           a.outcome == "completed" && a.killedPid != -1L) &&
-        chaos.exists(a => a.query == s.query && a.mode == "local" &&
+        chaos.exists(a => a.query == s.query && a.mode == s"local${s.tag}" &&
           a.outcome == "failed" && a.killedPid != -1L)
     } &&
     (!withStreaming || chaos.exists(a =>
@@ -663,7 +673,7 @@ object ClusterCheck {
       "sf_dir" -> Json.str(dir),
       "masters" -> Json.arr(Seq(Json.str("local[32]"), Json.str(clusterMaster))),
       "chaos_kill_points" -> Json.obj(chaosSpecs.map(s =>
-        (if (s.insideCutWrite) s"${s.query}:midwrite" else s.query) ->
+        ((if (s.insideCutWrite) s"${s.query}:midwrite" else s.query) + s.tag) ->
           s.killAtJob.toString)),
       "entries" -> Json.arr(entries),
       "chaos" -> Json.arr(chaosJson),

@@ -63,11 +63,16 @@ object PriceReliable {
       hc.setLong("fs.slowfs.bytes.per.sec", mbps * 1024 * 1024)
       "slowfs:" + sys.props("java.io.tmpdir") + "/graft-ckpt-slow"
     }
+    val everyK = intArg("every-k", 0L).toInt
     def warm(q: String, mode: String, conf: Map[String, String]): Double = {
       mode match {
         case "reliable_slow" =>
           spark.conf.set("graft.checkpoint.mode", "reliable")
           spark.conf.set("graft.checkpoint.dir", slowDir)
+        case "reliable_slow_k" =>
+          spark.conf.set("graft.checkpoint.mode", "reliable")
+          spark.conf.set("graft.checkpoint.dir", slowDir)
+          spark.conf.set("graft.checkpoint.everyK", everyK.toString)
         case m => spark.conf.set("graft.checkpoint.mode", m)
       }
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -82,32 +87,42 @@ object PriceReliable {
       } finally {
         spark.conf.unset("graft.checkpoint.mode")
         spark.conf.unset("graft.checkpoint.dir")
+        spark.conf.unset("graft.checkpoint.everyK")
         conf.keys.foreach(spark.conf.unset)
       }
     }
+    val withK = slow && everyK > 1
     val rows = family.map { case (q, conf) =>
       val l = warm(q, "local", conf)
       val r = warm(q, "reliable", conf)
       val s = if (slow) warm(q, "reliable_slow", conf) else Double.NaN
+      val sk = if (withK) warm(q, "reliable_slow_k", conf) else Double.NaN
       val sTxt = if (slow) f" slow=$s%6.2f s x${s / l}%.2f" else ""
-      println(f"[price] $q%-24s local=$l%6.2f s reliable=$r%6.2f s x${r / l}%.2f$sTxt")
-      (q, l, r, s)
+      val kTxt = if (withK) f" slow_k$everyK=$sk%6.2f s x${sk / l}%.2f" else ""
+      println(f"[price] $q%-24s local=$l%6.2f s reliable=$r%6.2f s x${r / l}%.2f$sTxt$kTxt")
+      (q, l, r, s, sk)
     }
     val slowHdr = if (slow) s" slow(rtt=${rttMs}ms,${mbps}MB/s) s | slow premium |" else ""
-    println(s"\n| query | local s | reliable s | premium |$slowHdr")
-    println(s"|---|---|---|---|" + (if (slow) "---|---|" else ""))
-    rows.foreach { case (q, l, r, s) =>
+    val kHdr = if (withK) s" slow everyK=$everyK s | everyK premium |" else ""
+    println(s"\n| query | local s | reliable s | premium |$slowHdr$kHdr")
+    println(s"|---|---|---|---|" + (if (slow) "---|---|" else "") +
+      (if (withK) "---|---|" else ""))
+    rows.foreach { case (q, l, r, s, sk) =>
       val sCol = if (slow) f" $s%.2f | ${s / l}%.2fx |" else ""
-      println(f"| $q | $l%.2f | $r%.2f | ${r / l}%.2fx |$sCol")
+      val kCol = if (withK) f" $sk%.2f | ${sk / l}%.2fx |" else ""
+      println(f"| $q | $l%.2f | $r%.2f | ${r / l}%.2fx |$sCol$kCol")
     }
     val totL = rows.map(_._2).sum
     val totR = rows.map(_._3).sum
     val totS = rows.map(_._4).sum
+    val totK = rows.map(_._5).sum
     val sTot = if (slow) f" $totS%.2f | ${totS / totL}%.2fx |" else ""
-    println(f"| TOTAL | $totL%.2f | $totR%.2f | ${totR / totL}%.2fx |$sTot")
-    val json = rows.map { case (q, l, r, s) =>
+    val kTot = if (withK) f" $totK%.2f | ${totK / totL}%.2fx |" else ""
+    println(f"| TOTAL | $totL%.2f | $totR%.2f | ${totR / totL}%.2fx |$sTot$kTot")
+    val json = rows.map { case (q, l, r, s, sk) =>
       val sPart = if (slow) s""", "reliable_slow": ${f"$s%.3f"}""" else ""
-      s"""${Json.str(q)}: {"local": ${f"$l%.3f"}, "reliable": ${f"$r%.3f"}$sPart}"""
+      val kPart = if (withK) s""", "reliable_slow_k$everyK": ${f"$sk%.3f"}""" else ""
+      s"""${Json.str(q)}: {"local": ${f"$l%.3f"}, "reliable": ${f"$r%.3f"}$sPart$kPart}"""
     }.mkString("{\"sf\": " + Json.str(dir) +
       (if (slow) s""", "rtt_ms": $rttMs, "mbps": $mbps""" else "") + ", ",
       ", ", "}")

@@ -98,6 +98,42 @@ class CheckpointStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint-every-k produces fingerprint-identical results and durable files only at boundaries") {
+    // r15: everyK intermediate cuts materialize into the executor cache
+    // with lineage kept (bounded recovery to the last durable boundary)
+    // — results must be identical to every-round checkpointing, and the
+    // durable dir must hold FEWER rdd-* checkpoints than rounds.
+    def runs(): Map[String, (String, Long)] = Map(
+      "g01" -> fingerprint(SparkEntry.queries("g01_pagerank")(spark, sf)),
+      "t24" -> fingerprint(SparkEntry.queries("t24_bpe_merges")(spark, sf)))
+    // durable writes are observable as Engine.cut-tagged jobs (the
+    // everyK intermediate branch persists untagged)
+    val tagged = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .contains(Engine.CutJobDescription)) tagged.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val every = withMode("reliable", Some(ckptRoot))(runs())
+      Thread.sleep(500) // listener events drain async
+      val everyJobs = tagged.getAndSet(0)
+      spark.conf.set("graft.checkpoint.everyK", "3")
+      val everyK =
+        try withMode("reliable", Some(ckptRoot))(runs())
+        finally spark.conf.unset("graft.checkpoint.everyK")
+      Thread.sleep(500) // listener events drain async
+      val everyKJobs = tagged.get()
+      assert(every == everyK,
+        s"everyK changed results: every=$every everyK=$everyK")
+      assert(everyKJobs.toDouble <= everyJobs * 0.6,
+        s"everyK did not reduce durable-checkpoint jobs: $everyKJobs vs $everyJobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("re-points across FILESYSTEMS (file: -> slowfs:) instead of throwing Wrong FS") {
     // r15: PriceReliable's slow-store pricing re-points the checkpoint
     // dir from the default local path to the latency-injected slowfs
