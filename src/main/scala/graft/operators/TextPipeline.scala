@@ -1634,21 +1634,30 @@ object TextPipeline {
     val tf = base.select(col("doc_id"),
         explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    // broadcast the MODEL: ct is |classes| x |vocab| rows — bounded by
-    // the vocabulary, not the corpus — but it sits behind an explode+
-    // aggregate whose Catalyst size estimate is corpus-scaled, so
-    // without the hint the planner sort-merge-joins it against the
-    // (tf x classes) stream: at sf100 that exchanged AND sorted 750M
-    // wide rows on a ~200-value key (measured 11.7x on the 10x
-    // sf10->sf100 step, the round-15 decade-3 find); the broadcast
-    // keeps the stream pipelined straight into the partial aggregate
-    val ds = tf.crossJoin(broadcast(classes))
-      .join(broadcast(ct), Seq("clang", "token"), "left")
-      .groupBy("doc_id", "clang")
-      .agg(sum(col("tf") * round(log(
-        (coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
-          / (col("tot") + col("v")).cast(DoubleType)), 6).cast(DEC))
-        .as("s"))
+    // Score ALL classes in ONE pass over the (doc, token, tf) stream
+    // (r15, decade-3 find): the naive shape crossJoins tf with the
+    // class table (|classes| x the stream = 750M rows at sf100) and —
+    // because ct's corpus-scaled size estimate hid its vocabulary
+    // bound — sort-merge-joined the model against that stream
+    // (measured 11.7x on the 10x sf10 -> sf100 step). Instead the
+    // MODEL is densified per token: class list collected (bounded by
+    // |langs|, the centroid-k collect class), per-(token, class)
+    // smoothed log-weights computed IN-PLAN (same round6/DEC
+    // arithmetic — tokens absent from a class get the c=0 default, so
+    // the left-join coalesce moves into the dense table), pivoted to
+    // one weight column per class, and broadcast; scoring is then one
+    // codegen'd hash aggregate of |classes| DECIMAL sums keyed by
+    // doc_id alone, unpivoted afterward (|docs| x |classes| narrow
+    // rows). DECIMAL sums are exact and order-independent, so the
+    // regrouping is value-identical to the per-(doc, class) form —
+    // measured at sf100: t28 148 -> 66-87 s, t32 192 -> 77-131 s
+    // (run-to-run variance on the shared box is large at this size;
+    // the bound is the 150M-row tf build + scoring pass either way).
+    val (sums, clangs) = nbSums(base, ct, classes)
+    val stackArgs = clangs
+      .map(c => s"'${c.replace("'", "''")}', `s_$c`").mkString(", ")
+    val ds = sums.selectExpr("doc_id",
+      s"stack(${clangs.length}, $stackArgs) AS (clang, s)")
     base.select(col("doc_id"), col("lang"))
       .crossJoin(broadcast(classes.select("clang", "prior")))
       .join(ds, Seq("doc_id", "clang"), "left")
@@ -1656,17 +1665,57 @@ object TextPipeline {
         (col("prior") + coalesce(col("s"), lit(0))).as("score"))
   }
 
+  /** One-pass per-doc class-sum columns + the sorted class list:
+    * the shared scoring core of [[nbClassScores]] and [[nbScore]]. */
+  private def nbSums(base: DataFrame, ct: DataFrame,
+      classes: DataFrame): (DataFrame, Seq[String]) = {
+    val DEC = DecimalType(38, 10)
+    val tf = base.select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val clangs = classes.select("clang").collect().map(_.getString(0)).sorted
+    val dense = ct.select("token").distinct()
+      .crossJoin(broadcast(classes.select("clang", "tot", "v")))
+      .join(ct, Seq("clang", "token"), "left")
+      .select(col("token"), col("clang"),
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
+          / (col("tot") + col("v")).cast(DoubleType)), 6).cast(DEC).as("w"))
+    val wt = dense.groupBy("token")
+      .pivot("clang", clangs.toIndexedSeq).agg(first(col("w")))
+    val sumCols = clangs.map(c =>
+      sum(col("tf") * col(s"`$c`")).as(s"s_$c"))
+    (tf.join(broadcast(wt), "token")
+      .groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*),
+      clangs.toIndexedSeq)
+  }
+
   /** NB scoring against an in-plan or persisted model: per-doc argmax
     * class with the DECIMAL-exact scores of t28. A document's score
     * depends only on the model and the document itself, so scoring a
     * slice with a full-corpus model gives exactly the full run's
     * predictions restricted to that slice (pinned in LayoutSpec).
-    * Returns (doc_id, lang, pred). */
+    * Returns (doc_id, lang, pred).
+    *
+    * The argmax is ROW-LOCAL over the per-class sum columns (r15): a
+    * left-to-right fold over the sorted class list with a strict
+    * greater-than keeps the smallest clang on score ties — exactly
+    * `row_number() OVER (ORDER BY score DESC, clang)` = 1 without the
+    * |docs| x |classes| window sort the stacked form pays. Priors are
+    * a driver-collected |classes|-bounded exact-DECIMAL map (the
+    * centroid-k collect class); scores compare DECIMAL-exact. */
   def nbScore(base: DataFrame, ct: DataFrame, classes: DataFrame): DataFrame = {
-    val sc = nbClassScores(base, ct, classes)
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("clang"))
-    sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("clang").as("pred"))
+    val (sums, clangs) = nbSums(base, ct, classes)
+    val priors: Map[String, java.math.BigDecimal] =
+      classes.select("clang", "prior").collect()
+        .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val zero = lit(new java.math.BigDecimal(0)).cast(DecimalType(38, 10))
+    val cands = clangs.map(c => struct(
+      (lit(priors(c)) + coalesce(col(s"`s_$c`"), zero)).as("score"),
+      lit(c).as("clang")))
+    val best = cands.reduceLeft((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    base.select(col("doc_id"), col("lang"))
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), best.getField("clang").as("pred"))
   }
 }
