@@ -353,6 +353,39 @@ object Engine {
     * driver-serial). */
   private val cutSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** everyK deferred durable deletes (r16 advice, HIGH): under
+    * checkpoint-every-k, up to k-1 intermediate rounds keep lineage
+    * back to the last DURABLE checkpoint, so an eager-release fixpoint
+    * (BPE, kCorePeel, bfsHops, label propagation, dedup components)
+    * releasing the superseded durable round must NOT delete its files
+    * yet — an executor loss inside the window would find the lineage
+    * root gone (FileNotFound on the deleted ReliableCheckpointRDD
+    * part-files), exactly the terminal failure bounded recovery exists
+    * to prevent. Deletion is deferred until the NEXT durable boundary
+    * lands on the SAME driver thread (fixpoint loops are driver-serial
+    * on one thread; once a new checkpoint lands, that pipeline's live
+    * frames root at the new boundary). Keyed by thread id so one
+    * pipeline's boundary cannot delete another pipeline's still-needed
+    * root. A pipeline that ends between boundaries leaves at most one
+    * round's files pending until the thread's next everyK boundary or
+    * session end — dead files, bounded by one frame per idle thread. */
+  private val pendingDurableDeletes =
+    new java.util.concurrent.ConcurrentHashMap[Long, List[String]]()
+
+  private def deleteCheckpointFile(f: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(f)
+    p.getFileSystem(hadoopConf).delete(p, true)
+  }
+
+  /** A new durable boundary supersedes every delete this thread
+    * deferred — the files are now dead for this pipeline's lineage. */
+  private def drainPendingDeletes(spark: SparkSession): Unit = {
+    val pend = pendingDurableDeletes.remove(Thread.currentThread().getId)
+    if (pend != null) pend.foreach(
+      deleteCheckpointFile(_, spark.sparkContext.hadoopConfiguration))
+  }
+
   /** Cut lineage + materialize `df` via the configured strategy. Every
     * former `.localCheckpoint()` site routes through here
     * (`.transform(Engine.cut)`); both strategies are eager, so call
@@ -365,10 +398,11 @@ object Engine {
             .exists(_.toInt > 1) &&
             cutSeq.incrementAndGet() %
               spark.conf.get("graft.checkpoint.everyK").toInt != 0 =>
-        // Checkpoint-every-k (r15, built on the slow-store pricing: the
-        // object-store premium is 3.1x family / 5.5x worst at 40 ms RTT
-        // + 100 MB/s — per-ROUND durable writes are RTT-bound, so pay
-        // the store only at every k-th cut): intermediate rounds
+        // Checkpoint-every-k (r15, built on the slow-store pricing —
+        // SCALING.md's PriceReliable table: 2.89x family / 4.83x worst
+        // at 40 ms RTT + 100 MB/s — per-ROUND durable writes are
+        // RTT-bound, so pay the store only at every k-th cut):
+        // intermediate rounds
         // materialize into the executor cache with lineage KEPT — an
         // executor loss recomputes the lost partitions through at most
         // k-1 cached rounds back to the last durable checkpoint
@@ -411,8 +445,14 @@ object Engine {
         // a task INSIDE the checkpoint write rather than a job boundary.
         val prevDesc = sc.getLocalProperty("spark.job.description")
         sc.setJobDescription(CutJobDescription)
-        try df.checkpoint()
-        finally sc.setLocalProperty("spark.job.description", prevDesc)
+        val out =
+          try df.checkpoint()
+          finally sc.setLocalProperty("spark.job.description", prevDesc)
+        // only once the new checkpoint has LANDED are the deletes this
+        // thread deferred under everyK safe (a failed checkpoint keeps
+        // them pending — the old boundary is still the recovery root)
+        drainPendingDeletes(spark)
+        out
       case "local" => df.localCheckpoint()
       case other => throw new IllegalArgumentException(
         s"graft.checkpoint.mode=$other (expected local|reliable)")
@@ -430,11 +470,22 @@ object Engine {
         l.rdd.unpersist(blocking = false)
         // reliable cut: the superseded round's files under
         // <ckptDir>/<uuid>/rdd-<id> are dead weight — delete eagerly
-        // rather than waiting for ContextCleaner GC
+        // rather than waiting for ContextCleaner GC. EXCEPT under
+        // everyK: intermediate rounds' kept lineage still roots at
+        // this checkpoint, so the delete is deferred to the next
+        // durable boundary (see pendingDurableDeletes).
         l.rdd.getCheckpointFile.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(p, true)
+          val spark = df.sparkSession
+          val everyK =
+            spark.conf.getOption("graft.checkpoint.mode")
+              .contains("reliable") &&
+            spark.conf.getOption("graft.checkpoint.everyK")
+              .exists(_.toInt > 1)
+          if (everyK)
+            pendingDurableDeletes.merge(Thread.currentThread().getId,
+              List(f), (a, b) => a ::: b)
+          else deleteCheckpointFile(f,
+            spark.sparkContext.hadoopConfiguration)
         }
       // everyK intermediate cut: the frame is dataset-cached with its
       // logical plan intact — drop the cache entry (no-op for frames

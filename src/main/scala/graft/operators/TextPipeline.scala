@@ -1538,18 +1538,7 @@ object TextPipeline {
       (s, d) => {
         val base = docs(s, d)
         val (ct, classes) = nbTrain(base)
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("clang"))
-        val ranked = nbClassScores(base, ct, classes)
-          .withColumn("rn", row_number().over(w))
-        val top = ranked.filter(col("rn") === 1)
-          .select(col("doc_id"), col("clang").as("pred"),
-            col("score").as("s1"))
-        val second = ranked.filter(col("rn") === 2)
-          .select(col("doc_id"), col("score").as("s2"))
-        top.join(second, "doc_id")
-          .select(col("doc_id"), col("pred"),
-            Engine.decOut(col("s1") - col("s2")).as("margin"))
+        nbMargins(base, ct, classes)
       }),
 
     // Train/validation split drift — the distribution-shift audit for
@@ -1630,10 +1619,6 @@ object TextPipeline {
     * not just the argmax. */
   def nbClassScores(base: DataFrame, ct: DataFrame,
       classes: DataFrame): DataFrame = {
-    val DEC = DecimalType(38, 10)
-    val tf = base.select(col("doc_id"),
-        explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // Score ALL classes in ONE pass over the (doc, token, tf) stream
     // (r15, decade-3 find): the naive shape crossJoins tf with the
     // class table (|classes| x the stream = 750M rows at sf100) and —
@@ -1665,6 +1650,29 @@ object TextPipeline {
         (col("prior") + coalesce(col("s"), lit(0))).as("score"))
   }
 
+  /** t32's margin tail over [[nbClassScores]] — the top class and its
+    * DECIMAL-exact score gap to the runner-up. Factored from the GQ
+    * body (r16) so the sampled sf100 oracle can score a doc_id-sampled
+    * slice with the FULL-corpus model: a margin depends only on the
+    * model and the document itself (the per-doc independence argument
+    * at [[nbScore]]), so row-local divergence reproduces in any
+    * doc-sample. */
+  def nbMargins(base: DataFrame, ct: DataFrame,
+      classes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("clang"))
+    val ranked = nbClassScores(base, ct, classes)
+      .withColumn("rn", row_number().over(w))
+    val top = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("clang").as("pred"),
+        col("score").as("s1"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("doc_id"), col("score").as("s2"))
+    top.join(second, "doc_id")
+      .select(col("doc_id"), col("pred"),
+        Engine.decOut(col("s1") - col("s2")).as("margin"))
+  }
+
   /** One-pass per-doc class-sum columns + the sorted class list:
     * the shared scoring core of [[nbClassScores]] and [[nbScore]]. */
   private def nbSums(base: DataFrame, ct: DataFrame,
@@ -1682,9 +1690,29 @@ object TextPipeline {
           / (col("tot") + col("v")).cast(DoubleType)), 6).cast(DEC).as("w"))
     val wt = dense.groupBy("token")
       .pivot("clang", clangs.toIndexedSeq).agg(first(col("w")))
+    // Out-of-vocabulary default (r16, judge r15 finding #1): a token
+    // absent from the WHOLE vocabulary still contributes the smoothed
+    // c=0 weight log(1/(tot_c+v_c)) — which differs PER CLASS, so the
+    // r15 inner join's silent drop could flip an argmax on the
+    // persisted-model serving path (Layout.nbClassify scoring future
+    // documents with unseen tokens). The per-class defaults are
+    // computed with the SAME in-plan arithmetic on the |classes|-row
+    // frame and collected (the centroid-k bounded-collect class), then
+    // coalesced in after a LEFT join. When the model trains on the
+    // corpus being scored (every gated query) the vocabulary covers
+    // all tokens and the coalesce never fires — committed oracles are
+    // unchanged; the textbook semantics and the oracle SQL's
+    // COALESCE(ct.c, 0) form are now matched on ANY scored slice.
+    val w0: Map[String, java.math.BigDecimal] =
+      classes.select(col("clang"),
+          round(log(lit(1L).cast(DoubleType)
+            / (col("tot") + col("v")).cast(DoubleType)), 6)
+            .cast(DEC).as("w0"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
     val sumCols = clangs.map(c =>
-      sum(col("tf") * col(s"`$c`")).as(s"s_$c"))
-    (tf.join(broadcast(wt), "token")
+      sum(col("tf") * coalesce(col(s"`$c`"), lit(w0(c)).cast(DEC)))
+        .as(s"s_$c"))
+    (tf.join(broadcast(wt), Seq("token"), "left")
       .groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*),
       clangs.toIndexedSeq)
   }

@@ -28,7 +28,7 @@ object VectorSearch {
 
   /** Rounded cosine — rounding (6dp) makes ranking robust to last-ulp
     * differences vs an oracle while keeping full discrimination. */
-  private def sim6(a: Column, b: Column): Column = GF.round6(GF.cosine(a, b))
+  private[graft] def sim6(a: Column, b: Column): Column = GF.round6(GF.cosine(a, b))
 
   /** Per-query exact top-k over a (qid, nid, sim) candidate set via the
     * bounded-heap aggregate (functions/GraftExpressions TopKPairsAgg):

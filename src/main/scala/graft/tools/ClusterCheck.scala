@@ -263,7 +263,34 @@ object ClusterCheck {
     // the last durable boundary (reliable-only: local mode reads no
     // everyK and its twin is the standard local arm above)
     ChaosSpec("g08_hits", 20,
-      Map("graft.checkpoint.everyK" -> "3"), tag = "_k3"))
+      Map("graft.checkpoint.everyK" -> "3"), tag = "_k3"),
+    // r16 advice (high): g08's releases are all deferred to loop end,
+    // so the arm above could never detect the eager-release everyK
+    // bug — a fixpoint that releases the superseded round EVERY
+    // iteration used to delete a durable boundary's files while up to
+    // k-1 lineage-kept intermediate rounds still rooted at them,
+    // making exactly this kill unrecoverable (fixed in
+    // Engine.releaseCheckpoint: the delete is deferred to the next
+    // durable boundary). t24's BPE merge loop is the eager-release
+    // shape; the kill lands mid-loop, inside the deferred-delete
+    // window.
+    ChaosSpec("t24_bpe_merges", 12,
+      Map("graft.checkpoint.everyK" -> "3"), tag = "_k3"),
+    // r16 verdict #7: every durability arm above stores checkpoints on
+    // NVMe; these two re-run the g08 kill with the checkpoint DIR on
+    // slowfs (40 ms per metadata op — the priced object-store model),
+    // proving recovery CORRECTNESS, not just cost, when the store is
+    // slow: after the kill, relaunched executors re-read the
+    // ReliableCheckpointRDD part-files through the latency-injected
+    // FileSystem (a different failure surface than the write path the
+    // pricing study exercised). graft.cc.slowfs is a harness marker
+    // read by chaosArm (re-points the dir + registers the scheme), not
+    // an engine conf.
+    ChaosSpec("g08_hits", 20,
+      Map("graft.cc.slowfs" -> "40"), tag = "_slowfs"),
+    ChaosSpec("g08_hits", 20,
+      Map("graft.checkpoint.everyK" -> "3", "graft.cc.slowfs" -> "40"),
+      tag = "_k3slowfs"))
 
   /** kill -9 EVERY executor JVM of THIS app (matched by
     * CoarseGrainedExecutorBackend + the app id in /proc cmdline) —
@@ -310,6 +337,17 @@ object ClusterCheck {
       spark.conf.set("graft.checkpoint.dir",
         new java.io.File(s"target/cc-chaos-ckpt-$mode").getAbsolutePath)
       spec.conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      // slowfs arms: checkpoint store behind the latency-injected FS —
+      // both the write path and, after the kill, the relaunched
+      // executors' recovery re-reads pay the configured RTT
+      spec.conf.get("graft.cc.slowfs").foreach { rtt =>
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.slowfs.impl", classOf[SlowFs].getName)
+        hc.setLong("fs.slowfs.rtt.ms", rtt.toLong)
+        spark.conf.set("graft.checkpoint.dir", "slowfs:" +
+          new java.io.File(s"target/cc-chaos-ckpt-slow-$mode")
+            .getAbsolutePath)
+      }
       val jobsSeen = new AtomicInteger
       val killedPid = new AtomicLong(-1L) // any one of the killed set
       val appId = spark.sparkContext.applicationId

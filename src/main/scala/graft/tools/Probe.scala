@@ -13,6 +13,8 @@ object Probe {
     if (args.length >= 2 && args(0) == "s05") { s05Diag(args(1)); return }
     if (args.length >= 2 && args(0) == "s14") { s14Diag(args(1)); return }
     if (args.length >= 2 && args(0) == "d10sup") { d10Supers(args(1)); return }
+    if (args.length >= 2 && args(0) == "t43") { t43Diag(args(1)); return }
+    if (args.length >= 2 && args(0) == "s03") { s03Diag(args(1)); return }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -370,6 +372,125 @@ object Probe {
       }
       timed("C full q69 (A+B recomputed + pair explode + count)") {
         println("  pairs=" + graft.SparkEntry.queries("q69_market_basket")(spark, sfDir).count())
+      }
+    }
+    spark.stop()
+  }
+
+  /** Stage split for t43 at decade 3 (r16, judge "missing" #3: 7.7x
+    * step on flat output, the largest un-split heavy entry): apportion
+    * the cost between (A) the distinct (doc, term) build, (B) the
+    * doc-keyed self-join pair explode, and (C) the support-floor
+    * aggregation tail; then time (D) an array-local variant (q69's
+    * collect_set + in-row pair generation — one shuffle instead of the
+    * self-join's two sorted sides) for the same result. Warm = run 2. */
+  def t43Diag(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.IntegerType
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[t43-diag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val docs = graft.Engine.table(spark, sfDir, "documents")
+    for (run <- 1 to 2) {
+      println(s"[t43-diag] --- run $run ---")
+      val dt = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .distinct()
+      timed("A distinct (doc,term) build") { println("  rows=" + dt.count()) }
+      val a = dt.toDF("doc_id", "term_a")
+      val b = dt.toDF("doc_id2", "term_b")
+      val joined = a.join(b, col("doc_id") === col("doc_id2") &&
+        col("term_a") < col("term_b"))
+      timed("B pair explode volume (A recomputed + self-join count)") {
+        println("  pair_rows=" + joined.count())
+      }
+      timed("C full committed t43 (A+B recomputed + support agg + pmi)") {
+        println("  out=" +
+          graft.SparkEntry.queries("t43_pmi_collocations")(spark, sfDir).count())
+      }
+      val arr = dt.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("term"))).as("ts"))
+      val pairsLocal = arr.select(explode(flatten(transform(col("ts"),
+          (x, i) => transform(
+            slice(col("ts"), (i + lit(2)).cast(IntegerType), size(col("ts"))),
+            y => struct(x.as("term_a"), y.as("term_b")))))).as("p"))
+        .select(col("p.term_a"), col("p.term_b"))
+        .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      timed("D array-local variant (collect_set + in-row pairs + agg)") {
+        println("  out=" + pairsLocal.count())
+      }
+    }
+    spark.stop()
+  }
+
+  /** Stage split for s03 at decade 3 (r16, judge "missing" #4: 124.7 s,
+    * the costliest decade-3 entry): apportion between (A) codebook
+    * pick, (B) the corpus assignment pass (N x cells argmin), (C) the
+    * probed-cell candidate volume through the codegen'd cosine, and
+    * the committed full plan (D). (E) times the plan WITHOUT the
+    * dropDuplicates("qid","nid") shuffle — provably a no-op for IVF
+    * (each corpus row has exactly ONE cell and a query's probed cells
+    * are distinct by NearestCellsKernel construction, so a (qid, nid)
+    * pair can meet at most once), yet it forces the full candidate
+    * volume through an exchange before the bounded top-k heap. */
+  def s03Diag(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[s03-diag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val VS = graft.operators.VectorSearch
+    val e = graft.Engine.table(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cc = VS.deriveCells(e, -1)
+    val np = VS.deriveNprobe(cc, -1)
+    println(s"[s03-diag] cells=$cc nprobe=$np")
+    for (run <- 1 to 2) {
+      println(s"[s03-diag] --- run $run ---")
+      val picked = timed("A codebook pick (hash-ordered limit + collect)") {
+        e.select(col("vec_id"), col("embedding"))
+          .orderBy(hash(col("vec_id")), col("vec_id")).limit(cc).collect()
+      }
+      val centroids: Array[Array[Double]] = picked.sortBy(_.getLong(0))
+        .map(_.getSeq[Number](1).map(_.doubleValue).toArray)
+      val c = e.withColumn("cid",
+        graft.functions.GraftFunctions.nearestCells(
+          col("embedding"), centroids, 1)(0))
+      timed("B assignment pass (N x cells argmin, count by cid)") {
+        println("  cells_hit=" + c.groupBy("cid").count().count())
+      }
+      val qq = q.withColumn("cid",
+        explode(graft.functions.GraftFunctions.nearestCells(
+          col("qv"), centroids, np)))
+      val pairs = c.join(broadcast(qq), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VS.sim6(col("qv"), col("embedding")).as("sim"))
+      timed("C candidate volume through cosine (count only)") {
+        println("  candidates=" + pairs.count())
+      }
+      timed("D committed full s03 (ivfTopK as gated)") {
+        println("  out=" + VS.ivfTopK(e, q, 10).count())
+      }
+      timed("E no-dedup variant (heap directly, no (qid,nid) exchange)") {
+        println("  out=" + VS.topKPerQid(pairs, 10).count())
       }
     }
     spark.stop()

@@ -52,31 +52,61 @@ class SlowFs extends RawLocalFileSystem {
 
   /** Throttle to `bytesPerSec` with sleeps amortized over 4 MB chunks
     * (sleeping per write() call would overshoot wildly for the
-    * serializer's small writes). */
+    * serializer's small writes). The residual under one chunk is
+    * settled at close() (r16 advice: without it, streams writing under
+    * 4 MB total — typical checkpoint part-files for small fixpoint
+    * frames — paid ZERO bandwidth cost, making the priced object-store
+    * premium RTT-only and slightly understated). */
   private final class Throttled(out: java.io.OutputStream)
       extends java.io.FilterOutputStream(out) {
     private var owed = 0L
+    private def settle(): Unit = {
+      val ms = owed * 1000 / math.max(1L, bytesPerSec)
+      if (ms > 0) Thread.sleep(ms)
+      owed = 0
+    }
     private def pay(n: Int): Unit = {
       owed += n
-      if (owed >= 4L * 1024 * 1024) {
-        val ms = owed * 1000 / math.max(1L, bytesPerSec)
-        if (ms > 0) Thread.sleep(ms)
-        owed = 0
-      }
+      if (owed >= 4L * 1024 * 1024) settle()
     }
     override def write(b: Int): Unit = { out.write(b); pay(1) }
     override def write(b: Array[Byte], off: Int, len: Int): Unit = {
       out.write(b, off, len); pay(len)
     }
+    override def close(): Unit = { settle(); super.close() }
   }
 
+  private def throttled(raw: FSDataOutputStream): FSDataOutputStream =
+    new FSDataOutputStream(new Throttled(raw), null, raw.getPos)
+
+  // BOTH create variants: RawLocalFileSystem overrides the
+  // non-permission create(Path, boolean, int, short, long, Progressable)
+  // directly (it does NOT route through the permission variant), so
+  // overriding only the permission form left fs.create(path, overwrite,
+  // bufferSize) callers — including Spark's checkpoint writer —
+  // unthrottled AND without the create RTT (found by SlowFsSpec, r16).
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     rtt()
-    val raw = super.create(f, permission, overwrite, bufferSize, replication,
-      blockSize, progress)
-    new FSDataOutputStream(new Throttled(raw), null, raw.getPos)
+    throttled(super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress))
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    rtt()
+    throttled(super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress))
+  }
+
+  override def createNonRecursive(f: Path, permission: FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: Progressable): FSDataOutputStream = {
+    rtt()
+    throttled(super.createNonRecursive(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress))
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {

@@ -98,6 +98,72 @@ class CheckpointStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("everyK defers the superseded durable round's delete until the next boundary (recovery root kept)") {
+    // r16 advice (high): eager-release fixpoints (BPE, kCorePeel,
+    // bfsHops, label propagation, dedup) release the superseded round
+    // each iteration; when that round was a DURABLE boundary its
+    // checkpoint files are the recovery ROOT of up to k-1 lineage-kept
+    // intermediate rounds — deleting them eagerly makes executor loss
+    // in the window unrecoverable (FileNotFound on the deleted
+    // ReliableCheckpointRDD part-files). This drives cut() exactly the
+    // way a fixpoint loop does and asserts (a) the files survive the
+    // release, (b) a recompute THROUGH the kept lineage (cache
+    // dropped, the executor-loss recovery path) still succeeds,
+    // (c) the next durable boundary deletes them.
+    val root = ckptRoot
+    spark.conf.set("graft.checkpoint.everyK", "3")
+    try withMode("reliable", Some(root)) {
+      import org.apache.spark.sql.functions.col
+      def isDurable(df: DataFrame) = df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      // advance to a durable boundary (the session-global counter's
+      // phase is arbitrary; k=3 bounds the loop)
+      var durable = Engine.table(spark, sf, "nation").transform(Engine.cut)
+      while (!isDurable(durable)) {
+        Engine.releaseCheckpoint(durable)
+        durable = Engine.table(spark, sf, "nation").transform(Engine.cut)
+      }
+      val rootDirs = listRddDirs(root).toSet
+      assert(rootDirs.nonEmpty, "no durable checkpoint landed")
+      // one INTERMEDIATE round whose kept lineage roots at `durable`
+      val mid = Engine.cut(durable.select((col("n_nationkey") * 2).as("x")))
+      assert(!isDurable(mid), "expected an intermediate (cached) cut")
+      // the fixpoint loop releases the superseded round HERE
+      Engine.releaseCheckpoint(durable)
+      assert(listRddDirs(root).toSet == rootDirs,
+        "durable recovery root deleted while an intermediate round's " +
+          "lineage still depends on it")
+      // executor-loss simulation: drop the cached blocks and force the
+      // recompute through kept lineage — must re-read the checkpoint
+      mid.unpersist(blocking = true)
+      assert(mid.count() == 25)
+      // the next durable boundary supersedes the root -> files deleted
+      val mid2 = Engine.cut(mid.select(col("x")))
+      val next = Engine.cut(mid2.select(col("x")))
+      assert(isDurable(next), "expected a boundary after k cuts")
+      val after = listRddDirs(root).toSet
+      assert(after.intersect(rootDirs).isEmpty,
+        s"superseded durable files survived the next boundary: " +
+          s"${after.intersect(rootDirs)}")
+      assert(after.nonEmpty, "new boundary's files missing")
+      Engine.releaseCheckpoint(mid2)
+      Engine.releaseCheckpoint(next)
+    } finally spark.conf.unset("graft.checkpoint.everyK")
+  }
+
+  /** Listener events drain async; poll until the counter is stable
+    * across a 200 ms window instead of a fixed sleep (r16 advice: a
+    * loaded box made 500 ms insufficient in principle). */
+  private def drained(c: java.util.concurrent.atomic.AtomicInteger): Int = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var prev = -1
+    var cur = c.get()
+    while (cur != prev && System.nanoTime() < deadline) {
+      prev = cur; Thread.sleep(200); cur = c.get()
+    }
+    cur
+  }
+
   test("checkpoint-every-k produces fingerprint-identical results and durable files only at boundaries") {
     // r15: everyK intermediate cuts materialize into the executor cache
     // with lineage kept (bounded recovery to the last durable boundary)
@@ -119,14 +185,13 @@ class CheckpointStrategySpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       val every = withMode("reliable", Some(ckptRoot))(runs())
-      Thread.sleep(500) // listener events drain async
-      val everyJobs = tagged.getAndSet(0)
+      val everyJobs = drained(tagged)
+      tagged.set(0)
       spark.conf.set("graft.checkpoint.everyK", "3")
       val everyK =
         try withMode("reliable", Some(ckptRoot))(runs())
         finally spark.conf.unset("graft.checkpoint.everyK")
-      Thread.sleep(500) // listener events drain async
-      val everyKJobs = tagged.get()
+      val everyKJobs = drained(tagged)
       assert(every == everyK,
         s"everyK changed results: every=$every everyK=$everyK")
       assert(everyKJobs.toDouble <= everyJobs * 0.6,

@@ -416,6 +416,71 @@ class LayoutSpec extends AnyFunSuite {
     assert(slicePreds == inPlan.view.filterKeys(_ < 100).toMap)
   }
 
+  test("persisted NB model scores NEVER-SEEN tokens with the per-class smoothed weight (OOV serving semantics)") {
+    // r15 judge finding #1: the dense-model rewrite's inner join
+    // silently DROPPED out-of-vocabulary tokens — harmless when the
+    // model trains on the corpus being scored (every gated query), but
+    // the serving contract is "train once, score any future slice",
+    // and the smoothed c=0 weight log(1/(tot_c+v_c)) differs per class,
+    // so an OOV token can flip an argmax. This pins the textbook
+    // semantics against a per-token SHADOW implementation (the pre-r15
+    // crossJoin + left-join form, the same shape as the DuckDB oracle)
+    // on documents that contain tokens the model has never seen —
+    // including one that shares NO tokens with the training corpus.
+    freshTable("nbm_oov_tokens"); freshTable("nbm_oov_classes")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val docs = Engine.table(spark, TestSpark.sf, "documents")
+    Layout.writeNbModel(docs, "nbm_oov")
+    val someVocab = docs.select(
+        explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .limit(3).collect().map(_.getString(0)).mkString(" ")
+    val unseen = Seq(
+      (900001L, "xx", "zzqx qqzv zzqx wwvk zzqx"), // all tokens OOV
+      (900002L, "xx", s"$someVocab zzqx qqzv"), //    mixed vocab + OOV
+      (900003L, "xx", "qqzv")).toDF("doc_id", "lang", "text")
+    val served = Layout.nbClassify(unseen, "nbm_oov")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // shadow: score EVERY document token per class — vocab-absent
+    // tokens get COALESCE(c, 0), exactly the oracle SQL's form
+    val ct = spark.table("nbm_oov_tokens")
+    val classes = spark.table("nbm_oov_classes")
+    val DEC = DecimalType(38, 10)
+    val tf = unseen.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val ds = tf.crossJoin(broadcast(classes))
+      .join(ct, Seq("clang", "token"), "left")
+      .groupBy("doc_id", "clang")
+      .agg(sum(col("tf") *
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
+          / (col("tot") + col("v")).cast(DoubleType)), 6).cast(DEC)).as("s"))
+    val shadowScores = unseen.select(col("doc_id"))
+      .crossJoin(broadcast(classes.select("clang", "prior")))
+      .join(ds, Seq("doc_id", "clang"), "left")
+      .select(col("doc_id"), col("clang"),
+        (col("prior") + coalesce(col("s"), lit(0))).as("score"))
+    def scoreMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clang", "score").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDecimal(2)).toMap
+    // score-level pin (DECIMAL-exact — argmax alone could coincide):
+    // the one-pass dense scorer against the LOADED model must equal
+    // the per-token textbook form on OOV-bearing documents
+    val servedScores = scoreMap(graft.operators.TextPipeline
+      .nbClassScores(unseen, ct, classes))
+    assert(servedScores == scoreMap(shadowScores) && servedScores.nonEmpty,
+      "OOV scores diverged from the per-token textbook form")
+    // and the serving argmax agrees with the shadow's
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("clang"))
+    val shadow = shadowScores
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served == shadow && served.size == 3,
+      s"OOV serving semantics diverged: served=$served shadow=$shadow")
+  }
+
   test("persisted centroid model: loaded-model classification == in-plan (c02)") {
     freshTable("centm")
     val e = Engine.table(spark, TestSpark.sf, "embeddings")

@@ -159,12 +159,18 @@ class PlanLintSpec extends AnyFunSuite {
     // session lifetime (r14 verdict #2)
     "Relational.scala" -> 2, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
     "Layout.scala" -> 3, "WireServer.scala" -> 2, "Skew.scala" -> 1,
-    // TextPipeline (r15): the NB one-pass scorer's class list + prior
-    // map — |langs| rows (5), the centroid-k bounded-collect class; the
-    // model's class dimension must be driver-known to emit per-class
-    // sum columns and the row-local argmax
-    "TextPipeline.scala" -> 2,
-    "ClusterCheck.scala" -> 1, "Probe.scala" -> 1, "Probe2.scala" -> 1)
+    // TextPipeline (r15/r16): the NB one-pass scorer's class list +
+    // prior map + per-class OOV default weights — each |langs| rows
+    // (5), the centroid-k bounded-collect class; the model's class
+    // dimension must be driver-known to emit per-class sum columns,
+    // the row-local argmax, and the OOV coalesce literals
+    "TextPipeline.scala" -> 3,
+    // Probe #2 (r16): s03Diag's codebook pick — |cells| rows (500 at
+    // sf100), the same bounded collect the operator itself performs
+    "ClusterCheck.scala" -> 1, "Probe.scala" -> 2, "Probe2.scala" -> 1,
+    // BigGraph (r16): the decade-3 graph-law probe's one-row
+    // fingerprint aggregate (a dev tool, never a query path)
+    "BigGraph.scala" -> 1)
 
   test("every driver-side collect in src/main is audited and budgeted") {
     import scala.jdk.CollectionConverters._
