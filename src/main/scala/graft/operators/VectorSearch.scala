@@ -46,10 +46,31 @@ object VectorSearch {
     val agg =
       if (distinct) GF.topKPairsDistinct(col("nid").cast(LongType), col("sim"), k)
       else GF.topKPairs(col("nid").cast(LongType), col("sim"), k)
-    pairs.groupBy("qid")
+    // Execute the heap EAGERLY under a raised ObjectHashAggregate
+    // fallback threshold, scoped to THIS aggregate alone (Engine.prepare
+    // documents why the session default stays 128: the same threshold
+    // governs the vector-carrying collect_list buffers, which OOM when
+    // held as in-memory hash state). The per-qid heap is the safe case:
+    // |Q| groups x an O(k) fixed buffer — a few MB of state at any |Q|
+    // this engine meets — while the 128-group fallback external-sorts
+    // the FULL candidate stream (r16 s03 stage split at sf100: 92-128 s
+    // hash vs 250-1230 s fallback-sort, the sort additionally 4-10x
+    // run-to-run variable under spill pressure). The threshold conf is
+    // read at EXECUTION time, so the frame must materialize inside the
+    // conf scope: Engine.cut (the d05/pageRank discipline — output-sized
+    // frame, cluster-safe under reliable mode; a lazy return would
+    // escape the scope and silently fall back). Restoring the conf in
+    // `finally` keeps every other aggregate on the protective default.
+    val spark = pairs.sparkSession
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, (1 << 20).toString)
+    try pairs.groupBy("qid")
       .agg(agg.as("topk"))
       .select(col("qid"), explode(col("topk")).as("p"))
       .select(col("qid"), col("p.nid").as("nid"), col("p.sim").as("sim"))
+      .transform(graft.Engine.cut)
+    finally spark.conf.set(key, prior)
   }
 
   /** Exact top-k neighbors for each query vector (brute force). */
@@ -247,7 +268,17 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         sim6(col("qv"), col("embedding")).as("sim"))
-      .dropDuplicates("qid", "nid") // after sim: dedup shuffles triples, not vectors
+    // NO dedup (r16, the s03 decade-3 stage split): a (qid, nid) pair
+    // can meet at most ONCE — each corpus row is assigned exactly one
+    // cell and a query's probed cells are distinct by construction
+    // (NearestCellsKernel.topN inserts each centroid index once) — so
+    // the dropDuplicates("qid", "nid") this plan used to carry was a
+    // provable no-op that built a |candidates|-unique-key hash state
+    // (~0.5B entries at sf100) before the bounded top-k heap: measured
+    // 768 s warm WITH it vs 129 s without at sf100, value-identical
+    // (sampled sf100 oracle + sf0.01/sf0.1 gates re-verified). The
+    // multi-table LSH family genuinely repeats pairs and keeps its
+    // in-heap distinct (topKPerQid(distinct = true)); IVF does not.
     topKPerQid(pairs, k)
   }
 

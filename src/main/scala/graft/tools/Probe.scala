@@ -492,6 +492,30 @@ object Probe {
       timed("E no-dedup variant (heap directly, no (qid,nid) exchange)") {
         println("  out=" + VS.topKPerQid(pairs, 10).count())
       }
+      // F: same heap, but without ObjectHashAggregate's 128-group
+      // sort-based fallback (the r15 s05/s10 mechanism: >128 groups
+      // per partition -> external sort of the full candidate stream;
+      // |Q| = 20k query groups blows the default immediately)
+      spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+      try timed("F heap with 1M fallback threshold (no candidate sort)") {
+        println("  out=" + VS.topKPerQid(pairs, 10).count())
+      } finally spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      // G: the pre-r16 committed form — dropDuplicates("qid","nid")
+      // (a provable no-op for IVF) feeding a LAZY default-threshold
+      // heap — reconstructed inline so old-vs-new compares in the SAME
+      // session/heap regime
+      timed("G pre-r16 form (dropDuplicates + default-threshold heap)") {
+        import org.apache.spark.sql.types.LongType
+        val old = pairs.dropDuplicates("qid", "nid")
+          .groupBy("qid")
+          .agg(graft.functions.GraftFunctions
+            .topKPairs(col("nid").cast(LongType), col("sim"), 10).as("topk"))
+          .select(col("qid"), explode(col("topk")).as("p"))
+        println("  out=" + old.count())
+      }
     }
     spark.stop()
   }

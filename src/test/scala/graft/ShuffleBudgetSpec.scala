@@ -32,7 +32,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "e01_hourly_event_stats" -> 1, // windowed rollup
     "e02_sessionize" -> 1,         // one user-key sort shuffle feeds lag+sum+agg
     "t10_vocab_topk" -> 1,         // token count; top-k is TakeOrdered, no extra
-    "s01_ann_bruteforce" -> 1,     // broadcast queries; heap partial-agg shuffle
+    "s01_ann_bruteforce" -> 0,     // r16: the per-qid heap executes EAGERLY
+                                   // inside topKPerQid under a locally raised
+                                   // ObjectHashAggregate fallback threshold
+                                   // (scoped conf is read at execution time),
+                                   // so the broadcast join + heap partial-agg
+                                   // shuffle run at build time (q69's eager
+                                   // pattern) and the served frame is the
+                                   // output-sized |Q| x k result — 0 shuffles
+                                   // in the final plan by construction
     "d09_decontaminate" -> 2,      // gram build + anti join
     "t21_per_source_cap" -> 2,     // the documented two-phase cap
     "t34_ngram_novelty" -> 2,      // gram df + per-doc rollup
