@@ -103,6 +103,12 @@ object Bench {
     // error marker instead of a timing (Right=(seconds, jobs), Left=error).
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Either[String, (Double, Int)] = {
+      // a prior invocation's ephemeral caches (topKPerQid heap frames)
+      // must not flatter this run — the q69 r14 warm-cache class: the
+      // warmup pass caches the SAME analyzed plan, so without a release
+      // the timed pass would read the warmup's blocks instead of paying
+      // the heap execution it reports
+      Engine.releaseEphemeral(spark)
       val j0 = settledJobCount()
       val t0 = System.nanoTime()
       try {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -492,4 +492,46 @@ object Engine {
       // that were never persisted)
       case _ => df.unpersist(blocking = false); ()
     }
+
+  // -------------------------------------------------------------------
+  // Ephemeral per-query caches (r16 verdict #2): operators that must
+  // materialize an intermediate EAGERLY inside a scoped-conf execution
+  // (topKPerQid's bounded heap under the ANN twin session's raised
+  // ObjectHashAggregate fallback threshold) persist an output-sized
+  // frame the downstream consumer reads through CacheManager
+  // substitution. The frame's lifetime is ONE query: the query
+  // lifecycle (Verify/Bench per query; a serving loop per statement)
+  // calls releaseEphemeral once the consumer has materialized, so no
+  // cache entry outlives its query (TopKCacheSpec pins this — the q69
+  // r14 leak class, closed the same way). Keyed by the PARENT session a
+  // query runs on; releasing while a sibling query on the same session
+  // is mid-flight would merely force a recompute (slow, never wrong),
+  // and the lifecycles here are driver-serial per session.
+  // -------------------------------------------------------------------
+  private val ephemerals = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
+
+  def registerEphemeral(owner: SparkSession, df: Dataset[_]): Unit = {
+    ephemerals.computeIfAbsent(owner,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+      .add(df)
+    ()
+  }
+
+  /** Unpersist every ephemeral frame registered against `owner` since
+    * the last release. Returns the number of frames released. */
+  def releaseEphemeral(owner: SparkSession): Int = {
+    val q = ephemerals.remove(owner)
+    if (q == null) 0
+    else {
+      var n = 0
+      var d = q.poll()
+      while (d != null) {
+        d.unpersist(blocking = false)
+        n += 1
+        d = q.poll()
+      }
+      n
+    }
+  }
 }

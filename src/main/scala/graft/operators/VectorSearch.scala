@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -30,6 +30,36 @@ object VectorSearch {
     * differences vs an oracle while keeping full discrimination. */
   private[graft] def sim6(a: Column, b: Column): Column = GF.round6(GF.cosine(a, b))
 
+  /** Memoized per-parent ANN twin session: a `cloneSession()` whose
+    * ObjectHashAggregate sort-fallback threshold is raised (2^20), so
+    * the bounded per-qid heap never degrades to an external sort of the
+    * full candidate stream. Scoping the raise to a CLONE — instead of
+    * the r16 set/restore toggle on the shared session conf — makes it
+    * concurrency-safe (the r16 verdict's hazard #3): a vector-carrying
+    * collect_list aggregate executing concurrently on the parent session
+    * keeps the protective 128 default at all times (Engine.prepare
+    * documents the measured OOM class: 256k in-memory bucket groups x
+    * ~36 KB member buffers). The clone shares SparkContext, CacheManager
+    * and the registered function surface; only its SQLConf diverges. */
+  private val annSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private[graft] def annSession(spark: SparkSession): SparkSession =
+    annSessions.computeIfAbsent(spark, s => {
+      val c = GraftShim.cloneSession(s)
+      c.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
+      c
+    })
+
+  /** Test hook: the executed plan of the most recent [[topKPerQid]]
+    * protected-path aggregate, captured BEFORE materialization (the
+    * cache substitution otherwise hides it from a post-hoc explain).
+    * Gated off by default — building the plan twice costs planning time
+    * on every ANN query. Plan-lint specs flip the flag. */
+  @volatile private[graft] var captureTopKPlans: Boolean = false
+  @volatile private[graft] var lastTopKPlan: Option[org.apache.spark.sql.execution.SparkPlan] = None
+
   /** Per-query exact top-k over a (qid, nid, sim) candidate set via the
     * bounded-heap aggregate (functions/GraftExpressions TopKPairsAgg):
     * each input partition reduces to <= k pairs per qid BEFORE the
@@ -37,50 +67,67 @@ object VectorSearch {
     * TakeOrderedAndProject shape. A window row_number() here would sort
     * every query's full candidate list in one task (the round-3 verdict's
     * named scale-killer).
+    *
+    * `boundedQ = true` is the SERVING contract: the caller guarantees
+    * <= 128 distinct qids (a point lookup, a single-user query), so the
+    * heap can never hit the 128-group sort fallback and the plan returns
+    * LAZY — zero extra jobs, no cache entry, no durable write, and the
+    * full logical plan stays visible to consumers (the index-pruning
+    * scan paths ServingPathSpec pins). Batch callers leave it false.
     */
   private[graft] def topKPerQid(pairs: DataFrame, k: Int,
-      distinct: Boolean = false): DataFrame = {
+      distinct: Boolean = false, boundedQ: Boolean = false): DataFrame = {
     // distinct=true: in-heap dedup by nid (exact when duplicates are
     // identical (nid, sim) repeats — the multi-table LSH case), saving
     // the dropDuplicates shuffle of the full candidate set
     val agg =
       if (distinct) GF.topKPairsDistinct(col("nid").cast(LongType), col("sim"), k)
       else GF.topKPairs(col("nid").cast(LongType), col("sim"), k)
-    // Execute the heap EAGERLY under a raised ObjectHashAggregate
-    // fallback threshold, scoped to THIS aggregate alone (Engine.prepare
-    // documents why the session default stays 128: the same threshold
-    // governs the vector-carrying collect_list buffers, which OOM when
-    // held as in-memory hash state). The per-qid heap is the safe case:
-    // |Q| groups x an O(k) fixed buffer — a few MB of state at any |Q|
-    // this engine meets — while the 128-group fallback external-sorts
-    // the FULL candidate stream (r16 s03 stage split at sf100: 92-128 s
-    // hash vs 250-1230 s fallback-sort, the sort additionally 4-10x
-    // run-to-run variable under spill pressure). The threshold conf is
-    // read at EXECUTION time, so the frame must materialize inside the
-    // conf scope: Engine.cut (the d05/pageRank discipline — output-sized
-    // frame, cluster-safe under reliable mode; a lazy return would
-    // escape the scope and silently fall back). Restoring the conf in
-    // `finally` keeps every other aggregate on the protective default.
-    val spark = pairs.sparkSession
-    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, (1 << 20).toString)
-    try pairs.groupBy("qid")
+    val out = pairs.groupBy("qid")
       .agg(agg.as("topk"))
       .select(col("qid"), explode(col("topk")).as("p"))
       .select(col("qid"), col("p.nid").as("nid"), col("p.sim").as("sim"))
-      .transform(graft.Engine.cut)
-    finally spark.conf.set(key, prior)
+    if (boundedQ) out
+    else {
+      // Unbounded |Q|: execute the heap EAGERLY under the ANN twin
+      // session's raised fallback threshold (the r16 s03 stage split at
+      // sf100: 92-128 s hash vs 250-1230 s fallback-sort, the sort
+      // additionally 4-10x run-to-run variable under spill pressure).
+      // The threshold conf is read at EXECUTION time (driver-side, in
+      // ObjectHashAggregateExec.doExecute, then captured into the task
+      // closure — so cached-partition RECOMPUTE after an executor loss
+      // keeps the raised value), so the frame must materialize through
+      // the twin session: an ephemeral persist + count — NOT Engine.cut
+      // (r16), which in reliable mode paid a durable checkpoint write
+      // per ANN query and bumped the everyK counter shared with the
+      // fixpoint operators, and whose localCheckpoint frame leaked for
+      // the session lifetime (the q69 r14 leak class). The persisted
+      // frame is output-sized (|Q| x k rows), registered with
+      // Engine.registerEphemeral, and released by the query lifecycle
+      // (Verify/Bench per query; TopKCacheSpec pins no-survivor).
+      // Consumers re-bind the SAME analyzed plan on the parent session:
+      // the shared CacheManager substitutes the built InMemoryRelation,
+      // so downstream plans read the cache — never re-run the heap under
+      // the parent's protective 128 default.
+      val spark = pairs.sparkSession
+      val bound = GraftShim.ofRows(annSession(spark), out.queryExecution.analyzed)
+      if (captureTopKPlans) lastTopKPlan = Some(bound.queryExecution.executedPlan)
+      val p = bound.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      Engine.registerEphemeral(spark, p)
+      GraftShim.ofRows(spark, out.queryExecution.analyzed)
+    }
   }
 
   /** Exact top-k neighbors for each query vector (brute force). */
   def bruteForceTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      boundedQ: Boolean = false): DataFrame = {
     // queries: (qid, qv); corpus: (vec_id, embedding)
     val pairs = corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         sim6(col("qv"), col("embedding")).as("sim"))
-    topKPerQid(pairs, k)
+    topKPerQid(pairs, k, boundedQ = boundedQ)
   }
 
   /** Deterministic random hyperplanes: plane j element i in {-1,+1}. */
@@ -181,7 +228,8 @@ object VectorSearch {
     * index files. Candidate semantics are identical to [[lshTopK]]
     * (pcode is a bijection of (tbl, bucket)). */
   def lshTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+      planes: Int = 4, tables: Int = 8, dim: Int = 64,
+      boundedQ: Boolean = false): DataFrame = {
     val q = queries.select(col("qid"), col("qv"),
         posexplode(lshBucketsAll(col("qv"), planes, tables, dim)).as(Seq("tbl", "bucket")))
       .select(col("qid"), col("qv"),
@@ -192,7 +240,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         sim6(col("qv"), col("embedding")).as("sim"))
-    topKPerQid(pairs, k, distinct = true)
+    topKPerQid(pairs, k, distinct = true, boundedQ = boundedQ)
   }
 
   /** IVF-flavored ANN: a coarse codebook of `cells` centroids (derived
@@ -348,20 +396,22 @@ object VectorSearch {
   /** ADC-score candidates from an encoded index (inline or persisted),
     * shortlist with the bounded heap, rerank exactly from true vectors. */
   private def pqSearch(index: DataFrame, corpus: DataFrame,
-      queries: DataFrame, q: DataFrame, k: Int, rerank: Int): DataFrame = {
+      queries: DataFrame, q: DataFrame, k: Int, rerank: Int,
+      boundedQ: Boolean = false): DataFrame = {
     // each corpus row has exactly ONE cid, so a (qid, nid) pair cannot
     // repeat across probes — no dedup needed before the heap
     val cand = index.join(broadcast(q), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         GF.pqAdcSum(col("codes"), col("adc")).as("sim"))
-    val shortlist = topKPerQid(cand, rerank).select("qid", "nid")
+    val shortlist = topKPerQid(cand, rerank, boundedQ = boundedQ)
+      .select("qid", "nid")
     // exact rerank: fetch true vectors for the Q x rerank shortlist only
     val exact = corpus
       .join(broadcast(shortlist), col("vec_id") === col("nid"))
       .join(broadcast(queries.select(col("qid"), col("qv"))), Seq("qid"))
       .select(col("qid"), col("nid"), sim6(col("qv"), col("embedding")).as("sim"))
-    topKPerQid(exact, k)
+    topKPerQid(exact, k, boundedQ = boundedQ)
   }
 
   def ivfPqTopK(
@@ -391,7 +441,8 @@ object VectorSearch {
     * corpus except for the Q x rerank shortlist fetch. This is the
     * serving shape: encode once (`encodeIvfPq` + Layout), search many. */
   def ivfPqTopKIndexed(index: DataFrame, corpus: DataFrame,
-      queries: DataFrame, model: PqModel, k: Int): DataFrame = {
+      queries: DataFrame, model: PqModel, k: Int,
+      boundedQ: Boolean = false): DataFrame = {
     val q = probedQueries(queries, model)
     val probed = q.select("cid").distinct().collect().map(_.getInt(0)).sorted
     // same exchange barrier as ivfPqTopK: when the caller passes an
@@ -401,7 +452,7 @@ object VectorSearch {
     // exchange is a near-no-op narrow shuffle of the selected cells.
     pqSearch(index.filter(col("cid").isin(probed.toIndexedSeq: _*))
         .repartition(col("cid")),
-      corpus, queries, q, k, model.rerank)
+      corpus, queries, q, k, model.rerank, boundedQ = boundedQ)
   }
 
   /** Capped LSH bucket self-join pair generator — the shared candidate
@@ -895,7 +946,8 @@ object VectorSearch {
     val lexTop = rankLex(TextPipeline.bm25Scores(documents, terms), k)
     val q = corpus.filter(col("vec_id") === qid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val vecTop = rankVec(bruteForceTopK(corpus, q, k))
+    // ONE query row — the boundedQ serving contract holds statically
+    val vecTop = rankVec(bruteForceTopK(corpus, q, k, boundedQ = true))
     hybridRrfFuse(lexTop, vecTop)
   }
 
@@ -940,8 +992,11 @@ object VectorSearch {
     val lexTop = rankLex(TextPipeline.bm25FromIndex(postings, doclens, terms), k)
     val q = corpus.filter(col("vec_id") === qid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // ONE query row — the boundedQ serving contract holds statically:
+    // the serve path stays a single LAZY plan (index partition pruning
+    // visible end-to-end, zero extra jobs, no per-query cache entry)
     val vecTop = rankVec(ivfPqTopKIndexed(ivfIndex, corpus, q,
-      model.copy(rerank = math.max(model.rerank, k)), k))
+      model.copy(rerank = math.max(model.rerank, k)), k, boundedQ = true))
     hybridRrfFuse(lexTop, vecTop)
   }
 

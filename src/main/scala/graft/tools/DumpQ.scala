@@ -18,6 +18,7 @@ object DumpQ {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir)
         .write.mode("overwrite").parquet(s"$out/$q")
+      graft.Engine.releaseEphemeral(spark) // per-query lifecycle (r17)
       println(f"[dumpq] $q dumped in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()
