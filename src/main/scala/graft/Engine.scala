@@ -368,7 +368,23 @@ object Engine {
     * pipeline's boundary cannot delete another pipeline's still-needed
     * root. A pipeline that ends between boundaries leaves at most one
     * round's files pending until the thread's next everyK boundary or
-    * session end — dead files, bounded by one frame per idle thread. */
+    * session end — dead files, bounded by one frame per idle thread.
+    *
+    * Accepted residual (r16 advice, low): the thread key assumes the
+    * NEXT durable boundary on a thread belongs to the same pipeline or
+    * to one that no longer needs the deferred root. A LATER query
+    * reusing the thread drains the earlier pipeline's deferred root;
+    * if the earlier pipeline ended WITHOUT a final durable boundary,
+    * handed its everyK lineage-kept frame to the caller, and that
+    * frame later loses cached partitions, the recompute hits the
+    * deleted root (FileNotFound) — the class the deferral prevents, in
+    * a much narrower window. Every fixpoint here closes with a durable
+    * cut before returning (the loop's final round is a boundary), so
+    * the window requires a caller holding an INTERMEDIATE round frame
+    * across queries — not a shape this engine's query surface
+    * produces. A serving deployment wanting cross-query caching of
+    * everyK intermediates should key deferral by an explicit pipeline
+    * token instead. */
   private val pendingDurableDeletes =
     new java.util.concurrent.ConcurrentHashMap[Long, List[String]]()
 
@@ -492,6 +508,27 @@ object Engine {
       // that were never persisted)
       case _ => df.unpersist(blocking = false); ()
     }
+
+  /** Run `body` with Catalyst constraint propagation disabled on
+    * `spark`, restoring the prior value after. Workaround for a Spark
+    * optimizer defect hit by the iterative union-of-join shape on
+    * lineage-cut inputs (found the first time bfsHops ran on a
+    * mutual-kNN edge fixture): `Union.rewriteConstraints` throws
+    * `NoSuchElementException: key not found: <attr>` when a union
+    * child's constraint set references an attribute outside that
+    * child's output after projection pushdown — a planner crash, not a
+    * wrong answer. The conf is read at OPTIMIZATION time, so the
+    * set/restore window only affects queries PLANNED concurrently on
+    * this session, and for those the effect is the loss of inferred
+    * is-not-null join filters — a perf assist, never correctness
+    * (unlike the execution-time ObjectHashAggregate threshold, which
+    * is why topKPerQid uses a cloned session instead). */
+  def withoutConstraintPropagation[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prior)
+  }
 
   // -------------------------------------------------------------------
   // Ephemeral per-query caches (r16 verdict #2): operators that must

@@ -241,19 +241,27 @@ object Graph {
     * one min-aggregate, both over the distance table (<= |V| rows, one
     * row per reached node), materialized per round with the previous
     * round's blocks released. */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    var dist = seeds.select(col("id"), lit(0).as("dist")).transform(Engine.cut)
-    for (r <- 1 to rounds) {
-      val next = dist.join(edges, col("id") === col("src"))
-        .select(col("dst").as("id"), lit(r).as("dist"))
-        .unionByName(dist)
-        .groupBy("id").agg(min("dist").as("dist"))
-        .transform(Engine.cut)
-      Engine.releaseCheckpoint(dist)
-      dist = next
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    // constraint propagation disabled for the loop's planning: the
+    // frontier-union shape trips Union.rewriteConstraints on some
+    // inputs (first seen on the decade-3 mutual-kNN edge fixture —
+    // planner NoSuchElementException, see Engine Scaladoc); each
+    // round's cut materializes inside this scope, and the returned
+    // frame is the last cut (ExistingRDD), so no consumer replans the
+    // union outside it
+    Engine.withoutConstraintPropagation(edges.sparkSession) {
+      var dist = seeds.select(col("id"), lit(0).as("dist")).transform(Engine.cut)
+      for (r <- 1 to rounds) {
+        val next = dist.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), lit(r).as("dist"))
+          .unionByName(dist)
+          .groupBy("id").agg(min("dist").as("dist"))
+          .transform(Engine.cut)
+        Engine.releaseCheckpoint(dist)
+        dist = next
+      }
+      dist
     }
-    dist
-  }
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Engine.table(s, d, "documents")

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Engine
 import graft.operators.{Graph, VectorSearch}
@@ -65,11 +66,13 @@ object BigGraph {
       println(s"[biggraph] edges written to $p")
     }
 
-    // fingerprint aggregate: cheap, order-independent, pins the result
+    // fingerprint aggregate: cheap, order-independent, pins the result.
+    // Sum the per-row hash in DECIMAL(38,0): full-range xxhash64 longs
+    // overflow an ANSI BIGINT sum after a handful of rows (found the
+    // first time this tool ran to completion — decade-2 smoke)
     def fp(df: DataFrame): String =
-      df.select(df.columns.map(c => xxhash64(col(c).cast("string"))
-        .as(c)): _*)
-        .agg(sum(expr(df.columns.mkString("+"))).as("h"))
+      df.agg(sum(xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+        .cast(DecimalType(38, 0))).as("h"))
         .collect()(0).toString
 
     def time(name: String)(f: => DataFrame): Unit = {

@@ -58,7 +58,7 @@ object ClusterCheck {
     * of nodes instead of hundreds) is a different memory/recompute
     * surface. Overridable for local iteration. */
   val bigGraphEdges: String = sys.props.getOrElse("graft.biggraph.edges",
-    "target/bigraph/edges-sf100.parquet")
+    "target/biggraph/edges-sf100.parquet")
 
   /** Resolve an arm's query: the gated SparkEntry surface, plus
     * harness-local pseudo-queries (the big-graph arm reads a prebuilt
@@ -326,7 +326,16 @@ object ClusterCheck {
     // fixture has been built (BigGraph --write-edges); kill lands after
     // the adjacency cuts, inside the iteration chain.
     (if (new java.io.File(bigGraphEdges).exists())
-      Seq(ChaosSpec("big_pagerank_knn", 6)) else Nil)
+      Seq(ChaosSpec("big_pagerank_knn", 6))
+    else {
+      // LOUD omission (r16 advice): a path typo or a forgotten
+      // BigGraph --write-edges run must not silently shrink the kill
+      // matrix while the check reports success
+      println(s"[cluster-check] big-graph arm SKIPPED: fixture missing " +
+        s"at $bigGraphEdges (runMain graft.tools.BigGraph <sfDir> " +
+        s"--write-edges=$bigGraphEdges)")
+      Nil
+    })
 
   /** kill -9 EVERY executor JVM of THIS app (matched by
     * CoarseGrainedExecutorBackend + the app id in /proc cmdline) —

@@ -128,6 +128,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got1 == Map(0L -> 0, 1L -> 1, 4L -> 1, 5L -> 0))
   }
 
+  test("bfsHops survives constraint-rich inputs (mutual-kNN fixture shape)") {
+    // regression (r17, found the first time tools/BigGraph ran to
+    // completion): parquet-derived seeds + lineage-cut symmetric edges
+    // tripped Union.rewriteConstraints in the optimizer
+    // (NoSuchElementException: key not found) — a planner crash on
+    // exactly the decade-3 fixture shape. bfsHops now plans its loop
+    // under Engine.withoutConstraintPropagation.
+    import org.apache.spark.sql.functions.col
+    val e = graft.Engine.table(spark, TestSpark.sf, "embeddings")
+    val pairs = VectorSearch.mutualKnnGraph(e, 5).transform(graft.Engine.cut)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .transform(graft.Engine.cut)
+    val seeds = e.select(col("vec_id").as("id")).filter(col("id") % 100 === 0)
+    val dist = Graph.bfsHops(edges, seeds, rounds = 3).collect()
+    assert(dist.nonEmpty)
+    assert(dist.map(_.getInt(1)).forall(d => d >= 0 && d <= 3))
+    // seeds are at distance 0
+    assert(dist.filter(_.getInt(1) == 0).map(_.getLong(0)).toSet
+      == seeds.collect().map(_.getLong(0)).toSet)
+    // and the parent session conf is restored after the loop
+    assert(spark.conf.get("spark.sql.constraintPropagation.enabled") == "true")
+    graft.Engine.releaseEphemeral(spark)
+  }
+
   test("adamicAdar: hand-scored wedges, adjacency excluded, hub capped") {
     // path 0-1-2 plus 2-3: wedges (0,2) via 1? no — 0-1-2 ARE the
     // edges; candidates are the distance-2 pairs (0,2)? (0,2) is NOT

@@ -128,9 +128,15 @@ if not os.path.exists(f"{stage}/copy0.parquet"):  # resumable staging
       TO '{stage}/copy0.parquet' (FORMAT PARQUET)""")
 print("documents copy 0: staged", flush=True)
 for m in range(1, K):
+    # resume only on VALID files: an OOM-killed COPY leaves a truncated
+    # parquet behind ("too small to be a Parquet file" at the union read)
     if os.path.exists(f"{stage}/copy{m}.parquet"):
-        print(f"documents copy {m}: already staged", flush=True)
-        continue
+        if os.path.getsize(f"{stage}/copy{m}.parquet") > 1 << 20:
+            print(f"documents copy {m}: already staged", flush=True)
+            continue
+        os.remove(f"{stage}/copy{m}.parquet")
+        print(f"documents copy {m}: truncated stage dropped, re-staging",
+              flush=True)
     con.execute(f"""COPY (
       SELECT doc_id + {m}*{DOC} AS doc_id,
              string_agg(x.nw, ' ' ORDER BY x.i) AS text,
