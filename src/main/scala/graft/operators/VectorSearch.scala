@@ -52,14 +52,6 @@ object VectorSearch {
       c
     })
 
-  /** Test hook: the executed plan of the most recent [[topKPerQid]]
-    * protected-path aggregate, captured BEFORE materialization (the
-    * cache substitution otherwise hides it from a post-hoc explain).
-    * Gated off by default — building the plan twice costs planning time
-    * on every ANN query. Plan-lint specs flip the flag. */
-  @volatile private[graft] var captureTopKPlans: Boolean = false
-  @volatile private[graft] var lastTopKPlan: Option[org.apache.spark.sql.execution.SparkPlan] = None
-
   /** Per-query exact top-k over a (qid, nid, sim) candidate set via the
     * bounded-heap aggregate (functions/GraftExpressions TopKPairsAgg):
     * each input partition reduces to <= k pairs per qid BEFORE the
@@ -111,7 +103,6 @@ object VectorSearch {
       // the parent's protective 128 default.
       val spark = pairs.sparkSession
       val bound = GraftShim.ofRows(annSession(spark), out.queryExecution.analyzed)
-      if (captureTopKPlans) lastTopKPlan = Some(bound.queryExecution.executedPlan)
       val p = bound.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
       Engine.registerEphemeral(spark, p)
