@@ -525,10 +525,27 @@ object Engine {
     * is why topKPerQid uses a cloned session instead). */
   def withoutConstraintPropagation[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.constraintPropagation.enabled"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prior)
+    // Reentrancy (r17 advice): without a depth count, two overlapping
+    // scopes on one session would have the inner capture prior="false"
+    // and restore it after the outer exits — leaving the conf disabled
+    // session-wide. Only the OUTERMOST scope captures and restores; the
+    // bookkeeping runs under one monitor (scope entry/exit only, never
+    // around `body`).
+    cpLock.synchronized {
+      val d = cpDepth.getOrDefault(spark, 0)
+      if (d == 0) { cpPrior.put(spark, spark.conf.get(key)); spark.conf.set(key, "false") }
+      cpDepth.put(spark, d + 1)
+    }
+    try body finally cpLock.synchronized {
+      val d = cpDepth.get(spark) - 1
+      if (d == 0) {
+        spark.conf.set(key, cpPrior.remove(spark)); cpDepth.remove(spark)
+      } else cpDepth.put(spark, d)
+    }
   }
+  private val cpLock = new Object
+  private val cpDepth = new java.util.concurrent.ConcurrentHashMap[SparkSession, Integer]()
+  private val cpPrior = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   // -------------------------------------------------------------------
   // Ephemeral per-query caches (r16 verdict #2): operators that must
@@ -549,11 +566,21 @@ object Engine {
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
 
   def registerEphemeral(owner: SparkSession, df: Dataset[_]): Unit = {
+    // a released owner's entry is removed by releaseEphemeral; owners
+    // whose CONTEXT has stopped (multi-session drivers that never
+    // release — ClusterCheck's per-master arms) purge here, so the map
+    // cannot grow monotonically across retired sessions (r17 verdict #4)
+    val it = ephemerals.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     ephemerals.computeIfAbsent(owner,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
       .add(df)
     ()
   }
+
+  /** Number of sessions currently holding unreleased ephemerals —
+    * observability for the no-leak specs. */
+  def ephemeralSessions: Int = ephemerals.size
 
   /** Unpersist every ephemeral frame registered against `owner` since
     * the last release. Returns the number of frames released. */

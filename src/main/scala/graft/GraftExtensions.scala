@@ -38,5 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    // The SQL-callable serving surface (index-served ANN / BM25 /
+    // hybrid RRF table functions over the `serve_*` catalog tables
+    // written by Serving.buildIndexes) — builders self-configure from
+    // catalog state at call time, so static injection needs no driver
+    // object. `Serving.install` is the runtime twin for live sessions.
+    Serving.tableFunctions(Serving.DefaultPrefix).foreach(ext.injectTableFunction)
   }
 }

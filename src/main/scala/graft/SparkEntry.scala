@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Bpe.defs ++
       operators.Packing.defs ++
       operators.Events.defs ++
-      multimodal.Blob.defs
+      multimodal.Blob.defs ++
+      Serving.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way star join + aggregate (SURVEY §7.1's "minimum end-to-end

@@ -44,13 +44,38 @@ object VectorSearch {
   private val annSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
-  private[graft] def annSession(spark: SparkSession): SparkSession =
+  /** CONF-SNAPSHOT SEMANTICS (r17 advice): the twin's SQLConf is a copy
+    * taken at the parent's FIRST ANN query — parent conf changes made
+    * later (timezone, ANSI mode, shuffle partitions) never reach heap
+    * execution until [[evictAnnSession]] drops the memo. That is the
+    * accepted trade: the alternative (a fresh clone per query) re-pays
+    * clone+conf setup on every ANN call, and the confs that matter to
+    * the heap (the fallback threshold) are exactly the ones the twin
+    * exists to pin. Entries whose parent's SparkContext has stopped are
+    * purged on the next access (the multi-session driver pattern —
+    * ClusterCheck's per-master arms — would otherwise accumulate dead
+    * parent+twin pairs forever); single-context drivers can also evict
+    * explicitly when retiring a session. */
+  private[graft] def annSession(spark: SparkSession): SparkSession = {
+    purgeStoppedAnnSessions()
     annSessions.computeIfAbsent(spark, s => {
       val c = GraftShim.cloneSession(s)
       c.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 20).toString)
       c
     })
+  }
+
+  /** Close hook: drop a retiring parent session's memoized twin (the
+    * registry otherwise holds strong refs to both for process life). */
+  def evictAnnSession(parent: SparkSession): Unit = { annSessions.remove(parent); () }
+
+  private def purgeStoppedAnnSessions(): Unit = {
+    val it = annSessions.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
+
+  private[graft] def annRegistrySize: Int = annSessions.size
 
   /** Per-query exact top-k over a (qid, nid, sim) candidate set via the
     * bounded-heap aggregate (functions/GraftExpressions TopKPairsAgg):
@@ -61,12 +86,21 @@ object VectorSearch {
     * named scale-killer).
     *
     * `boundedQ = true` is the SERVING contract: the caller guarantees
-    * <= 128 distinct qids (a point lookup, a single-user query), so the
-    * heap can never hit the 128-group sort fallback and the plan returns
-    * LAZY — zero extra jobs, no cache entry, no durable write, and the
-    * full logical plan stays visible to consumers (the index-pruning
-    * scan paths ServingPathSpec pins). Batch callers leave it false.
+    * <= [[MaxBoundedQids]] distinct qids (a point lookup, a single-user
+    * query), so the heap can never hit the 128-group sort fallback and
+    * the plan returns LAZY — zero extra jobs, no cache entry, no durable
+    * write, and the full logical plan stays visible to consumers (the
+    * index-pruning scan paths ServingPathSpec pins). Batch callers leave
+    * it false. The contract is ENFORCED in-plan: a violating caller
+    * fails loudly at execution instead of silently degrading to the
+    * external-sort fallback (see the guard below).
     */
+  /** The `boundedQ` serving bound: the parent session's protective
+    * ObjectHashAggregate fallback threshold (Engine.prepare's 128
+    * default) — a serving query set at or under it can never trigger
+    * the sort fallback, so its heap plan is safe to leave lazy. */
+  val MaxBoundedQids = 128
+
   private[graft] def topKPerQid(pairs: DataFrame, k: Int,
       distinct: Boolean = false, boundedQ: Boolean = false): DataFrame = {
     // distinct=true: in-heap dedup by nid (exact when duplicates are
@@ -75,8 +109,31 @@ object VectorSearch {
     val agg =
       if (distinct) GF.topKPairsDistinct(col("nid").cast(LongType), col("sim"), k)
       else GF.topKPairs(col("nid").cast(LongType), col("sim"), k)
-    val out = pairs.groupBy("qid")
-      .agg(agg.as("topk"))
+    val heap = pairs.groupBy("qid").agg(agg.as("topk"))
+    // boundedQ CONTRACT GUARD (r17 verdict #2): the caller promised
+    // <= MaxBoundedQids distinct qids. A violation would otherwise
+    // silently external-sort the full candidate stream under the parent
+    // session's protective 128-group ObjectHashAggregate fallback — the
+    // exact scale-killer this mechanism avoids. The guard stays LAZY
+    // (zero extra jobs, the serving property): the heap output is one
+    // row per distinct qid, so a window count over a constant partition
+    // — one tiny exchange of <= |Q| heap rows — measures |Q| in-plan,
+    // and the qid projection raises at execution when it exceeds the
+    // bound. Loud-not-early: a violating query pays its heap before the
+    // error fires, but it FAILS, with the contract named, instead of
+    // degrading (BoundedQGuardSpec pins both sides).
+    val checked =
+      if (!boundedQ) heap
+      else {
+        val nq = count(lit(1)).over(Window.partitionBy(lit(0)))
+        heap.select(
+          when(nq > lit(MaxBoundedQids), raise_error(format_string(
+            s"boundedQ serving contract violated: %s distinct qids exceed " +
+              s"the $MaxBoundedQids bound; use boundedQ = false for batch " +
+              "query sets", nq))).otherwise(col("qid")).as("qid"),
+          col("topk"))
+      }
+    val out = checked
       .select(col("qid"), explode(col("topk")).as("p"))
       .select(col("qid"), col("p.nid").as("nid"), col("p.sim").as("sim"))
     if (boundedQ) out
@@ -1063,9 +1120,16 @@ object VectorSearch {
     * arm (s15) is semantically IDENTICAL to the inline arm — probed
     * cells become a partition filter, nothing else changes — so one
     * oracle text gates both. */
-  private[graft] def oracleIvfPqSql(cells: Int, nprobe: Int, sampleMod: Int = 0): String = {
+  /** `qidPred` selects the query set (SQL predicate on the query-side
+    * vec_id): the batch entries use the default `% 100 = 0` family; the
+    * SQL-served single-qid entries (s16/s17) pass `= 0`. Factored as a
+    * bare CTE chain (ending at `exact`, the reranked candidate scores)
+    * so the hybrid serving oracle can compose the same vector arm with
+    * the BM25 arm under one WITH. */
+  private[graft] def oracleIvfPqCtes(cells: Int, nprobe: Int, sampleMod: Int = 0,
+      qidPred: String = "% 100 = 0"): String = {
     val sample = if (sampleMod <= 0) "" else s" WHERE e.vec_id % $sampleMod = 0"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         mmv AS (SELECT vec_id, $oracleMurmur FROM embeddings),
         samp AS (SELECT e.vec_id, e.v FROM e JOIN mmv USING (vec_id)
                  ORDER BY mmv.mm, vec_id LIMIT ${math.max(cells, 32)}),
@@ -1091,11 +1155,11 @@ object VectorSearch {
             SELECT e.vec_id, cents.cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                      ORDER BY ${oracleCosRaw("e.v", "cents.c")} DESC, cents.cid) AS rn
-            FROM e CROSS JOIN cents WHERE e.vec_id % 100 = 0) WHERE rn <= $nprobe),
+            FROM e CROSS JOIN cents WHERE e.vec_id $qidPred) WHERE rn <= $nprobe),
         adc AS (
           SELECT e.vec_id AS qid, b.j, b.c,
                  list_dot_product(e.v[b.j*8+1 : b.j*8+8], b.w) AS dot
-          FROM e CROSS JOIN books b WHERE e.vec_id % 100 = 0),
+          FROM e CROSS JOIN books b WHERE e.vec_id $qidPred),
         cand AS (
           SELECT q.qid, a.vec_id AS nid
           FROM qprobe q JOIN asg a ON a.cid = q.cid
@@ -1115,12 +1179,16 @@ object VectorSearch {
             FROM adcscore) WHERE rn <= 50),
         exact AS (
           SELECT s.qid, s.nid, round($oracleCosine, 6) AS sim
-          FROM shortlist s JOIN e a ON a.vec_id = s.qid JOIN e b ON b.vec_id = s.nid)
+          FROM shortlist s JOIN e a ON a.vec_id = s.qid JOIN e b ON b.vec_id = s.nid)"""
+  }
+
+  private[graft] def oracleIvfPqSql(cells: Int, nprobe: Int, sampleMod: Int = 0,
+      qidPred: String = "% 100 = 0", k: Int = 10): String =
+    s"""WITH ${oracleIvfPqCtes(cells, nprobe, sampleMod, qidPred)}
         SELECT qid, nid, sim FROM (
           SELECT qid, nid, sim,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-          FROM exact) WHERE rn <= 10"""
-  }
+          FROM exact) WHERE rn <= $k"""
 
   val defs: Seq[GQ] = Seq(
 

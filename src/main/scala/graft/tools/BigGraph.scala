@@ -39,6 +39,14 @@ object BigGraph {
       case a if a.startsWith("--write-edges=") =>
         a.stripPrefix("--write-edges=")
     }
+    // --only=g04_kcore_peel_big[,...]: run a subset (the r18 disk-vs-
+    // algorithm split re-times ONE fixpoint under two spark.local.dir
+    // placements; rebuilding the kNN graph is unavoidable, re-timing
+    // the other two is not)
+    val only = args.collectFirst {
+      case a if a.startsWith("--only=") =>
+        a.stripPrefix("--only=").split(",").toSet
+    }.getOrElse(Set.empty[String])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,6 +84,7 @@ object BigGraph {
         .collect()(0).toString
 
     def time(name: String)(f: => DataFrame): Unit = {
+      if (only.nonEmpty && !only(name)) return
       var warm = Double.MaxValue
       var rows = 0L
       var h = ""

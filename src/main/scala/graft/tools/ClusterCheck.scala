@@ -262,7 +262,12 @@ object ClusterCheck {
   final case class ChaosSpec(query: String, killAtJob: Int,
       conf: Map[String, String] = Map.empty,
       insideCutWrite: Boolean = false,
-      tag: String = "")
+      tag: String = "",
+      // skip the local-mode contrast arm: for composite specs whose
+      // base spec already proves local-fails on the same query, the
+      // extra local run would re-prove a proven contrast at full cost
+      // (the decade-3 big-graph arms are minutes each)
+      reliableOnly: Boolean = false)
 
   /** The kill matrix (r13 verdict #2 widened it from g08 alone). Kill
     * points sit mid-fixpoint, tuned from graft.tools.JobCount totals:
@@ -326,7 +331,16 @@ object ClusterCheck {
     // fixture has been built (BigGraph --write-edges); kill lands after
     // the adjacency cuts, inside the iteration chain.
     (if (new java.io.File(bigGraphEdges).exists())
-      Seq(ChaosSpec("big_pagerank_knn", 6))
+      Seq(ChaosSpec("big_pagerank_knn", 6),
+        // r17 verdict stretch: the two evidence classes existed only
+        // separately — kills at decade-3 frame size (above) and kills
+        // with the checkpoint store behind the 40 ms-RTT slowfs (the
+        // g08 arms). This composes them: recovery must re-read
+        // decade-3-sized ReliableCheckpointRDD part-files through the
+        // latency-injected store after losing every executor.
+        ChaosSpec("big_pagerank_knn", 6,
+          Map("graft.cc.slowfs" -> "40"), tag = "_slowfs",
+          reliableOnly = true))
     else {
       // LOUD omission (r16 advice): a path typo or a forgotten
       // BigGraph --write-edges run must not silently shrink the kill
@@ -694,7 +708,8 @@ object ClusterCheck {
       // jobs, so a local twin's kill would never fire (vacuous, not
       // failing) — the strategy contrast is already proven by the
       // job-boundary specs on the same queries
-      if (s.insideCutWrite) Seq(chaosArm(dir, s, "reliable", Some(refs(s.query))))
+      if (s.insideCutWrite || s.reliableOnly)
+        Seq(chaosArm(dir, s, "reliable", Some(refs(s.query))))
       else Seq(chaosArm(dir, s, "reliable", Some(refs(s.query))),
         chaosArm(dir, s, "local", None))
     }
@@ -712,6 +727,9 @@ object ClusterCheck {
       if (s.insideCutWrite)
         chaos.exists(a => a.query == s.query &&
           a.mode == s"reliable_midwrite${s.tag}" &&
+          a.outcome == "completed" && a.killedPid != -1L)
+      else if (s.reliableOnly)
+        chaos.exists(a => a.query == s.query && a.mode == s"reliable${s.tag}" &&
           a.outcome == "completed" && a.killedPid != -1L)
       else
         chaos.exists(a => a.query == s.query && a.mode == s"reliable${s.tag}" &&

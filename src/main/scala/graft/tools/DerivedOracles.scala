@@ -43,7 +43,13 @@ object DerivedOracles {
       "s14_knn_classifier_ann" -> VectorSearch.oracleKnnAnnSql(p3, 16),
       "s03_ann_ivf" -> VectorSearch.oracleIvfSql(cells, np),
       "s04_ann_ivfpq" -> VectorSearch.oracleIvfPqSql(cells, np),
-      "s15_ann_ivfpq_indexed" -> VectorSearch.oracleIvfPqSql(cells, np))
+      "s15_ann_ivfpq_indexed" -> VectorSearch.oracleIvfPqSql(cells, np),
+      // the SQL-served twins (r18): same derived IVF-PQ knobs through
+      // the persisted-index + table-function path
+      "s16_ann_sql_serving" ->
+        VectorSearch.oracleIvfPqSql(cells, np, qidPred = "= 0"),
+      "s17_hybrid_sql_serving" ->
+        graft.Serving.oracleHybridIndexedSql(cells, np))
   }
 
   def main(args: Array[String]): Unit = {

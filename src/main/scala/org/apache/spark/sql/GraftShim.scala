@@ -30,6 +30,18 @@ object GraftShim {
   def cloneSession(s: SparkSession): SparkSession =
     s.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** Register a TABLE function (SELECT * FROM f(args)) on a live
+    * session — the runtime twin of
+    * `SparkSessionExtensions.injectTableFunction` (the registry is
+    * reachable only through private[sql] sessionState). Re-registering
+    * a name replaces its builder. */
+  def registerTableFunction(spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(name, info, builder)
+
   /** Idempotently install a planner strategy on a live session. */
   def addStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental

@@ -90,7 +90,12 @@ class PlanLintSpec extends AnyFunSuite {
       // threshold and the max-date anchor)
       "q71_dormant_accounts",
       // t44: the broadcast side is the 10-row head-term table
-      "t44_positional_bias")
+      "t44_positional_bias",
+      // s17: the SQL-served hybrid — the nested-loop sides are the
+      // ONE-row BM25 (n, avgdl) stats aggregate and the single query
+      // row's ADC lookup table (the same bounded scalars s07's inline
+      // arms broadcast)
+      "s17_hybrid_sql_serving")
 
   /** Spark's exact `percentile()` / `percentile_disc` aggregates
     * collect every group value into ONE aggregation buffer — per-group
@@ -170,7 +175,13 @@ class PlanLintSpec extends AnyFunSuite {
     "ClusterCheck.scala" -> 1, "Probe.scala" -> 2, "Probe2.scala" -> 1,
     // BigGraph (r16): the decade-3 graph-law probe's one-row
     // fingerprint aggregate (a dev tool, never a query path)
-    "BigGraph.scala" -> 1)
+    "BigGraph.scala" -> 1,
+    // Serving (r18): readModel — the kB-sized persisted PQ model table
+    // (|cells| centroid rows + m x 32 codeword rows + 2 params), the
+    // same bounded codebook-collect class as VectorSearch's; loaded at
+    // serving-plan BUILD time so table-function builders can
+    // self-configure from catalog state
+    "Serving.scala" -> 1)
 
   test("every driver-side collect in src/main is audited and budgeted") {
     import scala.jdk.CollectionConverters._
@@ -218,6 +229,13 @@ class PlanLintSpec extends AnyFunSuite {
     // rank windows over .limit(k) candidate lists (BM25 arm + vector
     // arm before RRF fusion): k rows each by construction
     "s07_hybrid_rrf",
+    // the SQL-served twins (r18): the same k-row rank windows as s07,
+    // plus the boundedQ contract-guard count window whose input is the
+    // per-qid heap OUTPUT (one row per distinct qid, <= 128 by the
+    // enforced serving contract — over-bound inputs raise, they don't
+    // sort; BoundedQGuardSpec). partitionBy(lit(0)) constant-folds to
+    // an empty partition spec, which is why these render unpartitioned
+    "s16_ann_sql_serving", "s17_hybrid_sql_serving",
     // regression over the top-100 vocabulary slice
     "t31_zipf_slope")
 

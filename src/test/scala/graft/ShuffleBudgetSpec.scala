@@ -121,11 +121,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
                                    // appear in this final serve plan
 
   test("headline plans keep their exact shuffle budgets") {
+    // budgets are defined against a COLD cache state (r17 advice):
+    // executableShuffles skips InMemoryTableScan subtrees, so a cache
+    // entry left behind by another suite in this JVM could substitute
+    // into an unrelated budget query and shift counts with test order
+    spark.catalog.clearCache()
+    Engine.releaseEphemeral(spark)
     val diffs = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>
       val df = SparkEntry.queries(name)(spark, TestSpark.sf)
       val got = executableShuffles(df.queryExecution.executedPlan.toString)
       if (got != want) Some(s"$name: $got shuffles (budget $want)") else None
     }
     assert(diffs.isEmpty, s"shuffle budgets violated:\n  ${diffs.mkString("\n  ")}")
+    Engine.releaseEphemeral(spark) // don't leak this suite's heap builds onward
   }
 }

@@ -127,11 +127,22 @@ if not os.path.exists(f"{stage}/copy0.parquet"):  # resumable staging
       FROM '{SRC}/documents.parquet')
       TO '{stage}/copy0.parquet' (FORMAT PARQUET)""")
 print("documents copy 0: staged", flush=True)
+def parquet_complete(path):
+    # a parquet file ends with the footer magic 'PAR1'; an OOM-killed
+    # COPY can leave a LARGE footer-less file that passes any size
+    # threshold and still fails at the union read (r17 advice)
+    if os.path.getsize(path) < 12:
+        return False
+    with open(path, "rb") as f:
+        f.seek(-4, os.SEEK_END)
+        return f.read(4) == b"PAR1"
+
+
 for m in range(1, K):
     # resume only on VALID files: an OOM-killed COPY leaves a truncated
     # parquet behind ("too small to be a Parquet file" at the union read)
     if os.path.exists(f"{stage}/copy{m}.parquet"):
-        if os.path.getsize(f"{stage}/copy{m}.parquet") > 1 << 20:
+        if parquet_complete(f"{stage}/copy{m}.parquet"):
             print(f"documents copy {m}: already staged", flush=True)
             continue
         os.remove(f"{stage}/copy{m}.parquet")
