@@ -161,7 +161,15 @@ object VectorSearch {
       val spark = pairs.sparkSession
       val bound = GraftShim.ofRows(annSession(spark), out.queryExecution.analyzed)
       val p = bound.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
+      // A failed materialization must not leave the half-built cache
+      // entry registered: a long-lived session (the wire serving loop)
+      // that catches the error and continues would otherwise hold a
+      // broken entry CacheManager may later try to rebuild — observed
+      // at decade-4 probe scale, where Spark's buildBuffers error path
+      // (recacheByPlan -> tryRebuildCacheEntry) NPEs on the failed
+      // entry's planless builder and MASKS the original OOM.
+      try p.count()
+      catch { case t: Throwable => p.unpersist(blocking = false); throw t }
       Engine.registerEphemeral(spark, p)
       GraftShim.ofRows(spark, out.queryExecution.analyzed)
     }

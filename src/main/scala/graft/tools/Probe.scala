@@ -15,6 +15,7 @@ object Probe {
     if (args.length >= 2 && args(0) == "d10sup") { d10Supers(args(1)); return }
     if (args.length >= 2 && args(0) == "t43") { t43Diag(args(1)); return }
     if (args.length >= 2 && args(0) == "s03") { s03Diag(args(1)); return }
+    if (args.length >= 2 && args(0) == "g04big") { g04Big(args(1)); return }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -221,8 +222,16 @@ object Probe {
   def s05Diag(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.VectorSearch
+    // Decade-4 sizing (r18): at N=6M the bucket build's collect_list
+    // hash maps OOM a 24g/32-thread JVM at 32 shuffle partitions —
+    // the per-task group volume, not total work, is what broke. The
+    // production dial for that is partition count (more partitions =
+    // smaller per-task maps = spill-sized units), so the probe exposes
+    // it: SPARK_GRAFT_SHUFFLE (default 32; cross-scale law pairs must
+    // quote ratios within one value).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Engine.prepare(spark)
@@ -230,6 +239,11 @@ object Probe {
       val t0 = System.nanoTime()
       val r = f
       println(f"[s05-diag] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // each stage is one query lifecycle: release its ephemeral heap
+      // frames (topKPerQid registers them) — without this, run 1's
+      // C+D frames occupy executor storage into run 2, inflating its
+      // A/B 5-9x and OOMing D at decade-3 sizes (r18 find)
+      graft.Engine.releaseEphemeral(spark)
       r
     }
     val e = graft.Engine.table(spark, sfDir, "embeddings")
@@ -442,6 +456,38 @@ object Probe {
     * are distinct by NearestCellsKernel construction, so a (qid, nid)
     * pair can meet at most once), yet it forces the full candidate
     * volume through an exchange before the bounded top-k heap. */
+  /** g04 decade-3 disk-vs-algorithm split (r17 verdict #3 / next-round
+    * #6): time kCorePeel repeatedly over the PREBUILT sf100 edge
+    * fixture (target/biggraph via graft.biggraph.edges) — no kNN
+    * rebuild, per-run output cut released, 4 repeats so run-to-run
+    * drift is visible. Pair one run on the default spark.local.dir
+    * with one under SPARK_LOCAL_DIRS on tmpfs: the delta is the
+    * shuffle/spill disk share; the tmpfs floor is the algorithmic
+    * share. */
+  def g04Big(edgesPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Engine.prepare(spark)
+    println(s"[g04big] local.dir=${spark.conf.get("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "<default>"))} " +
+      s"heap=${Runtime.getRuntime.maxMemory() / (1L << 20)}MiB")
+    val edges = spark.read.parquet(edgesPath)
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .transform(graft.Engine.cut)
+    println(s"[g04big] edges=${edges.count()} nodes=${nodes.count()}")
+    for (run <- 1 to 4) {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Graph.kCorePeel(edges, nodes, k = 2, rounds = 3)
+      val n = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.Engine.releaseCheckpoint(out)
+      println(f"[g04big] run$run: $sec%.1f s rows=$n")
+    }
+    spark.stop()
+  }
+
   def s03Diag(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.builder().master("local[32]")
