@@ -48,6 +48,20 @@ object Engine {
     spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Decade-robust default partitioning (r18): start every shuffle WIDE
+    // and let AQE coalesce small data back down to the advisory size.
+    // Shuffle-partition count is the dial that decides whether a big
+    // final-side aggregation fits task memory (measured at the fourth
+    // ANN decade: the 6M-vector bucket build's per-task collect_list
+    // maps OOM a 24g/32-thread JVM at 32 partitions and complete at 96
+    // — SCALING.md r18), and a static low count is a scale landmine: at
+    // 100 TB the same plan that passed the gate would OOM. With a wide
+    // initial count the effective parallelism follows DATA SIZE: sf0.1
+    // shuffles coalesce to the same few post-AQE partitions as before
+    // (stage/job counts unchanged — the bench record min-merges, not
+    // resets), while decade-3/4-sized aggregation inputs stay wide and
+    // per-task state shrinks proportionally.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     // runtime row-level join filtering: build a bloom filter from the
     // selective side of a shuffle join and push it into the other side's

@@ -1437,6 +1437,117 @@ case class BucketTopK(child: Expression, k: Int)
   override def prettyName: String = "graft_bucket_topk"
 }
 
+/** Greedy MMR selection over ONE query's candidate set, entirely
+  * row-local (r18). The DataFrame-loop form of this (k−1 rounds of
+  * anti-join + join + two groupBys + a lineage cut, each a tiny
+  * multi-exchange job) paid ~18 shuffles of frames that are bounded at
+  * kCand rows per query — pure fixed overhead, and the part of s13
+  * that regressed 2.1x when shuffles moved to the wide decade-robust
+  * initial partition count. Here the whole greedy loop runs inside one
+  * expression over the collected per-query candidate array: ONE
+  * shuffle (the collect_list groupBy) replaces the loop entirely, and
+  * work per query stays O(kCand·k²·dim), independent of corpus size.
+  *
+  * Semantics are EXACTLY the loop's, so the committed s13 oracles are
+  * unchanged (MmrKernelSpec pins row identity against the loop form):
+  * pick r=1 by max (simq_m, −nid), num = 7·simq_m; each later rank
+  * picks max (num, −nid) with num = 7·simq_m − 3·mr, where mr is the
+  * max over picked of round(round6(cosine(nv, sv))·1e6) as long —
+  * the exact Round/cast chain the loop evaluated in-plan. All scoring
+  * is argmax/max over integers, so the result is independent of the
+  * collect_list arrival order. */
+object MmrSelectKernel {
+  private def score(a: Array[Double], b: Array[Double]): Long = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var t = 0
+    while (t < n) {
+      val x = a(t); val y = b(t)
+      dot += x * y; na += x * x; nb += y * y; t += 1
+    }
+    val cos = if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+    // round(sim6 * 1e6, 0) then CAST AS BIGINT, as the loop's plan did:
+    // Spark Round(double) is BigDecimal HALF_UP; the cast of the exact
+    // integer double is value-preserving
+    java.math.BigDecimal.valueOf(Round6Kernel.round6(cos) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
+  def eval(members: ArrayData, vecType: DataType, k: Int): GenericArrayData = {
+    val m = members.numElements()
+    val get = VectorKernels.conv(vecType)
+    val ids = new Array[Long](m)
+    val simq = new Array[Long](m)
+    val vecs = new Array[Array[Double]](m)
+    var i = 0
+    while (i < m) {
+      val row = members.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      simq(i) = row.getLong(1)
+      val a = row.getArray(2)
+      val v = new Array[Double](a.numElements())
+      var t = 0
+      while (t < v.length) { v(t) = get(a, t); t += 1 }
+      vecs(i) = v
+      i += 1
+    }
+    val picked = new Array[Boolean](m)
+    // mr(i) = max over picked s of score(i, s); max is order-independent,
+    // so maintaining it incrementally per pick equals the loop's
+    // per-round max over ALL picked
+    val mr = new Array[Long](m)
+    java.util.Arrays.fill(mr, Long.MinValue)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(k, m))
+    var r = 1
+    while (r <= k && r <= m) {
+      var best = -1
+      var bestNum = Long.MinValue
+      i = 0
+      while (i < m) {
+        if (!picked(i)) {
+          val num = if (r == 1) 7L * simq(i) else 7L * simq(i) - 3L * mr(i)
+          // max(struct(num, -nid)): larger num wins, ties -> smaller nid
+          if (best < 0 || num > bestNum || (num == bestNum && ids(i) < ids(best))) {
+            best = i; bestNum = num
+          }
+        }
+        i += 1
+      }
+      out += new GenericInternalRow(Array[Any](r, ids(best), bestNum))
+      picked(best) = true
+      i = 0
+      while (i < m) {
+        if (!picked(i)) {
+          val s = score(vecs(i), vecs(best))
+          if (s > mr(i)) mr(i) = s
+        }
+        i += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** graft_mmr_select(members, k) -> array<struct<rank,nid,num>>: greedy
+  * MMR over one query's candidates — see [[MmrSelectKernel]]. */
+case class MmrSelect(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("nid", LongType, nullable = false),
+    StructField("num", LongType, nullable = false))), containsNull = false)
+  @transient private lazy val vecType = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    .fields(2).dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(m: Any): Any =
+    MmrSelectKernel.eval(m.asInstanceOf[ArrayData], vecType, k)
+  override protected def withNewChildInternal(c: Expression): MmrSelect =
+    copy(child = c)
+  override def prettyName: String = "graft_mmr_select"
+}
+
 /** Registry — the fmgr analogue (reference src/utils/fmgr.rs:44-53 wires 6
   * functions by oid; we wire ours by name into Catalyst's FunctionRegistry
   * so both the Column API (call_function) and plain SQL can use them).
@@ -1833,6 +1944,13 @@ object GraftFunctions {
   def bucketTopK(members: Column, k: Int): Column = {
     val shim = org.apache.spark.sql.GraftShim
     shim.column(BucketTopK(shim.expression(members), k))
+  }
+
+  /** Row-local greedy MMR selection (array<struct<rank,nid,num>>) over
+    * one query's collected candidates — see [[MmrSelectKernel]]. */
+  def mmrSelect(members: Column, k: Int): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(MmrSelect(shim.expression(members), k))
   }
 
   /** [[topKPairs]] with in-heap dedup by nid — for candidate streams

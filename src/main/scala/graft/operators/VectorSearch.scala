@@ -1574,39 +1574,26 @@ object VectorSearch {
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame,
       k: Int, kCand: Int): DataFrame = {
+    // r18: the greedy loop runs ROW-LOCALLY inside one native kernel
+    // over each query's collected candidate array (MmrSelectKernel —
+    // row identity vs the former k−1-round DataFrame loop pinned by
+    // MmrKernelSpec, oracles unchanged). The loop form paid ~18 tiny
+    // shuffles + a lineage cut per round on frames bounded at kCand
+    // rows per query — pure fixed overhead at any scale, and the one
+    // plan that regressed under the decade-robust wide initial
+    // partition count. One collect_list groupBy is now the only
+    // exchange past candidate generation; per-group state is
+    // kCand·(dim+2) doubles (~4 KB), far under the collect buffer
+    // envelope Engine.prepare documents.
     val corpusV = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
     val cand = bruteForceTopK(corpus, queries, kCand)
       .join(corpusV, "nid")
       .select(col("qid"), col("nid"),
         expr("CAST(round(sim * 1000000) AS BIGINT)").as("simq_m"), col("nv"))
-      .transform(Engine.cut) // candidate scan runs once, not once per step
-    var selected = cand.groupBy("qid")
-      .agg(max(struct(col("simq_m"), (-col("nid")).as("nn"))).as("b"))
-      .select(col("qid"), (-col("b.nn")).as("nid"), lit(1).as("rank"),
-        (lit(7L) * col("b.simq_m")).as("num"))
-    for (r <- 2 to k) {
-      val selV = selected.select(col("qid").as("sqid"), col("nid").as("sid"))
-        .join(cand.select(col("qid").as("sqid"), col("nid").as("sid"),
-          col("nv").as("sv")), Seq("sqid", "sid"))
-      val rem = cand.join(selected.select("qid", "nid"),
-        Seq("qid", "nid"), "left_anti")
-      val pick = rem.join(selV, col("qid") === col("sqid"))
-        .select(col("qid"), col("nid"), col("simq_m"),
-          round(sim6(col("nv"), col("sv")) * 1000000, 0).cast(LongType).as("s"))
-        .groupBy("qid", "nid", "simq_m")
-        .agg(max("s").as("mr"))
-        .select(col("qid"),
-          struct((lit(7L) * col("simq_m") - lit(3L) * col("mr")).as("num"),
-            (-col("nid")).as("nn")).as("cand"))
-        .groupBy("qid").agg(max("cand").as("b"))
-        .select(col("qid"), (-col("b.nn")).as("nid"), lit(r).as("rank"),
-          col("b.num").as("num"))
-      selected = selected.unionByName(pick).transform(Engine.cut)
-    }
-    val out = selected.select(col("qid"), col("rank").cast(IntegerType).as("rank"),
-        col("nid"), (col("num").cast(DoubleType) / 1e7).as("mmr"))
-      .transform(Engine.cut)
-    Engine.releaseCheckpoint(cand)
-    out
+    cand.groupBy("qid")
+      .agg(collect_list(struct(col("nid"), col("simq_m"), col("nv"))).as("members"))
+      .select(col("qid"), explode(GF.mmrSelect(col("members"), k)).as("p"))
+      .select(col("qid"), col("p.rank").as("rank"), col("p.nid").as("nid"),
+        (col("p.num").cast(DoubleType) / 1e7).as("mmr"))
   }
 }
