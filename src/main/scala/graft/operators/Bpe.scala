@@ -51,14 +51,39 @@ object Bpe {
   }
 
   /** Learn `numMerges` merges; returns (rank, left, right, pair_count)
-    * — rank 1 is the first (highest-count) merge. */
+    * — rank 1 is the first (highest-count) merge.
+    *
+    * Two execution regimes chosen from the MEASURED word-type count
+    * (the d05 dual-regime pattern, r18 optimization): the working set
+    * after the one corpus pass is the (word, count) table — bounded by
+    * the VOCABULARY, not the corpus (the published algorithm's whole
+    * point), so when it fits driver memory the entire merge loop runs
+    * locally with zero per-round job scheduling (the distributed loop
+    * pays ~3 jobs per merge: pair-count argmax + fold + lineage cut —
+    * pure fixed overhead at any corpus size). Above the threshold the
+    * distributed loop below is unchanged. Both regimes compute the
+    * identical merge sequence (BpeSpec parity pin): same adjacent-pair
+    * counting weighted by word count, same (count DESC, l, r)
+    * tie-break with UTF8 byte string order, same greedy
+    * left-to-right non-overlapping application. The switch is
+    * session-tunable via `graft.bpe.driverMaxVocab` (0 forces the
+    * distributed arm — how the parity spec exercises both). */
   def trainMerges(documents: DataFrame, textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int, driverMaxVocab: Long = 500000L): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val words = documents
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
+    val maxVocab = spark.conf.getOption("graft.bpe.driverMaxVocab")
+      .map(_.toLong).getOrElse(driverMaxVocab)
+    // vocab size via the memoized plan-statistic cache (the derived-
+    // density-knob class): one count job per (plan, file set), shared
+    // by repeated builds in one session
+    if (maxVocab > 0 && Engine.memoCount(words) <= maxVocab) {
+      val wordRows = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      return trainMergesLocal(spark, wordRows, numMerges)
+    }
     var syms = words
       .select(col("wc"), split(col("w"), "").as("s"))
       .transform(Engine.cut)
@@ -83,6 +108,60 @@ object Bpe {
       }
     }
     Engine.releaseCheckpoint(syms)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Driver-local merge loop over the collected (word, count) table —
+    * exact twin of the distributed loop (see [[trainMerges]]): pair
+    * counts are adjacent-position counts weighted by `wc` (ALL
+    * occurrences within a word count, exactly like the explode), the
+    * argmax tie-break is (count DESC, l, r) in UTF8 byte order (what
+    * Spark's orderBy compares on strings — identical to UTF-16 order
+    * for the ASCII word-internal alphabet, but pinned to UTF8 like the
+    * d05 union-find arm so the regimes can never split), and merge
+    * application is the greedy left-to-right fold of [[applyMerge]]. */
+  private def trainMergesLocal(spark: SparkSession,
+      words: Array[(String, Long)], numMerges: Int): DataFrame = {
+    import spark.implicits._
+    def utf8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    // split("") on the distributed side yields per-character symbols;
+    // word-internal symbols are single BMP chars here by construction
+    var syms: Array[(Long, Array[String])] =
+      words.map { case (w, wc) => (wc, w.split("").filter(_.nonEmpty)) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (rank <- 1 to numMerges if !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (wc, s) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + wc
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy(identity)(Ordering.fromLessThan[((String, String), Long)] {
+          case (((l1, r1), c1), ((l2, r2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else if (l1 != l2) utf8Lt(l1, l2)
+            else utf8Lt(r1, r2)
+        })
+        merges += ((rank, l, r, c))
+        syms = syms.map { case (wc, s) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc(acc.length - 1) = l + r
+            else acc += x
+          }
+          (wc, acc.toArray)
+        }
+      }
+    }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 

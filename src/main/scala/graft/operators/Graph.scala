@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+  StructField, StructType}
 
 import graft.{Engine, GQ}
 
@@ -29,6 +30,66 @@ import graft.{Engine, GQ}
   * rounded to 6dp each round, making the fixpoint engine-independent.
   */
 object Graph {
+
+  /** r18 dual-regime switch for the ITERATIVE operators (pageRank,
+    * labelPropagation, kCorePeel, bfsHops, hits) — the d05 pattern
+    * (see Dedup.componentsByMinLabel): below a measured edge count the
+    * whole fixpoint runs driver-locally with zero per-round job
+    * scheduling; above it the distributed loops below are unchanged.
+    * A gate-scale fixpoint pays ~2-4 Spark jobs per round in fixed
+    * scheduling/cut overhead on frames of a few hundred rows — pure
+    * latency at any scale, and on a real cluster each round is a
+    * stage-latency floor too. Both regimes compute identical values:
+    * all five loops are exact integer/fixed-point arithmetic (micros,
+    * floor div) replicated op-for-op, pinned by GraphSpec parity
+    * tests. Session-tunable via `graft.graph.driverMaxEdges` (0 forces
+    * the distributed arm — how the parity specs and the ClusterCheck
+    * chaos harness exercise the distributed loops at gate scale).
+    *
+    * The default threshold bounds driver memory (~32 MB of edge longs,
+    * the d05 sizing) AND keeps hits' normalization product in Long:
+    * raw <= 1e6 micros x 2e6 edges = 2e12, x 1e6 = 2e18 < 2^63. */
+  private val DriverMaxEdgesDefault = 2000000L
+
+  private def driverMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("graft.graph.driverMaxEdges").map(_.toLong)
+      .getOrElse(DriverMaxEdgesDefault)
+
+  /** Cut + count the edge plan once; collect it when the driver regime
+    * applies. Returns the cut frame either way (the distributed arms
+    * keep reading it; callers release it). */
+  private def cutAndMaybeCollect(
+      edges: DataFrame): (DataFrame, Option[Array[(Long, Long)]]) = {
+    val e = edges.transform(Engine.cut)
+    val limit = driverMaxEdges(e.sparkSession)
+    if (limit > 0 && e.count() <= limit) {
+      val arr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      (e, Some(arr))
+    } else (e, None)
+  }
+
+  /** The node ids appearing in a collected edge list, as a local
+    * relation — the broadcast-semi-join key set that lets the driver
+    * regime read only the edge-touched slice of a distributed node /
+    * seed table (isolated rows keep their closed-form value, attached
+    * by coalesce exactly like the distributed left joins). */
+  private def touchedDf(spark: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ids = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+      .toSet.toSeq.map(org.apache.spark.sql.Row(_: Long))
+    spark.createDataFrame(ids.asJava,
+      StructType(Seq(StructField("id", LongType))))
+  }
+
+  private def longMapDf(spark: SparkSession, m: Iterable[(Long, Long)],
+      valueName: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      m.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }.asJava,
+      StructType(Seq(StructField("id", LongType),
+        StructField(valueName, LongType))))
+  }
 
   /** Fixed-iteration PageRank. `edges` is the DIRECTED edge list (src,
     * dst) — pass both directions for an undirected graph; `nodes` is
@@ -59,7 +120,12 @@ object Graph {
     // the adjacency plan references `edges` twice (degree + join), so
     // materialize the edge source first — otherwise the edge-producing
     // plan executes once per reference (the d05 lesson)
-    val e = edges.transform(Engine.cut)
+    val (e, small) = cutAndMaybeCollect(
+      edges.select(col("src").cast(LongType), col("dst").cast(LongType)))
+    small.foreach { arr =>
+      Engine.releaseCheckpoint(e)
+      return pageRankLocal(arr, nodes, iters)
+    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = e.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
@@ -81,6 +147,44 @@ object Graph {
       .transform(Engine.cut)
     Engine.releaseCheckpoint(adj)
     out
+  }
+
+  /** Driver-local pageRank twin — op-for-op the distributed loop above
+    * in Long arithmetic (micros div deg, 200000 + (4*s) div 5; all
+    * operands nonnegative, so Java `/` IS the integral `div`).
+    * Contributors are edge srcs PRESENT IN `nodes` (the distributed
+    * inner join on ranks), receivers are nodes; isolated nodes land on
+    * the closed-form damping floor the loop assigns them (1e6 at
+    * iters=0, 2e5 after any iteration — the distributed left-join
+    * coalesce path), attached here by the same left join. */
+  private def pageRankLocal(edges: Array[(Long, Long)], nodes: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    val nodeSet = nodes.join(broadcast(touchedDf(spark, edges)),
+        Seq("id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    edges.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+    var micros = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodeSet.foreach(id => micros(id) = 1000000L)
+    for (_ <- 1 to iters) {
+      val sums = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (s, d) =>
+        micros.get(s).foreach { m =>
+          sums(d) = sums.getOrElse(d, 0L) + m / deg(s)
+        }
+      }
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodeSet.foreach { id =>
+        next(id) = 200000L + (4L * sums.getOrElse(id, 0L)) / 5L
+      }
+      micros = next
+    }
+    val isolated = if (iters == 0) 1000000L else 200000L
+    nodes.join(broadcast(longMapDf(spark, micros, "micros")), Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("micros"), lit(isolated)).cast(DoubleType) / 1e6)
+          .as("rank"))
   }
 
   /** Fixed-iteration score/label propagation — the label-spreading
@@ -112,7 +216,13 @@ object Graph {
     * micros/1e6 conversion. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
-    val e = edges.transform(Engine.cut)
+    val (e0, small) = cutAndMaybeCollect(
+      edges.select(col("src").cast(LongType), col("dst").cast(LongType)))
+    small.foreach { arr =>
+      Engine.releaseCheckpoint(e0)
+      return labelPropagationLocal(arr, seeds, iters)
+    }
+    val e = e0
     val deg = e.groupBy("dst").agg(count(lit(1)).as("deg"))
     val adj = e.join(deg, "dst")
       .select(col("src"), col("dst"), col("deg"))
@@ -138,6 +248,47 @@ object Graph {
       (col("micros").cast(DoubleType) / 1e6).as("score"))
     Engine.releaseCheckpoint(adj)
     out
+  }
+
+  /** Driver-local labelPropagation twin — the SAME floor-div-via-double
+    * steps as the distributed loop (Math.floor over the identical IEEE
+    * double division, so the regimes cannot split even on the values
+    * the floor-div exactness note bounds). Contributors are seed rows
+    * (the distributed inner join on scores); a seed with no incoming
+    * edge keeps its value through the identity step
+    * floor((2s + 8s)/10) = s, which is also EXACT for untouched seeds
+    * — they are attached by coalesce without simulation. */
+  private def labelPropagationLocal(edges: Array[(Long, Long)],
+      seeds: DataFrame, iters: Int): DataFrame = {
+    val spark = seeds.sparkSession
+    val touched = touchedDf(spark, edges)
+    var micros = scala.collection.mutable.HashMap.empty[Long, Long] ++
+      seeds.select(col("id"), col("micros").cast(LongType))
+        .join(broadcast(touched), Seq("id"), "left_semi")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    edges.foreach { case (_, d) => deg(d) = deg.getOrElse(d, 0L) + 1L }
+    for (_ <- 1 to iters) {
+      val sums = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (s, d) =>
+        micros.get(s).foreach { m => sums(d) = sums.getOrElse(d, 0L) + m }
+      }
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      micros.foreach { case (id, cur) =>
+        val m = sums.get(id) match {
+          case Some(sm) => math.floor(sm.toDouble / deg(id)).toLong
+          case None => cur
+        }
+        next(id) =
+          math.floor((2L * cur + 8L * m).toDouble / 10).toLong
+      }
+      micros = next
+    }
+    seeds.join(broadcast(longMapDf(spark, micros, "out_micros")),
+        Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("out_micros"), col("micros").cast(LongType))
+          .cast(DoubleType) / 1e6).as("score"))
   }
 
   /** Per-node triangle counts over an undirected graph — the local
@@ -210,7 +361,13 @@ object Graph {
     * two joins and the next round). */
   def kCorePeel(edges: DataFrame, nodes: DataFrame, k: Int,
       rounds: Int): DataFrame = {
-    var e = edges.transform(Engine.cut)
+    val (e1, small) = cutAndMaybeCollect(
+      edges.select(col("src").cast(LongType), col("dst").cast(LongType)))
+    small.foreach { arr =>
+      Engine.releaseCheckpoint(e1)
+      return kCorePeelLocal(arr, nodes, k, rounds)
+    }
+    var e = e1
     for (_ <- 1 to rounds) {
       val alive = e.groupBy("src").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select(col("src").as("id"))
@@ -226,6 +383,27 @@ object Graph {
       .transform(Engine.cut)
     Engine.releaseCheckpoint(e)
     out
+  }
+
+  /** Driver-local kCorePeel twin — the exact multiset peel of the
+    * distributed loop: per round, degree = count by src over the
+    * CURRENT edge list (duplicates counted, like the groupBy), alive =
+    * srcs at degree >= k, edges survive only with BOTH endpoints
+    * alive. Pure integer counting — nothing to diverge. */
+  private def kCorePeelLocal(edges0: Array[(Long, Long)], nodes: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    var edges = edges0
+    for (_ <- 1 to rounds) {
+      val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+      val alive = deg.collect { case (id, d) if d >= k => id }.toSet
+      edges = edges.filter { case (s, d) => alive(s) && alive(d) }
+    }
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    edges.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+    nodes.join(broadcast(longMapDf(spark, deg, "dg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dg"), lit(0L)).as("core_deg"))
   }
 
   /** Bounded-round multi-source BFS: minimum hop distance from any
@@ -250,9 +428,18 @@ object Graph {
     // frame is the last cut (ExistingRDD), so no consumer replans the
     // union outside it
     Engine.withoutConstraintPropagation(edges.sparkSession) {
+      // one materialization of the edge plan for BOTH regimes (r18:
+      // the pre-r18 loop joined the RAW edge plan every round — a
+      // possibly-expensive build executed `rounds` times)
+      val (e, small) = cutAndMaybeCollect(
+        edges.select(col("src").cast(LongType), col("dst").cast(LongType)))
+      small.foreach { arr =>
+        Engine.releaseCheckpoint(e)
+        return bfsHopsLocal(arr, seeds, rounds)
+      }
       var dist = seeds.select(col("id"), lit(0).as("dist")).transform(Engine.cut)
       for (r <- 1 to rounds) {
-        val next = dist.join(edges, col("id") === col("src"))
+        val next = dist.join(e, col("id") === col("src"))
           .select(col("dst").as("id"), lit(r).as("dist"))
           .unionByName(dist)
           .groupBy("id").agg(min("dist").as("dist"))
@@ -260,8 +447,32 @@ object Graph {
         Engine.releaseCheckpoint(dist)
         dist = next
       }
+      Engine.releaseCheckpoint(e)
       dist
     }
+
+  /** Driver-local bfsHops twin — the same min-distance propagation in
+    * integer hops; the dist table is seeds ∪ reached nodes, exactly
+    * the distributed union-min. Seeds are collected (the frontier
+    * table is bounded by the reachable set, itself bounded by the
+    * collected edge list plus the seed count). */
+  private def bfsHopsLocal(edges: Array[(Long, Long)], seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = seeds.sparkSession
+    val dist = scala.collection.mutable.HashMap.empty[Long, Int] ++
+      seeds.select(col("id").cast(LongType)).collect().map(_.getLong(0) -> 0)
+    for (r <- 1 to rounds) {
+      val reached = edges.iterator.collect {
+        case (s, d) if dist.get(s).exists(_ < r) => d
+      }.toArray
+      reached.foreach { d => if (!dist.get(d).exists(_ <= r)) dist(d) = r }
+    }
+    spark.createDataFrame(
+      dist.toSeq.map { case (id, h) => org.apache.spark.sql.Row(id, h) }.asJava,
+      StructType(Seq(StructField("id", LongType),
+        StructField("dist", IntegerType))))
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Engine.table(s, d, "documents")
@@ -700,7 +911,13 @@ object Graph {
     * broadcasts back — score tables stay one row per node, lineage cut
     * per round like pageRank. */
   def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    val e = edges.transform(Engine.cut)
+    val (e0, small) = cutAndMaybeCollect(
+      edges.select(col("src").cast(LongType), col("dst").cast(LongType)))
+    small.foreach { arr =>
+      Engine.releaseCheckpoint(e0)
+      return hitsLocal(arr, nodes, iters)
+    }
+    val e = e0
     val n = nodes.transform(Engine.cut)
     def half(scores: DataFrame, edgeKey: String, groupKey: String): DataFrame = {
       val raw = e.join(scores, e(edgeKey) === scores("id"))
@@ -732,5 +949,55 @@ object Graph {
     Engine.releaseCheckpoint(e)
     Engine.releaseCheckpoint(n)
     out
+  }
+
+  /** Driver-local HITS twin — per half-step: integer raw sums gathered
+    * over edges whose SCORE-side endpoint is a node (the distributed
+    * inner join on scores), the round max taken over EVERY gathered id
+    * (the raw table includes ids outside `nodes`; only node rows keep
+    * scores — replicated exactly), and the normalization
+    * (raw * 1e6) div max(mx, 1) in Long (safe under the edge
+    * threshold: raw <= 1e6 x 2e6, x 1e6 < 2^63 — the reason the
+    * default threshold is what it is). Isolated nodes normalize to 0
+    * after any half-step, attached by coalesce. */
+  private def hitsLocal(edges: Array[(Long, Long)], nodes: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    val nodeSet = nodes.join(broadcast(touchedDf(spark, edges)),
+        Seq("id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    def half(scores: scala.collection.Map[Long, Long],
+        scoreEndIsSrc: Boolean): scala.collection.mutable.HashMap[Long, Long] = {
+      val raw = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (s, d) =>
+        val (scoreEnd, gatherEnd) = if (scoreEndIsSrc) (s, d) else (d, s)
+        scores.get(scoreEnd).foreach { m =>
+          raw(gatherEnd) = raw.getOrElse(gatherEnd, 0L) + m
+        }
+      }
+      val mx = if (raw.isEmpty) 1L else math.max(raw.values.max, 1L)
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodeSet.foreach { id =>
+        next(id) = raw.getOrElse(id, 0L) * 1000000L / mx
+      }
+      next
+    }
+    var hub = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodeSet.foreach(id => hub(id) = 1000000L)
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = half(hub, scoreEndIsSrc = true)
+      hub = half(auth, scoreEndIsSrc = false)
+    }
+    val isolated = if (iters == 0) 1000000L else 0L
+    val authDf = longMapDf(spark, auth, "a_micros")
+    val hubDf = longMapDf(spark, hub, "h_micros")
+    nodes.join(broadcast(authDf), Seq("id"), "left")
+      .join(broadcast(hubDf), Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("a_micros"), lit(isolated)).cast(DoubleType) / 1e6)
+          .as("authority"),
+        (coalesce(col("h_micros"), lit(isolated)).cast(DoubleType) / 1e6)
+          .as("hub"))
   }
 }

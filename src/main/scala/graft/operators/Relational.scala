@@ -86,6 +86,14 @@ object Relational {
     * 3*mad4/4, compares as 2*dev2 > 3*mad4); emission is the exact
     * 2-adic doubles the oracle's quantile_cont produces. */
   def madOutliers(j: DataFrame): DataFrame = {
+    // r18 A/B note: an eager MEMORY_AND_DISK persist of this rollup
+    // (so its three consumers read a cache instead of re-planning the
+    // subtree) was tried and MEASURED SLOWER — min-of-3 warm 8.1 s vs
+    // 4.2 s on the same host at sf0.1 — because runtime ReusedExchange
+    // already dedupes the identical rollup exchange across the
+    // broadcast subqueries, and the cache write + InMemoryTableScan
+    // reads cost more than they save. Left as the static-replan /
+    // runtime-reuse shape deliberately.
     val cnt = j.groupBy("p_brand", "pc").agg(count(lit(1)).as("c"))
     val m = median2FromCounts(cnt, "p_brand", "pc", "c")
     val dvc = cnt.join(broadcast(m), "p_brand")

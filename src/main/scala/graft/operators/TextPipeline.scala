@@ -1613,12 +1613,55 @@ object TextPipeline {
     (ct, classes)
   }
 
+  /** Driver-collected NB class constants — ONE collect of the
+    * `classes` subplan serving every consumer that previously ran it
+    * separately (r18 optimization, guide §1.2/§5: the classes plan
+    * embeds a full corpus tokenization — ct's token aggregation plus a
+    * corpus-wide count_distinct — and the pre-r18 scoring path
+    * collected it THREE times per query: the sorted class list, the
+    * per-class out-of-vocabulary default w0, and the priors map were
+    * three independent driver collects, i.e. three extra corpus passes
+    * that at 100 TB are three full scans. All three now derive from
+    * one collected row set; w0 is computed IN-PLAN in the same
+    * projection (identical round6/DEC arithmetic, so values are
+    * bit-identical), and the in-plan consumers (the dense model build,
+    * the prior attach) read a local relation rebuilt from the same
+    * rows — same values, zero recompute. |classes| is the bounded
+    * centroid-k collect class. */
+  private final case class NbClasses(
+      clangs: IndexedSeq[String],
+      priors: Map[String, java.math.BigDecimal],
+      w0: Map[String, java.math.BigDecimal],
+      local: DataFrame)
+
+  private def collectClasses(classes: DataFrame): NbClasses = {
+    val DEC = DecimalType(38, 10)
+    val withW0 = classes.select(col("clang"), col("prior"), col("tot"),
+      col("v"),
+      round(log(lit(1L).cast(DoubleType)
+        / (col("tot") + col("v")).cast(DoubleType)), 6)
+        .cast(DEC).as("w0"))
+    val rows = withW0.collect()
+    val spark = classes.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), withW0.schema)
+    NbClasses(
+      rows.map(_.getString(0)).sorted.toIndexedSeq,
+      rows.map(r => r.getString(0) -> r.getDecimal(1)).toMap,
+      rows.map(r => r.getString(0) -> r.getDecimal(4)).toMap,
+      local)
+  }
+
   /** The full NB score table against an in-plan or persisted model:
     * one DECIMAL-exact class score per (doc, class). Split from
     * [[nbScore]] so margin/confidence consumers (t32) see all classes,
     * not just the argmax. */
   def nbClassScores(base: DataFrame, ct: DataFrame,
-      classes: DataFrame): DataFrame = {
+      classes: DataFrame): DataFrame =
+    nbClassScoresWith(base, ct, collectClasses(classes))
+
+  private def nbClassScoresWith(base: DataFrame, ct: DataFrame,
+      k: NbClasses): DataFrame = {
     // Score ALL classes in ONE pass over the (doc, token, tf) stream
     // (r15, decade-3 find): the naive shape crossJoins tf with the
     // class table (|classes| x the stream = 750M rows at sf100) and —
@@ -1638,13 +1681,13 @@ object TextPipeline {
     // measured at sf100: t28 148 -> 66-87 s, t32 192 -> 77-131 s
     // (run-to-run variance on the shared box is large at this size;
     // the bound is the 150M-row tf build + scoring pass either way).
-    val (sums, clangs) = nbSums(base, ct, classes)
+    val (sums, clangs) = nbSums(base, ct, k)
     val stackArgs = clangs
       .map(c => s"'${c.replace("'", "''")}', `s_$c`").mkString(", ")
     val ds = sums.selectExpr("doc_id",
       s"stack(${clangs.length}, $stackArgs) AS (clang, s)")
     base.select(col("doc_id"), col("lang"))
-      .crossJoin(broadcast(classes.select("clang", "prior")))
+      .crossJoin(broadcast(k.local.select("clang", "prior")))
       .join(ds, Seq("doc_id", "clang"), "left")
       .select(col("doc_id"), col("lang"), col("clang"),
         (col("prior") + coalesce(col("s"), lit(0))).as("score"))
@@ -1659,31 +1702,64 @@ object TextPipeline {
     * doc-sample. */
   def nbMargins(base: DataFrame, ct: DataFrame,
       classes: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("clang"))
-    val ranked = nbClassScores(base, ct, classes)
-      .withColumn("rn", row_number().over(w))
-    val top = ranked.filter(col("rn") === 1)
-      .select(col("doc_id"), col("clang").as("pred"),
-        col("score").as("s1"))
-    val second = ranked.filter(col("rn") === 2)
-      .select(col("doc_id"), col("score").as("s2"))
-    top.join(second, "doc_id")
-      .select(col("doc_id"), col("pred"),
-        Engine.decOut(col("s1") - col("s2")).as("margin"))
+    // r18: top-2 selection is ROW-LOCAL over the per-class sum columns
+    // — the same fold discipline nbScore adopted in r15 for the argmax,
+    // extended to track (best, runner-up). The former stacked form
+    // exploded |docs| x |classes| rows, ran a row_number window (a
+    // full sort of that stream), filtered it twice and self-joined —
+    // four operators whose cost all scales with docs x classes; the
+    // fold is one projection over the one-pass per-doc sums frame.
+    // Semantics are identical to row_number() OVER (ORDER BY score
+    // DESC, clang) IN (1, 2): the fold walks classes in ascending
+    // clang order with strict greater-than, so ties keep the smaller
+    // clang for best AND runner-up; scores are exact DECIMALs, so
+    // comparisons cannot diverge (MarginKernel parity pinned in
+    // TextPipelineSpec; oracles unchanged). A <2-class corpus emits
+    // zero rows, exactly like the former rn=2 inner join.
+    val k = collectClasses(classes)
+    val (sums, clangs) = nbSums(base, ct, k)
+    if (clangs.length < 2)
+      return base.sparkSession.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("pred", lit(""))
+        .withColumn("margin", lit(0.0)).limit(0)
+        .select("doc_id", "pred", "margin")
+    val zero = lit(new java.math.BigDecimal(0)).cast(DecimalType(38, 10))
+    val cands = clangs.map(c => struct(
+      (lit(k.priors(c)) + coalesce(col(s"`s_$c`"), zero)).as("score"),
+      lit(c).as("clang")))
+    val init = when(
+      cands(1).getField("score") > cands(0).getField("score"),
+      struct(cands(1).as("b"), cands(0).as("s")))
+      .otherwise(struct(cands(0).as("b"), cands(1).as("s")))
+    val top2 = cands.drop(2).foldLeft(init) { (acc, c) =>
+      when(c.getField("score") > acc.getField("b").getField("score"),
+        struct(c.as("b"), acc.getField("b").as("s")))
+        .otherwise(
+          when(c.getField("score") > acc.getField("s").getField("score"),
+            struct(acc.getField("b").as("b"), c.as("s")))
+            .otherwise(acc))
+    }
+    base.select(col("doc_id"))
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"), top2.as("t2"))
+      .select(col("doc_id"), col("t2.b.clang").as("pred"),
+        Engine.decOut(col("t2.b.score") - col("t2.s.score")).as("margin"))
   }
 
   /** One-pass per-doc class-sum columns + the sorted class list:
-    * the shared scoring core of [[nbClassScores]] and [[nbScore]]. */
+    * the shared scoring core of [[nbClassScores]] and [[nbScore]].
+    * Takes the ONE-collect class constants ([[collectClasses]]) — the
+    * class list, the w0 defaults, and the in-plan (clang, tot, v)
+    * relation all come from the same collected rows. */
   private def nbSums(base: DataFrame, ct: DataFrame,
-      classes: DataFrame): (DataFrame, Seq[String]) = {
+      k: NbClasses): (DataFrame, Seq[String]) = {
     val DEC = DecimalType(38, 10)
     val tf = base.select(col("doc_id"),
         explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val clangs = classes.select("clang").collect().map(_.getString(0)).sorted
+    val clangs = k.clangs
     val dense = ct.select("token").distinct()
-      .crossJoin(broadcast(classes.select("clang", "tot", "v")))
+      .crossJoin(broadcast(k.local.select("clang", "tot", "v")))
       .join(ct, Seq("clang", "token"), "left")
       .select(col("token"), col("clang"),
         round(log((coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
@@ -1703,12 +1779,9 @@ object TextPipeline {
     // all tokens and the coalesce never fires — committed oracles are
     // unchanged; the textbook semantics and the oracle SQL's
     // COALESCE(ct.c, 0) form are now matched on ANY scored slice.
-    val w0: Map[String, java.math.BigDecimal] =
-      classes.select(col("clang"),
-          round(log(lit(1L).cast(DoubleType)
-            / (col("tot") + col("v")).cast(DoubleType)), 6)
-            .cast(DEC).as("w0"))
-        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    // (r18: w0 rides in the [[collectClasses]] row set — same in-plan
+    // arithmetic, no second execution of the classes subplan.)
+    val w0: Map[String, java.math.BigDecimal] = k.w0
     val sumCols = clangs.map(c =>
       sum(col("tf") * coalesce(col(s"`$c`"), lit(w0(c)).cast(DEC)))
         .as(s"s_$c"))
@@ -1732,10 +1805,9 @@ object TextPipeline {
     * a driver-collected |classes|-bounded exact-DECIMAL map (the
     * centroid-k collect class); scores compare DECIMAL-exact. */
   def nbScore(base: DataFrame, ct: DataFrame, classes: DataFrame): DataFrame = {
-    val (sums, clangs) = nbSums(base, ct, classes)
-    val priors: Map[String, java.math.BigDecimal] =
-      classes.select("clang", "prior").collect()
-        .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val k = collectClasses(classes)
+    val (sums, clangs) = nbSums(base, ct, k)
+    val priors: Map[String, java.math.BigDecimal] = k.priors
     val zero = lit(new java.math.BigDecimal(0)).cast(DecimalType(38, 10))
     val cands = clangs.map(c => struct(
       (lit(priors(c)) + coalesce(col(s"`s_$c`"), zero)).as("score"),

@@ -33,12 +33,15 @@ object PriceReliable {
     * (forced off the driver union-find so rounds actually run), the
     * BPE merge loop, Lloyd's k-means, MMR's greedy selection loop. */
   val family: Seq[(String, Map[String, String])] = Seq(
-    "g01_pagerank" -> Map.empty,
-    "g04_kcore_peel" -> Map.empty,
-    "g05_bfs_hops" -> Map.empty,
-    "g08_hits" -> Map.empty,
+    // graph fixpoints + the BPE trainer forced off their r18
+    // driver-local arms (like d05) so the per-round durable cuts being
+    // priced actually run at gate scale
+    "g01_pagerank" -> Map("graft.graph.driverMaxEdges" -> "0"),
+    "g04_kcore_peel" -> Map("graft.graph.driverMaxEdges" -> "0"),
+    "g05_bfs_hops" -> Map("graft.graph.driverMaxEdges" -> "0"),
+    "g08_hits" -> Map("graft.graph.driverMaxEdges" -> "0"),
     "d05_neardup_clusters" -> Map("graft.dedup.driverMaxEdges" -> "0"),
-    "t24_bpe_merges" -> Map.empty,
+    "t24_bpe_merges" -> Map("graft.bpe.driverMaxVocab" -> "0"),
     "c01_kmeans_embeddings" -> Map.empty,
     "s13_mmr_rerank" -> Map.empty)
 

@@ -156,7 +156,13 @@ class PlanLintSpec extends AnyFunSuite {
     *    its measurement is cited by a02's bound comment).
     */
   private val collectBudget = Map(
-    "Catalog.scala" -> 2, "Dedup.scala" -> 1, "Bpe.scala" -> 2,
+    "Catalog.scala" -> 2, "Dedup.scala" -> 1,
+    // Bpe #3 (r18): the driver-local merge-training regime's word
+    // table collect — gated by a MEASURED vocab count against
+    // graft.bpe.driverMaxVocab (the d05 dual-regime discipline), so
+    // the collect is vocabulary-bounded by construction, never
+    // corpus-sized
+    "Bpe.scala" -> 3,
     // Relational #2 (r15): q69's pair result — value-domain bounded
     // (<= |brands|^2/2 rows survive the support filter over a ~25-value
     // brand domain); collected so the corpus-sized DISK_ONLY input
@@ -164,12 +170,21 @@ class PlanLintSpec extends AnyFunSuite {
     // session lifetime (r14 verdict #2)
     "Relational.scala" -> 2, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
     "Layout.scala" -> 3, "WireServer.scala" -> 2, "Skew.scala" -> 1,
-    // TextPipeline (r15/r16): the NB one-pass scorer's class list +
-    // prior map + per-class OOV default weights — each |langs| rows
-    // (5), the centroid-k bounded-collect class; the model's class
-    // dimension must be driver-known to emit per-class sum columns,
-    // the row-local argmax, and the OOV coalesce literals
-    "TextPipeline.scala" -> 3,
+    // Graph (r18): the iterative operators' driver-local small-graph
+    // regime (the d05 pattern) — one edge-list collect gated by a
+    // MEASURED edge count against graft.graph.driverMaxEdges, plus
+    // four edge-touched-slice collects (node set x2, seed values,
+    // seed ids), each bounded by 2x the already-collected edge count
+    // via a broadcast semi join; the node/seed tables themselves are
+    // never collected
+    "Graph.scala" -> 5,
+    // TextPipeline (r15/r16, folded r18): the NB one-pass scorer's
+    // class constants — class list, prior map, per-class OOV default
+    // weights — now ONE |langs|-row collect (collectClasses; the
+    // centroid-k bounded-collect class). The model's class dimension
+    // must be driver-known to emit per-class sum columns, the
+    // row-local argmax/top-2 folds, and the OOV coalesce literals
+    "TextPipeline.scala" -> 1,
     // Probe #2 (r16): s03Diag's codebook pick — |cells| rows (500 at
     // sf100), the same bounded collect the operator itself performs
     "ClusterCheck.scala" -> 1, "Probe.scala" -> 2, "Probe2.scala" -> 1,

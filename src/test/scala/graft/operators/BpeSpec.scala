@@ -89,6 +89,25 @@ class BpeSpec extends AnyFunSuite {
       assert(toks.mkString("") == texts(i.toInt)) }
   }
 
+  test("driver-local and distributed training regimes learn identical merges") {
+    // r18 dual-regime (the d05 pattern): vocab-bounded driver arm vs
+    // the distributed loop, forced via graft.bpe.driverMaxVocab=0.
+    // Corpus engineered with count ties (so the (c DESC, l, r)
+    // tie-break is exercised), repeats inside words (greedy
+    // non-overlap), and cascading merges.
+    val docs = (
+      Seq.fill(4)("banana") ++ Seq.fill(4)("bandana") ++
+        Seq.fill(3)("aaa bbb aaa") ++ Seq.fill(2)("abab cdcd abab") ++
+        Seq.fill(5)("mississippi")
+    ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val local = Bpe.trainMerges(docs, "text", 8).collect().toSeq
+    spark.conf.set("graft.bpe.driverMaxVocab", "0")
+    val dist =
+      try Bpe.trainMerges(docs, "text", 8).collect().toSeq
+      finally spark.conf.unset("graft.bpe.driverMaxVocab")
+    assert(local == dist, s"regimes diverged:\n  local=$local\n  dist=$dist")
+  }
+
   test("applying the learned merges shrinks the symbol stream") {
     val docs = Seq.tabulate(30)(i =>
       (i.toLong, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")

@@ -113,6 +113,43 @@ class GraphSpec extends AnyFunSuite {
     assert(got4 == got)
   }
 
+  test("driver-local and distributed regimes agree on every iterative operator") {
+    // r18 dual-regime parity (the d05 pattern): a fixed pseudo-random
+    // multigraph with hubs, duplicate edges, self-referential degrees,
+    // nodes missing from the node table, and seeds outside the edge
+    // set — every membership subtlety the driver arms replicate.
+    // graft.graph.driverMaxEdges=0 forces the distributed loops.
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.tabulate(400)(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = (raw ++ raw.take(30)).toDF("src", "dst") // dup edges
+    val nodes = (0L to 45L).filter(_ != 7L).toDF("id") // 7 in edges, not in nodes
+    val seeds = Seq(0L, 3L, 44L).toDF("id") // 44 isolated
+    val seedScores = (0L to 45L).filter(_ != 7L)
+      .map(i => (i, (i % 11) * 100000L)).toDF("id", "micros")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    def both(f: => org.apache.spark.sql.DataFrame): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val local = rows(f)
+      spark.conf.set("graft.graph.driverMaxEdges", "0")
+      val dist = try rows(f)
+        finally spark.conf.unset("graft.graph.driverMaxEdges")
+      (local, dist)
+    }
+    val checks: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("pageRank", () => Graph.pageRank(edges, nodes, iters = 3)),
+      ("labelPropagation", () => Graph.labelPropagation(edges, seedScores, iters = 2)),
+      ("kCorePeel", () => Graph.kCorePeel(edges, nodes, k = 2, rounds = 3)),
+      ("bfsHops", () => Graph.bfsHops(edges, seeds, rounds = 3)),
+      ("hits", () => Graph.hits(edges, nodes, iters = 2)))
+    checks.foreach { case (name, f) =>
+      val (local, dist) = both(f())
+      assert(local == dist, s"$name: regimes diverged")
+      assert(local.nonEmpty, s"$name: empty result")
+    }
+  }
+
   test("bfsHops: min hop distances from a multi-seed frontier") {
     // path 0-1-2-3-4-5 with seeds {0, 5}: distances fold in from both
     // ends; node 6 is disconnected and must be absent

@@ -66,6 +66,33 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(stray == 0, s"$stray keywords not present in their source doc")
   }
 
+  test("row-local NB margin fold == the windowed top-2 definition") {
+    // r18: nbMargins selects (best, runner-up) with a row-local fold
+    // over the per-class sum columns; pin it against the semantic
+    // definition — row_number() OVER (PARTITION BY doc ORDER BY score
+    // DESC, clang) IN (1, 2) over the full class-score table — on the
+    // gate corpus, whose engineered near-ties exercise the tie-break.
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Engine.table(spark, TestSpark.sf, "documents")
+    val (ct, classes) = TextPipeline.nbTrain(docs)
+    val fold = TextPipeline.nbMargins(docs, ct, classes)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("clang"))
+    val ranked = TextPipeline.nbClassScores(docs, ct, classes)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+    val top = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("clang").as("pred"), col("score").as("s1"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("doc_id"), col("score").as("s2"))
+    val windowed = top.join(second, "doc_id")
+      .select(col("doc_id"), col("pred"),
+        graft.Engine.decOut(col("s1") - col("s2")).as("margin"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(fold == windowed,
+      s"missing=${(windowed -- fold).take(3)} extra=${(fold -- windowed).take(3)}")
+  }
+
   test("t21 two-phase cap == the naive single-window cap") {
     // the oracle shares t21's two-phase derivation, so a decomposition
     // flaw would pass the gate on both engines — pin the equivalence to
