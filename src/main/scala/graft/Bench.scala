@@ -36,6 +36,24 @@ object Bench {
       priorSecs.get(name).map(math.min(_, secs)).getOrElse(secs)
     else secs
 
+  /** Compact per-query stdout encoding (r19, pinned by BenchMergeSpec).
+    *
+    * At 199 queries NO name-keyed map fits the consumer's ~1900-char tail
+    * window — even 3-char keys + integer-millisecond values measure 2062
+    * chars against the committed BENCH_DETAIL records (199 × ("\"q03\":" 6
+    * chars + ~3 digits + comma) ≈ 2000), so the pre-r19 guard dropped the
+    * map on every run and the driver's per-query/scaling grading stayed
+    * empty (r18 verdict item 2). The fallback encoding is the one that
+    * verdict sanctions: a NAME-SORTED integer-MILLISECOND array,
+    * "queries":[52,828,...], in the bench's own sorted-by-full-name
+    * execution order (the same order as CORRECTNESS/BENCH_DETAIL keys),
+    * failures as -1. ~870 chars at 199 queries, and robust to noisy-run
+    * digit inflation (a 10× spike adds one digit, not a map drop). The
+    * full-name seconds map is unchanged in BENCH_DETAIL.json. */
+  def msArray(secs: Seq[Either[String, Double]]): String =
+    secs.map(_.map(t => math.round(t * 1000).toString).getOrElse("-1"))
+      .mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -163,7 +181,13 @@ object Bench {
     val total = ok.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}"""
+    // Degrade in steps, never exceed the window: full seconds map (small
+    // suites) -> name-sorted integer-ms array (the 199-query reality; see
+    // msArray doc) -> total only (unreachable in practice).
+    val msArr = Bench.msArray(results.map { case (_, v, _) => v.map(_._1) })
+    val lineArr = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$msArr,"sf":"$sfDir"$errField}"""
     val out = if (line.length <= 1800) line
+      else if (lineArr.length <= 1800) lineArr
       else s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"$errField}"""
     // Full-name per-query detail goes to a FILE (no length constraint) for
     // BASELINE.md bookkeeping and human inspection; "jobs" holds the

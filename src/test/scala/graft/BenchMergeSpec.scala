@@ -37,4 +37,25 @@ class BenchMergeSpec extends AnyFunSuite {
     // must not throw and must record the observed run
     assert(Bench.mergeRecord("q", 4.0, 5, Map.empty, priorJobs) == 4.0)
   }
+
+  // --- stdout per-query fallback encoding (r19): name-sorted integer-ms
+  // array. The order contract is the caller's (results are already sorted
+  // by full query name); this pins the value encoding itself.
+  test("msArray encodes seconds as rounded integer milliseconds in order") {
+    assert(Bench.msArray(Seq(Right(0.052), Right(0.8284), Right(2.4494)))
+      == "[52,828,2449]")
+  }
+
+  test("msArray encodes a failure as -1, not a timing") {
+    assert(Bench.msArray(Seq(Right(0.1), Left("SparkException"), Right(0.2004)))
+      == "[100,-1,200]")
+  }
+
+  test("msArray at 199 suite-scale entries stays far inside the stdout window") {
+    // the reason the array exists: 199 map entries measured 2062 chars even
+    // at integer-ms precision; the array must leave the ~1900-char consumer
+    // tail window comfortable headroom even with every query spiked 10x
+    val noisy = Seq.tabulate(199)(i => Right(10.0 + i * 0.037): Either[String, Double])
+    assert(Bench.msArray(noisy).length < 1400)
+  }
 }
