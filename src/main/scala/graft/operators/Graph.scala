@@ -55,14 +55,36 @@ object Graph {
     spark.conf.getOption("graft.graph.driverMaxEdges").map(_.toLong)
       .getOrElse(DriverMaxEdgesDefault)
 
+  /** Overflow-safe local-regime cap for [[hits]] (r19, advice item):
+    * hitsLocal normalizes with `raw * 1000000L` in plain Long while the
+    * distributed arm widens through DECIMAL(38,0). raw <= 1e6 micros x
+    * |E|, so the product stays under 2^63 only while |E| <= ~9.2e6.
+    * `graft.graph.driverMaxEdges` is an unguarded session knob — without
+    * this clamp, raising it past that bound (safe for pageRank/kCore/
+    * bfs, whose local arithmetic never leaves the seed scale) would
+    * silently overflow and corrupt hits scores in the local regime
+    * only. 9e6 leaves a margin below the exact 2^63/1e12 ~ 9.22e6. */
+  private val HitsLocalMaxEdges = 9000000L
+
   /** Cut + count the edge plan once; collect it when the driver regime
     * applies. Returns the cut frame either way (the distributed arms
-    * keep reading it; callers release it). */
-  private def cutAndMaybeCollect(
-      edges: DataFrame): (DataFrame, Option[Array[(Long, Long)]]) = {
+    * keep reading it; callers release it). The threshold probe count is
+    * memoized on the PRE-cut edge plan ([[Engine.memoStat]], the BPE
+    * driverMaxVocab discipline — r18 advice: the unconditional
+    * `e.count()` added one full scan of the checkpointed edge table per
+    * invocation even when the graph is far above the threshold, e.g.
+    * the decade-3 sf100 pageRank fixture). A memo hit costs zero jobs;
+    * a miss counts the already-materialized cut frame (cheap re-read,
+    * never a re-execution of the edge-producing plan).
+    *
+    * `capAt` bounds the local regime independently of the session conf
+    * (hits' overflow clamp above); limit = 0 keeps forcing the
+    * distributed arm with no count at all (chaos/pricing harness). */
+  private def cutAndMaybeCollect(edges: DataFrame,
+      capAt: Long = Long.MaxValue): (DataFrame, Option[Array[(Long, Long)]]) = {
     val e = edges.transform(Engine.cut)
-    val limit = driverMaxEdges(e.sparkSession)
-    if (limit > 0 && e.count() <= limit) {
+    val limit = math.min(driverMaxEdges(e.sparkSession), capAt)
+    if (limit > 0 && Engine.memoStat(edges, "graphEdges")(e.count()) <= limit) {
       val arr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       (e, Some(arr))
     } else (e, None)
@@ -160,8 +182,12 @@ object Graph {
   private def pageRankLocal(edges: Array[(Long, Long)], nodes: DataFrame,
       iters: Int): DataFrame = {
     val spark = nodes.sparkSession
-    val nodeSet = nodes.join(broadcast(touchedDf(spark, edges)),
-        Seq("id"), "left_semi")
+    // cast BEFORE collecting (r19, advice item): an IntegerType id
+    // column — which the distributed arm accepts via implicit join
+    // casts, and which bfsHopsLocal already casts — would otherwise
+    // throw ClassCastException in the default (local) regime only
+    val nodeSet = nodes.select(col("id").cast(LongType).as("id"))
+      .join(broadcast(touchedDf(spark, edges)), Seq("id"), "left_semi")
       .collect().map(_.getLong(0)).toSet
     val deg = new scala.collection.mutable.HashMap[Long, Long]()
     edges.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
@@ -213,7 +239,16 @@ object Graph {
     * materialized once, two shuffles per round (neighbor scores keyed
     * by dst; the score left-join), score table one row per node,
     * lineage cut per round. Emits (id, score DOUBLE) via the exact
-    * micros/1e6 conversion. */
+    * micros/1e6 conversion.
+    *
+    * INPUT BOUND (r19, advice item): |micros| must stay < 2^53/10
+    * (~9e14). Both regimes floor-divide VIA DOUBLE, so the identity
+    * step floor((2s+8s)/10) = s that carries an untouched seed is
+    * exact only inside that range; beyond it the local regime (which
+    * attaches untouched-by-edges seeds by coalesce, skipping the
+    * step) and the distributed regime (which runs every node through
+    * it) could diverge. Gate inputs are bounded at 1e6 micros — nine
+    * orders inside the bound. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     val (e0, small) = cutAndMaybeCollect(
@@ -262,8 +297,11 @@ object Graph {
       seeds: DataFrame, iters: Int): DataFrame = {
     val spark = seeds.sparkSession
     val touched = touchedDf(spark, edges)
+    // id cast mirrors pageRankLocal/bfsHopsLocal (advice item): an
+    // IntegerType seed id must not CCE in the local regime only
     var micros = scala.collection.mutable.HashMap.empty[Long, Long] ++
-      seeds.select(col("id"), col("micros").cast(LongType))
+      seeds.select(col("id").cast(LongType).as("id"),
+          col("micros").cast(LongType))
         .join(broadcast(touched), Seq("id"), "left_semi")
         .collect().map(r => r.getLong(0) -> r.getLong(1))
     val deg = new scala.collection.mutable.HashMap[Long, Long]()
@@ -418,7 +456,15 @@ object Graph {
     * 100 TB shape: per round, one frontier-edge join (keyed on src) +
     * one min-aggregate, both over the distance table (<= |V| rows, one
     * row per reached node), materialized per round with the previous
-    * round's blocks released. */
+    * round's blocks released.
+    *
+    * CONTRACT (r19, advice item): rounds >= 1 and Long-typed seed ids.
+    * At rounds = 0 the distributed arm returns the seed frame verbatim
+    * (duplicates preserved, original id type) while the local twin
+    * dedups into a HashMap and emits LongType — a multiplicity/schema
+    * divergence no in-repo caller can hit (every caller passes a
+    * distinct-id seed table and rounds >= 1), documented rather than
+    * papered over with a groupBy the real callers would pay for. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
     // constraint propagation disabled for the loop's planning: the
     // frontier-union shape trips Union.rewriteConstraints on some
@@ -912,7 +958,8 @@ object Graph {
     * per round like pageRank. */
   def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val (e0, small) = cutAndMaybeCollect(
-      edges.select(col("src").cast(LongType), col("dst").cast(LongType)))
+      edges.select(col("src").cast(LongType), col("dst").cast(LongType)),
+      capAt = HitsLocalMaxEdges)
     small.foreach { arr =>
       Engine.releaseCheckpoint(e0)
       return hitsLocal(arr, nodes, iters)
@@ -963,8 +1010,9 @@ object Graph {
   private def hitsLocal(edges: Array[(Long, Long)], nodes: DataFrame,
       iters: Int): DataFrame = {
     val spark = nodes.sparkSession
-    val nodeSet = nodes.join(broadcast(touchedDf(spark, edges)),
-        Seq("id"), "left_semi")
+    // id cast mirrors pageRankLocal (advice item)
+    val nodeSet = nodes.select(col("id").cast(LongType).as("id"))
+      .join(broadcast(touchedDf(spark, edges)), Seq("id"), "left_semi")
       .collect().map(_.getLong(0)).toSet
     def half(scores: scala.collection.Map[Long, Long],
         scoreEndIsSrc: Boolean): scala.collection.mutable.HashMap[Long, Long] = {

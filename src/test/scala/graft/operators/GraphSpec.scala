@@ -150,6 +150,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("local regime accepts IntegerType ids like the distributed arms do") {
+    // r19 advice item: the distributed arms take an INT id column via
+    // implicit join casts, and bfsHopsLocal already casts — but the
+    // pageRank/hits/labelPropagation local twins collected ids with
+    // getLong, which CCEs on IntegerType in the default regime only
+    // (exactly the small inputs that worked pre-r18). Pin the cast by
+    // running both regimes on int-typed inputs and comparing.
+    val edges = Seq((0, 1), (1, 2), (2, 0), (1, 0), (2, 1), (0, 2), (3, 1))
+      .toDF("src", "dst") // IntegerType columns
+    val nodes = Seq(0, 1, 2, 3, 9).toDF("id") // 9 isolated
+    val seedScores = Seq((0, 500000L), (1, 300000L), (2, 0L), (3, 700000L))
+      .toDF("id", "micros") // IntegerType id
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    def both(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val local = rows(f)
+      spark.conf.set("graft.graph.driverMaxEdges", "0")
+      val dist = try rows(f)
+        finally spark.conf.unset("graft.graph.driverMaxEdges")
+      assert(local == dist)
+      assert(local.nonEmpty)
+    }
+    both(Graph.pageRank(edges, nodes, iters = 2))
+    both(Graph.labelPropagation(edges, seedScores, iters = 2))
+    both(Graph.hits(edges, nodes, iters = 2))
+  }
+
   test("bfsHops: min hop distances from a multi-seed frontier") {
     // path 0-1-2-3-4-5 with seeds {0, 5}: distances fold in from both
     // ends; node 6 is disconnected and must be absent
