@@ -80,6 +80,55 @@ object GraftHash {
         .fromBytes(bytes, start, n - start)
     new GenericArrayData(out.toArray)
   }
+
+  /** Row-local token-count kernel behind TokenCounts (r19): sort the
+    * array's UTF8String refs (binary order — UTF8String.compareTo, the
+    * same total order array_sort uses) and run-length encode to
+    * (token, tf) structs. The output MULTISET is exactly what
+    * `groupBy(doc_id, token).count()` produces for the doc — counting
+    * is order-independent — so exploding this kernel is
+    * value-identical to the corpus-wide tf aggregation while removing
+    * its exchange entirely: token counts are doc-local knowledge the
+    * optimizer cannot see (guide §8), and at 100 TB the tf build's
+    * shuffle is corpus-sized. Cost is O(L log L) per doc on ref sorts
+    * (no byte copies; L = doc length in tokens). */
+  def tokenCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(toks,
+      (a: org.apache.spark.unsafe.types.UTF8String,
+       b: org.apache.spark.unsafe.types.UTF8String) => a.compareTo(b))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var s = 0
+    while (s < n) {
+      var e = s + 1
+      while (e < n && toks(e) == toks(s)) e += 1
+      out += org.apache.spark.sql.catalyst.InternalRow(toks(s), (e - s).toLong)
+      s = e
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** graft_token_counts(array<string>) -> array<struct<token, tf:bigint>>:
+  * row-local run-length token counts (see [[GraftHash.tokenCounts]]).
+  * doGenCode keeps it inside whole-stage codegen like [[Tokens]] — it
+  * replaces a corpus-wide exchange in every tf-building text query, so
+  * it sits on the same hot scan path. */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("token", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.tokenCounts(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.tokenCounts($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCounts =
+    copy(child = c)
+  override def prettyName: String = "graft_token_counts"
 }
 
 /** fnv64(str) -> long. Deterministic 64-bit content hash (for shingle
@@ -1697,6 +1746,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fnv64", es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_tokens", es => Tokens(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_counts",
+      es => TokenCounts(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       es => Shingles(es.head, if (es.size > 1) lit2int(es(1), 3) else 3), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
@@ -1849,6 +1900,8 @@ object GraftFunctions {
   // Column-API wrappers
   def fnv64(c: Column): Column = call_function("graft_fnv64", c)
   def tokensNative(c: Column): Column = call_function("graft_tokens", c)
+  def tokenCountsNative(c: Column): Column =
+    call_function("graft_token_counts", c)
   def shinglesNative(c: Column, k: Int): Column =
     call_function("graft_shingles", c, org.apache.spark.sql.functions.lit(k))
   def minhash(c: Column, n: Int): Column =

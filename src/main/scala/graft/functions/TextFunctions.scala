@@ -22,6 +22,15 @@ object TextFunctions {
     * Oracle twin: list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t <> '') */
   def tokens(text: Column): Column = GraftFunctions.tokensNative(text)
 
+  /** Row-local (token, tf) pairs of a token array — the shuffle-free
+    * tf table (r19, guide §8): token counts are doc-local, so
+    * `select(doc_id, explode(tokenCounts(tokens(text))))` yields
+    * exactly the `groupBy(doc_id, token).count()` multiset without the
+    * corpus-sized exchange that aggregation pays. Native RLE kernel
+    * (functions.TokenCounts). Output: array<struct<token, tf:bigint>>.
+    * Oracle twins keep the GROUP BY formulation — same values. */
+  def tokenCounts(tok: Column): Column = GraftFunctions.tokenCountsNative(tok)
+
   /** k-word shingles joined by single spaces — native one-pass kernel
     * (functions.Shingles; the transform/element_at/concat_ws HOF version
     * re-enters the interpreter k+2 times per shingle).

@@ -583,9 +583,15 @@ object TextPipeline {
                    ORDER BY tfidf DESC, token) AS rn
           FROM scored) WHERE rn <= 3"""),
       (s, d) => {
-        val base = docs(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        val tf = base.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        // r19: the tf table is built ROW-LOCALLY (tokenCounts RLE kernel)
+        // instead of groupBy(doc_id, token) — token counts are doc-local,
+        // so the aggregation's corpus-sized exchange was pure overhead
+        // (guide §8 "use what you know"); the (doc_id, token, tf) multiset
+        // is identical, so df/idf/ranking are value-unchanged
+        val tf = docs(s, d).select(col("doc_id"),
+            explode(tokenCounts(tokens(col("text")))).as("tc"))
+          .select(col("doc_id"), col("tc.token").as("token"),
+            col("tc.tf").as("tf"))
         val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val n = docs(s, d).agg(count(lit(1)).as("n"))
         val scored = tf.join(broadcast(dfc), "token")
@@ -750,29 +756,47 @@ object TextPipeline {
         FROM bg JOIN bc USING (bigram) JOIN uni ON bg.w1 = uni.token CROSS JOIN v
         GROUP BY doc_id)"""),
       (s, d) => {
+        // r19 restructure (values identical, oracle text unchanged):
+        //  - per-doc bigram counts are ROW-LOCAL (tokenCounts over the
+        //    row-local bigram array) — the multiset of positions is
+        //    preserved as (doc_id, bigram, k) with k occurrences;
+        //  - the unigram weight joins into the bigram-VOCAB table, not
+        //    the position stream: w1 is derivable from the bigram
+        //    (tokens are [a-z0-9]+ runs, so the single joining space is
+        //    the only space — substring_index is exact), so the stream
+        //    no longer carries w1 and pays ONE vocab-keyed join instead
+        //    of two stream-sized ones;
+        //  - nv reuses uni's aggregate (runtime exchange reuse), not a
+        //    fresh corpus tokenization.
+        // Per position the contribution is the same round6 log-weight,
+        // and summing k identical 6dp DECIMALs equals k * w exactly, so
+        // sm/nt are bit-identical. At scale the dbk-wt join degrades
+        // from broadcast to a shuffle on bigram that REUSES bc's own
+        // exchange — the bigram side then tokenizes once.
         val tok = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
-        val bg = tok.filter(size(col("t")) >= 2).select(col("doc_id"),
-            explode(zip_with(
+        val dbk = tok.filter(size(col("t")) >= 2).select(col("doc_id"),
+            explode(tokenCounts(zip_with(
               slice(col("t"), lit(1), size(col("t")) - 1),
               slice(col("t"), lit(2), size(col("t")) - 1),
-              (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bigram"))))
-              .as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+              (a, b) => concat_ws(" ", a, b)))).as("bc"))
+          .select(col("doc_id"), col("bc.token").as("bigram"),
+            col("bc.tf").as("k"))
         val uni = tok.select(explode(col("t")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("c1"))
-        val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+        val bc = dbk.groupBy("bigram").agg(sum("k").as("c2"))
         val v = uni.agg(count(lit(1)).as("nv"))
-        bg.join(bc, "bigram").join(uni, col("w1") === col("token"))
+        val wt = bc
+          .join(uni, substring_index(col("bigram"), " ", 1) === col("token"))
           .crossJoin(broadcast(v))
+          .select(col("bigram"),
+            // the same per-position term as before — round6 then DEC
+            // (see the t18 dsirWeights determinism note)
+            round(log((col("c2").cast(DoubleType) + 1)
+              / (col("c1") + col("nv"))), 6).cast(Engine.DEC).as("w"))
+        dbk.join(wt, "bigram")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("nt"),
-            // same order-independent mean as t18 — and, r12, the same
-            // exact trunc-micros emission (see dsirWeights: the
-            // round(sum/n, 4) quotient split engines on a 4dp half at
-            // sf1; AVG(double) was the original r7 summation-order
-            // hazard)
-            (sum(round(log((col("c2").cast(DoubleType) + 1)
-                / (col("c1") + col("nv"))), 6).cast(Engine.DEC))
+          .agg(sum(col("k")).as("nt"),
+            (sum((col("k") * col("w")).cast(Engine.DEC))
               .cast(Engine.DEC6) * lit(1000000L)).cast(LongType).as("sm"))
           .select(col("doc_id"), col("nt").cast(IntegerType).as("n_bigrams"),
             (expr("sm div (100 * nt)").cast(DoubleType) / 1e4).as("avg_logprob"))
@@ -1599,7 +1623,12 @@ object TextPipeline {
     val ct = tok.groupBy(col("lang").as("clang"), col("token"))
       .agg(count(lit(1)).as("c"))
     val tot = ct.groupBy("clang").agg(sum("c").as("tot"))
-    val vocab = tok.agg(count_distinct(col("token")).as("v"))
+    // r19: the vocabulary size derives from ct (every corpus token has
+    // at least one (clang, token) row, so distinct tokens over ct ==
+    // distinct tokens over the raw stream — same value), which lets
+    // runtime exchange reuse serve tot AND vocab from ONE tokenization
+    // instead of vocab paying its own corpus-wide count_distinct pass
+    val vocab = ct.agg(count_distinct(col("token")).as("v"))
     val nDocs = base.agg(count(lit(1)).as("n"))
     val classes = base.groupBy(col("lang").as("clang"))
       .agg(count(lit(1)).as("nd"))
@@ -1754,9 +1783,14 @@ object TextPipeline {
   private def nbSums(base: DataFrame, ct: DataFrame,
       k: NbClasses): (DataFrame, Seq[String]) = {
     val DEC = DecimalType(38, 10)
+    // r19: row-local tf (tokenCounts RLE kernel) — the groupBy form
+    // shuffled the corpus-sized (doc_id, token) stream for counts that
+    // are doc-local; the multiset is identical (guide §8), so the
+    // DECIMAL score sums downstream are value-unchanged
     val tf = base.select(col("doc_id"),
-        explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        explode(tokenCounts(tokens(col("text")))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"),
+        col("tc.tf").as("tf"))
     val clangs = k.clangs
     val dense = ct.select("token").distinct()
       .crossJoin(broadcast(k.local.select("clang", "tot", "v")))

@@ -17,6 +17,32 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(got == 0xe71fa2190541574bL)
   }
 
+  test("tokenCounts: exploded pairs equal the groupBy tf multiset") {
+    // r19: the row-local RLE kernel replaces groupBy(doc_id, token)
+    // in every tf-building text query — the (doc_id, token, tf)
+    // multiset must be EXACTLY the aggregation's, including dup-heavy,
+    // single-token, and empty docs
+    val docs = Seq(
+      (1L, "the cat the hat the end"),
+      (2L, "solo"),
+      (3L, ""), // tokenizes to an empty array -> zero rows, like groupBy
+      (4L, "a a a b1 b1 z")).toDF("doc_id", "text")
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(GF.tokenCountsNative(GF.tokensNative(col("text")))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val viaGroupBy = docs
+      .select(col("doc_id"), explode(GF.tokensNative(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(viaKernel.toSeq == viaGroupBy.toSeq)
+    assert(viaKernel.exists(t => t == ((1L, "the", 3L))))
+    assert(!viaKernel.exists(_._1 == 3L))
+  }
+
   test("fnv64 survives SQL registration (fmgr analogue)") {
     Seq("x").toDF("s").createOrReplaceTempView("fnv_in")
     val viaSql = spark.sql("SELECT graft_fnv64(s) FROM fnv_in").head.getLong(0)
