@@ -139,13 +139,41 @@ object Relational {
     // the input blocks release in a finally: every invocation honestly
     // pays one write + three reads, and no cache entry survives the
     // call (pinned by Q69CacheSpec).
-    val bc = b.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // r19 (verdict item: q69's DISK_ONLY persist was the suite's single
+    // biggest driver-visible I/O exposure — 33.7/144.1 s guard spikes on
+    // a slow-disk window against a 2.4 s record). The input frame is
+    // already the minimal 2-column projection (l_orderkey, p_brand — both
+    // consumers read both columns, nothing to narrow), so the dials are:
+    //  (a) storage level, conf `graft.q69.inputStorageLevel` — the frame
+    //      is cached as compressed COLUMNAR batches (InMemoryRelation),
+    //      so MEMORY_AND_DISK keeps the gate-scale working set in
+    //      evictable storage memory (no disk dependency on the bench
+    //      path) and degrades per-block to disk under pressure at scale
+    //      — storage memory evicts, it does not OOM (unlike the
+    //      deserialized localCheckpoint blocks the r14 note rejected);
+    //  (b) the cap and support aggregates fold into ONE grouping-sets
+    //      pass below (3 reads of the persisted frame -> 2).
+    val level = b.sparkSession.conf
+      .getOption("graft.q69.inputStorageLevel")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = b.persist(level)
     try {
       bc.count()
-      val bad = bc.groupBy("l_orderkey").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") > maxBasket).select("l_orderkey")
-      val freq = bc.groupBy("p_brand").agg(count(lit(1)).as("bf"))
-        .filter(col("bf") >= minSupport).select("p_brand")
+      // one grouping-sets aggregate serves BOTH the degenerate-basket cap
+      // and the support floor: runtime ReusedExchange dedupes the shared
+      // expand+partial-agg exchange across the two broadcast subtrees
+      // (the q59 reuse property), so the persisted frame is read once
+      // here instead of once per aggregate. Keys are non-null by schema;
+      // grouping_id() picks the set ((l_orderkey)=01b, (p_brand)=10b).
+      val gs = bc.groupingSets(
+          Seq(Seq(col("l_orderkey")), Seq(col("p_brand"))),
+          col("l_orderkey"), col("p_brand"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      val bad = gs.filter(col("gid") === 1 && col("n") > maxBasket)
+        .select("l_orderkey")
+      val freq = gs.filter(col("gid") === 2 && col("n") >= minSupport)
+        .select("p_brand")
       val baskets = bc
         .join(broadcast(bad), Seq("l_orderkey"), "left_anti")
         .join(broadcast(freq), Seq("p_brand"))

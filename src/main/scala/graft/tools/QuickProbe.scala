@@ -48,7 +48,16 @@ object QuickProbe {
         q("t28_nb_lang_classifier")
         q("t32_nb_margin")
       case "names" =>
-        args.drop(2).foreach(q)
+        // args containing '=' are session conf sets (e.g.
+        // graft.q69.inputStorageLevel=DISK_ONLY), applied in order
+        // before the queries that follow them
+        args.drop(2).foreach { a =>
+          if (a.contains('=')) {
+            val Array(k, v) = a.split("=", 2)
+            spark.conf.set(k, v)
+            println(s"[probe] conf $k=$v")
+          } else q(a)
+        }
       case other =>
         // treat as a query name list starting at args(0)
         (Seq(other) ++ args.drop(2)).foreach(q)

@@ -40,6 +40,12 @@ K = 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
+# same ceiling discipline as gensf100.py: an uncapped DuckDB grabs ~80%
+# of RAM and dies with a bad-allocation OOM when the box is shared with
+# Spark JVMs (observed twice at documents copy 5/7 in r19); the staged
+# per-copy form spills fine at this limit
+con.execute("SET temp_directory='/tmp/duckdb_spill_gen10'")
+con.execute("SET memory_limit='24GB'")
 
 
 def maxkey(table, col):
