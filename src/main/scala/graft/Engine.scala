@@ -561,6 +561,34 @@ object Engine {
   private val cpDepth = new java.util.concurrent.ConcurrentHashMap[SparkSession, Integer]()
   private val cpPrior = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
+  /** Scope AQE off for `body` — the same reentrancy-safe discipline as
+    * [[withoutConstraintPropagation]]. Used by the graph operators'
+    * pre-partitioned cuts (r19): an EAGER checkpoint planned under AQE
+    * captures AdaptiveSparkPlanExec, whose outputPartitioning is
+    * UnknownPartitioning, so the LogicalRDD silently loses the hash
+    * layout the repartition paid for (measured: QuickProbe copart —
+    * a join over an AQE-planned pre-partitioned cut still exchanges
+    * both sides; the AQE-off cut exchanges only the other side).
+    * CONSUMERS still plan under AQE — only the materializing execution
+    * of the cut frame itself runs without it. */
+  def withoutAqe[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    aqeLock.synchronized {
+      val d = aqeDepth.getOrDefault(spark, 0)
+      if (d == 0) { aqePrior.put(spark, spark.conf.get(key)); spark.conf.set(key, "false") }
+      aqeDepth.put(spark, d + 1)
+    }
+    try body finally aqeLock.synchronized {
+      val d = aqeDepth.get(spark) - 1
+      if (d == 0) {
+        spark.conf.set(key, aqePrior.remove(spark)); aqeDepth.remove(spark)
+      } else aqeDepth.put(spark, d)
+    }
+  }
+  private val aqeLock = new Object
+  private val aqeDepth = new java.util.concurrent.ConcurrentHashMap[SparkSession, Integer]()
+  private val aqePrior = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   // -------------------------------------------------------------------
   // Ephemeral per-query caches (r16 verdict #2): operators that must
   // materialize an intermediate EAGERLY inside a scoped-conf execution

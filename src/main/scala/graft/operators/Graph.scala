@@ -90,6 +90,30 @@ object Graph {
     } else (e, None)
   }
 
+  /** Materialize a frame PRE-PARTITIONED on `key`, with the hash layout
+    * PRESERVED into the cut (r19, verdict item 3 — guide §2.1/§2.4).
+    * The iterative operators that cut lineage PER ROUND re-execute each
+    * round as its own job, so runtime exchange reuse cannot help them:
+    * every round re-shuffled the static |E|-sized adjacency before this.
+    * A cut frame pre-partitioned on the round join key makes each
+    * round's join read an already-partitioned table; only the small
+    * (|V|-sized) score/frontier side still exchanges. The partition
+    * count pins to spark.sql.shuffle.partitions — the session's scale
+    * dial — and the materializing execution runs with AQE scoped off
+    * ([[Engine.withoutAqe]]: an AQE-planned eager checkpoint reports
+    * UnknownPartitioning and silently loses the layout; consumers still
+    * plan under AQE and see the LogicalRDD's HashPartitioning). Only
+    * the DISTRIBUTED regime calls this — the driver regime collects. */
+  private def cutByKey(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("graft.graph.copartition").contains("off"))
+      return Engine.cut(df) // A/B escape hatch: the pre-r19 plain cut
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Engine.withoutAqe(spark) {
+      Engine.cut(df.repartition(p, col(key)))
+    }
+  }
+
   /** The node ids appearing in a collected edge list, as a local
     * relation — the broadcast-semi-join key set that lets the driver
     * regime read only the edge-touched slice of a distributed node /
@@ -149,9 +173,11 @@ object Graph {
       return pageRankLocal(arr, nodes, iters)
     }
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = e.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .transform(Engine.cut)
+    // r19: adjacency materialized pre-partitioned on the round join key
+    // — each round's contribution join then reads it without an |E|-
+    // sized exchange (only the rank side shuffles)
+    val adj = cutByKey(e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")), "src")
     Engine.releaseCheckpoint(e)
     var ranks = nodes.select(col("id"), lit(1000000L).as("micros"))
     for (_ <- 1 to iters) {
@@ -259,9 +285,11 @@ object Graph {
     }
     val e = e0
     val deg = e.groupBy("dst").agg(count(lit(1)).as("deg"))
-    val adj = e.join(deg, "dst")
-      .select(col("src"), col("dst"), col("deg"))
-      .transform(Engine.cut)
+    // r19: pre-partitioned on src (the per-round score-join key); each
+    // round executes as its own cut job, so without this the static
+    // adjacency re-shuffled every round
+    val adj = cutByKey(e.join(deg, "dst")
+      .select(col("src"), col("dst"), col("deg")), "src")
     Engine.releaseCheckpoint(e)
     var scores = seeds.select(col("id"), col("micros").cast(LongType).as("micros"))
     for (_ <- 1 to iters) {
@@ -483,6 +511,12 @@ object Graph {
         Engine.releaseCheckpoint(e)
         return bfsHopsLocal(arr, seeds, rounds)
       }
+      // r19 NOTE: bfs deliberately does NOT pre-partition the edge
+      // table (unlike pageRank/labelPropagation/hits): the frontier
+      // side is |reached|-sized and BROADCASTS, so the per-round join
+      // never exchanged the edge side to begin with — the decade-3 A/B
+      // measured the eager |E| repartition+cut as a 3.5x REGRESSION
+      // (3.65 s plain vs 12.74 s pre-partitioned, fingerprints equal).
       var dist = seeds.select(col("id"), lit(0).as("dist")).transform(Engine.cut)
       for (r <- 1 to rounds) {
         val next = dist.join(e, col("id") === col("src"))
@@ -964,9 +998,18 @@ object Graph {
       Engine.releaseCheckpoint(e0)
       return hitsLocal(arr, nodes, iters)
     }
-    val e = e0
+    // r19: each half-step joins the static edge table on ALTERNATING
+    // keys (src for the auth gather, dst for the hub gather) and every
+    // half-step is its own cut job, so e re-shuffled twice per
+    // iteration. Two pre-partitioned copies — one per key — make both
+    // halves exchange only the |V|-sized score table. Storage is 2x|E|
+    // once (evictable blocks, released below) vs 2 x iters exchanges.
+    val eBySrc = cutByKey(e0, "src")
+    val eByDst = cutByKey(e0, "dst")
+    Engine.releaseCheckpoint(e0)
     val n = nodes.transform(Engine.cut)
     def half(scores: DataFrame, edgeKey: String, groupKey: String): DataFrame = {
+      val e = if (edgeKey == "src") eBySrc else eByDst
       val raw = e.join(scores, e(edgeKey) === scores("id"))
         .groupBy(e(groupKey).as("rid"))
         .agg(sum("micros").as("raw"))
@@ -993,7 +1036,8 @@ object Graph {
         (col("micros").cast(DoubleType) / 1e6).as("hub")), "id")
       .transform(Engine.cut)
     rounds.foreach(Engine.releaseCheckpoint)
-    Engine.releaseCheckpoint(e)
+    Engine.releaseCheckpoint(eBySrc)
+    Engine.releaseCheckpoint(eByDst)
     Engine.releaseCheckpoint(n)
     out
   }

@@ -47,6 +47,180 @@ object QuickProbe {
       case "nb" =>
         q("t28_nb_lang_classifier")
         q("t32_nb_margin")
+      case "copart" =>
+        // does Engine.cut (localCheckpoint) PRESERVE a hash
+        // partitioning into the LogicalRDD, so a later join/agg on the
+        // same key plans no Exchange above it? (the premise of the r19
+        // graph co-partitioning change — verify, don't assume)
+        val base = spark.range(0, 100000).selectExpr("id % 97 AS k", "id AS v")
+        val cutP = graft.Engine.cut(base.repartition(16, col("k")))
+        val cutN = graft.Engine.cut(base)
+        val probeTbl = spark.range(0, 97).selectExpr("id AS k", "id * 2 AS w")
+          .repartition(16, col("k"))
+        def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.toString
+            .linesIterator.count(l => l.contains("Exchange")
+              && !l.contains("Reused"))
+        println(s"[probe] agg on pre-partitioned cut: exchanges=" +
+          exchanges(cutP.groupBy("k").count()))
+        println(s"[probe] agg on plain cut:           exchanges=" +
+          exchanges(cutN.groupBy("k").count()))
+        println(s"[probe] join on pre-partitioned cut: exchanges=" +
+          exchanges(cutP.join(probeTbl.hint("merge"), "k")))
+        println(s"[probe] cutP plan: " + cutP.queryExecution.optimizedPlan
+          .toString.linesIterator.next())
+        // arm 2: materialize the cut with AQE scoped OFF — the eager
+        // checkpoint then sees a plain ShuffleExchangeExec whose
+        // HashPartitioning lands in the LogicalRDD (AdaptiveSparkPlanExec
+        // reports UnknownPartitioning, which is why arm 1 loses it)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val cutA = graft.Engine.cut(base.repartition(16, col("k")))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        println(s"[probe] agg on AQE-off pre-partitioned cut: exchanges=" +
+          exchanges(cutA.groupBy("k").count()))
+        println(s"[probe] join on AQE-off pre-partitioned cut: exchanges=" +
+          exchanges(cutA.join(probeTbl.hint("merge"), "k")))
+        println(s"[probe] join values agree: " +
+          (cutA.join(probeTbl, "k").count() ==
+            cutN.join(probeTbl, "k").count()))
+      case "graphbig" =>
+        // r19 co-partitioning A/B: time the ITERATIVE graph operators
+        // over a PREBUILT symmetrized edge fixture (no kNN rebuild),
+        // min-of-3 warm, with an order-independent fingerprint so both
+        // arms prove value-identity. 7.09M edges > driverMaxEdges, so
+        // the distributed arms run by size.
+        val edgesPath = args.drop(2).headOption
+          .getOrElse("target/biggraph/edges-sf100.parquet")
+        val edges = spark.read.parquet(edgesPath)
+        val nodes = edges.select(col("src").as("id")).distinct()
+          .transform(graft.Engine.cut)
+        val seeds = nodes.filter(col("id") % 1000 === 0)
+        val seedScores = nodes.select(col("id"),
+          (col("id") % 11 * 100000L).as("micros"))
+        println(s"[probe] edges=${edges.count()} nodes=${nodes.count()} " +
+          s"heap=${Runtime.getRuntime.maxMemory() / (1L << 20)}MiB")
+        def fp(df: org.apache.spark.sql.DataFrame): String =
+          df.agg(sum(xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+            .cast(DecimalType(38, 0))).as("h")).collect()(0).toString
+        def big(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+          var h = ""
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            val out = f
+            val n = out.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            h = fp(out)
+            graft.Engine.releaseCheckpoint(out)
+            require(n > 0)
+            sec
+          }
+          println(f"[probe] $name warm min=${times.min}%.2f s  " +
+            f"runs=${times.map(t => f"$t%.2f").mkString(",")}  fp=$h")
+        }
+        big("pageRank")(graft.operators.Graph.pageRank(edges, nodes, 3))
+        big("labelPropagation")(
+          graft.operators.Graph.labelPropagation(edges, seedScores, 2))
+        big("kCorePeel")(graft.operators.Graph.kCorePeel(edges, nodes, 2, 3))
+        big("bfsHops")(graft.operators.Graph.bfsHops(edges, seeds, 3))
+        big("hits")(graft.operators.Graph.hits(edges, nodes, 2))
+      case "copartplan" =>
+        // judge-checkable plan evidence for the r19 graph co-partition
+        // change: the pageRank ROUND-SHAPE join (rank ⋈ adjacency →
+        // re-aggregate on dst) planned over (a) a plain Engine.cut
+        // adjacency — the pre-r19 shape — and (b) the cutByKey
+        // pre-partitioned adjacency. Writes plans/r19/copart_round_
+        // {before,after}.txt. The declared g01..g08 queries execute
+        // their fixpoints eagerly inside the builder, so PlanDump on
+        // the returned frame can only show the final LogicalRDD — this
+        // case dumps the per-round plan the loop actually executes.
+        // sized so the rank side EXCEEDS autoBroadcastJoinThreshold
+        // (2M nodes ~ 32 MB) — the decade-scale SMJ regime the change
+        // targets; a broadcast-sized fixture would hide the exchange
+        val edges = spark.range(0, 8000000)
+          .selectExpr("id % 2000000 AS src", "(id * 7) % 2000000 AS dst")
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val adjPlain = graft.Engine.cut(
+          edges.join(deg, "src").select(col("src"), col("dst"), col("deg")))
+        spark.conf.set("graft.graph.copartition", "on")
+        val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val adjPart = graft.Engine.withoutAqe(spark) {
+          graft.Engine.cut(edges.join(deg, "src")
+            .select(col("src"), col("dst"), col("deg"))
+            .repartition(p, col("src")))
+        }
+        val ranks = spark.range(0, 2000000)
+          .select(col("id"), lit(1000000L).as("micros"))
+          .transform(graft.Engine.cut)
+        def round(adj: org.apache.spark.sql.DataFrame) =
+          ranks.join(adj, col("id") === col("src"))
+            .select(col("dst"),
+              (col("micros") / col("deg")).cast(LongType).as("c"))
+            .groupBy("dst").agg(sum("c").as("s"))
+        Seq(("before", adjPlain), ("after", adjPart)).foreach { case (tag, adj) =>
+          val txt = round(adj).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          val w = new java.io.PrintWriter(s"plans/r19/copart_round_$tag.txt")
+          try w.println(txt) finally w.close()
+          println(s"[probe] wrote plans/r19/copart_round_$tag.txt")
+        }
+        graft.Engine.releaseCheckpoint(adjPlain)
+        graft.Engine.releaseCheckpoint(adjPart)
+        graft.Engine.releaseCheckpoint(ranks)
+      case "graphab" =>
+        // interleaved SAME-SESSION copartition A/B: the cross-session
+        // graphbig arms put identical kCore code at 10.7 vs 45.2 s
+        // (pure window noise), so per-op verdicts for hits need arms
+        // that alternate within one JVM. graft.graph.copartition=off
+        // is byte-identical to the pre-r19 plain cut.
+        val edgesPath = args.drop(2).headOption
+          .getOrElse("target/biggraph/edges-sf100.parquet")
+        val edges = spark.read.parquet(edgesPath)
+        val nodes = edges.select(col("src").as("id")).distinct()
+          .transform(graft.Engine.cut)
+        println(s"[probe] edges=${edges.count()} nodes=${nodes.count()}")
+        def fpAb(df: org.apache.spark.sql.DataFrame): String =
+          df.agg(sum(xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+            .cast(DecimalType(38, 0))).as("h")).collect()(0).toString
+        def oneAb(name: String, arm: String)(
+            f: => org.apache.spark.sql.DataFrame): Double = {
+          spark.conf.set("graft.graph.copartition", arm)
+          val t0 = System.nanoTime()
+          val out = f
+          require(out.count() > 0)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val h = fpAb(out)
+          graft.Engine.releaseCheckpoint(out)
+          println(f"[probe] $name%-10s arm=$arm%-3s $sec%6.2f s  fp=$h")
+          sec
+        }
+        val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          ("hits", () => graft.operators.Graph.hits(edges, nodes, 2)),
+          ("pageRank", () => graft.operators.Graph.pageRank(edges, nodes, 3)))
+        ops.foreach { case (nm, f) =>
+          val offs = collection.mutable.Buffer[Double]()
+          val ons = collection.mutable.Buffer[Double]()
+          (1 to 3).foreach { _ =>
+            offs += oneAb(nm, "off")(f()); ons += oneAb(nm, "on")(f())
+          }
+          println(f"[probe] $nm SUMMARY min off=${offs.min}%.2f s  " +
+            f"on=${ons.min}%.2f s")
+        }
+      case "a02split" =>
+        // which half of a02 dominates: the builtin GK sketch aggregate
+        // or the exact count-by-value rollup? (VERDICT item 6 assumed a
+        // custom GK kernel; the kernel is Spark's ApproximatePercentile
+        // — measure before concluding anything is optimizable)
+        val li = graft.Engine.table(spark, d, "lineitem")
+        val sk = li.groupBy("l_returnflag").agg(
+          expr("approx_percentile(l_extendedprice, array(0.25,0.5,0.75), 10000)"))
+        val pc = li.groupBy(col("l_returnflag"),
+            col("l_extendedprice").as("v")).agg(count(lit(1)).as("c"))
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        noop(sk); noop(pc) // warm
+        (1 to 3).foreach(_ => timeIt("a02 GK sketch agg (noop)")(noop(sk)))
+        (1 to 3).foreach(_ => timeIt("a02 exact rollup (noop)")(noop(pc)))
+        q("a02_approx_percentiles")
       case "names" =>
         // args containing '=' are session conf sets (e.g.
         // graft.q69.inputStorageLevel=DISK_ONLY), applied in order
