@@ -217,6 +217,108 @@ object Cluster {
     asg.join(drops, Seq("vec_id"), "left_anti").select("vec_id", "cid")
   }
 
+  /** r19 dual-regime switch for the Lloyd loop (VERDICT item 7 — the
+    * d05/BPE/graph size-threshold pattern applied to k-means): below
+    * `graft.kmeans.driverMaxVecs` vectors (default 100k ≈ 25 MB of
+    * 64-dim float data; 0 forces the distributed arm — how the parity
+    * spec, chaos harness and PriceReliable keep exercising the
+    * distributed loop at gate scale) the iterations run driver-locally.
+    * A gate-scale Lloyd pass pays one scheduled job + one exchange PER
+    * ITERATION plus the seed job, on frames of a few thousand rows —
+    * fixed latency at any corpus size, exactly the overhead class the
+    * graph fixpoints shed in r18. The threshold probe count is memoized
+    * on the input plan ([[Engine.memoStat]]), so the 100 TB path pays
+    * at most one count per plan per session. */
+  private val DriverMaxVecsDefault = 100000L
+
+  private def driverMaxVecs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.kmeans.driverMaxVecs").map(_.toLong)
+      .getOrElse(DriverMaxVecsDefault)
+
+  /** The driver-local twin of [[kmeans]] — identical values by
+    * construction, not re-derivation:
+    *  - ONE collect of the input with the seed-order `hash(vec_id)`
+    *    computed in-plan (so the murmur seed ranking is Spark's own);
+    *  - assignment calls the SAME [[graft.functions.NearestCellsKernel]]
+    *    `topN` the distributed expression compiles to, over the same
+    *    ArrayData element types (float widening included);
+    *  - the centroid mean replicates the distributed
+    *    `sum(x.cast(DECIMAL(38,12))) / n` fold: per-element
+    *    `BigDecimal.valueOf(x).setScale(12, HALF_UP)` — Spark's
+    *    double→decimal cast quantization — summed exactly, then the
+    *    identical `.doubleValue / n` emission; empty clusters keep the
+    *    previous centroid like the distributed `next = cents.clone()`;
+    *  - the RETURNED assignment frame applies the kernel EXPRESSION
+    *    over a local relation of the collected rows, so the final
+    *    (vec_id → cid) column and schema come from the very same plan
+    *    node the distributed arm returns.
+    * Parity is pinned by ClusterSpec's forced-distributed test. */
+  private def kmeansLocal(e: DataFrame, vecCol: String, k: Int,
+      iters: Int): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import graft.functions.{NearestCellsKernel, VectorKernels}
+    val spark = e.sparkSession
+    val schema = e.schema
+    val idIdx = schema.fieldIndex("vec_id")
+    val vecIdx = schema.fieldIndex(vecCol)
+    val et = schema(vecIdx).dataType.asInstanceOf[ArrayType].elementType
+    val hIdx = schema.size
+    val rows = e.withColumn("__h", hash(col("vec_id"))).collect()
+    val get = VectorKernels.conv(et)
+    val vecs: Array[ArrayData] = rows.map(r =>
+      new GenericArrayData(r.getSeq[Any](vecIdx).toArray))
+    // seed pick: ORDER BY hash(vec_id), vec_id LIMIT k, re-sorted by
+    // vec_id for cid order — the distributed arm verbatim
+    var cents: Array[Array[Double]] = rows.zipWithIndex
+      .sortBy { case (r, _) => (r.getInt(hIdx), r.getLong(idIdx)) }
+      .take(k)
+      .sortBy { case (r, _) => r.getLong(idIdx) }
+      .map { case (r, i) =>
+        val v = vecs(i)
+        Array.tabulate(v.numElements())(t => get(v, t))
+      }
+    var it = 0
+    while (it < iters) {
+      val norms = NearestCellsKernel.sqrtNorms(cents)
+      val next = cents.map(_.clone())
+      // per-(cid, pos) exact decimal sums + counts, then mean — the
+      // distributed groupBy("cid","pos") fold
+      val sums = new java.util.HashMap[Long, java.math.BigDecimal]()
+      val cnts = new java.util.HashMap[Long, Long]()
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i)
+        val cid = NearestCellsKernel
+          .topN(v, et, cents, norms, 1, false).getInt(0)
+        var p = 0
+        val n = v.numElements()
+        while (p < n) {
+          val key = (cid.toLong << 32) | p
+          val x = java.math.BigDecimal.valueOf(get(v, p))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+          val prev = sums.get(key)
+          sums.put(key, if (prev == null) x else prev.add(x))
+          cnts.put(key, cnts.getOrDefault(key, 0L) + 1L)
+          p += 1
+        }
+        i += 1
+      }
+      sums.forEach { (key, sx) =>
+        val cid = (key >> 32).toInt
+        val pos = (key & 0xffffffffL).toInt
+        next(cid)(pos) = sx.doubleValue / cnts.get(key)
+      }
+      cents = next
+      it += 1
+    }
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        Row.fromSeq(r.toSeq.dropRight(1))): _*), schema)
+    (local.withColumn("cid", GF.nearestCells(col(vecCol), cents, 1)(0)),
+      cents)
+  }
+
   /** Distributed Lloyd's k-means over an embedding column, cosine
     * assignment (= spherical k-means: cosine is norm-invariant, so the
     * un-normalized mean update assigns identically to the normalized
@@ -232,6 +334,9 @@ object Cluster {
     * centroid. Returns (assignment with `cid`, final centroids). */
   def kmeans(e: DataFrame, vecCol: String, k: Int, iters: Int,
       dim: Int = 64): (DataFrame, Array[Array[Double]]) = {
+    val limit = driverMaxVecs(e.sparkSession)
+    if (limit > 0 && Engine.memoStat(e, "kmeansVecs")(e.count()) <= limit)
+      return kmeansLocal(e, vecCol, k, iters)
     val picked = e.select(col("vec_id"), col(vecCol))
       .orderBy(hash(col("vec_id")), col("vec_id")).limit(k).collect()
     var cents: Array[Array[Double]] = picked.sortBy(_.getLong(0)).map(r =>

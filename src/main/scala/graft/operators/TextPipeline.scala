@@ -461,19 +461,28 @@ object TextPipeline {
       (s, d) => {
         val L = 3; val N = 2
         val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
+        val segArr = when(size(col("t")) > 0, transform(
+            sequence(lit(1L), ceil(size(col("t")).cast(DoubleType) / L)),
+            i => array_join(
+              slice(col("t"), ((i - 1) * L + 1).cast(IntegerType), lit(L)), " ")))
+          .otherwise(array().cast(ArrayType(StringType)))
         val segs = docs(s, d)
           .select(col("doc_id"), toks.as("t"))
-          .select(col("doc_id"), posexplode(
-            when(size(col("t")) > 0, transform(
-              sequence(lit(1L), ceil(size(col("t")).cast(DoubleType) / L)),
-              i => array_join(
-                slice(col("t"), ((i - 1) * L + 1).cast(IntegerType), lit(L)), " ")))
-              .otherwise(array().cast(ArrayType(StringType))))
-            .as(Seq("pos0", "seg")))
+          .select(col("doc_id"), posexplode(segArr).as(Seq("pos0", "seg")))
           .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("seg"))
           .filter(col("seg") =!= "")
-        val heavy = segs.groupBy("seg")
-          .agg(count_distinct(col("doc_id")).as("nd"))
+        // r19 (the graft_token_counts discipline): a segment's document
+        // frequency dedupes DOC-LOCALLY — array_distinct inside the
+        // scan emits each (doc, seg) pair once, so the count needs ONE
+        // exchange where count_distinct(doc_id) paid two (the partial
+        // (seg, doc_id) dedup exchange plus the per-seg count). Values
+        // identical: count(*) over doc-distinct segs IS the distinct
+        // doc count.
+        val heavy = docs(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .select(explode(array_distinct(
+            filter(segArr, x => x =!= ""))).as("seg"))
+          .groupBy("seg").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= N).select("seg")
         segs.join(heavy, Seq("seg"), "left_anti")
           .groupBy("doc_id")

@@ -668,6 +668,14 @@ object VectorSearch {
     val votes = topk
       .join(e.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
       .groupBy("qid", "nlabel").agg(count(lit(1)).as("c"))
+    // r19 NOTE (measured and REVERTED, the q59-persist discipline): a
+    // min(struct(-c, nlabel)) aggregate fold of this top-1 window was
+    // tried — struct has no mutable agg buffer, so Spark planned it as
+    // SortAggregate + Sort TWICE (partial + final), strictly worse
+    // than the window's single sort; two alternating plateau A/Bs at
+    // sf0.1 put the fold at 2.02/3.55 s vs 1.73/2.06 s for the window.
+    // The t32 fold won because it deleted a corpus-sized stack+window;
+    // here the window input is already the |Q| x |labels| vote table.
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nlabel"))
     votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .join(broadcast(q), "qid")

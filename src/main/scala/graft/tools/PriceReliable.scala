@@ -42,7 +42,10 @@ object PriceReliable {
     "g08_hits" -> Map("graft.graph.driverMaxEdges" -> "0"),
     "d05_neardup_clusters" -> Map("graft.dedup.driverMaxEdges" -> "0"),
     "t24_bpe_merges" -> Map("graft.bpe.driverMaxVocab" -> "0"),
-    "c01_kmeans_embeddings" -> Map.empty,
+    // r19: kmeans gained a driver-local arm below driverMaxVecs (like
+    // the graph/BPE rows above) — force the distributed Lloyd loop so
+    // the per-iteration costs being priced actually run
+    "c01_kmeans_embeddings" -> Map("graft.kmeans.driverMaxVecs" -> "0"),
     "s13_mmr_rerank" -> Map.empty)
 
   def main(args: Array[String]): Unit = {

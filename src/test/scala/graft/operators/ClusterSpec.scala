@@ -296,4 +296,23 @@ class ClusterSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"${gq.name}:\n$p")
     }
   }
+
+  test("kmeans driver-local and distributed regimes agree") {
+    // r19 dual-regime parity (the GraphSpec pattern):
+    // graft.kmeans.driverMaxVecs=0 forces the distributed Lloyd loop;
+    // the default runs the driver-local twin at this corpus size. Both
+    // centroids (bit-exact doubles) and the full assignment must match.
+    def run(): (Seq[Seq[Double]], Map[Long, Int]) = {
+      val (asg, cents) = Cluster.kmeans(emb, "embedding", k = 10, iters = 3)
+      (cents.map(_.toSeq).toSeq,
+        asg.select("vec_id", "cid").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    }
+    val (lc, la) = run()
+    spark.conf.set("graft.kmeans.driverMaxVecs", "0")
+    val (dc, da) = try run()
+      finally spark.conf.unset("graft.kmeans.driverMaxVecs")
+    assert(lc == dc, "centroids diverge between regimes")
+    assert(la == da, "assignments diverge between regimes")
+  }
 }
