@@ -417,6 +417,15 @@ object Analytics {
           .agg(expr(
             s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), $acc)")
             .as("pcts"))
+        // r19 NOTE (measured and REVERTED, the q59 discipline): this
+        // rollup feeds TWO consumers with NO runtime exchange reuse
+        // (executed plan: 3 lineitem scans) — an ephemeral
+        // MEMORY_AND_DISK persist of it was tried and lost at BOTH
+        // measured scales (sf0.1: 3.05/3.75 s vs 1.66/1.84 s recompute;
+        // sf10: 8.07 s vs 5.15 s): the rollup's partial aggregation
+        // collapses map-side over the 2-column pruned scan, so the
+        // duplicate execution costs ~one cheap scan, while the columnar
+        // cache write + two IMTS decodes cost more. Recompute stays.
         val pc = li.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
           .agg(count(lit(1)).as("c"))
         val ex = Percentiles.percentilesFromCounts(pc, Seq("l_returnflag"),

@@ -1629,6 +1629,16 @@ object TextPipeline {
     val DEC = DecimalType(38, 10)
     val tok = base.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("token"))
+    // r19 NOTE (the VERDICT item-4/5 regime question, measured and
+    // answered RECOMPUTE): an ephemeral MEMORY_AND_DISK persist of ct
+    // (vocab x |classes|-bounded output, corpus-priced tokenize build,
+    // ~3 consumers) was tried behind graft.nb.cacheCt and LOST
+    // order-independently at sf0.1 (t28 3.39/3.49 vs 2.40/2.67 s, t32
+    // 3.12/2.57 vs 1.43/1.64 s — runtime ReusedExchange already serves
+    // dense's two ct consumers from one execution, so the cache only
+    // added a write + count + IMTS decodes) and TIED at sf10 (15.79 vs
+    // 16.32 s). No measured scale where it wins -> recompute stays; at
+    // true corpus scale the dial remains this one line.
     val ct = tok.groupBy(col("lang").as("clang"), col("token"))
       .agg(count(lit(1)).as("c"))
     val tot = ct.groupBy("clang").agg(sum("c").as("tot"))

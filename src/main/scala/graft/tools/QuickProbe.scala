@@ -205,6 +205,19 @@ object QuickProbe {
           println(f"[probe] $nm SUMMARY min off=${offs.min}%.2f s  " +
             f"on=${ons.min}%.2f s")
         }
+      case "a02exec" =>
+        // post-execution adaptive plan: how many lineitem scans and
+        // which exchanges actually REUSED at runtime (the initial
+        // isFinalPlan=false dump renders no reuse marks)
+        val df = graft.SparkEntry.queries("a02_approx_percentiles")(spark, d)
+        df.count()
+        val s = df.queryExecution.executedPlan.toString
+        println("[probe] a02 executed: scans=" +
+          "Scan parquet".r.findAllIn(s).size +
+          " imts=" + "InMemoryTableScan".r.findAllIn(s).size +
+          " reused=" + "ReusedExchange".r.findAllIn(s).size +
+          " exchanges=" + "Exchange hashpartitioning".r.findAllIn(s).size)
+        q("a02_approx_percentiles")
       case "a02split" =>
         // which half of a02 dominates: the builtin GK sketch aggregate
         // or the exact count-by-value rollup? (VERDICT item 6 assumed a
