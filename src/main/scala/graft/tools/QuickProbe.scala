@@ -205,6 +205,53 @@ object QuickProbe {
           println(f"[probe] $nm SUMMARY min off=${offs.min}%.2f s  " +
             f"on=${ons.min}%.2f s")
         }
+      case "skewab" =>
+        // VERDICT item 8: does the e32 salted arm (and AQE's skew
+        // split) actually engage and pay off on a decade-scale skewed
+        // fixture? Reconstructs e32's frames at `d`, then times the
+        // PLAIN band join vs the salted one (value-identical by the
+        // saltedJoin multiplicity contract) and reports the stats
+        // probe's estimate plus any AQE skew marks in the executed
+        // plan. Run against target/testdata/sf10.
+        val ev = graft.Engine.table(spark, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        val v0 = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        val plantFactor = args.drop(2).headOption.map(_.toInt).getOrElse(400)
+        println(s"[probe] plantFactor=$plantFactor")
+        val planted = ev
+          .filter(col("event_type") === "purchase" && col("user_id") === 0)
+          .select(col("user_id").as("v_user"),
+            (col("ts") - expr("INTERVAL 30 MINUTES")).as("v_ts"))
+          .withColumn("__r", explode(sequence(lit(1), lit(plantFactor))))
+          .drop("__r")
+        val v = v0.unionByName(planted)
+        println("[probe] probeMaxKeyCount(v_user)=" +
+          graft.operators.Skew.probeMaxKeyCount(v, "v_user"))
+        val cond = col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") < col("p_ts")
+        def agg(j: org.apache.spark.sql.DataFrame) = j
+          .groupBy("purchase_id").agg(count(col("v_ts")).as("views_prior_hour"))
+        def fpSk(df: org.apache.spark.sql.DataFrame): String =
+          df.agg(sum(xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+            .cast(DecimalType(38, 0)))).collect()(0).toString
+        def armSk(tag: String)(build: => org.apache.spark.sql.DataFrame)
+            : Unit = (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val out = agg(build)
+          val n = out.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val skews = "skew=true".r
+            .findAllIn(out.queryExecution.executedPlan.toString).size
+          println(f"[probe] e32@$d $tag run$i $sec%6.2f s rows=$n " +
+            f"aqeSkewMarks=$skews fp=${fpSk(out)}")
+        }
+        armSk("plain ")(p.join(v,
+          col("p_user") === col("v_user") && cond, "left"))
+        armSk("salted")(graft.operators.Skew.saltedJoin(p, v, "p_user",
+          "v_user", 8, Seq("purchase_id"), cond, "left"))
       case "a02exec" =>
         // post-execution adaptive plan: how many lineitem scans and
         // which exchanges actually REUSED at runtime (the initial
