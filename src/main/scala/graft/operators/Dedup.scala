@@ -552,8 +552,12 @@ object Dedup {
       maxDist: Int = 3, dfCap: Long = 1000L): DataFrame = {
     val names = parts.groupBy(col(nameCol).as("name"))
       .agg(count(lit(1)).as("cnt"))
+    // r19 (the t14 doc-local-distinct discipline): names are unique
+    // after the groupBy, so distinct (name, tok) pairs dedupe
+    // NAME-LOCALLY — array_distinct inside the projection replaces the
+    // corpus-wide .distinct() exchange; the multiset is identical.
     val toks = names.select(col("name"),
-      explode(split(col("name"), " ")).as("tok")).distinct()
+      explode(array_distinct(split(col("name"), " "))).as("tok"))
     val keep = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select("tok")

@@ -1220,8 +1220,11 @@ object TextPipeline {
         val toks = docs(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tok"))
           .withColumn("n_tok", size(col("tok")))
+        // r19: (doc_id, term) distinct is doc-local (the t14/t43
+        // discipline) — array_distinct in the projection, one fewer
+        // corpus-wide exchange, identical df counts
         val top = toks
-          .select(col("doc_id"), explode(col("tok")).as("term")).distinct()
+          .select(col("doc_id"), explode(array_distinct(col("tok"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("term")).limit(10)
         toks.crossJoin(broadcast(top))
@@ -1263,9 +1266,13 @@ object TextPipeline {
                 JOIN tc tb ON term_b = tb.term
                 CROSS JOIN nd"""),
       (s, d) => {
+        // r19 (the t14 doc-local-distinct discipline): distinct
+        // (doc_id, term) pairs dedupe inside the scan — array_distinct
+        // replaces the corpus-wide .distinct() exchange on every one of
+        // dt's four consumers; identical multiset.
         val dt = docs(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-          .distinct()
+          .select(col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("term"))
         val nd = dt.agg(countDistinct("doc_id").as("n"))
         val tc = dt.groupBy("term").agg(count(lit(1)).as("df"))
         val a = dt.toDF("doc_id", "term_a")

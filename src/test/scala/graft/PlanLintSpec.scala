@@ -168,7 +168,11 @@ class PlanLintSpec extends AnyFunSuite {
     // brand domain); collected so the corpus-sized DISK_ONLY input
     // frame can be unpersisted in a finally instead of leaking for the
     // session lifetime (r14 verdict #2)
-    "Relational.scala" -> 2, "Cluster.scala" -> 4, "VectorSearch.scala" -> 4,
+    // Cluster #5 (r19): kmeans' driver-local Lloyd regime — ONE
+    // full-input collect gated by a MEASURED vector count against
+    // graft.kmeans.driverMaxVecs (the d05/BPE/graph dual-regime
+    // discipline), so the collect is threshold-bounded by construction
+    "Relational.scala" -> 2, "Cluster.scala" -> 5, "VectorSearch.scala" -> 4,
     "Layout.scala" -> 3, "WireServer.scala" -> 2, "Skew.scala" -> 1,
     // Graph (r18): the iterative operators' driver-local small-graph
     // regime (the d05 pattern) — one edge-list collect gated by a
@@ -191,6 +195,9 @@ class PlanLintSpec extends AnyFunSuite {
     // BigGraph (r16): the decade-3 graph-law probe's one-row
     // fingerprint aggregate (a dev tool, never a query path)
     "BigGraph.scala" -> 1,
+    // QuickProbe (r19): the copart/skew A/B harnesses' one-row
+    // fingerprint aggregates, x3 (dev tool, never a query path)
+    "QuickProbe.scala" -> 3,
     // Serving (r18): readModel — the kB-sized persisted PQ model table
     // (|cells| centroid rows + m x 32 codeword rows + 2 params), the
     // same bounded codebook-collect class as VectorSearch's; loaded at
