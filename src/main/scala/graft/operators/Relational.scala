@@ -95,6 +95,25 @@ object Relational {
     // reads cost more than they save. Left as the static-replan /
     // runtime-reuse shape deliberately.
     val cnt = j.groupBy("p_brand", "pc").agg(count(lit(1)).as("c"))
+    // r19 dual-regime (the d05/BPE/graph/kmeans size-threshold pattern):
+    // the rollup is value-domain bounded (|brands| x |price domain|,
+    // 599k rows at sf0.1), and the probe split showed the rollup itself
+    // at ~1.0 s of a 4.3 s warm run — 3+ s went to the downstream
+    // median windows / broadcast joins / final agg over that SMALL
+    // frame, fixed per-query overhead at any corpus size. Below a
+    // MEASURED group count (`graft.q59.driverMaxGroups`, 0 forces
+    // distributed) the whole post-rollup derivation folds driver-
+    // locally over ONE collect of the rollup; above it the bounded-
+    // state distributed form below is byte-unchanged (the 100 TB path:
+    // the price-domain cardinality grows with |part|, so decade scales
+    // stay distributed). The threshold probe count is memoized on the
+    // rollup plan (Engine.memoStat) — at most one count per plan per
+    // session, the Graph/kmeans discipline. Parity pinned by
+    // RelationalSpec's forced-distributed q59 test.
+    val limit = j.sparkSession.conf.getOption("graft.q59.driverMaxGroups")
+      .map(_.toLong).getOrElse(1000000L)
+    if (limit > 0 && Engine.memoStat(cnt, "q59groups")(cnt.count()) <= limit)
+      return madOutliersLocal(cnt)
     val m = median2FromCounts(cnt, "p_brand", "pc", "c")
     val dvc = cnt.join(broadcast(m), "p_brand")
       .select(col("p_brand"), col("med2"),
@@ -111,6 +130,62 @@ object Relational {
         (col("med2").cast(DoubleType) / 2).as("med_cents"),
         (col("mad4").cast(DoubleType) / 4).as("mad_cents"),
         col("n_out"))
+  }
+
+  /** Driver-local twin of [[madOutliers]]' post-rollup derivation —
+    * identical values by construction over the collected (p_brand, pc,
+    * c) rollup: the same weighted two-middle-order-statistics median
+    * ((n+1) div 2 / n div 2 + 1 over the ascending value order, exact
+    * Long x2/x4 arithmetic), the same (p_brand, dev2) re-rollup for the
+    * MAD, the same 2*dev2 > 3*mad4 outlier predicate, and the same
+    * med2/2, mad4/4 double emission (a Long→Double cast is the one
+    * Spark's `cast(DoubleType)` performs). Output is |brands| rows as a
+    * local relation. */
+  private def madOutliersLocal(cnt: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = cnt.sparkSession
+    val rows = cnt.collect()
+    // weighted (v_lo + v_hi) median over (value, weight) pairs — the
+    // median2FromCounts fold: k-th smallest = min v with cum >= k
+    def median2(pairs: Array[(Long, Long)]): Long = {
+      val sorted = pairs.sortBy(_._1)
+      var n = 0L
+      sorted.foreach(n += _._2)
+      val lo = (n + 1) / 2
+      val hi = n / 2 + 1
+      var cum = 0L; var vLo = 0L; var vHi = 0L
+      var gotLo = false; var gotHi = false
+      var i = 0
+      while (i < sorted.length && !gotHi) {
+        cum += sorted(i)._2
+        if (!gotLo && cum >= lo) { vLo = sorted(i)._1; gotLo = true }
+        if (!gotHi && cum >= hi) { vHi = sorted(i)._1; gotHi = true }
+        i += 1
+      }
+      vLo + vHi
+    }
+    val out = rows.groupBy(_.getString(0)).toSeq.map { case (brand, rs) =>
+      val pcs = rs.map(r => (r.getLong(1), r.getLong(2)))
+      val med2 = median2(pcs)
+      val devAgg = new scala.collection.mutable.HashMap[Long, Long]()
+      pcs.foreach { case (pc, c) =>
+        val d = math.abs(2L * pc - med2)
+        devAgg(d) = devAgg.getOrElse(d, 0L) + c
+      }
+      val mad4 = median2(devAgg.toArray)
+      var n = 0L; var nOut = 0L
+      devAgg.foreach { case (d, c) =>
+        n += c
+        if (2L * d > 3L * mad4) nOut += c
+      }
+      Row(brand, n, med2.toDouble / 2, mad4.toDouble / 4, nOut)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), StructType(Seq(
+      StructField("p_brand", StringType),
+      StructField("n", LongType),
+      StructField("med_cents", DoubleType),
+      StructField("mad_cents", DoubleType),
+      StructField("n_out", LongType))))
   }
 
   def marketBasketPairs(b: DataFrame, maxBasket: Int, minSupport: Long): DataFrame = {

@@ -18,10 +18,15 @@ import graft.{Engine, SparkEntry}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: PlanDump <outDir> <suffix> <query>...")
+    require(args.length >= 3,
+      "usage: PlanDump <outDir> <suffix> [--conf k=v ...] <query>...")
     val outDir = args(0)
     val suffix = args(1)
-    val names = args.drop(2).toSeq
+    val confs = args.drop(2).filter(_.startsWith("--conf=")).map { a =>
+      val kv = a.stripPrefix("--conf=").split("=", 2)
+      (kv(0), kv(1))
+    }.toSeq
+    val names = args.drop(2).filterNot(_.startsWith("--conf=")).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -31,6 +36,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Engine.prepare(spark)
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)

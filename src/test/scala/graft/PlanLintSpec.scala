@@ -168,11 +168,16 @@ class PlanLintSpec extends AnyFunSuite {
     // brand domain); collected so the corpus-sized DISK_ONLY input
     // frame can be unpersisted in a finally instead of leaking for the
     // session lifetime (r14 verdict #2)
+    // Relational #3 (r19): q59's driver-local median/MAD regime — ONE
+    // collect of the (brand, pc) count rollup gated by a MEASURED group
+    // count against graft.q59.driverMaxGroups (the d05/BPE/graph/kmeans
+    // dual-regime discipline), so the collect is threshold-bounded by
+    // construction, never corpus-row-sized
     // Cluster #5 (r19): kmeans' driver-local Lloyd regime — ONE
     // full-input collect gated by a MEASURED vector count against
     // graft.kmeans.driverMaxVecs (the d05/BPE/graph dual-regime
     // discipline), so the collect is threshold-bounded by construction
-    "Relational.scala" -> 2, "Cluster.scala" -> 5, "VectorSearch.scala" -> 4,
+    "Relational.scala" -> 3, "Cluster.scala" -> 5, "VectorSearch.scala" -> 4,
     "Layout.scala" -> 3, "WireServer.scala" -> 2, "Skew.scala" -> 1,
     // Graph (r18): the iterative operators' driver-local small-graph
     // regime (the d05 pattern) — one edge-list collect gated by a

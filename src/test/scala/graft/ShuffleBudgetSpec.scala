@@ -82,9 +82,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // rollup input / distinct-basket frame each feed 2-3 consumers);
     // identical exchanges dedupe at runtime via ReusedExchange
     // (spark.sql.exchange.reuse) — the budget pins the static shape
-    "q59_mad_outliers" -> 9,       // one (brand,pc) rollup x3 consumers (statically
-                                   // re-planned, runtime-reused) + 2 cum windows +
-                                   // dev rollup + final agg
+    "q59_mad_outliers" -> 0,       // r19: below graft.q59.driverMaxGroups the
+                                   // post-rollup median/MAD derivation folds
+                                   // driver-locally over one gated collect of
+                                   // the value-domain-bounded rollup — the
+                                   // returned frame is a |brands|-row local
+                                   // relation (the q69 collect class); the
+                                   // distributed 100 TB shape is pinned by the
+                                   // dedicated forced-distributed test below
     "q69_market_basket" -> 0,      // r15: the pipeline (DISK_ONLY input frame
                                    // x3 consumers, r14's static 10) now runs
                                    // EAGERLY inside the builder so the persist
@@ -134,5 +139,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     }
     assert(diffs.isEmpty, s"shuffle budgets violated:\n  ${diffs.mkString("\n  ")}")
     Engine.releaseEphemeral(spark) // don't leak this suite's heap builds onward
+  }
+
+  test("q59 distributed arm keeps its exact shuffle budget") {
+    // the 100 TB path (above graft.q59.driverMaxGroups): one (brand,pc)
+    // rollup x3 consumers (statically re-planned, runtime-reused via
+    // ReusedExchange) + 2 cumulative-median windows + dev rollup +
+    // final agg = 9 exchanges, unchanged from the pre-r19 default shape
+    spark.conf.set("graft.q59.driverMaxGroups", "0")
+    try {
+      val df = SparkEntry.queries("q59_mad_outliers")(spark, TestSpark.sf)
+      val got = executableShuffles(df.queryExecution.executedPlan.toString)
+      assert(got == 9, s"q59 distributed arm: $got shuffles (budget 9)")
+    } finally spark.conf.unset("graft.q59.driverMaxGroups")
   }
 }

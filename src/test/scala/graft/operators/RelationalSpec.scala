@@ -150,6 +150,18 @@ class RelationalSpec extends AnyFunSuite {
         r.getDouble(3), r.getLong(4))).toSet
     assert(got == want,
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // r19 dual-regime parity: the default (driver-local) regime above
+    // must equal the forced-distributed arm bit-for-bit — same brands,
+    // same Long counts, same exact 2-adic double medians
+    spark.conf.set("graft.q59.driverMaxGroups", "0")
+    try {
+      val dist = graft.operators.Relational.madOutliers(j)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4))).toSet
+      assert(dist == got,
+        s"regime divergence: onlyDist=${(dist -- got).take(3)} " +
+          s"onlyLocal=${(got -- dist).take(3)}")
+    } finally spark.conf.unset("graft.q59.driverMaxGroups")
   }
 
   test("q53 compilation matches hand-computed GROUPS frame semantics") {
