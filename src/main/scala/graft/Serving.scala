@@ -141,6 +141,11 @@ object Serving {
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
 
+  /** Probe hook for the serving-latency split (QuickProbe s17split). */
+  private[graft] def probeReadModel(spark: SparkSession, prefix: String): Unit = {
+    readModel(spark, tbl(prefix, "pqmodel")); ()
+  }
+
   /** Inverse of [[writeModel]] — a collect of the kB-sized model table
     * (the one eager step of a serving call's plan BUILD; the plan itself
     * stays lazy). */
@@ -196,7 +201,8 @@ object Serving {
     val q = corpus.filter(col("vec_id") === qid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     VectorSearch.ivfPqTopKIndexed(s.table(tbl(prefix, "ivf")), corpus, q,
-      model.copy(rerank = math.max(model.rerank, k)), k, boundedQ = true)
+      model.copy(rerank = math.max(model.rerank, k)), k, boundedQ = true,
+      persistedIndex = true)
       .queryExecution.analyzed
   }
 
@@ -217,7 +223,8 @@ object Serving {
     VectorSearch.hybridRrfTopKIndexed(
       s.table(tbl(prefix, "postings")), s.table(tbl(prefix, "doclens")),
       s.table(tbl(prefix, "ivf")), s.table(tbl(prefix, "emb")),
-      readModel(s, tbl(prefix, "pqmodel")), terms, qid, k)
+      readModel(s, tbl(prefix, "pqmodel")), terms, qid, k,
+      persistedIndex = true)
       .queryExecution.analyzed
   }
 

@@ -498,16 +498,36 @@ object VectorSearch {
     * serving shape: encode once (`encodeIvfPq` + Layout), search many. */
   def ivfPqTopKIndexed(index: DataFrame, corpus: DataFrame,
       queries: DataFrame, model: PqModel, k: Int,
-      boundedQ: Boolean = false): DataFrame = {
+      boundedQ: Boolean = false, persistedIndex: Boolean = false): DataFrame = {
     val q = probedQueries(queries, model)
-    val probed = q.select("cid").distinct().collect().map(_.getInt(0)).sorted
+    // r19: the probed cell ids used to come from a distinct-collect of
+    // q's cid column — a distinct exchange + fetch job over the
+    // exploded probe frame, run once per serve
+    // call. The cells are a pure function of (qv, model), so collect
+    // the |Q| query rows instead (the indexed path's |Q| is serving-
+    // bounded — 1 for the SQL table functions) and run the SAME
+    // NearestCellsKernel.topN the in-plan expression compiles to.
+    val et = queries.schema("qv").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val norms = graft.functions.NearestCellsKernel.sqrtNorms(model.centroids)
+    val probed = queries.select(col("qv")).collect()
+      .flatMap { r =>
+        val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          r.getSeq[Any](0).toArray)
+        val cells = graft.functions.NearestCellsKernel
+          .topN(v, et, model.centroids, norms, model.nprobe, false)
+        Array.tabulate(cells.numElements())(cells.getInt)
+      }.distinct.sorted
     // same exchange barrier as ivfPqTopK: when the caller passes an
     // INLINE-encoded index (the no-table case), the deferred projection
-    // would re-encode per candidate; for a persisted Layout index the
-    // probed rows arrive cid-clustered from partition pruning and the
-    // exchange is a near-no-op narrow shuffle of the selected cells.
-    pqSearch(index.filter(col("cid").isin(probed.toIndexedSeq: _*))
-        .repartition(col("cid")),
+    // would re-encode per candidate. A PERSISTED Layout index stores
+    // `codes` — nothing re-evaluates per candidate — so the serving
+    // path (r19, persistedIndex = true) skips the exchange outright:
+    // the probed rows already arrive cid-clustered from partition
+    // pruning, and the repartition was one pure-overhead stage per
+    // serve call.
+    val probedIdx = index.filter(col("cid").isin(probed.toIndexedSeq: _*))
+    pqSearch(if (persistedIndex) probedIdx else probedIdx.repartition(col("cid")),
       corpus, queries, q, k, model.rerank, boundedQ = boundedQ)
   }
 
@@ -1033,12 +1053,23 @@ object VectorSearch {
   /** The RRF fusion tail shared by the inline (s07) and index-served
     * hybrid paths: score 1/(60+r_lex) + 1/(60+r_vec) over the two
     * k-row rank lists, keep the fused top 10 — constant work at any
-    * corpus size, bit-identical wherever the arms come from. */
+    * corpus size, bit-identical wherever the arms come from.
+    *
+    * r19: the oracle's FULL OUTER JOIN shape planned a sort-merge join
+    * (two exchanges + sorts) over the two <= k-row sides — pure stage
+    * overhead on a serve call. The union + one-key sum below is
+    * bit-identical: a doc in both arms sums exactly its two
+    * contributions (IEEE addition of two values is commutative, and
+    * Spark's sum starts from null, not 0.0, so no third operand
+    * enters); a doc in one arm keeps its single contribution, equal to
+    * the join's `x + 0.0` because every contribution 1/(60+r) is
+    * strictly positive. One tiny exchange replaces the join's two;
+    * VectorSearchSpec pins the fused rows against the join form. */
   def hybridRrfFuse(lexTop: DataFrame, vecTop: DataFrame): DataFrame =
-    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        round(coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 6).as("rrf"))
+    lexTop.select(col("doc_id"), (lit(1.0) / (lit(60) + col("rl"))).as("contrib"))
+      .unionAll(vecTop.select(col("doc_id"),
+        (lit(1.0) / (lit(60) + col("rv"))).as("contrib")))
+      .groupBy("doc_id").agg(round(sum(col("contrib")), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(10)
 
   /** Index-SERVED hybrid retrieval — the serving composition of the
@@ -1052,7 +1083,8 @@ object VectorSearch {
     * VectorSearchSpec pins it EQUAL to the same arms computed inline. */
   def hybridRrfTopKIndexed(postings: DataFrame, doclens: DataFrame,
       ivfIndex: DataFrame, corpus: DataFrame, model: PqModel,
-      terms: Seq[String], qid: Long, k: Int = 20): DataFrame = {
+      terms: Seq[String], qid: Long, k: Int = 20,
+      persistedIndex: Boolean = false): DataFrame = {
     val lexTop = rankLex(TextPipeline.bm25FromIndex(postings, doclens, terms), k)
     val q = corpus.filter(col("vec_id") === qid)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -1060,7 +1092,8 @@ object VectorSearch {
     // the serve path stays a single LAZY plan (index partition pruning
     // visible end-to-end, zero extra jobs, no per-query cache entry)
     val vecTop = rankVec(ivfPqTopKIndexed(ivfIndex, corpus, q,
-      model.copy(rerank = math.max(model.rerank, k)), k, boundedQ = true))
+      model.copy(rerank = math.max(model.rerank, k)), k, boundedQ = true,
+      persistedIndex = persistedIndex))
     hybridRrfFuse(lexTop, vecTop)
   }
 

@@ -281,6 +281,54 @@ object QuickProbe {
         (1 to 3).foreach(_ => timeIt("a02 GK sketch agg (noop)")(noop(sk)))
         (1 to 3).foreach(_ => timeIt("a02 exact rollup (noop)")(noop(pc)))
         q("a02_approx_percentiles")
+      case "s17split" =>
+        // where does the s17 serve call's ~1 s go? build the indexes
+        // once (memoized, like the bench warmup), then split the timed
+        // serve path: model collect, probed-cell collect, lexical arm,
+        // vector arm, fused plan — each min-of-3 warm
+        graft.Serving.ensureIndexes(spark, d, "serve")
+        graft.Serving.install(spark, "serve")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def best(tag: String)(f: => Unit): Unit = {
+          f
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[probe] $tag min=${ts.min}%.3f s runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+        }
+        best("s17 full sql serve")(
+          noop(spark.sql("SELECT * FROM graft_hybrid_topk(0, 'scan hash merge', 20)")))
+        best("s16 full sql serve")(
+          noop(spark.sql("SELECT * FROM graft_ann_topk(0, 10)")))
+        best("bm25 lex arm (noop)")(
+          noop(graft.operators.TextPipeline.bm25FromIndex(
+            spark.table("serve_postings"), spark.table("serve_doclens"),
+            Seq("scan", "hash", "merge"))
+            .orderBy(col("bm25").desc, col("doc_id")).limit(20)))
+        best("plan build only (analyze, no exec)") {
+          spark.sql("SELECT * FROM graft_hybrid_topk(0, 'scan hash merge', 20)")
+            .queryExecution.analyzed
+          ()
+        }
+        best("readModel alone")(graft.Serving.probeReadModel(spark, "serve"))
+      case "g10split" =>
+        // how much of the one-shot graph queries (g03 triangles, g06
+        // adamic-adar, g07 assortativity, g10 clustering) is the ngram
+        // pair generation (stays) vs the graph math over the tiny pair
+        // set (driver-local twin candidate)?
+        val dd = graft.Engine.table(spark, d, "documents")
+          .filter(col("doc_id") < 300)
+        val pairs = graft.operators.Dedup
+          .ngramJaccardPairs(dd, "doc_id", "text", 3, 0.02)
+          .select("id_a", "id_b")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        noop(pairs)
+        (1 to 3).foreach(_ => timeIt("ngram pairs alone (noop)")(noop(pairs)))
+        println("[probe] pair rows: " + pairs.count())
+        Seq("g03_triangle_count", "g06_adamic_adar", "g07_assortativity",
+          "g10_local_clustering").foreach(q)
       case "names" =>
         // args containing '=' are session conf sets (e.g.
         // graft.q69.inputStorageLevel=DISK_ONLY), applied in order

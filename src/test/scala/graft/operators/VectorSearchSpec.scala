@@ -302,4 +302,25 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(canon(served) == canon(inline),
       s"served=${canon(served)} inline=${canon(inline)}")
   }
+
+  test("union RRF fuse == the oracle's full-outer-join form bit-for-bit") {
+    // r19: hybridRrfFuse folds the two rank lists via union + one-key
+    // sum instead of the declared FULL OUTER JOIN — pin the rewrite
+    // against the join form on arms with partial overlap (docs in both
+    // lists, lex-only docs, vec-only docs)
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4))
+      .toDF("doc_id", "rl")
+    val vec = Seq((3L, 1), (4L, 2), (5L, 3), (6L, 4))
+      .toDF("doc_id", "rv")
+    val got = VectorSearch.hybridRrfFuse(lex, vec).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val want = lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
 }
