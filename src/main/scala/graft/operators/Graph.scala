@@ -90,6 +90,70 @@ object Graph {
     } else (e, None)
   }
 
+  /** Gate + collect for the ONE-SHOT pair-graph operators (triangle
+    * counts, local clustering, adamic-adar, assortativity) — the same
+    * driverMaxEdges regime as the fixpoints, r19. Unlike
+    * [[cutAndMaybeCollect]] there is NO lineage cut: the one-shot local
+    * twins never re-read the pair frame distributively, so the gate is
+    * one memoized count and the fetch executes the pair plan exactly
+    * once — where the distributed shapes paid 2-5 localCheckpoint
+    * writes per invocation (executor block I/O, the q69 disk-window
+    * exposure class: these four queries spiked 10-26 s on slow-disk
+    * windows against 0.5-0.7 s records). Ids are collected through a
+    * Long cast (the kCorePeel discipline). */
+  private def maybeCollectPairs(pairs: DataFrame): Option[Array[(Long, Long)]] = {
+    val pl = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+    val limit = driverMaxEdges(pairs.sparkSession)
+    if (limit > 0 && Engine.memoStat(pl, "graphEdges")(pl.count()) <= limit)
+      Some(pl.collect().map(r => (r.getLong(0), r.getLong(1))))
+    else None
+  }
+
+  /** Degree + per-node-triangle maps over a collected canonical pair
+    * multiset — the local twin of [[triangleCounts]]' dataflow,
+    * multiset-exact: deg counts BOTH endpoints per pair instance (the
+    * unionAll groupBy), each edge instance re-orients low -> high in
+    * the (deg, id) total order, and a triangle chain (u->v, v->w, u->w)
+    * contributes m(u,v)*m(v,w)*m(u,w) instances, one count to each
+    * corner per instance — exactly the three-way join + explode. */
+  private def triangleMapsLocal(pairs: Array[(Long, Long)])
+      : (scala.collection.mutable.HashMap[Long, Long],
+         scala.collection.mutable.HashMap[Long, Long]) = {
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    pairs.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1L
+      deg(b) = deg.getOrElse(b, 0L) + 1L
+    }
+    def aFirst(a: Long, b: Long): Boolean = {
+      val da = deg(a); val db = deg(b)
+      da < db || (da == db && a < b)
+    }
+    val m = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    pairs.foreach { case (a, b) =>
+      val e = if (aFirst(a, b)) (a, b) else (b, a)
+      m(e) = m.getOrElse(e, 0L) + 1L
+    }
+    val out = new scala.collection.mutable.HashMap[
+      Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+    m.foreach { case ((u, v), c) =>
+      out.getOrElseUpdate(u,
+        new scala.collection.mutable.ArrayBuffer[(Long, Long)]()) += ((v, c))
+    }
+    val tri = new scala.collection.mutable.HashMap[Long, Long]()
+    m.foreach { case ((u, v), muv) =>
+      out.get(v).foreach(_.foreach { case (w, mvw) =>
+        val muw = m.getOrElse((u, w), 0L)
+        if (muw > 0) {
+          val c = muv * mvw * muw
+          tri(u) = tri.getOrElse(u, 0L) + c
+          tri(v) = tri.getOrElse(v, 0L) + c
+          tri(w) = tri.getOrElse(w, 0L) + c
+        }
+      })
+    }
+    (deg, tri)
+  }
+
   /** Materialize a frame PRE-PARTITIONED on `key`, with the hash layout
     * PRESERVED into the cut (r19, verdict item 3 — guide §2.1/§2.4).
     * The iterative operators that cut lineage PER ROUND re-execute each
@@ -379,6 +443,16 @@ object Graph {
     * upstream) pair graph plus one count exchange; no iteration, no
     * driver state. */
   def triangleCounts(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    // r19 dual-regime (the d05/fixpoint pattern applied to the one-shot
+    // ops): below driverMaxEdges the count runs driver-locally — zero
+    // cuts, zero joins; GraphSpec parity pins it against the arm below
+    maybeCollectPairs(pairs).foreach { arr =>
+      val tri = triangleMapsLocal(arr)._2
+      return nodes
+        .join(broadcast(longMapDf(nodes.sparkSession, tri, "tri")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("tri"), lit(0L)).as("triangles"))
+    }
     val p = pairs.transform(Engine.cut) // referenced 5x below; run its plan once
     val deg = p.select(col("id_a").as("id"))
       .unionAll(p.select(col("id_b").as("id")))
@@ -895,7 +969,54 @@ object Graph {
     * correlation so it is symmetric by construction. The degree table
     * is |V| rows (broadcasts; falls back to an id-keyed shuffle join
     * beyond the threshold) and the result is one row. */
+  /** Spark `round(x, 6)` on a double, driver-side: not-finite passes
+    * through, else BigDecimal.valueOf + HALF_UP — the kmeansLocal-
+    * verified quantization twin. */
+  private def round6Local(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** [[Engine.decOut]]'s emission, driver-side, over an exact
+    * DECIMAL(38,10)-scale sum: quantize to 6dp (HALF_UP), then the
+    * small-magnitude branch emits (d * 1e6).toLong / 1e6. */
+  private def decOutLocal(s: java.math.BigDecimal): Double = {
+    val d = s.setScale(6, java.math.RoundingMode.HALF_UP)
+    if (math.abs(d.doubleValue) < 9.0e12)
+      d.movePointRight(6).longValueExact.toDouble / 1e6
+    else d.doubleValue
+  }
+
   def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    // r19 dual-regime: the six moment sums fold driver-locally below
+    // driverMaxEdges — same Long ring arithmetic (wrap included), same
+    // double expression, same 6dp round; GraphSpec parity pins it
+    maybeCollectPairs(pairs).foreach { arr =>
+      val spark = pairs.sparkSession
+      val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      arr.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+      }
+      var n = 0L; var sx = 0L; var sy = 0L
+      var sxy = 0L; var sxx = 0L; var syy = 0L
+      arr.foreach { case (a, b) =>
+        val da = deg(a); val db = deg(b)
+        n += 2L; sx += da + db; sy += da + db
+        sxy += 2L * da * db
+        sxx += da * da + db * db; syy += da * da + db * db
+      }
+      val row =
+        if (n == 0L) org.apache.spark.sql.Row(0, null)
+        else org.apache.spark.sql.Row(n.toInt, round6Local(
+          (n * sxy - sx * sy).toDouble /
+            (math.sqrt((n * sxx - sx * sx).toDouble) *
+              math.sqrt((n * syy - sy * sy).toDouble))))
+      return spark.createDataFrame(
+        java.util.Arrays.asList(row),
+        StructType(Seq(StructField("n_edges", IntegerType),
+          StructField("assortativity", DoubleType))))
+    }
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val dg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -924,6 +1045,64 @@ object Graph {
     * graphs). One wedge shuffle keyed on b, one anti join against the
     * edge set, one (a, c) aggregate. */
   def adamicAdar(pairs: DataFrame, maxMidDegree: Int): DataFrame = {
+    // r19 dual-regime: wedge enumeration per capped mid node is
+    // <= maxMidDegree^2 local work; contributions replicate the
+    // distributed round(1/ln(deg), 6) -> DECIMAL(38,10) sum ->
+    // decOut emission exactly (round6Local/decOutLocal). Ids emit as
+    // Long (the kCorePeel cast discipline); GraphSpec parity pins it.
+    maybeCollectPairs(pairs).foreach { arr =>
+      val spark = pairs.sparkSession
+      val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      val nbrs = new scala.collection.mutable.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      arr.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+        nbrs.getOrElseUpdate(a,
+          new scala.collection.mutable.ArrayBuffer[Long]()) += b
+        nbrs.getOrElseUpdate(b,
+          new scala.collection.mutable.ArrayBuffer[Long]()) += a
+      }
+      val pairSet = arr.toSet
+      val nC = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+      val sC = new scala.collection.mutable.HashMap[
+        (Long, Long), java.math.BigDecimal]()
+      nbrs.foreach { case (b, ns) =>
+        val db = deg(b)
+        // ns.length == deg(b): a mid with < 2 neighbor instances emits
+        // no wedge, and guarding here keeps 1/ln(1) = Inf out of the
+        // decimal conversion (the distributed arm never evaluates it
+        // either — its wedge join produces no row for such mids)
+        if (db <= maxMidDegree && ns.length >= 2) {
+          val contrib = java.math.BigDecimal
+            .valueOf(round6Local(1.0 / math.log(db.toDouble)))
+            .setScale(10, java.math.RoundingMode.HALF_UP)
+          var i = 0
+          while (i < ns.length) {
+            var j = 0
+            while (j < ns.length) {
+              val a = ns(i); val c = ns(j)
+              if (a < c && !pairSet((a, c))) {
+                val k = (a, c)
+                nC(k) = nC.getOrElse(k, 0L) + 1L
+                sC(k) = sC.get(k).map(_.add(contrib)).getOrElse(contrib)
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      val rows = nC.keysIterator.map { k =>
+        org.apache.spark.sql.Row(k._1, k._2, nC(k).toInt, decOutLocal(sC(k)))
+      }.toSeq
+      return spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("a", LongType),
+          StructField("c", LongType),
+          StructField("n_common", IntegerType),
+          StructField("aa_score", DoubleType))))
+    }
     val p = pairs.transform(Engine.cut) // referenced 4x below; run its plan once
     val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -955,6 +1134,24 @@ object Graph {
     * coefficient itself is an exact integer floor division emitted as
     * micros/1e6 (no float rounding, any partitioning). */
   def localClustering(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    // r19 dual-regime: one collect feeds BOTH the triangle pass and the
+    // degree rollup; the coefficient expression below is the
+    // distributed select verbatim over the broadcast-joined maps (deg
+    // stays Long inside the div — only the emitted column casts to int)
+    maybeCollectPairs(pairs).foreach { arr =>
+      val (deg, tri) = triangleMapsLocal(arr)
+      val spark = nodes.sparkSession
+      return nodes
+        .join(broadcast(longMapDf(spark, tri, "tri")), Seq("id"), "left")
+        .join(broadcast(longMapDf(spark, deg, "deg")), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("deg"), lit(0L)).cast(IntegerType).as("deg"),
+          coalesce(col("tri"), lit(0L)).as("triangles"),
+          when(coalesce(col("deg"), lit(0L)) >= 2,
+            expr("(2 * coalesce(tri, 0) * 1000000) div (deg * (deg - 1))")
+              .cast(DoubleType) / 1e6)
+            .otherwise(lit(0.0)).as("clustering"))
+    }
     val p = pairs.transform(Engine.cut) // feeds both the tri pass and deg
     val tri = triangleCounts(p, nodes)
     val deg = p.select(col("id_a").as("id"))

@@ -186,7 +186,11 @@ class PlanLintSpec extends AnyFunSuite {
     // seed ids), each bounded by 2x the already-collected edge count
     // via a broadcast semi join; the node/seed tables themselves are
     // never collected
-    "Graph.scala" -> 5,
+    // Graph #6 (r19): the one-shot ops' (triangles/clustering/
+    // adamic-adar/assortativity) shared pair-list collect, gated by the
+    // SAME measured driverMaxEdges count (maybeCollectPairs) — bounded
+    // by construction like the fixpoint collect above
+    "Graph.scala" -> 6,
     // TextPipeline (r15/r16, folded r18): the NB one-pass scorer's
     // class constants — class list, prior map, per-class OOV default
     // weights — now ONE |langs|-row collect (collectClasses; the

@@ -217,6 +217,37 @@ class GraphSpec extends AnyFunSuite {
     graft.Engine.releaseEphemeral(spark)
   }
 
+  test("driver-local and distributed regimes agree on every one-shot operator") {
+    // r19 parity for the one-shot pair-graph ops (the r18 fixpoint
+    // parity test's sibling): a pseudo-random multigraph with duplicate
+    // canonical pairs, hubs, skewed degrees, and node-table rows with
+    // no edges. graft.graph.driverMaxEdges=0 forces the distributed
+    // shapes.
+    val rnd = new scala.util.Random(13)
+    val raw = Seq.tabulate(300) { _ =>
+      val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val pairs = (raw ++ raw.take(20)).toDF("id_a", "id_b") // dup pairs
+    val nodes = (0L to 35L).toDF("id") // 30..35 isolated
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    def both(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val local = rows(f)
+      spark.conf.set("graft.graph.driverMaxEdges", "0")
+      val dist = try rows(f)
+        finally spark.conf.unset("graft.graph.driverMaxEdges")
+      assert(local == dist, s"$name: regimes diverged " +
+        s"onlyLocal=${(local.toSet -- dist.toSet).take(2)} " +
+        s"onlyDist=${(dist.toSet -- local.toSet).take(2)}")
+      assert(local.nonEmpty, s"$name: empty result")
+    }
+    both("triangleCounts")(Graph.triangleCounts(pairs, nodes))
+    both("localClustering")(Graph.localClustering(pairs, nodes))
+    both("adamicAdar")(Graph.adamicAdar(pairs, maxMidDegree = 12))
+    both("degreeAssortativity")(Graph.degreeAssortativity(pairs))
+  }
+
   test("adamicAdar: hand-scored wedges, adjacency excluded, hub capped") {
     // path 0-1-2 plus 2-3: wedges (0,2) via 1? no — 0-1-2 ARE the
     // edges; candidates are the distance-2 pairs (0,2)? (0,2) is NOT
