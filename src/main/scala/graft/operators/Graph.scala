@@ -507,6 +507,9 @@ object Graph {
       Engine.releaseCheckpoint(e1)
       return kCorePeelLocal(arr, nodes, k, rounds)
     }
+    val spark = edges.sparkSession
+    if (!spark.conf.getOption("graft.kcore.delta").contains("off"))
+      return kCorePeelDelta(e1, nodes, k, rounds)
     var e = e1
     for (_ <- 1 to rounds) {
       val alive = e.groupBy("src").agg(count(lit(1)).as("dg"))
@@ -522,6 +525,58 @@ object Graph {
       .select(col("id"), coalesce(col("core_deg"), lit(0L)).as("core_deg"))
       .transform(Engine.cut)
     Engine.releaseCheckpoint(e)
+    out
+  }
+
+  /** Delta-maintained distributed k-core (r19, the round's "Not yet
+    * optimized" kCorePeel item): the rescan loop above re-aggregated
+    * degrees from the FULL shrinking edge table and re-materialized
+    * |E| blocks every round (one |E| exchange + one |E| localCheckpoint
+    * write per round — the dominant decade-scale cost, and the q69
+    * disk-window exposure class). Here the edge table materializes
+    * ONCE, pre-partitioned on dst ([[cutByKey]], the r19 copartition
+    * law), and each round maintains the |V|-sized degree table:
+    *
+    *   peel_r  = deg rows with dg < k           (nodes leaving now)
+    *   delta   = eByDst ⋈ peel_r on dst, grouped by src
+    *   deg_r+1 = (deg_r minus peel_r) - coalesce(delta, 0)
+    *
+    * Value identity with the rescan loop: an edge instance (v, u) is
+    * subtracted from deg(v) exactly in the round u is peeled while v
+    * is still alive — the round the rescan loop's double semi join
+    * drops it (both-endpoints-same-round edges vanish with both rows;
+    * earlier-dead endpoints cannot re-match peel_r because peel_r only
+    * ever holds currently-alive rows). A node whose degree decays to 0
+    * is peeled the following round with an empty probe — a no-op, and
+    * its final coalesce(0) output matches the rescan arm's absent-row
+    * 0. Per round this exchanges only peel/delta/deg (all <= |V|) and
+    * SCANS the static partitioned edge table with no shuffle and no
+    * re-write. Escape hatch `graft.kcore.delta=off` keeps the
+    * pre-r19 rescan loop byte-identical (the A/B arm); GraphSpec
+    * parity + the decade fingerprint A/B pin value identity. */
+  private def kCorePeelDelta(e1: DataFrame, nodes: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val eByDst = cutByKey(e1, "dst")
+    Engine.releaseCheckpoint(e1)
+    var deg = eByDst.groupBy("src").agg(count(lit(1)).as("dg"))
+      .transform(Engine.cut)
+    for (_ <- 1 to rounds) {
+      val peel = deg.filter(col("dg") < k).select(col("src").as("pid"))
+      val delta = eByDst.join(peel, col("dst") === col("pid"))
+        .groupBy("src").agg(count(lit(1)).as("rm"))
+      val next = deg.filter(col("dg") >= k)
+        .join(delta, Seq("src"), "left")
+        .select(col("src"),
+          (col("dg") - coalesce(col("rm"), lit(0L))).as("dg"))
+        .transform(Engine.cut)
+      Engine.releaseCheckpoint(deg)
+      deg = next
+    }
+    val out = nodes.join(deg, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("dg"), lit(0L)).as("core_deg"))
+      .transform(Engine.cut)
+    Engine.releaseCheckpoint(deg)
+    Engine.releaseCheckpoint(eByDst)
     out
   }
 

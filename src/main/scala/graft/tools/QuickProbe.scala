@@ -205,6 +205,36 @@ object QuickProbe {
           println(f"[probe] $nm SUMMARY min off=${offs.min}%.2f s  " +
             f"on=${ons.min}%.2f s")
         }
+      case "kcoreab" =>
+        // r19 delta-degree kCorePeel A/B: interleaved same-session arms
+        // (graft.kcore.delta on/off) over the decade edge fixture,
+        // order-independent fingerprints proving value identity —
+        // the graphab harness shape applied to the kcore loop.
+        val edgesPath = args.drop(2).headOption
+          .getOrElse("target/biggraph/edges-sf100.parquet")
+        val edges = spark.read.parquet(edgesPath)
+        val nodes = edges.select(col("src").as("id")).distinct()
+          .transform(graft.Engine.cut)
+        println(s"[probe] edges=${edges.count()} nodes=${nodes.count()}")
+        def fpK(df: org.apache.spark.sql.DataFrame): String =
+          df.agg(sum(xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+            .cast(DecimalType(38, 0))).as("h")).collect()(0).toString
+        def oneK(arm: String): Double = {
+          spark.conf.set("graft.kcore.delta", arm)
+          val t0 = System.nanoTime()
+          val out = graft.operators.Graph.kCorePeel(edges, nodes, 2, 3)
+          require(out.count() > 0)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val h = fpK(out)
+          graft.Engine.releaseCheckpoint(out)
+          println(f"[probe] kCorePeel arm=$arm%-3s $sec%6.2f s  fp=$h")
+          sec
+        }
+        val offs = collection.mutable.Buffer[Double]()
+        val ons = collection.mutable.Buffer[Double]()
+        (1 to 3).foreach { _ => offs += oneK("off"); ons += oneK("on") }
+        println(f"[probe] kCorePeel SUMMARY min off=${offs.min}%.2f s  " +
+          f"on=${ons.min}%.2f s")
       case "skewab" =>
         // VERDICT item 8: does the e32 salted arm (and AQE's skew
         // split) actually engage and pay off on a decade-scale skewed

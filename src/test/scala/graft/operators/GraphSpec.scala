@@ -148,6 +148,19 @@ class GraphSpec extends AnyFunSuite {
       assert(local == dist, s"$name: regimes diverged")
       assert(local.nonEmpty, s"$name: empty result")
     }
+    // r19: the distributed kCorePeel default is now the delta-degree
+    // loop — pin it against BOTH the driver twin (above) and the
+    // pre-r19 rescan loop (graft.kcore.delta=off), same multigraph
+    spark.conf.set("graft.graph.driverMaxEdges", "0")
+    spark.conf.set("graft.kcore.delta", "off")
+    val rescan = try rows(Graph.kCorePeel(edges, nodes, k = 2, rounds = 3))
+      finally {
+        spark.conf.unset("graft.graph.driverMaxEdges")
+        spark.conf.unset("graft.kcore.delta")
+      }
+    val (localK, deltaK) = both(Graph.kCorePeel(edges, nodes, k = 2, rounds = 3))
+    assert(rescan == deltaK, "kCorePeel: delta arm diverged from rescan arm")
+    assert(rescan == localK, "kCorePeel: local twin diverged from rescan arm")
   }
 
   test("local regime accepts IntegerType ids like the distributed arms do") {
