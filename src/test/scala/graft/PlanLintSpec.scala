@@ -204,9 +204,9 @@ class PlanLintSpec extends AnyFunSuite {
     // BigGraph (r16): the decade-3 graph-law probe's one-row
     // fingerprint aggregate (a dev tool, never a query path)
     "BigGraph.scala" -> 1,
-    // QuickProbe (r19): the copart/skew A/B harnesses' one-row
-    // fingerprint aggregates, x3 (dev tool, never a query path)
-    "QuickProbe.scala" -> 3,
+    // QuickProbe (r19): the copart/skew/kcore A/B harnesses' one-row
+    // fingerprint aggregates, x4 (dev tool, never a query path)
+    "QuickProbe.scala" -> 4,
     // Serving (r18): readModel — the kB-sized persisted PQ model table
     // (|cells| centroid rows + m x 32 codeword rows + 2 params), the
     // same bounded codebook-collect class as VectorSearch's; loaded at
