@@ -92,21 +92,25 @@ object Graph {
 
   /** Gate + collect for the ONE-SHOT pair-graph operators (triangle
     * counts, local clustering, adamic-adar, assortativity) — the same
-    * driverMaxEdges regime as the fixpoints, r19. Unlike
-    * [[cutAndMaybeCollect]] there is NO lineage cut: the one-shot local
-    * twins never re-read the pair frame distributively, so the gate is
-    * one memoized count and the fetch executes the pair plan exactly
-    * once — where the distributed shapes paid 2-5 localCheckpoint
-    * writes per invocation (executor block I/O, the q69 disk-window
-    * exposure class: these four queries spiked 10-26 s on slow-disk
-    * windows against 0.5-0.7 s records). Ids are collected through a
-    * Long cast (the kCorePeel discipline). */
-  private def maybeCollectPairs(pairs: DataFrame): Option[Array[(Long, Long)]] = {
-    val pl = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+    * driverMaxEdges regime as the fixpoints, r19, with the
+    * [[cutAndMaybeCollect]] cut-and-reuse discipline: the pair plan
+    * executes exactly ONCE (the cut), the gate count and the local
+    * fetch are cheap re-reads of the materialized blocks, and the
+    * distributed arms consume the SAME cut instead of re-cutting
+    * (review finding: the first cut-less version executed the lazy
+    * pair plan twice on a cold gate hit). Below threshold the cut is
+    * pair-set-sized (KBs at gate scale — not the q69 disk class);
+    * callers release it either way. Ids are cast to Long (the
+    * kCorePeel discipline). */
+  private def cutAndMaybeCollectPairs(pairs: DataFrame)
+      : (DataFrame, Option[Array[(Long, Long)]]) = {
+    val pl = pairs.select(col("id_a").cast(LongType).as("id_a"),
+      col("id_b").cast(LongType).as("id_b"))
+    val cut = pl.transform(Engine.cut)
     val limit = driverMaxEdges(pairs.sparkSession)
-    if (limit > 0 && Engine.memoStat(pl, "graphEdges")(pl.count()) <= limit)
-      Some(pl.collect().map(r => (r.getLong(0), r.getLong(1))))
-    else None
+    if (limit > 0 && Engine.memoStat(pl, "graphEdges")(cut.count()) <= limit)
+      (cut, Some(cut.collect().map(r => (r.getLong(0), r.getLong(1)))))
+    else (cut, None)
   }
 
   /** Degree + per-node-triangle maps over a collected canonical pair
@@ -444,16 +448,18 @@ object Graph {
     * driver state. */
   def triangleCounts(pairs: DataFrame, nodes: DataFrame): DataFrame = {
     // r19 dual-regime (the d05/fixpoint pattern applied to the one-shot
-    // ops): below driverMaxEdges the count runs driver-locally — zero
-    // cuts, zero joins; GraphSpec parity pins it against the arm below
-    maybeCollectPairs(pairs).foreach { arr =>
+    // ops): below driverMaxEdges the count runs driver-locally;
+    // GraphSpec parity pins it against the distributed arm below, which
+    // consumes the gate's cut directly (referenced 5x; plan runs once)
+    val (p, small) = cutAndMaybeCollectPairs(pairs)
+    small.foreach { arr =>
+      Engine.releaseCheckpoint(p)
       val tri = triangleMapsLocal(arr)._2
       return nodes
         .join(broadcast(longMapDf(nodes.sparkSession, tri, "tri")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("tri"), lit(0L)).as("triangles"))
     }
-    val p = pairs.transform(Engine.cut) // referenced 5x below; run its plan once
     val deg = p.select(col("id_a").as("id"))
       .unionAll(p.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -558,8 +564,19 @@ object Graph {
       rounds: Int): DataFrame = {
     val eByDst = cutByKey(e1, "dst")
     Engine.releaseCheckpoint(e1)
-    var deg = eByDst.groupBy("src").agg(count(lit(1)).as("dg"))
-      .transform(Engine.cut)
+    // Seed the degree table with EVERY endpoint: a dst-only node (an
+    // asymmetric input — no out-edges) has no src-degree row, yet the
+    // rescan loop treats it as dead in round 1 (alive = srcs with
+    // deg >= k), dropping its incoming edges. A dg = 0 seed row makes
+    // the delta arm peel it in round 1 and subtract those in-edges
+    // identically. Symmetric inputs (every in-repo caller) produce an
+    // empty anti join — no extra rows, no behavior change there; the
+    // asymmetric case is pinned by GraphSpec's directed-triple test.
+    val srcDeg = eByDst.groupBy("src").agg(count(lit(1)).as("dg"))
+    val dstOnly = eByDst.select(col("dst").as("src")).distinct()
+      .join(srcDeg.select("src"), Seq("src"), "left_anti")
+      .withColumn("dg", lit(0L))
+    var deg = srcDeg.unionByName(dstOnly).transform(Engine.cut)
     for (_ <- 1 to rounds) {
       val peel = deg.filter(col("dg") < k).select(col("src").as("pid"))
       val delta = eByDst.join(peel, col("dst") === col("pid"))
@@ -1045,8 +1062,14 @@ object Graph {
   def degreeAssortativity(pairs: DataFrame): DataFrame = {
     // r19 dual-regime: the six moment sums fold driver-locally below
     // driverMaxEdges — same Long ring arithmetic (wrap included), same
-    // double expression, same 6dp round; GraphSpec parity pins it
-    maybeCollectPairs(pairs).foreach { arr =>
+    // double expression, same 6dp round; GraphSpec parity pins it.
+    // Above threshold the distributed arm consumes the gate's cut —
+    // the pre-r19 lazy shape executed the pair-generation subtree once
+    // per union arm; reading the materialized blocks twice is strictly
+    // less work.
+    val (pCut, small) = cutAndMaybeCollectPairs(pairs)
+    small.foreach { arr =>
+      Engine.releaseCheckpoint(pCut)
       val spark = pairs.sparkSession
       val deg = new scala.collection.mutable.HashMap[Long, Long]()
       arr.foreach { case (a, b) =>
@@ -1072,11 +1095,13 @@ object Graph {
         StructType(Seq(StructField("n_edges", IntegerType),
           StructField("assortativity", DoubleType))))
     }
-    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val e = pCut.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pCut.select(col("id_b").as("src"), col("id_a").as("dst")))
     val dg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
-    e.join(dg.as("dx"), col("src") === col("dx.id"))
+    // the 1-row result cuts eagerly (the sibling ops' shape) so the
+    // gate's pair cut can release before returning
+    val out = e.join(dg.as("dx"), col("src") === col("dx.id"))
       .join(dg.as("dy"), col("dst") === col("dy.id"))
       .select(col("dx.deg").as("x"), col("dy.deg").as("y"))
       .agg(count(lit(1)).as("n"),
@@ -1088,6 +1113,9 @@ object Graph {
         expr("round(CAST(n*sxy - sx*sy AS DOUBLE) / " +
           "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * " +
           "sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)").as("assortativity"))
+      .transform(Engine.cut)
+    Engine.releaseCheckpoint(pCut)
+    out
   }
 
   /** Adamic-Adar scores for every non-adjacent pair sharing a common
@@ -1105,7 +1133,9 @@ object Graph {
     // distributed round(1/ln(deg), 6) -> DECIMAL(38,10) sum ->
     // decOut emission exactly (round6Local/decOutLocal). Ids emit as
     // Long (the kCorePeel cast discipline); GraphSpec parity pins it.
-    maybeCollectPairs(pairs).foreach { arr =>
+    val (pCut, small) = cutAndMaybeCollectPairs(pairs)
+    small.foreach { arr =>
+      Engine.releaseCheckpoint(pCut)
       val spark = pairs.sparkSession
       val deg = new scala.collection.mutable.HashMap[Long, Long]()
       val nbrs = new scala.collection.mutable.HashMap[
@@ -1158,7 +1188,7 @@ object Graph {
           StructField("n_common", IntegerType),
           StructField("aa_score", DoubleType))))
     }
-    val p = pairs.transform(Engine.cut) // referenced 4x below; run its plan once
+    val p = pCut // the gate's cut; referenced 4x below, plan ran once
     val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val mid = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -1193,7 +1223,9 @@ object Graph {
     // degree rollup; the coefficient expression below is the
     // distributed select verbatim over the broadcast-joined maps (deg
     // stays Long inside the div — only the emitted column casts to int)
-    maybeCollectPairs(pairs).foreach { arr =>
+    val (p, small) = cutAndMaybeCollectPairs(pairs)
+    small.foreach { arr =>
+      Engine.releaseCheckpoint(p)
       val (deg, tri) = triangleMapsLocal(arr)
       val spark = nodes.sparkSession
       return nodes
@@ -1207,7 +1239,7 @@ object Graph {
               .cast(DoubleType) / 1e6)
             .otherwise(lit(0.0)).as("clustering"))
     }
-    val p = pairs.transform(Engine.cut) // feeds both the tri pass and deg
+    // the gate's cut feeds both the tri pass and deg below
     val tri = triangleCounts(p, nodes)
     val deg = p.select(col("id_a").as("id"))
       .unionAll(p.select(col("id_b").as("id")))

@@ -110,6 +110,16 @@ object Relational {
     // rollup plan (Engine.memoStat) — at most one count per plan per
     // session, the Graph/kmeans discipline. Parity pinned by
     // RelationalSpec's forced-distributed q59 test.
+    // Gate-cost note (review finding): a COLD below-threshold call
+    // executes the rollup twice (the gate count, then the collect —
+    // separate jobs share no exchange); warm calls memo-hit the count
+    // and pay one execution. The graph one-shots avoid this with a
+    // cut-and-reuse gate, but here the distributed arm must NOT
+    // consume a materialized rollup (the r18 A/B refuted exactly that
+    // persist — ReusedExchange replanning won), so an eager cut would
+    // trade a one-time +1 rollup cold for a per-invocation |cnt| block
+    // write on the 100 TB path. Count-then-collect is the right side
+    // of that trade.
     val limit = j.sparkSession.conf.getOption("graft.q59.driverMaxGroups")
       .map(_.toLong).getOrElse(1000000L)
     if (limit > 0 && Engine.memoStat(cnt, "q59groups")(cnt.count()) <= limit)

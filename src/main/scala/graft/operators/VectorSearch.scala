@@ -507,16 +507,28 @@ object VectorSearch {
     // the |Q| query rows instead (the indexed path's |Q| is serving-
     // bounded — 1 for the SQL table functions) and run the SAME
     // NearestCellsKernel.topN the in-plan expression compiles to.
+    // COUPLING NOTE: this driver-side derivation must stay parameter-
+    // identical to probedQueries' in-plan NearestCells expression
+    // (same centroids/norms/nprobe, round6 = false) — the index filter
+    // below prunes to THESE cells while the broadcast q side probes
+    // the expression's cells; drift would silently drop candidates.
+    // End-to-end drift is gated by the s15/s16/s17 oracles (a dropped
+    // candidate changes the top-k hash) and the served==inline spec.
+    // A NULL embedding contributes no cells, like the expression's
+    // nullSafeEval -> null -> explode-drops row path.
     val et = queries.schema("qv").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val norms = graft.functions.NearestCellsKernel.sqrtNorms(model.centroids)
     val probed = queries.select(col("qv")).collect()
       .flatMap { r =>
-        val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          r.getSeq[Any](0).toArray)
-        val cells = graft.functions.NearestCellsKernel
-          .topN(v, et, model.centroids, norms, model.nprobe, false)
-        Array.tabulate(cells.numElements())(cells.getInt)
+        if (r.isNullAt(0)) Array.empty[Int]
+        else {
+          val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            r.getSeq[Any](0).toArray)
+          val cells = graft.functions.NearestCellsKernel
+            .topN(v, et, model.centroids, norms, model.nprobe, false)
+          Array.tabulate(cells.numElements())(cells.getInt)
+        }
       }.distinct.sorted
     // same exchange barrier as ivfPqTopK: when the caller passes an
     // INLINE-encoded index (the no-table case), the deferred projection

@@ -19,11 +19,12 @@ import graft.{Engine, SparkEntry}
 object PlanDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: PlanDump <outDir> <suffix> [--conf k=v ...] <query>...")
+      "usage: PlanDump <outDir> <suffix> [--conf=k=v ...] <query>...")
     val outDir = args(0)
     val suffix = args(1)
     val confs = args.drop(2).filter(_.startsWith("--conf=")).map { a =>
       val kv = a.stripPrefix("--conf=").split("=", 2)
+      require(kv.length == 2, s"malformed $a — expected --conf=key=value")
       (kv(0), kv(1))
     }.toSeq
     val names = args.drop(2).filterNot(_.startsWith("--conf=")).toSeq

@@ -161,6 +161,25 @@ class GraphSpec extends AnyFunSuite {
     val (localK, deltaK) = both(Graph.kCorePeel(edges, nodes, k = 2, rounds = 3))
     assert(rescan == deltaK, "kCorePeel: delta arm diverged from rescan arm")
     assert(rescan == localK, "kCorePeel: local twin diverged from rescan arm")
+    // asymmetric directed input (review finding): node 3 appears only
+    // as dst — the rescan loop treats a node with no src-degree row as
+    // dead in round 1 and drops its in-edges; the delta arm must seed
+    // a dg=0 row for it or it diverges (core_deg(1) = 1 instead of 0)
+    val asym = Seq((1L, 3L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val asymNodes = Seq(1L, 2L, 3L).toDF("id")
+    def asymRows(conf: Map[String, String]): Seq[Seq[Any]] = {
+      conf.foreach { case (key, v) => spark.conf.set(key, v) }
+      try rows(Graph.kCorePeel(asym, asymNodes, k = 2, rounds = 1))
+      finally conf.keys.foreach(spark.conf.unset)
+    }
+    val asymRescan = asymRows(Map("graft.graph.driverMaxEdges" -> "0",
+      "graft.kcore.delta" -> "off"))
+    val asymDelta = asymRows(Map("graft.graph.driverMaxEdges" -> "0"))
+    val asymLocal = asymRows(Map.empty)
+    assert(asymRescan == asymDelta,
+      s"asymmetric: delta=$asymDelta rescan=$asymRescan")
+    assert(asymRescan == asymLocal,
+      s"asymmetric: local=$asymLocal rescan=$asymRescan")
   }
 
   test("local regime accepts IntegerType ids like the distributed arms do") {
